@@ -1,0 +1,156 @@
+package graft.analysis
+
+/** Analyzers: deterministic `String => Iterator[Token]` functions, shared
+  * verbatim between the index build and the query path (the reference requires
+  * the same chain at both ends — QueryParserBase.GetFieldQuery runs the
+  * analyzer on query text, /root/reference/src/Lucene.Net.QueryParser/Classic/QueryParserBase.cs).
+  *
+  * StandardAnalyzer chain per
+  * /root/reference/src/Lucene.Net.Core/Analysis/Standard/StandardAnalyzer.cs:107-115:
+  *   StandardTokenizer(maxTokenLength=255) -> StandardFilter -> LowerCaseFilter -> StopFilter.
+  */
+trait Analyzer extends Serializable {
+  /** Full chain: text -> tokens with absolute positions. */
+  def tokenize(text: String): Iterator[Token]
+  /** Analyze a query string into bare terms (positions tracked for phrases). */
+  final def terms(text: String): List[String] = tokenize(text).map(_.term).toList
+}
+
+object StandardAnalyzer extends Analyzer {
+  /** English stop set, case-sensitive, per
+    * /root/reference/src/Lucene.Net.Core/Analysis/StopAnalyzer.cs:134-137.
+    */
+  val EnglishStopWords: Set[String] = Set(
+    "a", "an", "and", "are", "as", "at", "be", "but", "by", "for", "if",
+    "in", "into", "is", "it", "no", "not", "of", "on", "or", "such", "that",
+    "the", "their", "then", "there", "these", "they", "this", "to", "was",
+    "will", "with")
+
+  val MaxTokenLength = 255 // StandardAnalyzer.cs:123 DEFAULT_MAX_TOKEN_LENGTH
+
+  /** Strip trailing 's (or 'S) from APOSTROPHE tokens; remove dots from ACRONYM
+    * tokens (/root/reference/src/Lucene.Net.Core/Analysis/Standard/StandardFilter.cs:51-80).
+    * ACRONYM_DEP is converted to HOST with the trailing '.' removed
+    * (StandardTokenizer.cs:182-192, replaceInvalidAcronym path).
+    */
+  private[analysis] def standardFilter(t: RawToken): RawToken = t.tokenType match {
+    case TokenType.APOSTROPHE =>
+      val s = t.text
+      if (s.length >= 2 && s.charAt(s.length - 2) == '\'' &&
+          (s.charAt(s.length - 1) == 's' || s.charAt(s.length - 1) == 'S'))
+        t.copy(text = s.substring(0, s.length - 2))
+      else t
+    case TokenType.ACRONYM =>
+      t.copy(text = t.text.replace(".", ""))
+    case TokenType.ACRONYM_DEP =>
+      // StandardTokenizer (replaceInvalidAcronym=true) re-types as HOST, drops trailing dot
+      t.copy(text = t.text.substring(0, t.text.length - 1), tokenType = TokenType.HOST)
+    case _ => t
+  }
+
+  private[analysis] def lowerCase(s: String): String = {
+    // LowerCaseFilter.cs:34-47 — per-char lowering
+    val arr = s.toCharArray
+    var i = 0
+    while (i < arr.length) { arr(i) = Character.toLowerCase(arr(i)); i += 1 }
+    new String(arr)
+  }
+
+  override def tokenize(text: String): Iterator[Token] = new Iterator[Token] {
+    private val raw = ClassicScanner.scan(text)
+    private var pos = -1       // absolute position; DocInverterPerField accumulation
+    private var pendingIncr = 0 // skipped positions from too-long tokens + stopwords
+    private var nextTok: Token = null
+    advance()
+
+    private def advance(): Unit = {
+      nextTok = null
+      while (nextTok == null && raw.hasNext) {
+        val r0 = raw.next()
+        if (r0.end - r0.start > MaxTokenLength) {
+          pendingIncr += 1 // StandardTokenizer.cs:200-204: skipped too-long token still bumps posIncr
+        } else {
+          val r = standardFilter(r0)
+          val term = lowerCase(r.text)
+          if (EnglishStopWords.contains(term)) {
+            pendingIncr += 1 // StopFilter.cs:128-146 skippedPositions accumulation
+          } else {
+            pos += 1 + pendingIncr
+            pendingIncr = 0
+            nextTok = Token(term, pos, r.start, r.end, r.tokenType)
+          }
+        }
+      }
+    }
+
+    override def hasNext: Boolean = nextTok != null
+    override def next(): Token = { val t = nextTok; advance(); t }
+  }
+}
+
+/** Lowercased alphanumeric-run tokenizer, chosen because it is expressible
+  * identically in ANSI SQL as `regexp_extract_all(lower(text), '[a-z0-9]+')` —
+  * used for the DuckDB-oracle-checked query set. Catalog analog: the reference's
+  * Simple/Letter analyzers (/root/reference/src/Lucene.Net.Core/Analysis/SimpleAnalyzer.cs).
+  */
+object SimpleAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] = new Iterator[Token] {
+    private val s = text
+    private var i = 0
+    private var pos = -1
+    private var nextTok: Token = null
+    advance()
+
+    @inline private def isTok(c: Char): Boolean =
+      (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+
+    private def advance(): Unit = {
+      nextTok = null
+      while (nextTok == null && i < s.length) {
+        val c0 = Character.toLowerCase(s.charAt(i))
+        if (isTok(c0)) {
+          val start = i
+          val sb = new java.lang.StringBuilder
+          var c = c0
+          while (i < s.length && isTok(c)) {
+            sb.append(c); i += 1
+            if (i < s.length) c = Character.toLowerCase(s.charAt(i))
+          }
+          pos += 1
+          nextTok = Token(sb.toString, pos, start, i, TokenType.ALPHANUM)
+        } else i += 1
+      }
+    }
+
+    override def hasNext: Boolean = nextTok != null
+    override def next(): Token = { val t = nextTok; advance(); t }
+  }
+}
+
+/** Whitespace-split tokenizer (reference: Analysis/WhitespaceAnalyzer.cs). */
+object WhitespaceAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] = {
+    var pos = -1
+    var off = 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    val n = text.length
+    var i = 0
+    while (i < n) {
+      while (i < n && Character.isWhitespace(text.charAt(i))) i += 1
+      off = i
+      while (i < n && !Character.isWhitespace(text.charAt(i))) i += 1
+      if (i > off) { pos += 1; out += Token(text.substring(off, i), pos, off, i, TokenType.ALPHANUM) }
+    }
+    out.iterator
+  }
+}
+
+object Analyzers {
+  /** Stable names for config/serialization across executors. */
+  def byName(name: String): Analyzer = name match {
+    case "standard" => StandardAnalyzer
+    case "simple" => SimpleAnalyzer
+    case "whitespace" => WhitespaceAnalyzer
+    case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
+  }
+}

@@ -1,0 +1,157 @@
+package graft.codec
+
+/** One decoded posting list: parallel arrays in docId order. */
+final case class DecodedPostings(
+    docIds: Array[Int],
+    tfs: Array[Int],
+    /** Flat positions; doc i's positions are posFlat[posStart(i) until posStart(i+1)). */
+    posFlat: Array[Int],
+    posStart: Array[Int],
+    /** normByte per doc (same order as docIds) — denormalized norms so scoring
+      * needs no join against the docs table. */
+    norms: Array[Byte])
+
+/** Per-128-doc-block skip entry — the analog of the reference's multi-level
+  * skip list (/root/reference/src/Lucene.Net.Core/Codecs/Lucene41/Lucene41SkipWriter.cs:25-68)
+  * plus the block-max metadata (maxTf, minNormByte) that drives Block-Max WAND
+  * pruning (our addition; Lucene 4.8 has skips only).
+  */
+final case class SkipEntry(lastDoc: Int, docOff: Int, tfOff: Int, posOff: Int,
+                           cumDocs: Int, maxTf: Int, minNormByte: Byte)
+
+/** Encoded posting list payload for one (segment, term). */
+final case class EncodedPostings(
+    df: Int, ttf: Long,
+    docDeltas: Array[Byte], tfs: Array[Byte], positions: Array[Byte],
+    norms: Array[Byte], skips: Array[SkipEntry])
+
+/** Posting-list block codec, semantics-equivalent to the reference's
+  * Lucene41PostingsWriter/Reader
+  * (/root/reference/src/Lucene.Net.Core/Codecs/Lucene41/Lucene41PostingsWriter.cs:289-405:
+  * 128-wide FOR blocks of doc-deltas and tfs, vByte tail; position-deltas per doc).
+  * The exact byte format is our own — we match rank/semantics identity, not
+  * Lucene's on-disk bytes.
+  */
+object PostingsCodec {
+  import ForBlock.BlockSize
+
+  /** Streaming encoder: feed docs in strictly increasing docId order. */
+  final class Encoder {
+    private val docBuf = new Array[Int](BlockSize)
+    private val tfBuf = new Array[Int](BlockSize)
+    private var inBlock = 0
+    private var lastDocId = 0
+    private var blockFirst = true
+    private var df = 0
+    private var ttf = 0L
+    private val docOut = new ByteBuf(256)
+    private val tfOut = new ByteBuf(128)
+    private val posOut = new ByteBuf(256)
+    private val normOut = new ByteBuf(64)
+    private val skips = scala.collection.mutable.ArrayBuffer.empty[SkipEntry]
+    private var blockMaxTf = 0
+    private var blockMinNorm: Byte = 0
+    private var blockMinNormLen = Float.MaxValue
+    private var blockLastDoc = 0
+    private var blockDocOff = 0
+    private var blockTfOff = 0
+    private var blockPosOff = 0
+
+    def add(docId: Int, tf: Int, positions: Array[Int], normByte: Byte): Unit = {
+      require(df == 0 || docId > lastDocId, s"docIds must be strictly increasing: $docId after $lastDocId")
+      if (inBlock == 0) {
+        blockDocOff = docOut.size; blockTfOff = tfOut.size; blockPosOff = posOut.size
+        blockMaxTf = 0; blockMinNormLen = Float.MaxValue; blockMinNorm = 0
+      }
+      docBuf(inBlock) = docId - lastDocId
+      tfBuf(inBlock) = tf
+      lastDocId = docId
+      inBlock += 1
+      df += 1
+      ttf += tf
+      if (tf > blockMaxTf) blockMaxTf = tf
+      val len = normLenApprox(normByte)
+      if (len < blockMinNormLen) { blockMinNormLen = len; blockMinNorm = normByte }
+      // positions: delta-encoded vbyte within the doc
+      var prev = 0
+      var i = 0
+      while (i < positions.length) {
+        VByte.writeInt(posOut, positions(i) - prev)
+        prev = positions(i)
+        i += 1
+      }
+      normOut.append(normByte)
+      if (inBlock == BlockSize) flushBlock()
+    }
+
+    /** Approximate doc length from the norm byte (decode 1/f^2 table,
+      * BM25Similarity.cs:150-158). Smaller length => bigger score bound. */
+    private def normLenApprox(b: Byte): Float = {
+      val f = SmallFloat.byte315ToFloat(b)
+      if (f == 0f) Float.MaxValue else 1.0f / (f * f)
+    }
+
+    private def flushBlock(): Unit = {
+      ForBlock.encode(docBuf, 0, docOut)
+      ForBlock.encode(tfBuf, 0, tfOut)
+      skips += SkipEntry(lastDocId, blockDocOff, blockTfOff, blockPosOff,
+        df - BlockSize, blockMaxTf, blockMinNorm)
+      inBlock = 0
+    }
+
+    def finish(): EncodedPostings = {
+      // vByte tail for the remainder (< 128 entries), Lucene41PostingsWriter.cs:454-479 analog
+      var i = 0
+      while (i < inBlock) {
+        VByte.writeInt(docOut, docBuf(i))
+        VByte.writeInt(tfOut, tfBuf(i))
+        i += 1
+      }
+      EncodedPostings(df, ttf, docOut.toArray, tfOut.toArray, posOut.toArray,
+        normOut.toArray, skips.toArray)
+    }
+  }
+
+  def decode(df: Int, docDeltas: Array[Byte], tfBytes: Array[Byte],
+             positions: Array[Byte], norms: Array[Byte]): DecodedPostings = {
+    val docIds = new Array[Int](df)
+    val tfs = new Array[Int](df)
+    val fullBlocks = df / BlockSize
+    val dc = new Cursor(0)
+    val tc = new Cursor(0)
+    var b = 0
+    while (b < fullBlocks) {
+      ForBlock.decode(docDeltas, dc, docIds, b * BlockSize)
+      ForBlock.decode(tfBytes, tc, tfs, b * BlockSize)
+      b += 1
+    }
+    var i = fullBlocks * BlockSize
+    while (i < df) {
+      docIds(i) = VByte.readInt(docDeltas, dc)
+      tfs(i) = VByte.readInt(tfBytes, tc)
+      i += 1
+    }
+    // prefix-sum deltas -> absolute docIds
+    var acc = 0
+    i = 0
+    while (i < df) { acc += docIds(i); docIds(i) = acc; i += 1 }
+    // positions
+    val posStart = new Array[Int](df + 1)
+    i = 0
+    while (i < df) { posStart(i + 1) = posStart(i) + tfs(i); i += 1 }
+    val posFlat = new Array[Int](posStart(df))
+    val pc = new Cursor(0)
+    i = 0
+    while (i < df) {
+      var prev = 0
+      var j = posStart(i)
+      while (j < posStart(i + 1)) {
+        prev += VByte.readInt(positions, pc)
+        posFlat(j) = prev
+        j += 1
+      }
+      i += 1
+    }
+    DecodedPostings(docIds, tfs, posFlat, posStart, norms)
+  }
+}

@@ -1,0 +1,172 @@
+package graft.oracle
+
+import graft.analysis.Analyzer
+import graft.search._
+import scala.collection.mutable
+
+/** Single-JVM, no-Spark reference implementation of the whole engine
+  * (naive maps), encoding exactly the formulas of SURVEY.md §2.6. Every Spark
+  * query result must be rank- and score-identical to this oracle — the
+  * CheckHits-style strategy of the reference
+  * (/root/reference/src/Lucene.Net.TestFramework/Search/CheckHits.cs:94).
+  *
+  * Deterministic doc addressing shared with the Spark engine:
+  * segmentId = floorMod(MurmurHash3.stringHash(key), numSegments);
+  * docId = rank of key within its segment (ascending key order).
+  */
+final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
+                        analyzer: Analyzer, bm25: Bm25 = Bm25.default) {
+
+  final case class Doc(key: String, segmentId: Int, docId: Int, fieldLen: Int,
+                       normByte: Byte, positions: Map[String, Array[Int]])
+
+  val docs: Vector[Doc] = {
+    val bySeg = pages.groupBy { case (key, _) => OracleIndex.segmentOf(key, numSegments) }
+    (0 until numSegments).flatMap { seg =>
+      bySeg.getOrElse(seg, Nil).sortBy(_._1).zipWithIndex.map { case ((key, text), docId) =>
+        val toks = analyzer.tokenize(text).toVector
+        val pos = toks.groupBy(_.term).map { case (t, ts) => t -> ts.map(_.position).toArray }
+        Doc(key, seg, docId, toks.length, bm25.encodeNormValue(1f, toks.length), pos)
+      }
+    }.toVector.sortBy(d => (d.segmentId, d.docId))
+  }
+
+  val maxDoc: Long = docs.length.toLong
+  val sumTotalTermFreq: Long = docs.map(_.fieldLen.toLong).sum
+  val docFreq: Map[String, Long] = {
+    val m = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(d => d.positions.keys.foreach(t => m(t) += 1))
+    m.toMap.withDefaultValue(0L)
+  }
+  val totalTermFreq: Map[String, Long] = {
+    val m = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    docs.foreach(d => d.positions.foreach { case (t, ps) => m(t) += ps.length })
+    m.toMap.withDefaultValue(0L)
+  }
+  /** Sorted dictionary for prefix/range/wildcard/fuzzy expansion. */
+  lazy val dictionary: Vector[String] = docFreq.keys.toVector.sorted
+
+  private def weight(term: String, boost: Float): bm25.TermWeight =
+    bm25.termWeight(docFreq(term), maxDoc, sumTotalTermFreq, boost)
+
+  /** Score of `q` for one doc, or None if it doesn't match.
+    * Float accumulation in clause order (our canonical in-order semantics,
+    * SURVEY.md §7.3).
+    */
+  def scoreDoc(q: Query, d: Doc): Option[Float] = q match {
+    case TermQ(t, boost) =>
+      d.positions.get(t).map { ps => weight(t, boost).score(ps.length.toFloat, d.normByte) }
+
+    case BoolQ(clauses, msm) =>
+      val scoring = clauses.filter(_._1 != Occur.MustNot)
+      val musts = clauses.filter(_._1 == Occur.Must)
+      val nots = clauses.filter(_._1 == Occur.MustNot)
+      val shoulds = clauses.filter(_._1 == Occur.Should)
+      if (scoring.isEmpty) None // prohibited-only boolean matches nothing
+      else if (nots.exists(c => scoreDoc(c._2, d).isDefined)) None
+      else if (musts.exists(c => scoreDoc(c._2, d).isEmpty)) None
+      else {
+        val shouldMatched = shoulds.count(c => scoreDoc(c._2, d).isDefined)
+        val needed = math.max(msm, if (musts.isEmpty && shoulds.nonEmpty) 1 else 0)
+        if (shouldMatched < needed) None
+        else {
+          var s = 0.0f
+          scoring.foreach { c => scoreDoc(c._2, d).foreach(v => s += v) }
+          Some(s)
+        }
+      }
+
+    case PhraseQ(terms, boost) =>
+      val arrays = terms.map { case (t, off) => (d.positions.get(t), off) }
+      if (arrays.exists(_._1.isEmpty)) None
+      else {
+        val base = arrays.head._1.get
+        val baseOff = arrays.head._2
+        var freq = 0
+        base.foreach { p =>
+          val start = p - baseOff
+          if (arrays.forall { case (ps, off) => ps.get.contains(start + off) }) freq += 1
+        }
+        if (freq == 0) None
+        else {
+          // combined weight: summed idf over terms (BM25Similarity.cs:208-221)
+          var idfSum = 0.0f
+          terms.foreach { case (t, _) => idfSum += bm25.idf(docFreq(t), maxDoc) }
+          val avgCache = weight(terms.head._1, 1f).cache // cache is term-independent
+          val w = bm25.TermWeight(idfSum * boost * (bm25.k1 + 1), avgCache)
+          Some(w.score(freq.toFloat, d.normByte))
+        }
+      }
+
+    case PrefixQ(p) =>
+      if (d.positions.keys.exists(_.startsWith(p))) Some(1.0f) else None
+
+    case RangeQ(lo, hi, incLo, incHi) =>
+      val ok = d.positions.keys.exists { t =>
+        (lo == null || (if (incLo) t >= lo else t > lo)) &&
+        (hi == null || (if (incHi) t <= hi else t < hi))
+      }
+      if (ok) Some(1.0f) else None
+
+    case WildcardQ(pat) =>
+      val re = Query.wildcardRegex(pat).r
+      if (d.positions.keys.exists(t => re.matches(t))) Some(1.0f) else None
+
+    case FuzzyQ(t, maxEdits) =>
+      val ms = d.positions.keys.exists(term => OracleIndex.levenshtein(term, t) <= maxEdits)
+      if (ms) Some(1.0f) else None
+
+    case MatchAllQ => Some(1.0f)
+
+    case ConstantScoreQ(inner, boost) =>
+      scoreDoc(inner, d).map(_ => boost)
+
+    case DisMaxQ(cs, tie) =>
+      val scores = cs.flatMap(c => scoreDoc(c, d))
+      if (scores.isEmpty) None
+      else {
+        val mx = scores.max
+        Some(mx + tie * (scores.sum - mx))
+      }
+  }
+
+  final case class Hit(key: String, segmentId: Int, docId: Int, score: Float)
+
+  /** Top-k with the exact tie-break of HitQueue.cs:78-88 + TopDocs.Merge:
+    * score desc, then global doc order (segmentId asc, docId asc).
+    */
+  def search(q: Query, k: Int): Vector[Hit] = {
+    val rw = Query.rewrite(q)
+    docs.flatMap(d => scoreDoc(rw, d).map(s => Hit(d.key, d.segmentId, d.docId, s)))
+      .sortBy(h => (-h.score, h.segmentId, h.docId))
+      .take(k)
+  }
+
+  def count(q: Query): Long = {
+    val rw = Query.rewrite(q)
+    docs.count(d => scoreDoc(rw, d).isDefined).toLong
+  }
+}
+
+object OracleIndex {
+  /** Deterministic segment assignment shared with the Spark build
+    * (graft.build.IndexBuilder uses the identical function via UDF).
+    */
+  def segmentOf(key: String, numSegments: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), numSegments)
+
+  def levenshtein(a: String, b: String): Int = {
+    val dp = Array.tabulate(b.length + 1)(identity)
+    for (i <- 1 to a.length) {
+      var prev = dp(0)
+      dp(0) = i
+      for (j <- 1 to b.length) {
+        val tmp = dp(j)
+        dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+          prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+        prev = tmp
+      }
+    }
+    dp(b.length)
+  }
+}

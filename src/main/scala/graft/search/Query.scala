@@ -1,0 +1,76 @@
+package graft.search
+
+/** Query ADT — the analog of the reference's Query class tree
+  * (/root/reference/src/Lucene.Net.Core/Search/: TermQuery, BooleanQuery,
+  * PhraseQuery, PrefixQuery, TermRangeQuery, WildcardQuery, FuzzyQuery,
+  * MatchAllDocsQuery, ConstantScoreQuery, DisjunctionMaxQuery).
+  */
+sealed trait Query extends Serializable
+
+object Occur extends Enumeration {
+  val Must, Should, MustNot = Value
+}
+
+final case class TermQ(term: String, boost: Float = 1f) extends Query
+
+/** Clause algebra per BooleanQuery.cs:429-495; minShouldMatch applies to
+  * Should clauses only.
+  */
+final case class BoolQ(clauses: List[(Occur.Value, Query)], minShouldMatch: Int = 0) extends Query
+
+/** Exact phrase: terms with their relative positions (gaps > 1 encode removed
+  * stopwords, PhraseQuery.cs:383-402 / ExactPhraseScorer.cs:26-49).
+  */
+final case class PhraseQ(terms: List[(String, Int)], boost: Float = 1f) extends Query
+
+final case class PrefixQ(prefix: String) extends Query
+/** Term range [lo, hi]; null bound = open (TermRangeQuery.cs). */
+final case class RangeQ(lo: String, hi: String, includeLo: Boolean = true, includeHi: Boolean = true) extends Query
+/** Wildcard with * (any run) and ? (one char), WildcardQuery.cs. */
+final case class WildcardQ(pattern: String) extends Query
+/** Terms within Levenshtein distance maxEdits (FuzzyQuery.cs:57-85). */
+final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
+case object MatchAllQ extends Query
+final case class ConstantScoreQ(inner: Query, boost: Float = 1f) extends Query
+/** score = max + tieBreaker * (sum - max), DisjunctionMaxQuery.cs:46,113. */
+final case class DisMaxQ(clauses: List[Query], tieBreaker: Float = 0f) extends Query
+
+object Query {
+  /** Rewrite-to-fixpoint normalization (IndexSearcher.cs:673-680 analog):
+    * 1-term phrase -> term (PhraseQuery.cs:164); single-clause MUST/SHOULD bool
+    * collapse (BooleanQuery.cs:522).
+    */
+  def rewrite(q: Query): Query = q match {
+    case PhraseQ((t, _) :: Nil, boost) => TermQ(t, boost)
+    case BoolQ((occ, inner) :: Nil, msm) if occ != Occur.MustNot && msm <= (if (occ == Occur.Should) 1 else 0) =>
+      rewrite(inner)
+    case BoolQ(cs, msm) => BoolQ(cs.map { case (o, c) => (o, rewrite(c)) }, msm)
+    case DisMaxQ(cs, tb) => DisMaxQ(cs.map(rewrite), tb)
+    case ConstantScoreQ(inner, boost) => ConstantScoreQ(rewrite(inner), boost)
+    case other => other
+  }
+
+  /** All literal terms a query needs posting lists for (dictionary-expanding
+    * queries like prefix/range/wildcard/fuzzy are resolved separately).
+    */
+  def literalTerms(q: Query): Set[String] = q match {
+    case TermQ(t, _) => Set(t)
+    case BoolQ(cs, _) => cs.flatMap(c => literalTerms(c._2)).toSet
+    case PhraseQ(ts, _) => ts.map(_._1).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
+    case ConstantScoreQ(inner, _) => literalTerms(inner)
+    case _ => Set.empty
+  }
+
+  /** Wildcard pattern -> regex (anchored), for dictionary scans. */
+  def wildcardRegex(pattern: String): String = {
+    val sb = new StringBuilder
+    pattern.foreach {
+      case '*' => sb.append(".*")
+      case '?' => sb.append(".")
+      case c if "\\.[]{}()<>+-=!^$|".indexOf(c) >= 0 => sb.append('\\').append(c)
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+}
