@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.search._
+
+/** The driver-contract query battery: one entry per operator family
+  * (SURVEY.md §2), each routed through the real engine (index build + query
+  * compile + BM25), with a DuckDB twin in [[Queries.oracle]] that recomputes
+  * the same semantics relationally from documents.parquet.
+  *
+  * Parity rules documented at [[SparkEntry]]: SimpleAnalyzer tokenization
+  * (= regexp_extract_all(lower(text), '[a-z0-9]+')); ExactDouble scoring with
+  * identical operation order; integer/string outputs; ranked outputs emit
+  * (doc_id, rank) with ORDER BY score DESC, doc_id ASC.
+  */
+object Queries {
+
+  // -------------------------------------------------------------- helpers
+
+  private def searcher(s: SparkSession, dir: String): Searcher = IndexCache.searcher(s, dir)
+
+  /** Engine hits -> (doc_id, rank), the SQL-stable ranked output shape. */
+  private def ranked(df: DataFrame): DataFrame = IndexCache.rankedIds(df)
+
+  /** Engine hits -> sorted doc_id set. */
+  private def idsOf(s: Searcher, q: Query): DataFrame = {
+    val hits = s.compile(q)
+    hits.join(s.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"))
+      .orderBy("doc_id")
+  }
+
+  /** Shared DuckDB prelude: tokenization with positions + BM25 ingredients.
+    * Mirrors SimpleAnalyzer + the engine's ExactDouble scorer op-for-op.
+    */
+  private val P =
+    """WITH arrs AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+      |toks AS (
+      |  SELECT doc_id, arr[i] AS term, i - 1 AS pos
+      |  FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)),
+      |tf AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY doc_id, term),
+      |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
+      |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |consts AS (
+      |  SELECT (SELECT count(*) FROM documents) AS n,
+      |         (SELECT coalesce(sum(dl), 0) FROM dl) AS sttf)""".stripMargin
+
+  /** BM25 score of `term` per doc as CTE `scores_<name>` (ExactDouble parity:
+    * ((ln(1+((n-df)+0.5)/(df+0.5)) * (1.2+1)) * tf) / (tf + 1.2*((1-0.75)+((0.75*dl)/avgdl)))
+    */
+  private def scoreCte(name: String, term: String): String =
+    s"""scores_$name AS (
+       |  SELECT tf.doc_id,
+       |    (ln(1 + ((c.n - d.df) + 0.5) / (d.df + 0.5)) * (1.2 + 1)) * tf.tf /
+       |    (tf.tf + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n)))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term CROSS JOIN consts c
+       |  WHERE tf.term = '$term')""".stripMargin
+
+  // -------------------------------------------------------------- queries
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- term / posting-list scan (TermQuery/TermScorer, SURVEY.md §2.5)
+    "q_term_docs" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      se.termPostings("data")
+        .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"),
+          col("tf").cast("long").as("tf"))
+        .orderBy("doc_id")
+    }),
+    "q_term_topk" -> ((s, dir) => ranked(searcher(s, dir).search(TermQ("data"), 10))),
+
+    // --- boolean algebra (BooleanQuery/ConjunctionScorer/DisjunctionSumScorer/ReqExclScorer)
+    "q_bool_and" -> ((s, dir) => idsOf(searcher(s, dir),
+      BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))))),
+    "q_bool_or_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+    "q_bool_not" -> ((s, dir) => idsOf(searcher(s, dir),
+      BoolQ(List(Occur.Must -> TermQ("vector"), Occur.MustNot -> TermQ("stream"))))),
+    "q_minsm" -> ((s, dir) => idsOf(searcher(s, dir),
+      BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"),
+        Occur.Should -> TermQ("window")), minShouldMatch = 2))),
+    "q_dismax_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
+      DisMaxQ(List(TermQ("vector"), TermQ("stream")), 0.5f), 10))),
+
+    // --- positional (PhraseQuery/ExactPhraseScorer)
+    "q_phrase" -> ((s, dir) => idsOf(searcher(s, dir),
+      PhraseQ(List("hash" -> 0, "join" -> 1)))),
+    "q_phrase_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
+      PhraseQ(List("hash" -> 0, "join" -> 1)), 10))),
+
+    // --- dictionary expansion (Prefix/Range/Wildcard/Fuzzy, MultiTermQuery)
+    "q_prefix" -> ((s, dir) => idsOf(searcher(s, dir), PrefixQ("sp"))),
+    "q_range" -> ((s, dir) => idsOf(searcher(s, dir),
+      RangeQ("query", "sort", includeLo = true, includeHi = false))),
+    "q_wildcard" -> ((s, dir) => idsOf(searcher(s, dir), WildcardQ("s?a*"))),
+    "q_fuzzy" -> ((s, dir) => idsOf(searcher(s, dir), FuzzyQ("joins", 1))),
+
+    // --- dictionary & stats (HighFreqTerms, CollectionStatistics)
+    "q_dict" -> ((s, dir) => {
+      searcher(s, dir).dictionary()
+        .select(col("term"), col("df"), col("ttf"))
+        .orderBy(desc("df"), asc("term")).limit(20)
+    }),
+    "q_stats" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val sdf = se.dictionary().agg(count(lit(1)).cast("long").as("n_terms"),
+        sum("df").cast("long").as("sum_df"))
+      sdf.withColumn("max_doc", lit(se.maxDoc))
+        .withColumn("sum_ttf", lit(se.sumTotalTermFreq))
+        .select("max_doc", "sum_ttf", "n_terms", "sum_df")
+    }),
+    "q_matchall_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq(searcher(s, dir).count(MatchAllQ)).toDF("cnt")
+    }),
+
+    // --- parsed query end-to-end (QueryParser §3.3)
+    "q_parsed_topk" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      ranked(se.search(QueryParser.parse("+vector stream -\"hash join\"", se.analyzer), 10))
+    })
+  )
+
+  def oracle: Map[String, String] = Map(
+    "q_term_docs" ->
+      s"""$P SELECT doc_id, tf FROM tf WHERE term = 'data' ORDER BY doc_id""",
+
+    "q_term_topk" ->
+      s"""$P, ${scoreCte("a", "data")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM scores_a ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_bool_and" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM tf a JOIN tf b USING (doc_id)
+         |WHERE a.term = 'vector' AND b.term = 'stream' ORDER BY doc_id""".stripMargin,
+
+    "q_bool_or_topk" ->
+      s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM scores_a a FULL OUTER JOIN scores_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_bool_not" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf WHERE term = 'vector'
+         |AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'stream')
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_minsm" ->
+      s"""$P SELECT doc_id FROM tf WHERE term IN ('vector', 'stream', 'window')
+         |GROUP BY doc_id HAVING count(DISTINCT term) >= 2 ORDER BY doc_id""".stripMargin,
+
+    "q_dismax_topk" ->
+      s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    greatest(coalesce(a.s, -3.4028234663852886e38), coalesce(b.s, -3.4028234663852886e38))
+         |    + 0.5 * ((coalesce(a.s, 0) + coalesce(b.s, 0))
+         |             - greatest(coalesce(a.s, -3.4028234663852886e38), coalesce(b.s, -3.4028234663852886e38))) AS s
+         |  FROM scores_a a FULL OUTER JOIN scores_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_phrase" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'hash' AND b.term = 'join' ORDER BY 1""".stripMargin,
+
+    "q_phrase_topk" ->
+      s"""$P, pf AS (
+         |  SELECT a.doc_id, count(*) AS freq FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id),
+         |ps AS (
+         |  SELECT pf.doc_id,
+         |    ((ln(1 + ((c.n - dh.df) + 0.5) / (dh.df + 0.5))
+         |      + ln(1 + ((c.n - dj.df) + 0.5) / (dj.df + 0.5))) * (1.2 + 1)) * pf.freq /
+         |    (pf.freq + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n)))) AS s
+         |  FROM pf JOIN dl USING (doc_id) CROSS JOIN consts c
+         |  JOIN dfs dh ON dh.term = 'hash' JOIN dfs dj ON dj.term = 'join')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM ps ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_prefix" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'sp%' ORDER BY doc_id""",
+
+    "q_range" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE term >= 'query' AND term < 'sort' ORDER BY doc_id""".stripMargin,
+
+    "q_wildcard" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE regexp_matches(term, '^s.a.*$$') ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE levenshtein(term, 'joins') <= 1 ORDER BY doc_id""".stripMargin,
+
+    "q_dict" ->
+      s"""$P SELECT term, df, CAST(sum_tf AS BIGINT) AS ttf FROM (
+         |  SELECT tf.term, count(*) AS df, sum(tf.tf) AS sum_tf FROM tf GROUP BY tf.term)
+         |ORDER BY df DESC, term LIMIT 20""".stripMargin,
+
+    "q_stats" ->
+      s"""$P SELECT c.n AS max_doc, CAST(c.sttf AS BIGINT) AS sum_ttf,
+         |  (SELECT count(*) FROM dfs) AS n_terms,
+         |  (SELECT CAST(sum(df) AS BIGINT) FROM dfs) AS sum_df
+         |FROM consts c""".stripMargin,
+
+    "q_matchall_count" ->
+      """SELECT count(*) AS cnt FROM documents""",
+
+    "q_parsed_topk" ->
+      s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")},
+         |ph AS (SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'hash' AND b.term = 'join')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT a.doc_id, (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM scores_a a LEFT JOIN scores_b b ON a.doc_id = b.doc_id
+         |  WHERE a.doc_id NOT IN (SELECT doc_id FROM ph))
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
+  )
+}

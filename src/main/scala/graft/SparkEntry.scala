@@ -1,13 +1,72 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.build.IndexBuilder
+import graft.search._
+
+/** Driver contract — one `queries` entry per implemented operator
+  * (SURVEY.md §2), each with a DuckDB-runnable `oracleSql` twin over the same
+  * parquet tables.
+  *
+  * SQL-parity rules (so the driver's hash compare is exact):
+  *  - tokenization for oracle-checked search queries = SimpleAnalyzer =
+  *    `regexp_extract_all(lower(text), '[a-z0-9]+')` on both sides;
+  *  - outputs prefer integers/strings; BM25-ranked outputs expose doc_id +
+  *    rank (ordering computed in double precision on both sides);
+  *  - single-segment index for these queries so the engine's global doc order
+  *    (tie-break) equals doc_id order — multi-segment invariance is covered
+  *    by SparkEngineSpec instead.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** Flagship query on sf=0.001: BM25 top-10 disjunction over the documents
+    * corpus through the full index+search path.
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val s = IndexCache.searcher(spark, "/root/testdata/sf0.001")
+    s.searchText("data model system", 10)
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Queries.all
+
+  def oracleSql: Map[String, String] = Queries.oracle
+}
+
+/** Builds (once per sfDir per JVM) a single-segment SimpleAnalyzer index over
+  * `documents.parquet` with url = zero-padded doc_id, so docId order ==
+  * doc_id order.
+  */
+object IndexCache {
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  def indexPath(sfDir: String): String = {
+    val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
+    s"/tmp/graft_index/$tag"
+  }
+
+  def pagesFromDocuments(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(format_string("doc%09d", col("doc_id")).as("url"), col("text"))
+
+  def searcher(spark: SparkSession, sfDir: String): Searcher = cache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir)
+    val done = IndexBuilder.completedSegments(spark, path)
+    if (done.isEmpty) {
+      IndexBuilder.build(spark, pagesFromDocuments(spark, sfDir), path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "simple"))
+    }
+    // ExactDouble scoring: the mode an ANSI-SQL oracle can replicate exactly
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+
+  /** (url, score, segmentId, docId) -> (doc_id, rank) for SQL-stable output. */
+  def rankedIds(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    df.withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)))
+      .select(col("doc_id"), col("rank"))
+      .orderBy(col("rank"))
+  }
 }

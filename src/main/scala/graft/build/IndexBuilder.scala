@@ -1,0 +1,226 @@
+package graft.build
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import graft.analysis.Analyzers
+import graft.codec.PostingsCodec
+import graft.model._
+import graft.search.Bm25
+
+/** Distributed segment build — the Spark re-expression of the reference's
+  * indexing lifecycle (SURVEY.md §3.1):
+  *
+  *   IndexWriter.AddDocument -> DocumentsWriterPerThread chambers
+  *     (/root/reference/src/Lucene.Net.Core/Index/DocumentsWriter.cs)
+  *   becomes: one hash-range of urls = one segment = built inside one
+  *   partition; the ONLY shuffle in the whole build is the initial
+  *   repartition of raw pages by segmentId. Token rows never shuffle, so
+  *   hot-term skew cannot skew the build (SURVEY.md §7.3).
+  *
+  *   FreqProxTermsWriter's in-RAM hash + sort-on-flush
+  *     (Index/FreqProxTermsWriterPerField.cs:398-446)
+  *   becomes: sortWithinPartitions(segmentId, term, docId, pos) —
+  *   Tungsten external sort, spill-safe — then a streaming encoder pass.
+  *
+  *   segments_N two-phase commit (Index/IndexWriter.cs:3719-3777)
+  *   becomes: per-group dynamic-partition-overwrite writes + a manifest
+  *   table appended only after the group's data is fully written, so an
+  *   interrupted build resumes without recomputing completed segments.
+  */
+object IndexBuilder {
+
+  final case class BuildConfig(
+      numSegments: Int,
+      analyzerName: String = "standard",
+      /** Segments committed per job round — the resume/commit granularity. */
+      groupSize: Int = 64,
+      boost: Float = 1f)
+
+  final case class BuildReport(numDocs: Long, numSegments: Int, elapsedSec: Double, docsPerSec: Double)
+
+  def docsPath(base: String) = s"$base/docs"
+  def postingsPath(base: String) = s"$base/postings"
+  def statsPath(base: String) = s"$base/stats"
+  def manifestPath(base: String) = s"$base/manifest"
+  def configPath(base: String) = s"$base/config.json"
+
+  /** Token row used only inside the per-partition sort (never shuffled). */
+  final case class TokenRow(segmentId: Int, docId: Int, term: String, pos: Int, fieldLen: Int)
+
+  /** Build the index from a pages DataFrame with columns (url string, text string).
+    * Resume-safe: segments recorded in the manifest are skipped.
+    */
+  def build(spark: SparkSession, pages: DataFrame, indexPath: String, cfg: BuildConfig): BuildReport = {
+    import spark.implicits._
+    val t0 = System.nanoTime()
+
+    val done: Set[Int] = completedSegments(spark, indexPath)
+    val groups = (0 until cfg.numSegments).grouped(cfg.groupSize).toSeq
+      .filter(g => !g.forall(done.contains))
+
+    // persist analyzer/numSegments so the query path can't diverge from the build
+    writeConfig(spark, indexPath, cfg)
+
+    var totalDocs = 0L
+    groups.foreach { group =>
+      totalDocs += buildGroup(spark, pages, indexPath, cfg, group.toSet, done)
+    }
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val report = BuildReport(totalDocs, cfg.numSegments, elapsed, totalDocs / math.max(elapsed, 1e-9))
+    report
+  }
+
+  private def buildGroup(spark: SparkSession, pages: DataFrame, indexPath: String,
+                         cfg: BuildConfig, group: Set[Int], alreadyDone: Set[Int]): Long = {
+    import spark.implicits._
+    val tg0 = System.nanoTime()
+    val nSeg = cfg.numSegments
+    val analyzerName = cfg.analyzerName
+    val boost = cfg.boost
+
+    val segOf = udf((key: String) => Addressing.segmentOf(key, nSeg))
+    val inGroup = pages
+      .withColumn("segmentId", segOf(col("url")))
+      .filter(col("segmentId").isInCollection(group -- alreadyDone))
+
+    // One partition can hold several whole segments (hash on segmentId);
+    // within a partition, (segmentId, url) order assigns deterministic docIds.
+    val parts = math.min(group.size, spark.sparkContext.defaultParallelism * 2).max(1)
+    val docTokens: Dataset[DocTokens] = inGroup
+      .select(col("url"), col("text"), col("segmentId"))
+      .repartition(parts, col("segmentId"))
+      .sortWithinPartitions(col("segmentId"), col("url"))
+      .as[(String, String, Int)]
+      .mapPartitions { rows =>
+        val analyzer = Analyzers.byName(analyzerName)
+        val bm25 = Bm25.default
+        var curSeg = -1
+        var docId = -1
+        rows.map { case (url, text, seg) =>
+          if (seg != curSeg) { curSeg = seg; docId = -1 }
+          docId += 1
+          val toks = analyzer.tokenize(if (text == null) "" else text).toArray
+          val terms = new Array[String](toks.length)
+          val positions = new Array[Int](toks.length)
+          var i = 0
+          while (i < toks.length) { terms(i) = toks(i).term; positions(i) = toks(i).position; i += 1 }
+          DocTokens(seg, docId, url, toks.length, bm25.encodeNormValue(boost, toks.length), terms, positions)
+        }
+      }
+      .persist(StorageLevel.MEMORY_AND_DISK_SER)
+
+    // docs (+ norms column — the DocValues/.nvd analog; Parquet is columnar already)
+    val docsDf = docTokens.map(d => DocRow(d.segmentId, d.docId, d.url, d.fieldLen, d.normByte))
+    docsDf.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segmentId").parquet(docsPath(indexPath))
+
+    // postings: in-partition sort by (term, docId, pos), then one streaming
+    // encoder pass — Spark's sort-merge aggregation replaces the reference's
+    // in-RAM TermsHash + SortPostings (SURVEY.md §2.2).
+    val postings = docTokens
+      .flatMap { d =>
+        val out = new Array[TokenRow](d.terms.length)
+        var i = 0
+        while (i < d.terms.length) {
+          out(i) = TokenRow(d.segmentId, d.docId, d.terms(i), d.positions(i), d.fieldLen)
+          i += 1
+        }
+        out
+      }
+      .sortWithinPartitions(col("segmentId"), col("term"), col("docId"), col("pos"))
+      .as[TokenRow]
+      .mapPartitions { rows =>
+        new Iterator[PostingRow] {
+          private var pending: TokenRow = if (rows.hasNext) rows.next() else null
+          override def hasNext: Boolean = pending != null
+          override def next(): PostingRow = {
+            val seg = pending.segmentId
+            val term = pending.term
+            val enc = new PostingsCodec.Encoder
+            val posBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var curDoc = pending.docId
+            var curLen = pending.fieldLen
+            var done = false
+            while (!done) {
+              posBuf += pending.pos
+              pending = if (rows.hasNext) rows.next() else null
+              val boundary = pending == null || pending.segmentId != seg || pending.term != term
+              if (boundary || pending.docId != curDoc) {
+                enc.add(curDoc, posBuf.length, posBuf.toArray, curLen)
+                posBuf.clear()
+                if (boundary) done = true
+                else { curDoc = pending.docId; curLen = pending.fieldLen }
+              }
+            }
+            val e = enc.finish()
+            PostingRow(seg, term, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
+              e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
+          }
+        }
+      }
+    postings.write.mode(SaveMode.Overwrite)
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("segmentId").parquet(postingsPath(indexPath))
+
+    // per-segment stats (CollectionStatistics analog, Search/CollectionStatistics.cs:32-37)
+    val segDocs = docTokens.groupBy(col("segmentId"))
+      .agg(count(lit(1)).as("maxDoc"), sum(col("fieldLen")).as("sumTotalTermFreq"))
+    val segTerms = spark.read.parquet(postingsPath(indexPath))
+      .filter(col("segmentId").isInCollection(group))
+      .groupBy(col("segmentId")).agg(count(lit(1)).as("sumDocFreq"))
+    val stats = segDocs.join(segTerms, Seq("segmentId"), "left")
+      .select(col("segmentId").cast("int").as("segmentId"), col("maxDoc").cast("long").as("maxDoc"),
+        col("sumTotalTermFreq").cast("long").as("sumTotalTermFreq"),
+        coalesce(col("sumDocFreq"), lit(0L)).cast("long").as("sumDocFreq"))
+      .as[SegmentStats].collect()
+
+    val numDocs = stats.map(_.maxDoc).sum
+    docTokens.unpersist()
+
+    spark.createDataset(stats.toSeq).write.mode(SaveMode.Append).parquet(statsPath(indexPath))
+
+    // manifest LAST — the commit point: a segment is only "done" once its
+    // docs+postings+stats are all on disk (resume reads this).
+    val elapsed = (System.nanoTime() - tg0) / 1e9
+    val now = System.currentTimeMillis()
+    val manifest = group.toSeq.sorted.map { seg =>
+      val st = stats.find(_.segmentId == seg)
+      ManifestRow(seg, "done", st.map(_.maxDoc).getOrElse(0L), st.map(_.sumDocFreq).getOrElse(0L),
+        numDocs / math.max(elapsed, 1e-9), 1, now - (elapsed * 1000).toLong, now)
+    }
+    spark.createDataset(manifest).write.mode(SaveMode.Append).parquet(manifestPath(indexPath))
+    numDocs
+  }
+
+  def completedSegments(spark: SparkSession, indexPath: String): Set[Int] = {
+    import spark.implicits._
+    try {
+      spark.read.parquet(manifestPath(indexPath))
+        .filter(col("status") === "done")
+        .select("segmentId").as[Int].collect().toSet
+    } catch { case _: Exception => Set.empty }
+  }
+
+  private def writeConfig(spark: SparkSession, indexPath: String, cfg: BuildConfig): Unit = {
+    val json = s"""{"numSegments":${cfg.numSegments},"analyzer":"${cfg.analyzerName}","boost":${cfg.boost}}"""
+    val path = new org.apache.hadoop.fs.Path(configPath(indexPath))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(path, true)
+    out.write(json.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readConfig(spark: SparkSession, indexPath: String): BuildConfig = {
+    val path = new org.apache.hadoop.fs.Path(configPath(indexPath))
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(path)
+    val json = scala.io.Source.fromInputStream(in).mkString
+    in.close()
+    val num = """"numSegments":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
+    val an = """"analyzer":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
+    val boost = """"boost":([0-9.eE+-]+)""".r.findFirstMatchIn(json).get.group(1).toFloat
+    BuildConfig(num, an, boost = boost)
+  }
+}

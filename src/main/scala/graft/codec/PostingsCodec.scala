@@ -7,30 +7,33 @@ final case class DecodedPostings(
     /** Flat positions; doc i's positions are posFlat[posStart(i) until posStart(i+1)). */
     posFlat: Array[Int],
     posStart: Array[Int],
-    /** normByte per doc (same order as docIds) — denormalized norms so scoring
-      * needs no join against the docs table. */
-    norms: Array[Byte])
+    /** Exact field length per doc (same order as docIds) — denormalized so
+      * scoring needs no join against the docs table. The Lucene-compatible
+      * norm byte is derived on the fly (byte315(1/sqrt(len))); the exact
+      * length also enables unquantized double-precision scoring. */
+    lens: Array[Int])
 
 /** Per-128-doc-block skip entry — the analog of the reference's multi-level
   * skip list (/root/reference/src/Lucene.Net.Core/Codecs/Lucene41/Lucene41SkipWriter.cs:25-68)
-  * plus the block-max metadata (maxTf, minNormByte) that drives Block-Max WAND
+  * plus the block-max metadata (maxTf, minLen) that drives Block-Max WAND
   * pruning (our addition; Lucene 4.8 has skips only).
   */
 final case class SkipEntry(lastDoc: Int, docOff: Int, tfOff: Int, posOff: Int,
-                           cumDocs: Int, maxTf: Int, minNormByte: Byte)
+                           cumDocs: Int, maxTf: Int, minLen: Int)
 
 /** Encoded posting list payload for one (segment, term). */
 final case class EncodedPostings(
     df: Int, ttf: Long,
     docDeltas: Array[Byte], tfs: Array[Byte], positions: Array[Byte],
-    norms: Array[Byte], skips: Array[SkipEntry])
+    lens: Array[Byte], skips: Array[SkipEntry])
 
 /** Posting-list block codec, semantics-equivalent to the reference's
   * Lucene41PostingsWriter/Reader
   * (/root/reference/src/Lucene.Net.Core/Codecs/Lucene41/Lucene41PostingsWriter.cs:289-405:
-  * 128-wide FOR blocks of doc-deltas and tfs, vByte tail; position-deltas per doc).
-  * The exact byte format is our own — we match rank/semantics identity, not
-  * Lucene's on-disk bytes.
+  * 128-wide FOR blocks of doc-deltas and tfs, vByte tail; position-deltas per
+  * doc). The exact byte format is our own — we match rank/semantics identity,
+  * not Lucene's on-disk bytes. Field lengths ride along as a third FOR-blocked
+  * stream (replacing Lucene's separate .nvd norms file).
   */
 object PostingsCodec {
   import ForBlock.BlockSize
@@ -39,39 +42,37 @@ object PostingsCodec {
   final class Encoder {
     private val docBuf = new Array[Int](BlockSize)
     private val tfBuf = new Array[Int](BlockSize)
+    private val lenBuf = new Array[Int](BlockSize)
     private var inBlock = 0
     private var lastDocId = 0
-    private var blockFirst = true
     private var df = 0
     private var ttf = 0L
     private val docOut = new ByteBuf(256)
     private val tfOut = new ByteBuf(128)
     private val posOut = new ByteBuf(256)
-    private val normOut = new ByteBuf(64)
+    private val lenOut = new ByteBuf(128)
     private val skips = scala.collection.mutable.ArrayBuffer.empty[SkipEntry]
     private var blockMaxTf = 0
-    private var blockMinNorm: Byte = 0
-    private var blockMinNormLen = Float.MaxValue
-    private var blockLastDoc = 0
+    private var blockMinLen = Int.MaxValue
     private var blockDocOff = 0
     private var blockTfOff = 0
     private var blockPosOff = 0
 
-    def add(docId: Int, tf: Int, positions: Array[Int], normByte: Byte): Unit = {
+    def add(docId: Int, tf: Int, positions: Array[Int], fieldLen: Int): Unit = {
       require(df == 0 || docId > lastDocId, s"docIds must be strictly increasing: $docId after $lastDocId")
       if (inBlock == 0) {
         blockDocOff = docOut.size; blockTfOff = tfOut.size; blockPosOff = posOut.size
-        blockMaxTf = 0; blockMinNormLen = Float.MaxValue; blockMinNorm = 0
+        blockMaxTf = 0; blockMinLen = Int.MaxValue
       }
       docBuf(inBlock) = docId - lastDocId
       tfBuf(inBlock) = tf
+      lenBuf(inBlock) = fieldLen
       lastDocId = docId
       inBlock += 1
       df += 1
       ttf += tf
       if (tf > blockMaxTf) blockMaxTf = tf
-      val len = normLenApprox(normByte)
-      if (len < blockMinNormLen) { blockMinNormLen = len; blockMinNorm = normByte }
+      if (fieldLen < blockMinLen) blockMinLen = fieldLen
       // positions: delta-encoded vbyte within the doc
       var prev = 0
       var i = 0
@@ -80,22 +81,15 @@ object PostingsCodec {
         prev = positions(i)
         i += 1
       }
-      normOut.append(normByte)
       if (inBlock == BlockSize) flushBlock()
-    }
-
-    /** Approximate doc length from the norm byte (decode 1/f^2 table,
-      * BM25Similarity.cs:150-158). Smaller length => bigger score bound. */
-    private def normLenApprox(b: Byte): Float = {
-      val f = SmallFloat.byte315ToFloat(b)
-      if (f == 0f) Float.MaxValue else 1.0f / (f * f)
     }
 
     private def flushBlock(): Unit = {
       ForBlock.encode(docBuf, 0, docOut)
       ForBlock.encode(tfBuf, 0, tfOut)
+      ForBlock.encode(lenBuf, 0, lenOut)
       skips += SkipEntry(lastDocId, blockDocOff, blockTfOff, blockPosOff,
-        df - BlockSize, blockMaxTf, blockMinNorm)
+        df - BlockSize, blockMaxTf, blockMinLen)
       inBlock = 0
     }
 
@@ -105,30 +99,35 @@ object PostingsCodec {
       while (i < inBlock) {
         VByte.writeInt(docOut, docBuf(i))
         VByte.writeInt(tfOut, tfBuf(i))
+        VByte.writeInt(lenOut, lenBuf(i))
         i += 1
       }
       EncodedPostings(df, ttf, docOut.toArray, tfOut.toArray, posOut.toArray,
-        normOut.toArray, skips.toArray)
+        lenOut.toArray, skips.toArray)
     }
   }
 
   def decode(df: Int, docDeltas: Array[Byte], tfBytes: Array[Byte],
-             positions: Array[Byte], norms: Array[Byte]): DecodedPostings = {
+             positions: Array[Byte], lenBytes: Array[Byte]): DecodedPostings = {
     val docIds = new Array[Int](df)
     val tfs = new Array[Int](df)
+    val lens = new Array[Int](df)
     val fullBlocks = df / BlockSize
     val dc = new Cursor(0)
     val tc = new Cursor(0)
+    val lc = new Cursor(0)
     var b = 0
     while (b < fullBlocks) {
       ForBlock.decode(docDeltas, dc, docIds, b * BlockSize)
       ForBlock.decode(tfBytes, tc, tfs, b * BlockSize)
+      ForBlock.decode(lenBytes, lc, lens, b * BlockSize)
       b += 1
     }
     var i = fullBlocks * BlockSize
     while (i < df) {
       docIds(i) = VByte.readInt(docDeltas, dc)
       tfs(i) = VByte.readInt(tfBytes, tc)
+      lens(i) = VByte.readInt(lenBytes, lc)
       i += 1
     }
     // prefix-sum deltas -> absolute docIds
@@ -152,6 +151,6 @@ object PostingsCodec {
       }
       i += 1
     }
-    DecodedPostings(docIds, tfs, posFlat, posStart, norms)
+    DecodedPostings(docIds, tfs, posFlat, posStart, lens)
   }
 }

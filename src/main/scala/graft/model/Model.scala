@@ -1,0 +1,43 @@
+package graft.model
+
+/** Row models for the engine's tables (FIXTURES.md §3):
+  *
+  *   docs(segmentId, docId, url, fieldLen, normByte)
+  *   postings(segmentId, term, df, ttf, docDeltas, tfs, positions, norms, skips)
+  *   stats(segmentId, maxDoc, sumTotalTermFreq, sumDocFreq)
+  *   manifest(segmentId, status, numDocs, numTerms, docsPerSec, ...)
+  *
+  * The Spark analog of the reference's per-segment files: postings =
+  * .doc/.pos, docs+norms = .fdx/.nvd, stats/manifest = segments_N
+  * (/root/reference/src/Lucene.Net.Core/Index/SegmentInfos.cs:49-69).
+  */
+final case class DocRow(segmentId: Int, docId: Int, url: String, fieldLen: Int, normByte: Byte)
+
+final case class SkipRow(lastDoc: Int, docOff: Int, tfOff: Int, posOff: Int,
+                         cumDocs: Int, maxTf: Int, minLen: Int)
+
+final case class PostingRow(segmentId: Int, term: String, df: Int, ttf: Long,
+                            docDeltas: Array[Byte], tfs: Array[Byte],
+                            positions: Array[Byte], lens: Array[Byte],
+                            skips: Array[SkipRow])
+
+final case class SegmentStats(segmentId: Int, maxDoc: Long, sumTotalTermFreq: Long, sumDocFreq: Long)
+
+final case class ManifestRow(segmentId: Int, status: String, numDocs: Long, numTerms: Long,
+                             docsPerSec: Double, attempt: Int, startedAtMs: Long, finishedAtMs: Long)
+
+/** Tokenized doc intermediate (one row per doc, token arrays inline). */
+final case class DocTokens(segmentId: Int, docId: Int, url: String, fieldLen: Int,
+                           normByte: Byte, terms: Array[String], positions: Array[Int])
+
+/** A scored hit; global doc order (tie-break) = (segmentId asc, docId asc). */
+final case class Hit(segmentId: Int, docId: Int, score: Double)
+
+object Addressing {
+  /** Deterministic segment assignment: stable across reruns, cluster sizes and
+    * partitionings — the property Lucene's arrival-order docIDs lack
+    * (SURVEY.md §7.3 "Deterministic docIDs at scale").
+    */
+  def segmentOf(key: String, numSegments: Int): Int =
+    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), numSegments)
+}

@@ -149,11 +149,9 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
 }
 
 object OracleIndex {
-  /** Deterministic segment assignment shared with the Spark build
-    * (graft.build.IndexBuilder uses the identical function via UDF).
-    */
+  /** Deterministic segment assignment shared with the Spark build. */
   def segmentOf(key: String, numSegments: Int): Int =
-    math.floorMod(scala.util.hashing.MurmurHash3.stringHash(key), numSegments)
+    graft.model.Addressing.segmentOf(key, numSegments)
 
   def levenshtein(a: String, b: String): Int = {
     val dp = Array.tabulate(b.length + 1)(identity)

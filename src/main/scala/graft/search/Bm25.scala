@@ -16,7 +16,10 @@ import graft.codec.SmallFloat
   * All intermediates are Float exactly where the reference uses float, so
   * scores are bit-identical (IEEE-754 on both runtimes).
   */
-final class Bm25(val k1: Float = 1.2f, val b: Float = 0.75f) extends Serializable {
+final class Bm25(val k1d: Double = 1.2d, val bd: Double = 0.75d) extends Serializable {
+  /** Float-space parameters (the reference stores k1/b as float). */
+  val k1: Float = k1d.toFloat
+  val b: Float = bd.toFloat
 
   val normTable: Array[Float] = {
     val t = new Array[Float](256)

@@ -1,0 +1,157 @@
+package graft.search
+
+import graft.analysis.Analyzer
+
+/** Classic query syntax parser — hand-rolled recursive descent covering the
+  * v1 grammar of SURVEY.md §2.7 (reference: JavaCC grammar in
+  * /root/reference/src/Lucene.Net.QueryParser/Classic/QueryParser.cs, clause
+  * logic QueryParserBase.cs:497-515): terms, "phrases", AND/OR/NOT, +/-,
+  * parentheses, prefix*, wild?card*, fuzzy~N, ranges [a TO b] / {a TO b}.
+  *
+  * Query text is run through the SAME analyzer as indexing
+  * (QueryParserBase.GetFieldQuery analog) — critical for rank identity.
+  * Default operator is OR; AND promotes its adjacent clauses to MUST.
+  */
+object QueryParser {
+
+  private sealed trait Tok
+  private case object LParen extends Tok
+  private case object RParen extends Tok
+  private case object AndOp extends Tok
+  private case object OrOp extends Tok
+  private case object NotOp extends Tok
+  private case object Plus extends Tok
+  private case object Minus extends Tok
+  private final case class Phrase(s: String) extends Tok
+  private final case class Range(lo: String, hi: String, incLo: Boolean, incHi: Boolean) extends Tok
+  private final case class Word(s: String, fuzzy: Option[Int]) extends Tok
+
+  private def lex(s: String): List[Tok] = {
+    val out = scala.collection.mutable.ListBuffer.empty[Tok]
+    var i = 0
+    val n = s.length
+    while (i < n) {
+      val c = s.charAt(i)
+      if (Character.isWhitespace(c)) i += 1
+      else if (c == '(') { out += LParen; i += 1 }
+      else if (c == ')') { out += RParen; i += 1 }
+      else if (c == '+') { out += Plus; i += 1 }
+      else if (c == '-') { out += Minus; i += 1 }
+      else if (c == '"') {
+        val end = s.indexOf('"', i + 1)
+        val stop = if (end < 0) n else end
+        out += Phrase(s.substring(i + 1, stop))
+        i = stop + 1
+      } else if (c == '[' || c == '{') {
+        val close = s.indexWhere(ch => ch == ']' || ch == '}', i)
+        val stop = if (close < 0) n else close
+        val body = s.substring(i + 1, stop)
+        val parts = body.split("(?i)\\s+TO\\s+")
+        if (parts.length == 2) {
+          val lo = if (parts(0).trim == "*") null else parts(0).trim
+          val hi = if (parts(1).trim == "*") null else parts(1).trim
+          out += Range(lo, hi, c == '[', close >= 0 && s.charAt(close) == ']')
+        }
+        i = stop + 1
+      } else {
+        var j = i
+        while (j < n && !Character.isWhitespace(s.charAt(j)) &&
+               "()\"[]{}".indexOf(s.charAt(j)) < 0) j += 1
+        val raw = s.substring(i, j)
+        i = j
+        raw match {
+          case "AND" | "&&" => out += AndOp
+          case "OR" | "||" => out += OrOp
+          case "NOT" | "!" => out += NotOp
+          case w =>
+            val ti = w.indexOf('~')
+            if (ti > 0) {
+              val base = w.substring(0, ti)
+              val editsStr = w.substring(ti + 1)
+              val edits = if (editsStr.isEmpty) 2 else editsStr.toFloat.toInt.min(2)
+              out += Word(base, Some(edits))
+            } else out += Word(w, None)
+        }
+      }
+    }
+    out.toList
+  }
+
+  def parse(query: String, analyzer: Analyzer): Query = {
+    val (q, rest) = parseGroup(lex(query), analyzer)
+    require(rest.isEmpty || rest == List(RParen), s"dangling tokens in query: $query")
+    q
+  }
+
+  /** Parse a clause sequence up to EOF or an unmatched ')'. */
+  private def parseGroup(toks0: List[Tok], analyzer: Analyzer): (Query, List[Tok]) = {
+    var toks = toks0
+    val clauses = scala.collection.mutable.ListBuffer.empty[(Occur.Value, Query)]
+    var pendingConj: Option[Tok] = None
+    var pendingOccur: Option[Occur.Value] = None
+
+    def addClause(q: Query): Unit = {
+      // QueryParserBase.AddClause analog: AND promotes the previous SHOULD
+      if (pendingConj.contains(AndOp) && clauses.nonEmpty && clauses.last._1 == Occur.Should) {
+        val (_, prev) = clauses.remove(clauses.length - 1)
+        clauses += ((Occur.Must, prev))
+      }
+      val occ = pendingOccur.getOrElse(if (pendingConj.contains(AndOp)) Occur.Must else Occur.Should)
+      clauses += ((occ, q))
+      pendingConj = None
+      pendingOccur = None
+    }
+
+    while (toks.nonEmpty && toks.head != RParen) {
+      toks.head match {
+        case AndOp | OrOp => pendingConj = Some(toks.head); toks = toks.tail
+        case NotOp | Minus => pendingOccur = Some(Occur.MustNot); toks = toks.tail
+        case Plus => pendingOccur = Some(Occur.Must); toks = toks.tail
+        case LParen =>
+          val (inner, rest) = parseGroup(toks.tail, analyzer)
+          toks = rest match {
+            case RParen :: t => t
+            case t => t
+          }
+          addClause(inner)
+        case Phrase(body) =>
+          val ts = analyzer.tokenize(body).map(t => (t.term, t.position)).toList
+          if (ts.nonEmpty) addClause(if (ts.size == 1) TermQ(ts.head._1) else PhraseQ(ts))
+          else { pendingConj = None; pendingOccur = None }
+          toks = toks.tail
+        case Range(lo, hi, il, ih) =>
+          addClause(RangeQ(lo, hi, il, ih))
+          toks = toks.tail
+        case Word(w, fuzzy) =>
+          val q: Option[Query] =
+            if (fuzzy.isDefined) Some(FuzzyQ(lowerRaw(w), fuzzy.get))
+            else if (w.endsWith("*") && w.count(ch => ch == '*' || ch == '?') == 1 && w.length > 1)
+              Some(PrefixQ(lowerRaw(w.dropRight(1))))
+            else if (w.exists(ch => ch == '*' || ch == '?')) Some(WildcardQ(lowerRaw(w)))
+            else {
+              val ts = analyzer.tokenize(w).map(t => (t.term, t.position)).toList
+              if (ts.isEmpty) None
+              else if (ts.size == 1) Some(TermQ(ts.head._1))
+              else Some(PhraseQ(ts)) // analyzer split one word into several tokens
+            }
+          q match {
+            case Some(qq) => addClause(qq)
+            case None => pendingConj = None; pendingOccur = None // stopword clause dropped
+          }
+          toks = toks.tail
+        case RParen => // handled by loop guard
+      }
+    }
+    val q = clauses.toList match {
+      case (Occur.Should, single) :: Nil => single
+      case (Occur.Must, single) :: Nil => single
+      case cs => BoolQ(cs)
+    }
+    (q, toks)
+  }
+
+  /** Wildcard/prefix/fuzzy terms are lowercased, not analyzed (the reference
+    * does the same — multi-term queries bypass the analyzer).
+    */
+  private def lowerRaw(s: String): String = s.toLowerCase
+}

@@ -1,0 +1,343 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.analysis.Analyzers
+import graft.build.IndexBuilder
+import graft.codec.{PostingsCodec, SmallFloat}
+import graft.model._
+
+/** Scoring modes:
+  *  - LuceneFloat: bit-exact reference semantics — float math, doc length
+  *    quantized through the byte315 norm byte (BM25Similarity.cs). Matches the
+  *    in-repo oracle float-for-float.
+  *  - ExactDouble: unquantized double-precision BM25 — the mode whose ranking
+  *    an ANSI-SQL oracle (DuckDB) can replicate exactly.
+  */
+sealed trait ScoringMode extends Serializable
+case object LuceneFloat extends ScoringMode
+case object ExactDouble extends ScoringMode
+
+/** Query execution over a built index — the IndexSearcher analog
+  * (/root/reference/src/Lucene.Net.Core/Search/IndexSearcher.cs; lifecycle
+  * SURVEY.md §3.2). A query compiles to a DataFrame plan:
+  *
+  *   scan postings (Parquet min/max-pruned on `term`) -> decode to
+  *   (segmentId, docId, tf/positions, fieldLen) -> Boolean algebra as
+  *   union + single groupBy (one shuffle) -> BM25 score with constants
+  *   folded on the driver -> TakeOrderedAndProject top-k with Lucene's
+  *   exact tie-break (score desc, then global doc order = segmentId asc,
+  *   docId asc — HitQueue.cs:78-88 / TopDocs.cs:111-135).
+  *
+  * Float discipline (LuceneFloat mode): per-clause scores are exact floats;
+  * the final sum is a clause-ordered chain of float additions (deterministic,
+  * matching the in-repo oracle — SURVEY.md §7.3 rank-identity note).
+  */
+final class Searcher(spark: SparkSession, indexPath: String,
+                     val bm25: Bm25 = Bm25.default,
+                     val mode: ScoringMode = LuceneFloat) extends Serializable {
+  import spark.implicits._
+
+  val cfg: IndexBuilder.BuildConfig = IndexBuilder.readConfig(spark, indexPath)
+  @transient lazy val analyzer = Analyzers.byName(cfg.analyzerName)
+
+  def postings: Dataset[PostingRow] =
+    spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .as[PostingRow]
+
+  def docs: DataFrame = spark.read.parquet(IndexBuilder.docsPath(indexPath))
+
+  /** Global collection stats; dropDuplicates guards against re-appended stats
+    * from a crash-resumed group (deterministic build => identical values).
+    */
+  @transient lazy val (maxDoc: Long, sumTotalTermFreq: Long) = {
+    val st = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+      .dropDuplicates("segmentId")
+      .agg(sum("maxDoc"), sum("sumTotalTermFreq")).as[(Long, Long)].first()
+    st
+  }
+
+  /** Norm cache shared by every term of the field (BM25Similarity.cs:235). */
+  @transient private lazy val normCache: Array[Float] = {
+    val avgdl = bm25.avgFieldLength(sumTotalTermFreq, maxDoc)
+    val c = new Array[Float](256)
+    var j = 0
+    while (j < 256) { c(j) = bm25.k1 * ((1 - bm25.b) + bm25.b * bm25.normTable(j) / avgdl); j += 1 }
+    c
+  }
+
+  private def avgdlDouble: Double =
+    if (sumTotalTermFreq <= 0) 1d else sumTotalTermFreq.toDouble / maxDoc
+
+  /** Cross-segment term stats (TermContext.Build analog, Index/TermContext.cs:90):
+    * one tiny pruned aggregate, collected to the driver, folded into constants.
+    */
+  def termStats(terms: Set[String]): Map[String, (Long, Long)] = {
+    if (terms.isEmpty) Map.empty
+    else spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .select("term", "df", "ttf")
+      .filter(col("term").isInCollection(terms))
+      .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
+      .as[(String, Long, Long)].collect()
+      .map { case (t, df, ttf) => t -> (df, ttf) }.toMap
+  }
+
+  /** Per-posting scorer: (tf, fieldLen) => score, with constants folded. */
+  private def makeScorer(df: Long, boost: Float, idfSumOverride: Option[Float] = None,
+                         idfSumOverrideD: Option[Double] = None): (Int, Int) => Double = mode match {
+    case LuceneFloat =>
+      val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
+      val w = idf * boost * (bm25.k1 + 1)
+      val cache = normCache
+      (tf: Int, len: Int) => {
+        // index-time boost is fixed at 1f (BM25Similarity.EncodeNormValue)
+        val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
+        val norm = cache(nb & 0xff)
+        val tff = tf.toFloat
+        (w * tff / (tff + norm)).toDouble
+      }
+    case ExactDouble =>
+      val idf = idfSumOverrideD.getOrElse(math.log(1 + (maxDoc - df + 0.5d) / (df + 0.5d)))
+      val w = idf * boost * (bm25.k1d + 1)
+      val k1 = bm25.k1d
+      val b = bm25.bd
+      val avgdl = avgdlDouble
+      (tf: Int, len: Int) => {
+        val norm = k1 * ((1 - b) + b * len / avgdl)
+        w * tf / (tf + norm)
+      }
+  }
+
+  private def scoreCast: String = mode match {
+    case LuceneFloat => "float"
+    case ExactDouble => "double"
+  }
+
+  // ---------------------------------------------------------------- compile
+
+  /** Compile to a Dataset[Hit]; every doc appears at most once. */
+  def compile(q0: Query): Dataset[Hit] = {
+    val q = Query.rewrite(q0)
+    val stats = termStats(Query.literalTerms(q))
+    compileNode(q, stats)
+  }
+
+  private def compileNode(q: Query, stats: Map[String, (Long, Long)]): Dataset[Hit] = q match {
+    case TermQ(term, boost) =>
+      stats.get(term) match {
+        case None => spark.emptyDataset[Hit]
+        case Some((df, _)) =>
+          val scorer = makeScorer(df, boost)
+          postings.filter(col("term") === term).flatMap { p =>
+            val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+            val out = new Array[Hit](d.docIds.length)
+            var i = 0
+            while (i < d.docIds.length) {
+              out(i) = Hit(p.segmentId, d.docIds(i), scorer(d.tfs(i), d.lens(i)))
+              i += 1
+            }
+            out
+          }
+      }
+
+    case BoolQ(clauses, msm) => compileBool(clauses, msm, stats)
+
+    case PhraseQ(terms, boost) => compilePhrase(terms, boost, stats)
+
+    case MatchAllQ =>
+      docs.select(col("segmentId"), col("docId")).as[(Int, Int)]
+        .map { case (s, d) => Hit(s, d, 1.0d) }
+
+    case ConstantScoreQ(inner, boost) =>
+      val bd = boost.toDouble
+      compileNode(inner, stats).map(h => Hit(h.segmentId, h.docId, bd))
+
+    case DisMaxQ(cs, tie) => compileDisMax(cs, tie, stats)
+
+    case PrefixQ(p) => constantScoreOver(col("term").startsWith(p))
+    case RangeQ(lo, hi, incLo, incHi) =>
+      var pred: Column = lit(true)
+      if (lo != null) pred = pred && (if (incLo) col("term") >= lo else col("term") > lo)
+      if (hi != null) pred = pred && (if (incHi) col("term") <= hi else col("term") < hi)
+      constantScoreOver(pred)
+    case WildcardQ(pat) => constantScoreOver(col("term").rlike("^" + Query.wildcardRegex(pat) + "$"))
+    case FuzzyQ(t, maxEdits) => constantScoreOver(levenshtein(col("term"), lit(t)) <= maxEdits)
+  }
+
+  /** Dictionary-expanding queries (MultiTermQuery family, SURVEY.md §2.5):
+    * the term dictionary scan is a pruned Parquet predicate; matching posting
+    * lists are decoded to docIds and deduped — the CONSTANT_SCORE_FILTER
+    * rewrite (Search/MultiTermQuery.cs:97).
+    */
+  private def constantScoreOver(termPred: Column): Dataset[Hit] =
+    postings.filter(termPred).flatMap { p =>
+      val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+      d.docIds.map(id => (p.segmentId, id))
+    }.distinct().map { case (s, d) => Hit(s, d, 1.0d) }
+
+  private def compileBool(clauses: List[(Occur.Value, Query)], msm: Int,
+                          stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+    val scoringIdx = clauses.zipWithIndex.filter(_._1._1 != Occur.MustNot)
+    if (scoringIdx.isEmpty) return spark.emptyDataset[Hit] // prohibited-only matches nothing
+    val streams = clauses.zipWithIndex.map { case ((_, cq), i) =>
+      compileNode(cq, stats).withColumn("clause", lit(i))
+    }
+    val unioned = streams.reduce(_ unionByName _)
+
+    val aggs = clauses.indices.flatMap { i =>
+      Seq(
+        sum(when(col("clause") === i, col("score"))).as(s"s$i"),
+        max(when(col("clause") === i, lit(1)).otherwise(lit(0))).as(s"m$i"))
+    }
+    val g = unioned.groupBy(col("segmentId"), col("docId")).agg(aggs.head, aggs.tail: _*)
+
+    val musts = clauses.zipWithIndex.filter(_._1._1 == Occur.Must).map(_._2)
+    val nots = clauses.zipWithIndex.filter(_._1._1 == Occur.MustNot).map(_._2)
+    val shoulds = clauses.zipWithIndex.filter(_._1._1 == Occur.Should).map(_._2)
+
+    var cond: Column = lit(true)
+    musts.foreach(i => cond = cond && col(s"m$i") === 1)
+    nots.foreach(i => cond = cond && col(s"m$i") === 0)
+    val needed = math.max(msm, if (musts.isEmpty && shoulds.nonEmpty) 1 else 0)
+    if (needed > 0 && shoulds.nonEmpty) {
+      val shouldCount = shoulds.map(i => col(s"m$i")).reduce(_ + _)
+      cond = cond && shouldCount >= needed
+    } else if (needed > shoulds.size) {
+      cond = lit(false)
+    }
+
+    // clause-ordered accumulation: ((s0 + s1) + s2)... in the mode's precision
+    val scoreExpr = scoringIdx.map { case (_, i) => coalesce(col(s"s$i"), lit(0d)).cast(scoreCast) }
+      .reduce((a, b) => (a + b).cast(scoreCast))
+
+    g.filter(cond)
+      .select(col("segmentId"), col("docId"), scoreExpr.cast("double").as("score"))
+      .as[Hit]
+  }
+
+  private def compileDisMax(cs: List[Query], tie: Float,
+                            stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+    val streams = cs.zipWithIndex.map { case (cq, i) =>
+      compileNode(cq, stats).withColumn("clause", lit(i))
+    }
+    val unioned = streams.reduce(_ unionByName _)
+    val aggs = cs.indices.map(i => sum(when(col("clause") === i, col("score"))).as(s"s$i"))
+    val g = unioned.groupBy(col("segmentId"), col("docId")).agg(aggs.head, aggs.tail: _*)
+    val mx = greatest(cs.indices.map(i => coalesce(col(s"s$i").cast(scoreCast), lit(Float.MinValue))): _*)
+    val sumOrdered = cs.indices.map(i => coalesce(col(s"s$i"), lit(0d)).cast(scoreCast))
+      .reduce((a, b) => (a + b).cast(scoreCast))
+    val score = (mx + (lit(tie).cast(scoreCast) * (sumOrdered - mx)).cast(scoreCast)).cast("double")
+    g.select(col("segmentId"), col("docId"), score.as("score")).as[Hit]
+  }
+
+  /** Positional leaf: conjunction of the phrase terms, then exact-phrase
+    * counting over position arrays (ExactPhraseScorer.cs:26-49 semantics:
+    * freq = #positions where every term sits at base + offset).
+    */
+  private def compilePhrase(terms: List[(String, Int)], boost: Float,
+                            stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+    if (terms.exists(t => !stats.contains(t._1))) return spark.emptyDataset[Hit]
+    val idfSumF = terms.map { case (t, _) => bm25.idf(stats(t)._1, maxDoc) }.foldLeft(0.0f)(_ + _)
+    val idfSumD = terms.map { case (t, _) =>
+      math.log(1 + (maxDoc - stats(t)._1 + 0.5d) / (stats(t)._1 + 0.5d))
+    }.sum
+    val scorer = makeScorer(0L, boost, Some(idfSumF), Some(idfSumD))
+    val offsets = terms.map(_._2).toArray
+    val nTerms = terms.size
+
+    // one decoded stream per phrase slot (duplicate terms get distinct slots)
+    val streams = terms.zipWithIndex.map { case ((t, _), i) =>
+      postings.filter(col("term") === t).flatMap { p =>
+        val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+        (0 until d.docIds.length).map { k =>
+          (p.segmentId, d.docIds(k), i,
+            d.posFlat.slice(d.posStart(k), d.posStart(k + 1)), d.lens(k))
+        }
+      }
+    }
+    val unioned = streams.reduce(_ union _)
+      .toDF("segmentId", "docId", "slot", "positions", "fieldLen")
+
+    unioned.groupByKey(r => (r.getInt(0), r.getInt(1)))
+      .mapGroups { (key: (Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
+        val (seg, doc) = key
+        val posBySlot = new Array[Array[Int]](nTerms)
+        var fieldLen = 0
+        rows.foreach { r =>
+          posBySlot(r.getInt(2)) = r.getAs[scala.collection.Seq[Int]](3).toArray
+          fieldLen = r.getInt(4)
+        }
+        if (posBySlot.exists(_ == null)) Hit(seg, doc, Double.NaN)
+        else {
+          var freq = 0
+          val base = posBySlot(0)
+          var bi = 0
+          while (bi < base.length) {
+            val start = base(bi) - offsets(0)
+            var ok = true
+            var ti = 1
+            while (ok && ti < nTerms) {
+              ok = java.util.Arrays.binarySearch(posBySlot(ti), start + offsets(ti)) >= 0
+              ti += 1
+            }
+            if (ok) freq += 1
+            bi += 1
+          }
+          if (freq == 0) Hit(seg, doc, Double.NaN)
+          else Hit(seg, doc, scorer(freq, fieldLen))
+        }
+      }
+      .filter(h => !h.score.isNaN)
+  }
+
+  // ---------------------------------------------------------------- serve
+
+  /** Top-k search returning (url, score, segmentId, docId), rank order. */
+  def search(q: Query, k: Int): DataFrame = {
+    val hits = compile(q)
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+      .limit(k)
+    // fetch keys for just the k winners: broadcast the tiny side
+    broadcast(hits).join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .select(col("url"), col("score"), col("segmentId"), col("docId"))
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+  }
+
+  /** Paging (TopScoreDocCollector.SearchAfter, :90-112): strictly after the
+    * (score, segmentId, docId) cursor in rank order.
+    */
+  def searchAfter(q: Query, k: Int, afterScore: Double, afterSeg: Int, afterDoc: Int): DataFrame = {
+    val hits = compile(q).filter(
+      col("score") < afterScore ||
+        (col("score") === afterScore &&
+          (col("segmentId") > afterSeg ||
+            (col("segmentId") === afterSeg && col("docId") > afterDoc))))
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+      .limit(k)
+    broadcast(hits).join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .select(col("url"), col("score"), col("segmentId"), col("docId"))
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+  }
+
+  def count(q: Query): Long = compile(q).count()
+
+  /** Decoded postings of one term joined to doc keys: (url, tf, fieldLen). */
+  def termPostings(term: String): DataFrame = {
+    val stream = postings.filter(col("term") === term).flatMap { p =>
+      val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+      (0 until d.docIds.length).map(i => (p.segmentId, d.docIds(i), d.tfs(i), d.lens(i)))
+    }.toDF("segmentId", "docId", "tf", "fieldLen")
+    stream.join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .select("url", "tf", "fieldLen")
+  }
+
+  /** Term dictionary with global stats: (term, df, ttf). */
+  def dictionary(): DataFrame =
+    spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .groupBy("term").agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
+
+  /** Parse with the same analyzer and search (QueryParser path, SURVEY.md §3.3). */
+  def searchText(queryText: String, k: Int): DataFrame =
+    search(QueryParser.parse(queryText, analyzer), k)
+}

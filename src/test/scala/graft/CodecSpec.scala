@@ -87,20 +87,20 @@ class CodecSpec extends AnyFunSuite {
         val tf = 1 + rnd.nextInt(5)
         var p = -1
         val positions = Array.fill(tf) { p += 1 + rnd.nextInt(10); p }
-        val norm = (1 + rnd.nextInt(200)).toByte
-        (docId, tf, positions, norm)
+        val len = 1 + rnd.nextInt(2000)
+        (docId, tf, positions, len)
       }
       val enc = new PostingsCodec.Encoder
-      entries.foreach { case (d, tf, ps, nb) => enc.add(d, tf, ps, nb) }
+      entries.foreach { case (d, tf, ps, len) => enc.add(d, tf, ps, len) }
       val e = enc.finish()
       assert(e.df == n)
       assert(e.ttf == entries.map(_._2.toLong).sum)
-      val d = PostingsCodec.decode(e.df, e.docDeltas, e.tfs, e.positions, e.norms)
+      val d = PostingsCodec.decode(e.df, e.docDeltas, e.tfs, e.positions, e.lens)
       assert(d.docIds.toSeq == entries.map(_._1))
       assert(d.tfs.toSeq == entries.map(_._2))
-      entries.zipWithIndex.foreach { case ((_, _, ps, nb), i) =>
+      entries.zipWithIndex.foreach { case ((_, _, ps, len), i) =>
         assert(d.posFlat.slice(d.posStart(i), d.posStart(i + 1)).toSeq == ps.toSeq)
-        assert(d.norms(i) == nb)
+        assert(d.lens(i) == len)
       }
       val fullBlocks = n / 128
       assert(e.skips.length == fullBlocks)

@@ -19,9 +19,9 @@ object Drive {
     println("PHRASE: " + idx.search(PhraseQ(List("quick" -> 0, "brown" -> 1)), 5).map(_.key).mkString(","))
     println("NOTFOX: " + idx.search(BoolQ(List(Occur.Must -> TermQ("brown"), Occur.MustNot -> TermQ("fox"))), 5).map(_.key).mkString(","))
     val enc = new PostingsCodec.Encoder
-    (0 until 300).foreach(i => enc.add(i * 7, 1 + i % 4, Array.tabulate(1 + i % 4)(_ * 2), (i % 100 + 1).toByte))
+    (0 until 300).foreach(i => enc.add(i * 7, 1 + i % 4, Array.tabulate(1 + i % 4)(_ * 2), i % 100 + 10))
     val e = enc.finish()
-    val dec = PostingsCodec.decode(e.df, e.docDeltas, e.tfs, e.positions, e.norms)
+    val dec = PostingsCodec.decode(e.df, e.docDeltas, e.tfs, e.positions, e.lens)
     println(s"CODEC: df=${e.df} skips=${e.skips.length} lastDoc=${dec.docIds.last} docBytes=${e.docDeltas.length}")
     println("EMPTY: [" + StandardAnalyzer.tokenize("").mkString(",") + "]")
     println("STOPONLY: [" + StandardAnalyzer.tokenize("the and of to").mkString(",") + "]")

