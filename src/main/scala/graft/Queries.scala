@@ -60,7 +60,12 @@ object Queries {
 
   // -------------------------------------------------------------- queries
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    searchAll ++ QueriesPipeline.pipeAll
+
+  def oracle: Map[String, String] = searchOracle ++ QueriesPipeline.pipeOracle
+
+  private def searchAll: Map[String, (SparkSession, String) => DataFrame] = Map(
     // --- term / posting-list scan (TermQuery/TermScorer, SURVEY.md §2.5)
     "q_term_docs" -> ((s, dir) => {
       val se = searcher(s, dir)
@@ -123,7 +128,7 @@ object Queries {
     })
   )
 
-  def oracle: Map[String, String] = Map(
+  private def searchOracle: Map[String, String] = Map(
     "q_term_docs" ->
       s"""$P SELECT doc_id, tf FROM tf WHERE term = 'data' ORDER BY doc_id""",
 

@@ -1,0 +1,332 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ann, Dedup, Multimodal, TextStats}
+
+/** Pipeline/relational/streaming-analog query battery + DuckDB oracles —
+  * mixed into [[Queries.all]]. Covers the training-data operators (dedup,
+  * similarity search, text analysis, multimodal plumbing), the reference's
+  * beyond-core modules re-expressed relationally (grouping, facets, join,
+  * MoreLikeThis — SURVEY.md §2.7), and event-time window/session analytics.
+  */
+object QueriesPipeline {
+
+  private def documents(s: SparkSession, dir: String): DataFrame =
+    s.read.parquet(s"$dir/documents.parquet")
+
+  def pipeAll: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- dedup family
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exactGroups(documents(s, dir), "doc_id", "text")
+        .select(col("h"), col("cnt"), col("min_id")).orderBy("h")),
+
+    "q_dedup_jaccard" -> ((s, dir) => {
+      val sh = Dedup.shingles(documents(s, dir), "doc_id", "text", 3)
+      Dedup.jaccardPairs(sh, 1, 2).orderBy("ida", "idb")
+    }),
+
+    "q_dedup_minhash" -> ((s, dir) => {
+      val sh = Dedup.shingles(documents(s, dir), "doc_id", "text", 3)
+      Dedup.lshCandidates(Dedup.minhashSignature(sh, 16), 4).orderBy("ida", "idb")
+    }),
+
+    "q_simhash" -> ((s, dir) =>
+      Dedup.simhash48(documents(s, dir), "doc_id", "text")
+        .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
+    // ---- similarity search family
+    "q_ann_topk" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getAs[scala.collection.Seq[Float]](0).toArray
+      Ann.cosineTopK(emb, "vec_id", "embedding", q, 10, excludeId = Some(0L))
+    }),
+
+    "q_ann_lsh" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.lshBuckets(emb, "vec_id", "embedding", nBits = 8, dim = 64).orderBy("vec_id")
+    }),
+
+    // ---- text analysis family
+    "q_quality" -> ((s, dir) =>
+      TextStats.quality(documents(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    "q_langid" -> ((s, dir) =>
+      TextStats.langId(documents(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    "q_tokcount" -> ((s, dir) =>
+      TextStats.tokenCounts(documents(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    "q_fingerprint" -> ((s, dir) =>
+      TextStats.fingerprint(documents(s, dir), "doc_id", "text").orderBy("doc_id")),
+
+    "q_mlt" -> ((s, dir) =>
+      TextStats.topTfIdfTerms(documents(s, dir), "doc_id", "text", 0L, 5)),
+
+    // ---- multimodal plumbing (binary column + batch decode stub)
+    "q_media_meta" -> ((s, dir) => {
+      val media = documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      Multimodal.extractMeta(s, media).toDF()
+        .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
+          col("headByte").as("head_byte"), col("fakeWidth").as("fake_w"),
+          col("fakeHeight").as("fake_h"), col("format"))
+        .orderBy("doc_id")
+    }),
+
+    // ---- grouping / facet analogs (SURVEY.md §2.7) on documents metadata
+    "q_group_top" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      documents(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 2)
+        .select(col("lang"), col("doc_id"), col("rn"))
+        .orderBy("lang", "rn")
+    }),
+
+    "q_facet" -> ((s, dir) => {
+      val matching = documents(s, dir)
+        .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
+      matching.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .orderBy("source")
+    }),
+
+    // ---- relational core (TPC-H-ish; grouping/join modules as Catalyst one-liners)
+    "q1_agg" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(floor(l_quantity * 100) as bigint)")).cast("long").as("qty100"),
+          sum(expr("cast(floor(l_extendedprice * 100) as bigint)")).cast("long").as("price100"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_join_agg" -> ((s, dir) => {
+      val o = s.read.parquet(s"$dir/orders.parquet")
+      val c = s.read.parquet(s"$dir/customer.parquet")
+      o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(expr("cast(floor(o_totalprice * 100) as bigint)")).cast("long").as("total100"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // ---- event-time analytics (streaming-analog window + sessionization)
+    "q_events_window" -> ((s, dir) =>
+      s.read.parquet(s"$dir/events.parquet")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).cast("long").as("h"),
+          col("event_type"))
+        .agg(count(lit(1)).as("cnt"),
+          countDistinct(col("user_id")).cast("long").as("nusers"))
+        .orderBy("h", "event_type")),
+
+    "q_events_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
+      s.read.parquet(s"$dir/events.parquet")
+        .withColumn("prev", lag(col("ts"), 1).over(w))
+        .withColumn("newSess",
+          when(col("prev").isNull ||
+            (unix_timestamp(col("ts")) - unix_timestamp(col("prev"))) > 1800, 1L).otherwise(0L))
+        .groupBy(col("user_id"))
+        .agg(sum(col("newSess")).cast("long").as("n_sessions"))
+        .orderBy("user_id")
+    })
+  )
+
+  // ------------------------------------------------------------------ SQL
+
+  /** Shared shingle CTE (k=3) matching Dedup.shingles. */
+  private val SH =
+    """WITH arrs AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id AS id, array_to_string(arr[i + 1:i + 3], ' ') AS shingle
+      |  FROM arrs, unnest(generate_series(0, len(arr) - 3)) AS t(i)
+      |  WHERE len(arr) >= 3)""".stripMargin
+
+  private def coefValues: String =
+    Dedup.coeffs(16).zipWithIndex
+      .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+
+  def pipeOracle: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS min_id
+        |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    "q_dedup_jaccard" ->
+      s"""$SH, sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS ida, b.id AS idb, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY a.id, b.id)
+         |SELECT ida, idb FROM inter
+         |JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+         |WHERE i * 2 >= (sa.n + sb.n - i) * 1
+         |ORDER BY ida, idb""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"""$SH, coef(i, a, b) AS (VALUES $coefValues),
+         |hashed AS (
+         |  SELECT id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS h
+         |  FROM sh),
+         |minh AS (
+         |  SELECT id, c.i, min((h * c.a + c.b) % 2147483647) AS minh
+         |  FROM hashed CROSS JOIN coef c GROUP BY id, c.i),
+         |banded AS (
+         |  SELECT id, i // 4 AS band, string_agg(CAST(minh AS VARCHAR), '_' ORDER BY i) AS sig
+         |  FROM minh GROUP BY id, i // 4)
+         |SELECT DISTINCT a.id AS ida, b.id AS idb
+         |FROM banded a JOIN banded b
+         |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
+         |ORDER BY ida, idb""".stripMargin,
+
+    "q_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tfq AS (SELECT doc_id AS id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tb AS (
+        |  SELECT term,
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(term), 9, 8)) AS BIGINT) AS h2
+        |  FROM (SELECT DISTINCT term FROM tfq)),
+        |bits AS (
+        |  SELECT term, j,
+        |    CASE WHEN j < 24 THEN (h1 // CAST(pow(2, j) AS BIGINT)) % 2
+        |         ELSE (h2 // CAST(pow(2, j - 24) AS BIGINT)) % 2 END AS bit
+        |  FROM tb, unnest(generate_series(0, 47)) AS g(j)),
+        |w AS (
+        |  SELECT id, j, sum(tf * (bit * 2 - 1)) AS w
+        |  FROM tfq JOIN bits USING (term) GROUP BY id, j)
+        |SELECT id AS doc_id,
+        |  CAST(sum((CASE WHEN w > 0 THEN 1 ELSE 0 END) * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+        |FROM w GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(q.qe,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cos
+        |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
+        |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_lsh" ->
+      """WITH planes AS (
+        |  SELECT a.i, b.j,
+        |    (CAST(('0x' || substr(md5(a.i || '_' || b.j), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+        |  FROM unnest(generate_series(0, 63)) AS a(i), unnest(generate_series(0, 7)) AS b(j)),
+        |dots AS (
+        |  SELECT e.vec_id, p.j, sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.c) AS dot
+        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.j)
+        |SELECT vec_id,
+        |  CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |FROM dots GROUP BY vec_id ORDER BY vec_id""".stripMargin,
+
+    "q_quality" -> {
+      val stopList = TextStats.StopWords33.map(w => s"'$w'").mkString(", ")
+      s"""WITH arrs AS (
+         |  SELECT doc_id, text, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents)
+         |SELECT doc_id, CAST(len(arr) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_filter(arr, x -> list_contains([$stopList], x))) AS BIGINT) AS n_stop,
+         |  CAST(length(text) AS BIGINT) AS n_chars,
+         |  CAST(len(list_filter(arr, x -> regexp_matches(x, '^[0-9]+$$'))) AS BIGINT) AS n_numeric
+         |FROM arrs ORDER BY doc_id""".stripMargin
+    },
+
+    "q_langid" -> {
+      // fold a CASE chain identical to TextStats.langId (count desc, first-in-order wins ties)
+      val counts = TextStats.Markers.map { case (lang, words) =>
+        val arr = words.map(w => s"'$w'").mkString(", ")
+        s"len(list_filter(arr, x -> list_contains([$arr], x))) AS c_$lang"
+      }.mkString(",\n  ")
+      val langs = TextStats.Markers.map(_._1)
+      val (predExpr, _) = langs.foldLeft(("'und'", "0")) { case ((bl, bc), lang) =>
+        (s"CASE WHEN c_$lang > $bc THEN '$lang' ELSE $bl END",
+          s"CASE WHEN c_$lang > $bc THEN c_$lang ELSE $bc END")
+      }
+      s"""WITH arrs AS (
+         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+         |cs AS (SELECT doc_id, $counts FROM arrs)
+         |SELECT doc_id, $predExpr AS pred_lang FROM cs ORDER BY doc_id""".stripMargin
+    },
+
+    "q_tokcount" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_ws,
+        |  CAST(len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS BIGINT) AS n_bpe
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mlt" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT term, CAST(row_number() OVER (ORDER BY s DESC, term) AS INT) AS rank FROM (
+        |  SELECT t.term, t.tf * ln(1 + ((n.n - d.df) + 0.5) / (d.df + 0.5)) AS s
+        |  FROM tfq t JOIN dfs d ON d.term = t.term CROSS JOIN n
+        |  WHERE t.doc_id = 0)
+        |ORDER BY s DESC, term LIMIT 5""".stripMargin,
+
+    "q_media_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS head_byte,
+        |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS fake_w,
+        |  CAST(64 + (octet_length(encode(text)) * 31
+        |    + (CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END)) % 417 AS INT) AS fake_h,
+        |  'raw' AS format
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_group_top" ->
+      """SELECT lang, doc_id, rn FROM (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS INT) AS rn
+        |  FROM documents)
+        |WHERE rn <= 2 ORDER BY lang, rn""".stripMargin,
+
+    "q_facet" ->
+      """SELECT source, count(*) AS cnt FROM documents
+        |WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(l_quantity * 100) AS BIGINT)) AS BIGINT) AS qty100,
+        |  CAST(sum(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS price100
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_join_agg" ->
+      """SELECT c_mktsegment, count(*) AS cnt,
+        |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total100
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_events_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type,
+        |  count(*) AS cnt, CAST(count(DISTINCT user_id) AS BIGINT) AS nusers
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    "q_events_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events)
+        |SELECT user_id, CAST(sum(CASE WHEN prev IS NULL
+        |  OR (epoch(ts) - epoch(prev)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+  )
+}

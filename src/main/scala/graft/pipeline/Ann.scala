@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor operators over an embedding column
+  * (ARRAY<FLOAT>), pure Catalyst expressions (codegen'd higher-order
+  * functions — no UDFs):
+  *
+  *  - brute-force cosine top-k: the correctness baseline; one pass, one
+  *    TakeOrderedAndProject. Dot/norm folds use `aggregate` (sequential
+  *    left fold) so the double result is order-deterministic and
+  *    reproducible by an external SQL oracle's list_reduce.
+  *  - hyperplane LSH bucketing: the scale path — buckets partition the
+  *    corpus so candidate search touches one bucket (plus neighbors if
+  *    desired). Hyperplane components are md5-derived rationals
+  *    ((H mod 2001 - 1000)/1000), so no RNG state and no libm calls are
+  *    needed on either side.
+  *
+  * At 100 TB: brute force is a full scan per query — LSH bucketing (or an
+  * IVF coarse quantizer built the same way) turns it into a pruned scan on a
+  * bucket-partitioned table.
+  */
+object Ann {
+
+  /** Sequential-fold dot product of the embedding column with a literal
+    * query vector, in double precision.
+    */
+  def dotCol(embCol: String, q: Array[Float]): Column = {
+    val qArr = array(q.map(v => lit(v)): _*)
+    aggregate(
+      zip_with(col(embCol), qArr, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+  }
+
+  def normCol(c: Column): Column =
+    sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+
+  /** Brute-force cosine top-k: (vec_id, rank). */
+  def cosineTopK(emb: DataFrame, idCol: String, embCol: String,
+                 q: Array[Float], k: Int, excludeId: Option[Long] = None): DataFrame = {
+    val qNorm = {
+      var s = 0.0d
+      q.foreach(v => s += v.toDouble * v.toDouble)
+      math.sqrt(s)
+    }
+    val scored = emb
+      .filter(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
+      .withColumn("cos", dotCol(embCol, q) / (normCol(col(embCol)) * lit(qNorm)))
+      .orderBy(col("cos").desc, col(idCol).asc)
+      .limit(k)
+    scored.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window.orderBy(col("cos").desc, col(idCol).asc)))
+      .select(col(idCol), col("rank"))
+  }
+
+  /** Deterministic hyperplane component for (dim i, plane j):
+    * ((first-8-hex of md5("i_j") as int) mod 2001 - 1000) / 1000.0.
+    */
+  def planeComponent(i: Int, j: Int): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"${i}_$j".getBytes("UTF-8")).take(4)
+      .map(b => f"${b & 0xff}%02x").mkString
+    ((java.lang.Long.parseLong(hex, 16) % 2001) - 1000) / 1000.0
+  }
+
+  def planes(dim: Int, nBits: Int): Array[Array[Double]] =
+    Array.tabulate(nBits)(j => Array.tabulate(dim)(i => planeComponent(i, j)))
+
+  /** LSH bucket id per vector: bit j = 1 iff dot(v, plane_j) > 0;
+    * bucket = sum bit_j * 2^j.
+    */
+  def lshBuckets(emb: DataFrame, idCol: String, embCol: String, nBits: Int, dim: Int): DataFrame = {
+    val ps = planes(dim, nBits)
+    val bucket = (0 until nBits).map { j =>
+      val pArr = array(ps(j).map(v => lit(v)): _*)
+      val dot = aggregate(
+        zip_with(col(embCol), pArr, (x, y) => x.cast("double") * y),
+        lit(0.0d), (acc, x) => acc + x)
+      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    emb.select(col(idCol), bucket.cast("long").as("bucket"))
+  }
+}

@@ -1,0 +1,132 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Large-scale training-data deduplication operators. All are pure
+  * DataFrame-API (Catalyst-planned, codegen'd, shuffle-aware):
+  *
+  *  - exact: hash-groupBy on content digest — one shuffle.
+  *  - n-gram shingles + Jaccard: pair-join on shared shingle with integer
+  *    cross-multiplied threshold (no float compare).
+  *  - MinHash + LSH: signature -> banded bucket-join, turning the quadratic
+  *    pair problem into per-bucket joins; coefficients are deterministic and
+  *    md5-derived so an external SQL oracle can replicate them bit-for-bit.
+  *  - SimHash: 48-bit sign-of-weighted-sum fingerprint via relational ops
+  *    (term-hash bits joined against per-doc tfs — no UDF in the hot path).
+  *
+  * At 100 TB the shingle pair-join is the scale hazard: MinHash-LSH is the
+  * scale path (bounded by bucket sizes); Jaccard verification then runs only
+  * on LSH candidate pairs. Hot buckets (boilerplate docs) are bounded by
+  * banding; skew beyond that is AQE-handled.
+  */
+object Dedup {
+
+  /** Tokens expression shared with the SQL oracle: [a-z0-9]+ runs of lower(text). */
+  def tokensCol(textCol: String): Column =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+
+  /** Exact duplicate groups by md5 digest: (h, cnt, min_id) for cnt > 1. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(md5(col(textCol).cast("binary")).as("h"))
+      .agg(count(lit(1)).as("cnt"), min(col(idCol)).as("min_id"))
+      .filter(col("cnt") > 1)
+
+  /** Distinct k-token shingles per doc: (id, shingle). */
+  def shingles(df: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokensCol(textCol).as("arr"))
+      .filter(size(col("arr")) >= k)
+      .select(col("id"), explode(
+        expr(s"transform(sequence(0, size(arr) - $k), i -> array_join(slice(arr, i + 1, $k), ' '))")
+      ).as("shingle"))
+      .distinct()
+
+  /** Pairs (a < b) with shingle-set Jaccard >= tNum/tDen, computed with
+    * integer arithmetic only: inter * tDen >= (|A| + |B| - inter) * tNum.
+    */
+  def jaccardPairs(sh: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val a = sh.as("a")
+    val b = sh.as("b")
+    val inter = a.join(b, col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("ida"), col("b.id").as("idb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("n", "na"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("n", "nb"), "idb")
+      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
+      .select(col("ida"), col("idb"))
+  }
+
+  /** Shingle content hash, SQL-replicable: first 8 md5 hex chars as a bigint,
+    * reduced mod p so a*h+b stays in 63 bits.
+    */
+  val P: Long = 2147483647L
+  def shingleHash: Column = expr(s"conv(substr(md5(cast(shingle AS BINARY)), 1, 8), 16, 10) % $P")
+
+  /** Deterministic MinHash coefficients (odd multipliers, spread offsets). */
+  def coeffs(numHashes: Int): Seq[(Long, Long)] =
+    (0 until numHashes).map(i => ((2 * i + 1) * 40503L % P, (i * 1299721L + 7) % P))
+
+  /** MinHash signature: (id, i, minh) for i in [0, numHashes) — a single
+    * groupBy computing all hash minima at once (one shuffle, map-side
+    * partial min), then unpivoted.
+    */
+  def minhashSignature(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hashed = sh.select(col("id"), shingleHash.cast("long").as("h"))
+    val aggs = coeffs(numHashes).zipWithIndex.map { case ((a, b), i) =>
+      min((col("h") * a + b) % P).as(s"m$i")
+    }
+    val g = hashed.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+    g.select(col("id"), explode(array((0 until numHashes).map(i =>
+        struct(lit(i).as("i"), col(s"m$i").as("minh"))): _*)).as("s"))
+      .select(col("id"), col("s.i").as("i"), col("s.minh").as("minh"))
+  }
+
+  /** LSH candidate pairs: docs sharing any band of `rowsPerBand` consecutive
+    * minhashes. Returns distinct (ida < idb).
+    */
+  def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
+    val banded = sig
+      .withColumn("band", (col("i") / rowsPerBand).cast("int"))
+      .groupBy(col("id"), col("band"))
+      // positional concat inside the band: order by i
+      .agg(concat_ws("_", transform(array_sort(collect_list(struct(col("i"), col("minh")))),
+        x => x.getField("minh").cast("string"))).as("sig"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+      .distinct()
+  }
+
+  /** 48-bit SimHash per doc from term tfs: bit j of the fingerprint is
+    * sign(sum_t tf(t) * (2*bit_j(H(t)) - 1)). Term-hash bits come from two
+    * 32-bit md5-derived ints (j<24 from H1, else H2) — SQL-replicable.
+    */
+  def simhash48(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(tokensCol(textCol)).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val termBits = tf.select(col("term")).distinct()
+      .withColumn("h1", expr("cast(conv(substr(md5(cast(term AS BINARY)), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substr(md5(cast(term AS BINARY)), 9, 8), 16, 10) as bigint)"))
+    // pow-based bit extraction (no shift builtins) so the SQL oracle matches:
+    // 2^j is exact in double for j < 53, cast back to bigint loses nothing.
+    val bits = termBits.crossJoin(spark_range_48())
+      .withColumn("bit",
+        when(col("j") < 24, expr("(h1 div cast(pow(2, j) as bigint)) % 2"))
+          .otherwise(expr("(h2 div cast(pow(2, j - 24) as bigint)) % 2")))
+      .select(col("term"), col("j"), col("bit"))
+    tf.join(bits, "term")
+      .groupBy(col("id"), col("j"))
+      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("w"))
+      .withColumn("bitOut", when(col("w") > 0, 1L).otherwise(0L))
+      .groupBy(col("id"))
+      .agg(sum(expr("bitOut * cast(pow(2, j) as bigint)")).cast("long").as("simhash"))
+  }
+
+  private def spark_range_48(): DataFrame = {
+    val spark = org.apache.spark.sql.SparkSession.active
+    spark.range(0, 48).toDF("j")
+  }
+}

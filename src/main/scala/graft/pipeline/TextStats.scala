@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data curation — all integer/string
+  * outputs from codegen'd expressions (SQL-oracle-replicable):
+  * quality scoring, marker-based language ID, token counting, fingerprinting.
+  */
+object TextStats {
+
+  val StopWords33: Seq[String] = graft.analysis.StandardAnalyzer.EnglishStopWords.toSeq.sorted
+
+  private def toksCol(textCol: String): Column =
+    expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+
+  /** Quality metrics: token count, stopword count, char count, digit-token
+    * count — the signals behind length/stopword-ratio quality filters.
+    */
+  def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val stopArr = StopWords33.map(w => s"'$w'").mkString(", ")
+    df.select(
+      col(idCol),
+      size(toksCol(textCol)).cast("long").as("n_tokens"),
+      expr(s"size(filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
+        s"x -> array_contains(array($stopArr), x)))").cast("long").as("n_stop"),
+      length(col(textCol)).cast("long").as("n_chars"),
+      expr(s"size(filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
+        "x -> x rlike '^[0-9]+$'))").cast("long").as("n_numeric"))
+  }
+
+  /** Marker-word language ID (n-gram-free heuristic): count per-language
+    * marker hits; argmax with (count desc, lang asc) tie-break; 0 hits => 'und'.
+    */
+  val Markers: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist"),
+    "en" -> Seq("the", "a", "is", "of", "and"),
+    "es" -> Seq("el", "los", "es", "y", "que"),
+    "fr" -> Seq("le", "les", "est", "et", "une"))
+
+  def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val counts = Markers.map { case (lang, words) =>
+      val arr = words.map(w => s"'$w'").mkString(", ")
+      lang -> expr(s"size(filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
+        s"x -> array_contains(array($arr), x)))").as(s"c_$lang")
+    }
+    val withCounts = df.select(col(idCol) +: counts.map(_._2): _*)
+    // argmax by (count desc, lang asc): fold a CASE chain in lang order
+    val best = Markers.map(_._1).foldLeft(lit("und").as("l") -> lit(0).as("c")) {
+      case ((bl, bc), lang) =>
+        val c = col(s"c_$lang")
+        (when(c > bc, lit(lang)).otherwise(bl), when(c > bc, c).otherwise(bc))
+    }
+    withCounts.select(col(idCol), best._1.as("pred_lang"))
+  }
+
+  /** Token counting: whitespace tokens + a BPE-ish regex segmentation
+    * (letter runs / digit runs / single punctuation marks).
+    */
+  def tokenCounts(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(
+      col(idCol),
+      expr(s"size(regexp_extract_all($textCol, '\\\\S+', 0))").cast("long").as("n_ws"),
+      expr(s"size(regexp_extract_all(lower($textCol), '[a-z]+|[0-9]+|[^a-z0-9\\\\s]', 0))")
+        .cast("long").as("n_bpe"))
+
+  /** Content fingerprint: md5 of the normalized (tokenized, single-space
+    * joined) text — invariant to whitespace/punctuation layout.
+    */
+  def fingerprint(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      md5(expr(s"cast(concat_ws(' ', regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)) as binary)"))
+        .as("fp"))
+
+  /** MoreLikeThis analog (Queries/Mlt/MoreLikeThis.cs:127): top tf-idf terms
+    * of one document. idf = the BM25 idf (ln(1+(n-df+0.5)/(df+0.5))).
+    */
+  def topTfIdfTerms(df: DataFrame, idCol: String, textCol: String,
+                    targetId: Long, k: Int): DataFrame = {
+    val tf = df.select(col(idCol).as("id"), explode(toksCol(textCol)).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val n = df.count()
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    tf.filter(col("id") === targetId)
+      .join(dfs, "term")
+      .withColumn("s", col("tf") * log(lit(1d) + ((lit(n) - col("df")) + 0.5d) / (col("df") + 0.5d)))
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window.orderBy(col("s").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("rank"))
+  }
+}
