@@ -1,0 +1,205 @@
+package graft.merge
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{Dataset, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.build.IndexBuilder
+import graft.codec.PostingsCodec
+import graft.model._
+
+/** Segment merge — the SegmentMerger analog
+  * (/root/reference/src/Lucene.Net.Core/Index/SegmentMerger.cs:89-162 —
+  * concatenate doc stores with docID rebasing; k-way sort-merge of postings
+  * summing df/ttf; remap via MergeDocIDRemapper).
+  *
+  * Spark shape, sized for 100 TB:
+  *  1. map-side REBASE (narrow, fully parallel): every source posting row is
+  *     re-encoded with docIds + docBase — no shuffle, no giant lists;
+  *  2. term shuffle of the *encoded, compressed* pieces only (orders of
+  *     magnitude smaller than raw postings);
+  *  3. per-term stitch: cold terms decode+re-encode into one row; terms with
+  *     df > hotTermDf stay as multiple piece-rows (disjoint docId ranges) —
+  *     the query path handles split posting rows transparently, so no single
+  *     reducer ever materializes a stopword-scale posting list. This is the
+  *     salted-hot-term handling of SURVEY.md §7.3 realized structurally.
+  *
+  * Writes go through a staging directory and are moved into the partitioned
+  * layout with filesystem renames (the Iceberg-snapshot analog of the
+  * reference's segments_N commit), avoiding read-path/write-path overlap.
+  *
+  * The merged segment takes min(sources) as its id; global tie-break order
+  * changes across a merge exactly as Lucene's ephemeral docIDs do — scores
+  * are invariant (BM25 depends only on global stats, tf and length).
+  */
+object MergeJob {
+
+  final case class PieceRow(term: String, piece: Int, df: Int, ttf: Long,
+                            docDeltas: Array[Byte], tfs: Array[Byte],
+                            positions: Array[Byte], lens: Array[Byte],
+                            skips: Array[SkipRow])
+
+  /** Merge `sources` into segment min(sources). Returns the new segment id. */
+  def merge(spark: SparkSession, indexPath: String, sources: List[Int],
+            hotTermDf: Int = 5000000): Int = {
+    import spark.implicits._
+    require(sources.size >= 2)
+    val target = sources.min
+    val srcSorted = sources.sorted
+
+    val stats = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+      .dropDuplicates("segmentId")
+      .as[SegmentStats].collect().map(s => s.segmentId -> s).toMap
+    val bases: Map[Int, Int] = {
+      var acc = 0
+      srcSorted.map { s =>
+        val b = s -> acc
+        acc += stats(s).maxDoc.toInt
+        b
+      }.toMap
+    }
+    val basesB = spark.sparkContext.broadcast(bases)
+
+    val staging = s"$indexPath/.staging/merge_$target"
+
+    // ---- docs: narrow rebase of the doc store (MergeDocIDRemapper analog)
+    spark.read.parquet(IndexBuilder.docsPath(indexPath))
+      .filter(col("segmentId").isInCollection(srcSorted))
+      .as[DocRow]
+      .map(d => (d.docId + basesB.value(d.segmentId), d.url, d.fieldLen, d.normByte))
+      .toDF("docId", "url", "fieldLen", "normByte")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
+
+    // ---- postings phase 1: narrow rebase + piece tagging
+    val pieces: Dataset[PieceRow] = spark.read
+      .parquet(IndexBuilder.postingsPath(indexPath))
+      .filter(col("segmentId").isInCollection(srcSorted))
+      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .as[PostingRow]
+      .map { p =>
+        val base = basesB.value(p.segmentId)
+        val e = reencode(p.df, p.docDeltas, p.tfs, p.positions, p.lens, base)
+        PieceRow(p.term, p.segmentId, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
+          e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
+      }
+
+    // ---- phase 2: shuffle compressed pieces by term, stitch per term
+    val merged: Dataset[PostingRow] = pieces
+      .repartition(col("term"))
+      .sortWithinPartitions(col("term"), col("piece"))
+      .mapPartitions { rows =>
+        val hot = hotTermDf
+        new Iterator[PostingRow] {
+          private var pending: PieceRow = if (rows.hasNext) rows.next() else null
+          private val out = scala.collection.mutable.Queue.empty[PostingRow]
+          private def fill(): Unit = {
+            while (out.isEmpty && pending != null) {
+              val term = pending.term
+              val group = scala.collection.mutable.ArrayBuffer.empty[PieceRow]
+              while (pending != null && pending.term == term) {
+                group += pending
+                pending = if (rows.hasNext) rows.next() else null
+              }
+              val totalDf = group.map(_.df.toLong).sum
+              if (totalDf > hot || group.size == 1) {
+                // hot term (or single piece): pieces stay separate rows with
+                // disjoint docId ranges — already rebased and skip-indexed
+                group.foreach { g =>
+                  out += PostingRow(0, term, g.df, g.ttf, g.docDeltas, g.tfs,
+                    g.positions, g.lens, g.skips)
+                }
+              } else {
+                val enc = new PostingsCodec.Encoder
+                group.foreach { g =>
+                  val d = PostingsCodec.decode(g.df, g.docDeltas, g.tfs, g.positions, g.lens)
+                  var i = 0
+                  while (i < d.docIds.length) {
+                    val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
+                    enc.add(d.docIds(i), d.tfs(i), ps, d.lens(i))
+                    i += 1
+                  }
+                }
+                val e = enc.finish()
+                out += PostingRow(0, term, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
+                  e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
+              }
+            }
+          }
+          override def hasNext: Boolean = { fill(); out.nonEmpty }
+          override def next(): PostingRow = { fill(); out.dequeue() }
+        }
+      }
+
+    merged.toDF().drop("segmentId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+
+    // ---- commit: swap staged files into the partitioned layout
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
+    def swapIn(base: String, staged: String): Unit = {
+      val fs = new Path(base).getFileSystem(hadoopConf)
+      srcSorted.foreach { s =>
+        val p = new Path(s"$base/segmentId=$s")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+      val dst = new Path(s"$base/segmentId=$target")
+      fs.mkdirs(dst.getParent)
+      val ok = fs.rename(new Path(staged), dst)
+      require(ok, s"rename $staged -> $dst failed")
+    }
+    swapIn(IndexBuilder.docsPath(indexPath), s"$staging/docs")
+    swapIn(IndexBuilder.postingsPath(indexPath), s"$staging/postings")
+
+    // ---- stats rewrite (small table)
+    val newDocFreqRows = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .filter(col("segmentId") === target).count()
+    val mergedStats = SegmentStats(target,
+      srcSorted.map(stats(_).maxDoc).sum,
+      srcSorted.map(stats(_).sumTotalTermFreq).sum,
+      newDocFreqRows)
+    val newStats = (stats -- srcSorted) + (target -> mergedStats)
+    val statsTmp = s"$indexPath/.staging/stats_new"
+    spark.createDataset(newStats.values.toSeq).write.mode(SaveMode.Overwrite).parquet(statsTmp)
+    val fs = new Path(indexPath).getFileSystem(hadoopConf)
+    val statsDst = new Path(IndexBuilder.statsPath(indexPath))
+    fs.delete(statsDst, true)
+    require(fs.rename(new Path(statsTmp), statsDst), "stats swap failed")
+
+    target
+  }
+
+  private def reencode(df: Int, docDeltas: Array[Byte], tfs: Array[Byte],
+                       positions: Array[Byte], lens: Array[Byte], base: Int): graft.codec.EncodedPostings = {
+    val d = PostingsCodec.decode(df, docDeltas, tfs, positions, lens)
+    val enc = new PostingsCodec.Encoder
+    var i = 0
+    while (i < d.docIds.length) {
+      val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
+      enc.add(d.docIds(i) + base, d.tfs(i), ps, d.lens(i))
+      i += 1
+    }
+    enc.finish()
+  }
+
+  /** Run tiered merge rounds until the policy is satisfied. Returns the
+    * number of merges executed (merge scheduling: rounds are ordinary Spark
+    * jobs chained by the driver — ConcurrentMergeScheduler's thread pool
+    * becomes the cluster scheduler).
+    */
+  def mergeToPolicy(spark: SparkSession, indexPath: String,
+                    policy: TieredMergePolicy = new TieredMergePolicy()): Int = {
+    import spark.implicits._
+    var merges = 0
+    var cont = true
+    while (cont) {
+      val sizes = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+        .dropDuplicates("segmentId")
+        .as[SegmentStats].collect().map(s => s.segmentId -> s.maxDoc).toMap
+      policy.findMerges(sizes) match {
+        case m :: _ =>
+          merge(spark, indexPath, m.sources)
+          merges += 1
+        case Nil => cont = false
+      }
+    }
+    merges
+  }
+}

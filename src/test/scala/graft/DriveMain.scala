@@ -28,6 +28,29 @@ object Drive {
     println("LONG: [" + StandardAnalyzer.tokenize("x " + "b"*257 + " y").map(t => s"${t.term}@${t.position}").mkString(",") + "]")
     println("ABSENT: " + idx.search(TermQ("zzznope"), 5).size)
     println("STOPQUERY: " + idx.search(TermQ("the"), 5).size)
+    driveSparkMerge()
     println("EMPTYDOC_NORM: " + idx.docs.map(d => d.fieldLen).mkString(","))
+  }
+
+  /** End-to-end Spark drive: build multi-segment index from generated pages,
+    * tier-merge it, CheckIndex, query before/after. */
+  def driveSparkMerge(): Unit = {
+    val spark = graft.SparkTestSession.spark
+    val base = java.nio.file.Files.createTempDirectory("drivemerge").toString
+    val df = spark.createDataFrame(graft.build.PagesGen.local(200)).toDF("url", "text")
+    val rep = graft.build.IndexBuilder.build(spark, df, base,
+      graft.build.IndexBuilder.BuildConfig(6, "standard", groupSize = 6))
+    println(s"BUILD: docs=${rep.numDocs} segs=${rep.numSegments} rate=${rep.docsPerSec.toInt}/s")
+    val s1 = new Searcher(spark, base)
+    val q = BoolQ(List(Occur.Should -> TermQ(graft.build.PagesGen.word(2)),
+      Occur.Should -> TermQ(graft.build.PagesGen.word(9))))
+    val pre = s1.search(q, 5).collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    val merges = graft.merge.MergeJob.mergeToPolicy(spark, base,
+      new graft.merge.TieredMergePolicy(segsPerTier = 2.0, maxMergeAtOnce = 3, floorSegmentDocs = 5))
+    val check = graft.build.CheckIndex.run(spark, base)
+    val post = new Searcher(spark, base).search(q, 5).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toList
+    println(s"MERGE: rounds=$merges check_ok=${check.ok} segs=${check.segments} invariant=${pre == post}")
+    println(s"TOPHIT: ${post.headOption}")
   }
 }

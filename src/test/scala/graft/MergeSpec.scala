@@ -1,0 +1,90 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.StandardAnalyzer
+import graft.build.{CheckIndex, IndexBuilder, PagesGen}
+import graft.merge.{MergeJob, TieredMergePolicy}
+import graft.search._
+import java.nio.file.Files
+
+/** Merge invariance (SURVEY.md §5 item 3): pre- vs post-merge indexes give
+  * identical (key, score) results — scores are invariant because BM25 depends
+  * only on global stats, tf and length; tie ORDER may change because docIDs
+  * are ephemeral across merges (as in the reference, MergeDocIDRemapper).
+  * CheckIndex validates every invariant post-merge.
+  */
+class MergeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val N = 300
+
+  private lazy val (preSearcher, postSearcher, mergedPath) = {
+    val base = Files.createTempDirectory("graftmerge").toString
+    val df = spark.createDataFrame(PagesGen.local(N)).toDF("url", "text")
+    IndexBuilder.build(spark, df, s"$base/pre", IndexBuilder.BuildConfig(8, "standard", groupSize = 8))
+    IndexBuilder.build(spark, df, s"$base/post", IndexBuilder.BuildConfig(8, "standard", groupSize = 8))
+    val policy = new TieredMergePolicy(segsPerTier = 2.0, maxMergeAtOnce = 4, floorSegmentDocs = 5)
+    val merges = MergeJob.mergeToPolicy(spark, s"$base/post", policy)
+    assert(merges >= 1, "expected at least one merge round")
+    (new Searcher(spark, s"$base/pre"), new Searcher(spark, s"$base/post"), s"$base/post")
+  }
+
+  private def resultSet(s: Searcher, q: Query, k: Int): List[(String, Float)] =
+    s.search(q, k).collect()
+      .map(r => (r.getString(0), r.getDouble(1).toFloat)).toList
+      .sortBy { case (u, sc) => (-sc, u) }
+
+  test("merge reduces segment count per tiered policy") {
+    import spark.implicits._
+    val segs = spark.read.parquet(IndexBuilder.statsPath(mergedPath))
+      .select("segmentId").as[Int].collect().toSet
+    assert(segs.size < 8)
+  }
+
+  test("CheckIndex passes on the merged index") {
+    val report = CheckIndex.run(spark, mergedPath)
+    assert(report.ok, report.violations.mkString("; "))
+    assert(report.docs == N)
+    assert(report.segments < 8)
+  }
+
+  test("term query scores invariant across merge") {
+    val q = TermQ(PagesGen.word(5))
+    assert(resultSet(preSearcher, q, 20) == resultSet(postSearcher, q, 20))
+  }
+
+  test("boolean and phrase queries invariant across merge") {
+    val q1 = BoolQ(List(Occur.Should -> TermQ(PagesGen.word(2)), Occur.Should -> TermQ(PagesGen.word(9))))
+    assert(resultSet(preSearcher, q1, 15) == resultSet(postSearcher, q1, 15))
+    // phrase scores are heavily tied (freq=1, quantized norms) — when k cuts
+    // inside a tie group the selected members legitimately differ across a
+    // merge (ephemeral docIDs, as in Lucene). Request k >= all hits so the
+    // full result set must match.
+    val q2 = PhraseQ(List("quick" -> 0, "brown" -> 1))
+    val kAll = preSearcher.count(q2).toInt + 5
+    assert(resultSet(preSearcher, q2, kAll) == resultSet(postSearcher, q2, kAll))
+  }
+
+  test("global stats invariant across merge") {
+    assert(preSearcher.maxDoc == postSearcher.maxDoc)
+    assert(preSearcher.sumTotalTermFreq == postSearcher.sumTotalTermFreq)
+    val t = PagesGen.word(3)
+    assert(preSearcher.termStats(Set(t)) == postSearcher.termStats(Set(t)))
+  }
+
+  test("hot-term piece split keeps queries correct") {
+    // force every term to stay as pieces (hotTermDf = 0), then merge two
+    // fresh segments and confirm the split posting rows still serve queries
+    val base = Files.createTempDirectory("graftpieces").toString
+    val df = spark.createDataFrame(PagesGen.local(120)).toDF("url", "text")
+    IndexBuilder.build(spark, df, base, IndexBuilder.BuildConfig(4, "standard", groupSize = 4))
+    val full = new Searcher(spark, base)
+    val q = TermQ(PagesGen.word(2))
+    val before = resultSet(full, q, 20)
+    MergeJob.merge(spark, base, List(0, 1, 2, 3), hotTermDf = 0)
+    val after = new Searcher(spark, base)
+    assert(resultSet(after, q, 20) == before)
+    val report = CheckIndex.run(spark, base)
+    assert(report.ok, report.violations.mkString("; "))
+  }
+}
