@@ -340,4 +340,23 @@ final class Searcher(spark: SparkSession, indexPath: String,
   /** Parse with the same analyzer and search (QueryParser path, SURVEY.md §3.3). */
   def searchText(queryText: String, k: Int): DataFrame =
     search(QueryParser.parse(queryText, analyzer), k)
+
+  /** Block-Max WAND fast path for pure term-disjunctions (LuceneFloat mode);
+    * other query shapes (and ExactDouble mode) fall back to the DataFrame
+    * plan. Identical results by construction — validated in WandSpec.
+    */
+  def searchWand(q: Query, k: Int): DataFrame = {
+    def orTerms(q0: Query): Option[List[String]] = Query.rewrite(q0) match {
+      case TermQ(t, b) if b == 1f => Some(List(t))
+      case BoolQ(cs, msm) if msm <= 1 && cs.nonEmpty &&
+          cs.forall { case (o, c) => o == Occur.Should && c.isInstanceOf[TermQ] &&
+            c.asInstanceOf[TermQ].boost == 1f } =>
+        Some(cs.map(_._2.asInstanceOf[TermQ].term))
+      case _ => None
+    }
+    (mode, orTerms(q)) match {
+      case (LuceneFloat, Some(terms)) => Wand.searchOr(this, spark, indexPath, terms, k)
+      case _ => search(q, k)
+    }
+  }
 }

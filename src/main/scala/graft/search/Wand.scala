@@ -1,0 +1,306 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.build.IndexBuilder
+import graft.codec.{Cursor, ForBlock, SmallFloat, VByte}
+import graft.model.{PostingRow, SkipRow}
+import scala.jdk.CollectionConverters._
+
+/** Block-Max WAND top-k for pure-disjunction BM25 queries — the serving-path
+  * optimization of SURVEY.md §4.2. Lucene 4.8 has skip-based Advance only
+  * (Codecs/Lucene41/Lucene41PostingsReader.cs:490-548); the per-block
+  * (maxTf, minLen) metadata our codec stores turns that into Block-Max WAND:
+  * blocks whose score upper bound cannot beat the current heap floor are
+  * skipped without decoding.
+  *
+  * Plan shape: the query terms' posting rows (KBs-MBs of compressed blocks)
+  * are repartitioned by segment; each task runs the WAND iterator per segment
+  * with a shared top-k heap and emits its survivors; the driver k-way merges
+  * (TopDocs.Merge analog, Search/TopDocs.cs:251) with the exact
+  * (score desc, segmentId asc, docId asc) tie-break. No groupBy shuffle of
+  * decoded postings ever happens.
+  *
+  * Correctness contract: identical results to the DataFrame path (tested as
+  * a pure optimization) for OR-of-terms queries without minShouldMatch.
+  */
+object Wand {
+
+  /** Lazy block-decoding cursor over one encoded posting row (LuceneFloat
+    * scoring). Supports shallow block inspection (metadata only) for the
+    * block-max check, and forward `advance` with block skipping.
+    */
+  private final class TermCursor(p: PostingRow, val weight: Float, cache: Array[Float]) {
+    private val blocks: Array[SkipRow] = p.skips
+    private val nFull = p.df / ForBlock.BlockSize
+    private val tailLen = p.df - nFull * ForBlock.BlockSize
+    private val docBuf = new Array[Int](ForBlock.BlockSize)
+    private val tfBuf = new Array[Int](ForBlock.BlockSize)
+    private val lenBuf = new Array[Int](ForBlock.BlockSize)
+    private var blockIdx = -1 // loaded block (nFull == tail)
+    private var blockLen = 0
+    private var pos = 0
+    var doc: Int = -1
+    var exhausted: Boolean = p.df == 0
+
+    // lens blocks carry no skip offsets (skips store doc/tf/pos streams);
+    // compute their byte offsets once by scanning the 1-byte headers
+    private lazy val lenOffs: Array[Int] = {
+      val offs = new Array[Int](nFull + 1)
+      var off = 0
+      var b = 0
+      while (b < nFull) {
+        offs(b) = off
+        off += 1 + ((p.lens(off) & 0xff) * ForBlock.BlockSize + 7) / 8
+        b += 1
+      }
+      offs(nFull) = off // tail start
+      offs
+    }
+
+    private lazy val (tailDocOff, tailTfOff) = {
+      if (nFull == 0) (0, 0)
+      else {
+        var dOff = 0
+        var tOff = 0
+        var b = 0
+        while (b < nFull) {
+          dOff += 1 + ((p.docDeltas(dOff) & 0xff) * ForBlock.BlockSize + 7) / 8
+          tOff += 1 + ((p.tfs(tOff) & 0xff) * ForBlock.BlockSize + 7) / 8
+          b += 1
+        }
+        (dOff, tOff)
+      }
+    }
+
+    @inline private def ub(maxTf: Int, minLen: Int): Float = {
+      val nb = SmallFloat.floatToByte315(1f / math.sqrt(minLen.toDouble).toFloat)
+      val norm = cache(nb & 0xff)
+      val tff = maxTf.toFloat
+      weight * tff / (tff + norm)
+    }
+
+    private lazy val tailStats: (Int, Int) = { // (maxTf, minLen) of the tail
+      if (tailLen == 0) (0, 1)
+      else {
+        val (_, ts, ls) = decodeTailArrays()
+        (ts.max, ls.min)
+      }
+    }
+
+    /** Global upper bound over the whole list (for pivot selection). */
+    val maxScore: Float = {
+      var m = 0f
+      var i = 0
+      while (i < blocks.length) {
+        val s = ub(blocks(i).maxTf, blocks(i).minLen)
+        if (s > m) m = s
+        i += 1
+      }
+      if (tailLen > 0) {
+        val s = ub(tailStats._1, tailStats._2)
+        if (s > m) m = s
+      }
+      m
+    }
+
+    /** SHALLOW seek: (blockMaxScore, blockLastDoc) of the block that contains
+      * the first doc >= target — metadata only, nothing decoded.
+      */
+    def blockInfoFor(target: Int): (Float, Int) = {
+      var b = math.max(blockIdx, 0)
+      while (b < nFull && blocks(b).lastDoc < target) b += 1
+      if (b < nFull) (ub(blocks(b).maxTf, blocks(b).minLen), blocks(b).lastDoc)
+      else if (tailLen > 0) (ub(tailStats._1, tailStats._2), Int.MaxValue)
+      else (0f, Int.MaxValue)
+    }
+
+    private def decodeTailArrays(): (Array[Int], Array[Int], Array[Int]) = {
+      val base = if (nFull == 0) 0 else blocks(nFull - 1).lastDoc
+      val dc = new Cursor(tailDocOff)
+      val tc = new Cursor(tailTfOff)
+      val lc = new Cursor(lenOffs(nFull))
+      val ds = new Array[Int](tailLen)
+      val ts = new Array[Int](tailLen)
+      val ls = new Array[Int](tailLen)
+      var acc = base
+      var i = 0
+      while (i < tailLen) {
+        acc += VByte.readInt(p.docDeltas, dc)
+        ds(i) = acc
+        ts(i) = VByte.readInt(p.tfs, tc)
+        ls(i) = VByte.readInt(p.lens, lc)
+        i += 1
+      }
+      (ds, ts, ls)
+    }
+
+    private def loadBlock(b: Int): Unit = {
+      blockIdx = b
+      if (b < nFull) {
+        ForBlock.decode(p.docDeltas, new Cursor(blocks(b).docOff), docBuf, 0)
+        ForBlock.decode(p.tfs, new Cursor(blocks(b).tfOff), tfBuf, 0)
+        ForBlock.decode(p.lens, new Cursor(lenOffs(b)), lenBuf, 0)
+        var acc = if (b == 0) 0 else blocks(b - 1).lastDoc
+        var i = 0
+        while (i < ForBlock.BlockSize) { acc += docBuf(i); docBuf(i) = acc; i += 1 }
+        blockLen = ForBlock.BlockSize
+      } else {
+        val (ds, ts, ls) = decodeTailArrays()
+        System.arraycopy(ds, 0, docBuf, 0, tailLen)
+        System.arraycopy(ts, 0, tfBuf, 0, tailLen)
+        System.arraycopy(ls, 0, lenBuf, 0, tailLen)
+        blockLen = tailLen
+      }
+      pos = 0
+    }
+
+    def advance(target: Int): Unit = {
+      if (exhausted) return
+      var b = math.max(blockIdx, 0)
+      while (b < nFull && blocks(b).lastDoc < target) b += 1
+      if (b >= nFull && tailLen == 0) { exhausted = true; doc = Int.MaxValue; return }
+      if (b != blockIdx) loadBlock(b)
+      while (pos < blockLen && docBuf(pos) < target) pos += 1
+      while (pos >= blockLen) {
+        val nb2 = blockIdx + 1
+        if (nb2 > nFull || (nb2 == nFull && tailLen == 0)) { exhausted = true; doc = Int.MaxValue; return }
+        loadBlock(nb2)
+        while (pos < blockLen && docBuf(pos) < target) pos += 1
+      }
+      doc = docBuf(pos)
+    }
+
+    def next(): Unit = advance(if (doc < 0) 0 else doc + 1)
+
+    def score: Float = {
+      val nb = SmallFloat.floatToByte315(1f / math.sqrt(lenBuf(pos).toDouble).toFloat)
+      val norm = cache(nb & 0xff)
+      val tff = tfBuf(pos).toFloat
+      weight * tff / (tff + norm)
+    }
+  }
+
+  final case class WandHit(segmentId: Int, docId: Int, score: Float)
+
+  /** rank order: score desc, then (segmentId, docId) asc — HitQueue.cs:78-88 */
+  private def better(a: WandHit, b: WandHit): Boolean =
+    a.score > b.score ||
+      (a.score == b.score && (a.segmentId < b.segmentId ||
+        (a.segmentId == b.segmentId && a.docId < b.docId)))
+
+  private def heapComparator: java.util.Comparator[WandHit] =
+    (x: WandHit, y: WandHit) => if (better(x, y)) 1 else if (better(y, x)) -1 else 0
+
+  /** Run BMW over one segment's term cursors, updating the shared heap. */
+  private def wandSegment(segmentId: Int, cursors: Array[TermCursor], k: Int,
+                          heap: java.util.PriorityQueue[WandHit]): Unit = {
+    cursors.foreach(_.next())
+    def theta: Float = if (heap.size < k) Float.NegativeInfinity else heap.peek().score
+
+    var running = true
+    while (running) {
+      val active = cursors.filter(!_.exhausted).sortBy(_.doc)
+      if (active.isEmpty) return
+      // pivot: smallest index where cumulative max-score can beat theta
+      var acc = 0f
+      var pivotIdx = -1
+      var i = 0
+      val th = theta
+      while (i < active.length && pivotIdx < 0) {
+        acc += active(i).maxScore
+        if (acc > th) pivotIdx = i
+        i += 1
+      }
+      if (pivotIdx < 0) return // nothing can beat the heap floor
+      val pivotDoc = active(pivotIdx).doc
+
+      if (active.head.doc == pivotDoc) {
+        // BLOCK-MAX check with shallow seeks to the pivot's blocks
+        var blockSum = 0f
+        var minBoundary = Int.MaxValue
+        var j = 0
+        while (j <= pivotIdx) {
+          val (bMax, bLast) = active(j).blockInfoFor(pivotDoc)
+          blockSum += bMax
+          if (bLast < minBoundary) minBoundary = bLast
+          j += 1
+        }
+        if (blockSum <= th && minBoundary != Int.MaxValue) {
+          // the whole block region cannot beat theta: jump past it
+          val target = minBoundary + 1
+          j = 0
+          while (j <= pivotIdx) { active(j).advance(target); j += 1 }
+        } else {
+          var s = 0f
+          cursors.foreach { c => if (!c.exhausted && c.doc == pivotDoc) s += c.score }
+          val hit = WandHit(segmentId, pivotDoc, s)
+          if (heap.size < k) heap.add(hit)
+          else if (better(hit, heap.peek())) { heap.poll(); heap.add(hit) }
+          cursors.foreach { c => if (!c.exhausted && c.doc == pivotDoc) c.advance(pivotDoc + 1) }
+        }
+      } else {
+        var j = 0
+        while (j < pivotIdx) { active(j).advance(pivotDoc); j += 1 }
+      }
+      running = cursors.exists(!_.exhausted)
+    }
+  }
+
+  /** Top-k OR-of-terms via BMW (LuceneFloat scoring; duplicate terms fold
+    * into the clause weight — numerically identical to summed clauses).
+    */
+  def searchOr(searcher: Searcher, spark: SparkSession, indexPath: String,
+               terms: List[String], k: Int): DataFrame = {
+    import spark.implicits._
+    val stats = searcher.termStats(terms.toSet)
+    val present = terms.filter(stats.contains)
+    if (present.isEmpty) {
+      return spark.createDataset(Seq.empty[(String, Double, Int, Int)])
+        .toDF("url", "score", "segmentId", "docId")
+    }
+    val bm25 = searcher.bm25
+    val maxDoc = searcher.maxDoc
+    val sttf = searcher.sumTotalTermFreq
+    val weights: Map[String, Float] = present.groupBy(identity).map { case (t, dup) =>
+      t -> (bm25.idf(stats(t)._1, maxDoc) * (bm25.k1 + 1) * dup.size)
+    }
+    val avgdl = bm25.avgFieldLength(sttf, maxDoc)
+    val cache: Array[Float] = {
+      val c = new Array[Float](256)
+      var j = 0
+      while (j < 256) { c(j) = bm25.k1 * ((1 - bm25.b) + bm25.b * bm25.normTable(j) / avgdl); j += 1 }
+      c
+    }
+    // clause order for float-sum determinism: sum scores in first-occurrence
+    // order of the query terms, matching the DataFrame path's clause chain
+    val termOrder: Map[String, Int] = present.distinct.zipWithIndex.toMap
+    val weightsB = spark.sparkContext.broadcast(weights)
+    val cacheB = spark.sparkContext.broadcast(cache)
+    val orderB = spark.sparkContext.broadcast(termOrder)
+
+    val partials = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .filter(col("term").isInCollection(weights.keySet))
+      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .as[PostingRow]
+      .repartition(col("segmentId"))
+      .mapPartitions { rows =>
+        val heap = new java.util.PriorityQueue[WandHit](k + 1, heapComparator)
+        val bySeg = rows.toArray.groupBy(_.segmentId)
+        bySeg.toSeq.sortBy(_._1).foreach { case (seg, ps) =>
+          val cursors = ps.sortBy(p => orderB.value(p.term))
+            .map(p => new TermCursor(p, weightsB.value(p.term), cacheB.value))
+          wandSegment(seg, cursors, k, heap)
+        }
+        heap.iterator().asScala
+      }
+
+    val top = partials.collect()
+      .sortBy(h => (-h.score, h.segmentId, h.docId))
+      .take(k)
+    val topDs = spark.createDataset(top.toSeq)
+    broadcast(topDs).join(searcher.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .select(col("url"), col("score").cast("double").as("score"), col("segmentId"), col("docId"))
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+  }
+}
