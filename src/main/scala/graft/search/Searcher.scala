@@ -41,12 +41,17 @@ final class Searcher(spark: SparkSession, indexPath: String,
   val cfg: IndexBuilder.BuildConfig = IndexBuilder.readConfig(spark, indexPath)
   @transient lazy val analyzer = Analyzers.byName(cfg.analyzerName)
 
-  def postings: Dataset[PostingRow] =
+  /** Open-reader state (IndexReader analog): lazily-built DataFrames whose
+    * file listings are resolved once and reused across queries. */
+  @transient lazy val postingsRaw: DataFrame =
     spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+
+  @transient lazy val postings: Dataset[PostingRow] =
+    postingsRaw
       .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
       .as[PostingRow]
 
-  def docs: DataFrame = spark.read.parquet(IndexBuilder.docsPath(indexPath))
+  @transient lazy val docs: DataFrame = spark.read.parquet(IndexBuilder.docsPath(indexPath))
 
   /** Global collection stats; dropDuplicates guards against re-appended stats
     * from a crash-resumed group (deterministic build => identical values).
@@ -75,7 +80,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   def termStats(terms: Set[String]): Map[String, (Long, Long)] = {
     if (terms.isEmpty) Map.empty
-    else spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+    else postingsRaw
       .select("term", "df", "ttf")
       .filter(col("term").isInCollection(terms))
       .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
@@ -334,7 +339,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   /** Term dictionary with global stats: (term, df, ttf). */
   def dictionary(): DataFrame =
-    spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+    postingsRaw
       .groupBy("term").agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
 
   /** Parse with the same analyzer and search (QueryParser path, SURVEY.md §3.3). */

@@ -279,7 +279,7 @@ object Wand {
     val cacheB = spark.sparkContext.broadcast(cache)
     val orderB = spark.sparkContext.broadcast(termOrder)
 
-    val partials = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+    val partials = searcher.postingsRaw
       .filter(col("term").isInCollection(weights.keySet))
       .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
       .as[PostingRow]
