@@ -14,6 +14,15 @@ trait Analyzer extends Serializable {
   def tokenize(text: String): Iterator[Token]
   /** Analyze a query string into bare terms (positions tracked for phrases). */
   final def terms(text: String): List[String] = tokenize(text).map(_.term).toList
+  /** Count of emitted tokens (= BM25 field length). Overridden with
+    * allocation-free implementations on the hot build path.
+    */
+  def tokenCount(text: String): Int = {
+    var n = 0
+    val it = tokenize(text)
+    while (it.hasNext) { it.next(); n += 1 }
+    n
+  }
 }
 
 object StandardAnalyzer extends Analyzer {
@@ -56,6 +65,48 @@ object StandardAnalyzer extends Analyzer {
     new String(arr)
   }
 
+  /** Allocation-free field-length count: scans tokens, applies the 255-char
+    * skip and the stopword filter by comparing the (dot-skipping, possessive-
+    * stripping, lowercased) token region against the stop set without
+    * building strings. Equals tokenize(text).length by construction
+    * (property-tested in AnalysisSpec).
+    */
+  override def tokenCount(text: String): Int = {
+    var n = 0
+    val raw = ClassicScanner.scan(text)
+    while (raw.hasNext) {
+      val r = raw.next()
+      if (r.end - r.start <= MaxTokenLength) {
+        // region to stop-check: strip trailing 's / 'S for APOSTROPHE
+        var end = r.end
+        if (r.tokenType == TokenType.APOSTROPHE && end - r.start >= 2 &&
+            text.charAt(end - 2) == '\'' &&
+            (text.charAt(end - 1) == 's' || text.charAt(end - 1) == 'S')) end -= 2
+        val skipDots = r.tokenType == TokenType.ACRONYM
+        val dropLast = r.tokenType == TokenType.ACRONYM_DEP // trailing '.'
+        if (!isStopRegion(text, r.start, if (dropLast) end - 1 else end, skipDots)) n += 1
+      }
+    }
+    n
+  }
+
+  private def isStopRegion(s: CharSequence, start: Int, end: Int, skipDots: Boolean): Boolean = {
+    // effective lowercase chars of the region (minus dots when skipDots)
+    var len = 0
+    var i = start
+    while (i < end) { if (!(skipDots && s.charAt(i) == '.')) len += 1; i += 1 }
+    if (len < 1 || len > 5) return false // longest stop word is 5 chars ("their"/"these"/"there")
+    val buf = new Array[Char](len)
+    var k = 0
+    i = start
+    while (i < end) {
+      val c = s.charAt(i)
+      if (!(skipDots && c == '.')) { buf(k) = Character.toLowerCase(c); k += 1 }
+      i += 1
+    }
+    EnglishStopWords.contains(new String(buf))
+  }
+
   override def tokenize(text: String): Iterator[Token] = new Iterator[Token] {
     private val raw = ClassicScanner.scan(text)
     private var pos = -1       // absolute position; DocInverterPerField accumulation
@@ -94,6 +145,20 @@ object StandardAnalyzer extends Analyzer {
   * Simple/Letter analyzers (/root/reference/src/Lucene.Net.Core/Analysis/SimpleAnalyzer.cs).
   */
 object SimpleAnalyzer extends Analyzer {
+  override def tokenCount(text: String): Int = {
+    var n = 0
+    var i = 0
+    var in = false
+    while (i < text.length) {
+      val c = Character.toLowerCase(text.charAt(i))
+      val tok = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (tok && !in) n += 1
+      in = tok
+      i += 1
+    }
+    n
+  }
+
   override def tokenize(text: String): Iterator[Token] = new Iterator[Token] {
     private val s = text
     private var i = 0

@@ -173,6 +173,10 @@ object ClassicScanner {
     * runs wins.
     */
   private def matchNum(s: CharSequence, i: Int): Int = {
+    // fast reject: NUM needs at least run P run — skip buffer setup otherwise
+    val r0 = alnumRun(s, i)
+    if (r0 == 0 || i + r0 >= s.length || !isP(s.charAt(i + r0)) ||
+        i + r0 + 1 >= s.length || !isAlnum(s.charAt(i + r0 + 1))) return 0
     // collect runs r0, r1, ... each separated by exactly one P char
     val starts = new scala.collection.mutable.ArrayBuffer[Int](8)
     val lens = new scala.collection.mutable.ArrayBuffer[Int](8)
@@ -234,26 +238,23 @@ object ClassicScanner {
           nextTok = RawToken(String.valueOf(c), i, i + 1, TokenType.CJ)
           i += 1
         } else if (isAlnum(c)) {
-          val lAl = alnumRun(s, i)
-          val lAp = matchApostrophe(s, i)
-          val lAc = matchAcronym(s, i)
-          val lCo = matchCompany(s, i)
-          val lEm = matchEmail(s, i)
-          val lHo = matchHost(s, i)
-          val lNu = matchNum(s, i)
-          val lAd = matchAcronymDep(s, i)
-          // rule-order priority on equal lengths:
-          val cands = Array(
-            (lAl, TokenType.ALPHANUM), (lAp, TokenType.APOSTROPHE), (lAc, TokenType.ACRONYM),
-            (lCo, TokenType.COMPANY), (lEm, TokenType.EMAIL), (lHo, TokenType.HOST),
-            (lNu, TokenType.NUM), (lAd, TokenType.ACRONYM_DEP))
-          var bestLen = 0
-          var bestType = -1
-          var k = 0
-          while (k < cands.length) {
-            if (cands(k)._1 > bestLen) { bestLen = cands(k)._1; bestType = cands(k)._2 }
-            k += 1
-          }
+          // rule-order priority on equal lengths, no intermediate allocation
+          var bestLen = alnumRun(s, i)
+          var bestType = TokenType.ALPHANUM
+          var l = matchApostrophe(s, i)
+          if (l > bestLen) { bestLen = l; bestType = TokenType.APOSTROPHE }
+          l = matchAcronym(s, i)
+          if (l > bestLen) { bestLen = l; bestType = TokenType.ACRONYM }
+          l = matchCompany(s, i)
+          if (l > bestLen) { bestLen = l; bestType = TokenType.COMPANY }
+          l = matchEmail(s, i)
+          if (l > bestLen) { bestLen = l; bestType = TokenType.EMAIL }
+          l = matchHost(s, i)
+          if (l > bestLen) { bestLen = l; bestType = TokenType.HOST }
+          l = matchNum(s, i)
+          if (l > bestLen) { bestLen = l; bestType = TokenType.NUM }
+          l = matchAcronymDep(s, i)
+          if (l > bestLen) { bestLen = l; bestType = TokenType.ACRONYM_DEP }
           if (bestLen > 0) {
             nextTok = RawToken(s.subSequence(i, i + bestLen).toString, i, i + bestLen, bestType)
             i += bestLen

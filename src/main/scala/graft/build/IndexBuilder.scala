@@ -2,9 +2,7 @@ package graft.build
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession, SaveMode}
 import org.apache.spark.sql.functions._
-import org.apache.spark.storage.StorageLevel
 import graft.analysis.Analyzers
-import graft.codec.PostingsCodec
 import graft.model._
 import graft.search.Bm25
 
@@ -35,7 +33,10 @@ object IndexBuilder {
       analyzerName: String = "standard",
       /** Segments committed per job round — the resume/commit granularity. */
       groupSize: Int = 64,
-      boost: Float = 1f)
+      boost: Float = 1f,
+      /** RAM budget per in-partition segment writer, in buffered tokens —
+        * the FlushByRamOrCountsPolicy analog; crossing it flushes a piece. */
+      flushTokens: Int = 8 * 1024 * 1024)
 
   final case class BuildReport(numDocs: Long, numSegments: Int, elapsedSec: Double, docsPerSec: Double)
 
@@ -44,9 +45,6 @@ object IndexBuilder {
   def statsPath(base: String) = s"$base/stats"
   def manifestPath(base: String) = s"$base/manifest"
   def configPath(base: String) = s"$base/config.json"
-
-  /** Token row used only inside the per-partition sort (never shuffled). */
-  final case class TokenRow(segmentId: Int, docId: Int, term: String, pos: Int, fieldLen: Int)
 
   /** Build the index from a pages DataFrame with columns (url string, text string).
     * Resume-safe: segments recorded in the manifest are skipped.
@@ -87,85 +85,88 @@ object IndexBuilder {
     // One partition can hold several whole segments (hash on segmentId);
     // within a partition, (segmentId, url) order assigns deterministic docIds.
     val parts = math.min(group.size, spark.sparkContext.defaultParallelism * 2).max(1)
-    val docTokens: Dataset[DocTokens] = inGroup
+    val flushTokens = cfg.flushTokens
+    val sortedPages = inGroup
       .select(col("url"), col("text"), col("segmentId"))
       .repartition(parts, col("segmentId"))
       .sortWithinPartitions(col("segmentId"), col("url"))
       .as[(String, String, Int)]
-      .mapPartitions { rows =>
-        val analyzer = Analyzers.byName(analyzerName)
-        val bm25 = Bm25.default
-        var curSeg = -1
-        var docId = -1
-        rows.map { case (url, text, seg) =>
-          if (seg != curSeg) { curSeg = seg; docId = -1 }
-          docId += 1
-          val toks = analyzer.tokenize(if (text == null) "" else text).toArray
-          val terms = new Array[String](toks.length)
-          val positions = new Array[Int](toks.length)
-          var i = 0
-          while (i < toks.length) { terms(i) = toks(i).term; positions(i) = toks(i).position; i += 1 }
-          DocTokens(seg, docId, url, toks.length, bm25.encodeNormValue(boost, toks.length), terms, positions)
-        }
-      }
-      .persist(StorageLevel.MEMORY_AND_DISK_SER)
 
-    // docs (+ norms column — the DocValues/.nvd analog; Parquet is columnar already)
-    val docsDf = docTokens.map(d => DocRow(d.segmentId, d.docId, d.url, d.fieldLen, d.normByte))
-    docsDf.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segmentId").parquet(docsPath(indexPath))
+    // postings: per-partition in-memory segment build (SegmentWriter - the
+    // DWPT/TermsHash analog): tokens go straight into primitive buffers,
+    // RAM-bounded piece flushes, no per-token Spark rows, no sort.
+    val postings: Dataset[PostingRow] = sortedPages.mapPartitions { rows =>
+      val analyzer = Analyzers.byName(analyzerName)
+      new Iterator[PostingRow] {
+        private var writer = new SegmentWriter(analyzer, flushTokens)
+        private var curSeg = -1
+        private var docId = -1
+        private var queue: Iterator[PostingRow] = Iterator.empty
+        private val input = rows
 
-    // postings: in-partition sort by (term, docId, pos), then one streaming
-    // encoder pass — Spark's sort-merge aggregation replaces the reference's
-    // in-RAM TermsHash + SortPostings (SURVEY.md §2.2).
-    val postings = docTokens
-      .flatMap { d =>
-        val out = new Array[TokenRow](d.terms.length)
-        var i = 0
-        while (i < d.terms.length) {
-          out(i) = TokenRow(d.segmentId, d.docId, d.terms(i), d.positions(i), d.fieldLen)
-          i += 1
-        }
-        out
-      }
-      .sortWithinPartitions(col("segmentId"), col("term"), col("docId"), col("pos"))
-      .as[TokenRow]
-      .mapPartitions { rows =>
-        new Iterator[PostingRow] {
-          private var pending: TokenRow = if (rows.hasNext) rows.next() else null
-          override def hasNext: Boolean = pending != null
-          override def next(): PostingRow = {
-            val seg = pending.segmentId
-            val term = pending.term
-            val enc = new PostingsCodec.Encoder
-            val posBuf = scala.collection.mutable.ArrayBuffer.empty[Int]
-            var curDoc = pending.docId
-            var curLen = pending.fieldLen
-            var done = false
-            while (!done) {
-              posBuf += pending.pos
-              pending = if (rows.hasNext) rows.next() else null
-              val boundary = pending == null || pending.segmentId != seg || pending.term != term
-              if (boundary || pending.docId != curDoc) {
-                enc.add(curDoc, posBuf.length, posBuf.toArray, curLen)
-                posBuf.clear()
-                if (boundary) done = true
-                else { curDoc = pending.docId; curLen = pending.fieldLen }
+        private def refill(): Unit = {
+          while (!queue.hasNext && (input.hasNext || curSeg != -2)) {
+            if (input.hasNext) {
+              val (url, text, seg) = input.next()
+              if (seg != curSeg && curSeg >= 0) {
+                writer.flush(curSeg)
+                queue = writer.drain().iterator
               }
+              if (seg != curSeg) { curSeg = seg; docId = -1 }
+              docId += 1
+              writer.addDoc(seg, docId, text)
+              if (!queue.hasNext) queue = writer.drain().iterator // mid-segment RAM flush
+            } else {
+              if (curSeg >= 0) writer.flush(curSeg)
+              queue = writer.drain().iterator
+              curSeg = -2 // terminal
             }
-            val e = enc.finish()
-            PostingRow(seg, term, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
-              e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
           }
         }
+
+        override def hasNext: Boolean = { refill(); queue.hasNext }
+        override def next(): PostingRow = { refill(); queue.next() }
       }
-    postings.write.mode(SaveMode.Overwrite)
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("segmentId").parquet(postingsPath(indexPath))
+    }
+    // postings and docs jobs share the pages shuffle and are independent:
+    // submit both concurrently (the scheduler interleaves their stages),
+    // halving the serial per-job overhead
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val postingsJob = Future {
+      postings.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segmentId").parquet(postingsPath(indexPath))
+    }
+
+    // docs (+ norms column - the DocValues/.nvd analog): a second cheap pass
+    // that reuses the repartition's shuffle files; tokenization-for-length
+    // costs far less than caching tokenized docs would.
+    val docsDf = sortedPages.mapPartitions { rows =>
+      val analyzer = Analyzers.byName(analyzerName)
+      val bm25 = Bm25.default
+      var curSeg = -1
+      var docId = -1
+      rows.map { case (url, text, seg) =>
+        if (seg != curSeg) { curSeg = seg; docId = -1 }
+        docId += 1
+        val len = analyzer.tokenCount(if (text == null) "" else text)
+        DocRow(seg, docId, url, len, bm25.encodeNormValue(boost, len))
+      }
+    }
+    val docsJob = Future {
+      docsDf.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segmentId").parquet(docsPath(indexPath))
+    }
+    Await.result(postingsJob, Duration.Inf)
+    Await.result(docsJob, Duration.Inf)
 
     // per-segment stats (CollectionStatistics analog, Search/CollectionStatistics.cs:32-37)
-    val segDocs = docTokens.groupBy(col("segmentId"))
+    val segDocs = spark.read.parquet(docsPath(indexPath))
+      .filter(col("segmentId").isInCollection(group))
+      .groupBy(col("segmentId"))
       .agg(count(lit(1)).as("maxDoc"), sum(col("fieldLen")).as("sumTotalTermFreq"))
     val segTerms = spark.read.parquet(postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(group))
@@ -177,7 +178,6 @@ object IndexBuilder {
       .as[SegmentStats].collect()
 
     val numDocs = stats.map(_.maxDoc).sum
-    docTokens.unpersist()
 
     spark.createDataset(stats.toSeq).write.mode(SaveMode.Append).parquet(statsPath(indexPath))
 

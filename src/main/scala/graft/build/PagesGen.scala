@@ -20,6 +20,9 @@ object PagesGen {
     "w" + sb.toString
   }
 
+  /** Memoized vocabulary (word() per token was a generation hotspot). */
+  private lazy val words: Array[String] = Array.tabulate(VocabSize)(word)
+
   private val specials = Array(
     "O'Reilly's guide", "visit wiki.apache.org now", "U.S.A. rocks",
     "AT&T and Excite@Home", "version 1.2.3 beta", "mail bob_1@mail-host.org",
@@ -37,7 +40,7 @@ object PagesGen {
     while (k < len) {
       // log-uniform vocab sampling (zipf-ish head)
       val idx = math.min(VocabSize - 1, math.exp(rnd.nextDouble() * math.log(VocabSize)).toInt)
-      sb.append(word(idx))
+      sb.append(words(idx))
       sb.append(if (rnd.nextInt(12) == 0) ". " else " ")
       k += 1
     }

@@ -75,6 +75,16 @@ class AnalysisSpec extends AnyFunSuite {
     assert(WhitespaceAnalyzer.tokenize("a b\tc\nd").map(_.term).toList == List("a", "b", "c", "d"))
   }
 
+  test("tokenCount equals tokenize length (property over generated corpora)") {
+    val texts = graft.build.PagesGen.local(200).map(_._2) ++ Seq(
+      "", "the and of", "U.S.A. a.t. A.T. don't O'Reilly's", "x " + "b" * 300 + " y",
+      "wiki.apache.org. the.an.a. A.N.D. at&t 1.2.3")
+    texts.foreach { t =>
+      assert(StandardAnalyzer.tokenCount(t) == StandardAnalyzer.tokenize(t).length, s"text=$t")
+      assert(SimpleAnalyzer.tokenCount(t) == SimpleAnalyzer.tokenize(t).length, s"text=$t")
+    }
+  }
+
   test("stop set matches the 33-word reference list") {
     assert(StandardAnalyzer.EnglishStopWords.size == 33)
     assert(StandardAnalyzer.EnglishStopWords.contains("such"))
