@@ -40,9 +40,13 @@ object SparkEntry {
 object IndexCache {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Bump when the on-disk postings layout changes — stale caches from a
+    * previous engine version must not be reused across driver runs. */
+  val FormatVersion = 3
+
   def indexPath(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
-    s"/tmp/graft_index/$tag"
+    s"/tmp/graft_index/v$FormatVersion/$tag"
   }
 
   def pagesFromDocuments(spark: SparkSession, sfDir: String): DataFrame =

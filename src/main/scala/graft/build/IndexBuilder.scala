@@ -71,21 +71,27 @@ object IndexBuilder {
 
   private def buildGroup(spark: SparkSession, pages: DataFrame, indexPath: String,
                          cfg: BuildConfig, group: Set[Int], alreadyDone: Set[Int]): Long = {
-    import spark.implicits._
-    val tg0 = System.nanoTime()
     val nSeg = cfg.numSegments
-    val analyzerName = cfg.analyzerName
-    val boost = cfg.boost
-
     val segOf = udf((key: String) => Addressing.segmentOf(key, nSeg))
     val inGroup = pages
       .withColumn("segmentId", segOf(col("url")))
       .filter(col("segmentId").isInCollection(group -- alreadyDone))
+    writeSegments(spark, inGroup, indexPath, cfg.analyzerName, cfg.boost, cfg.flushTokens, group)
+  }
+
+  /** Write one group of segments from a pages DataFrame that already carries
+    * a `segmentId` column (shared by the batch builder and the streaming
+    * incremental indexer). Commits docs+postings+stats, then the manifest.
+    */
+  def writeSegments(spark: SparkSession, inGroup: DataFrame, indexPath: String,
+                    analyzerName: String, boost: Float, flushTokens: Int,
+                    group: Set[Int]): Long = {
+    import spark.implicits._
+    val tg0 = System.nanoTime()
 
     // One partition can hold several whole segments (hash on segmentId);
     // within a partition, (segmentId, url) order assigns deterministic docIds.
     val parts = math.min(group.size, spark.sparkContext.defaultParallelism * 2).max(1)
-    val flushTokens = cfg.flushTokens
     val sortedPages = inGroup
       .select(col("url"), col("text"), col("segmentId"))
       .repartition(parts, col("segmentId"))

@@ -1,0 +1,102 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+import graft.build.IndexBuilder
+import graft.model.Addressing
+import graft.search.Searcher
+
+/** Incremental (near-real-time) indexing via Structured Streaming — the
+  * analog of the reference's NRT pipeline (IndexWriter + DirectoryReader.Open
+  * (writer) + SearcherManager, /root/reference/src/Lucene.Net.Core/Index/
+  * DirectoryReader.cs:113,174 and Search/SearcherManager.cs):
+  *
+  *   readStream(pages) -> foreachBatch: each micro-batch flushes as NEW
+  *   segments appended to the same index layout (docs/postings/stats/
+  *   manifest), exactly like a DWPT flush creating fresh segments. The
+  *   streaming checkpoint gives exactly-once batch tracking (the segments_N
+  *   commit analog); TieredMergePolicy + MergeJob fold the accumulating
+  *   small segments, and [[SearcherManager]] hands out refreshed readers.
+  */
+object StreamingIndexer {
+
+  val pagesSchema: StructType = StructType.fromDDL(
+    "url STRING, warc_ts TIMESTAMP, html BINARY, text STRING, lang STRING")
+
+  /** Segment ids for batch b occupy [base + b*segmentsPerBatch, ...). */
+  def batchSegmentBase(batchId: Long, segmentsPerBatch: Int, offset: Int): Int =
+    offset + (batchId * segmentsPerBatch).toInt
+
+  /** Append one micro-batch as `segmentsPerBatch` fresh segments. */
+  def appendBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
+                  analyzerName: String, segmentsPerBatch: Int, batchId: Long,
+                  segmentOffset: Int = 1 << 20): Unit = {
+    if (batch.isEmpty) return
+    val base = batchSegmentBase(batchId, segmentsPerBatch, segmentOffset)
+    val nSeg = segmentsPerBatch
+    val segOf = udf((key: String) => base + Addressing.segmentOf(key, nSeg))
+    val withSeg = batch.select(col("url"), col("text"))
+      .withColumn("segmentId", segOf(col("url")))
+    IndexBuilder.writeSegments(spark, withSeg, indexPath, analyzerName,
+      boost = 1f, flushTokens = 8 * 1024 * 1024,
+      group = (base until base + nSeg).toSet)
+  }
+
+  /** Start the incremental indexer over a parquet file-source directory.
+    * Trigger.AvailableNow drains what exists and stops (test/batch-catchup
+    * mode); pass a processing-time trigger for continuous ingest.
+    */
+  def start(spark: SparkSession, inputDir: String, indexPath: String,
+            checkpointDir: String, analyzerName: String = "standard",
+            segmentsPerBatch: Int = 4,
+            trigger: Trigger = Trigger.AvailableNow()): StreamingQuery = {
+    // make sure the index config exists before the first reader opens
+    ensureConfig(spark, indexPath, analyzerName)
+    spark.readStream
+      .schema(pagesSchema)
+      .parquet(inputDir)
+      .writeStream
+      .option("checkpointLocation", checkpointDir)
+      .trigger(trigger)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch.sparkSession, batch, indexPath, analyzerName,
+          segmentsPerBatch, batchId)
+      }
+      .start()
+  }
+
+  private def ensureConfig(spark: SparkSession, indexPath: String, analyzerName: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(IndexBuilder.configPath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) {
+      val json = s"""{"numSegments":0,"analyzer":"$analyzerName","boost":1.0}"""
+      val out = fs.create(p, true)
+      out.write(json.getBytes("UTF-8"))
+      out.close()
+    }
+  }
+}
+
+/** SearcherManager analog: hand out a fresh Searcher when the manifest grew
+  * (Search/SearcherManager.cs MaybeRefresh semantics — cheap when unchanged).
+  */
+final class SearcherManager(spark: SparkSession, indexPath: String) {
+  @volatile private var lastSegments: Set[Int] = Set.empty
+  @volatile private var current: Searcher = _
+
+  def acquire(): Searcher = {
+    maybeRefresh()
+    current
+  }
+
+  def maybeRefresh(): Boolean = {
+    val segs = IndexBuilder.completedSegments(spark, indexPath)
+    if (current == null || segs != lastSegments) {
+      lastSegments = segs
+      current = new Searcher(spark, indexPath)
+      true
+    } else false
+  }
+}
