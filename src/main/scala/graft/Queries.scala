@@ -125,7 +125,29 @@ object Queries {
     "q_parsed_topk" -> ((s, dir) => {
       val se = searcher(s, dir)
       ranked(se.search(QueryParser.parse("+vector stream -\"hash join\"", se.analyzer), 10))
-    })
+    }),
+
+    // --- multi-phrase (term alternatives per slot, MultiPhraseQuery)
+    "q_multiphrase" -> ((s, dir) => idsOf(searcher(s, dir),
+      MultiPhraseQ(List((Set("hash", "merge"), 0), (Set("join"), 1))))),
+
+    // --- spell suggestion (DirectSpellChecker analog over the dictionary)
+    "q_spell" -> ((s, dir) =>
+      Spell.suggest(searcher(s, dir).dictionary(), "strema", 2, 5)),
+
+    // --- highlighter (token-window fragment around first occurrence)
+    "q_highlight" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Highlighter.firstSnippet(docs, "doc_id", "text", "vector", 3, 3).orderBy("doc_id")
+    }),
+
+    // --- numeric range (NumericRangeQuery -> native Catalyst predicate)
+    "q_numrange" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .filter(col("l_quantity") >= 10 && col("l_quantity") < 30 &&
+          col("l_shipdate") >= "1995-01-01")
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag"))
   )
 
   private def searchOracle: Map[String, String] = Map(
@@ -226,6 +248,32 @@ object Queries {
          |  SELECT a.doc_id, (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
          |  FROM scores_a a LEFT JOIN scores_b b ON a.doc_id = b.doc_id
          |  WHERE a.doc_id NOT IN (SELECT doc_id FROM ph))
-         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_multiphrase" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term IN ('hash', 'merge') AND b.term = 'join' ORDER BY 1""".stripMargin,
+
+    "q_spell" ->
+      s"""$P, d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+         |SELECT term, CAST(row_number() OVER (
+         |  ORDER BY levenshtein(term, 'strema') ASC, df DESC, term ASC) AS INT) AS rank
+         |FROM d WHERE levenshtein(term, 'strema') <= 2 AND term <> 'strema'
+         |ORDER BY rank LIMIT 5""".stripMargin,
+
+    "q_highlight" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+        |hits AS (
+        |  SELECT doc_id, arr, list_position(arr, 'vector') AS p FROM arrs)
+        |SELECT doc_id,
+        |  array_to_string(list_slice(arr, greatest(p - 3, 1), greatest(p - 3, 1) + 6), ' ') AS snippet
+        |FROM hits WHERE p IS NOT NULL AND p > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_numrange" ->
+      """SELECT l_returnflag, count(*) AS cnt FROM lineitem
+        |WHERE l_quantity >= 10 AND l_quantity < 30 AND l_shipdate >= '1995-01-01'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
   )
 }

@@ -98,6 +98,31 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
         }
       }
 
+    case MultiPhraseQ(slots, boost) =>
+      val arrays = slots.map { case (ts, off) =>
+        val merged = ts.toList.flatMap(t => d.positions.getOrElse(t, Array.empty[Int]).toList).sorted
+        (merged, off)
+      }
+      if (arrays.exists(_._1.isEmpty)) None
+      else {
+        val (base, baseOff) = arrays.head
+        var freq = 0
+        base.foreach { p =>
+          val start = p - baseOff
+          if (arrays.forall { case (ps, off) => ps.contains(start + off) }) freq += 1
+        }
+        if (freq == 0) None
+        else {
+          var idfSum = 0.0f
+          slots.flatMap(_._1.toList.sorted).foreach { t =>
+            idfSum += bm25.idf(docFreq.getOrElse(t, 0L), maxDoc)
+          }
+          val cache = weight(slots.head._1.head, 1f).cache
+          val w = bm25.TermWeight(idfSum * boost * (bm25.k1 + 1), cache)
+          Some(w.score(freq.toFloat, d.normByte))
+        }
+      }
+
     case PrefixQ(p) =>
       if (d.positions.keys.exists(_.startsWith(p))) Some(1.0f) else None
 

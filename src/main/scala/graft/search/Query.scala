@@ -23,6 +23,12 @@ final case class BoolQ(clauses: List[(Occur.Value, Query)], minShouldMatch: Int 
   */
 final case class PhraseQ(terms: List[(String, Int)], boost: Float = 1f) extends Query
 
+/** Phrase with term alternatives per slot (MultiPhraseQuery.cs): slot i
+  * matches if ANY of its terms sits at base + offset_i. idf = sum over all
+  * alternatives of all slots (IdfExplain(termStats[]) semantics).
+  */
+final case class MultiPhraseQ(slots: List[(Set[String], Int)], boost: Float = 1f) extends Query
+
 final case class PrefixQ(prefix: String) extends Query
 /** Term range [lo, hi]; null bound = open (TermRangeQuery.cs). */
 final case class RangeQ(lo: String, hi: String, includeLo: Boolean = true, includeHi: Boolean = true) extends Query
@@ -57,9 +63,26 @@ object Query {
     case TermQ(t, _) => Set(t)
     case BoolQ(cs, _) => cs.flatMap(c => literalTerms(c._2)).toSet
     case PhraseQ(ts, _) => ts.map(_._1).toSet
+    case MultiPhraseQ(ss, _) => ss.flatMap(_._1).toSet
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case ConstantScoreQ(inner, _) => literalTerms(inner)
     case _ => Set.empty
+  }
+
+  /** CommonTermsQuery rewrite (Queries/CommonTermsQuery.cs:56): terms with
+    * df/maxDoc above `maxTermFrequency` become SHOULD-only (scoring bonus),
+    * rare terms keep the given occur — high-frequency terms stop gating
+    * recall exactly as in the reference.
+    */
+  def commonTerms(terms: List[String], stats: Map[String, (Long, Long)], maxDoc: Long,
+                  lowFreqOccur: Occur.Value = Occur.Must,
+                  maxTermFrequency: Double = 0.4): Query = {
+    val clauses = terms.map { t =>
+      val df = stats.get(t).map(_._1).getOrElse(0L)
+      val occ = if (df.toDouble / math.max(maxDoc, 1) > maxTermFrequency) Occur.Should else lowFreqOccur
+      occ -> (TermQ(t): Query)
+    }
+    BoolQ(clauses)
   }
 
   /** Wildcard pattern -> regex (anchored), for dictionary scans. */

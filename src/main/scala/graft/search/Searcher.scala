@@ -148,7 +148,10 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
     case BoolQ(clauses, msm) => compileBool(clauses, msm, stats)
 
-    case PhraseQ(terms, boost) => compilePhrase(terms, boost, stats)
+    case PhraseQ(terms, boost) =>
+      compilePhraseGeneric(terms.map { case (t, o) => (Set(t), o) }, boost, stats)
+
+    case MultiPhraseQ(slots, boost) => compilePhraseGeneric(slots, boost, stats)
 
     case MatchAllQ =>
       docs.select(col("segmentId"), col("docId")).as[(Int, Int)]
@@ -236,24 +239,28 @@ final class Searcher(spark: SparkSession, indexPath: String,
     g.select(col("segmentId"), col("docId"), score.as("score")).as[Hit]
   }
 
-  /** Positional leaf: conjunction of the phrase terms, then exact-phrase
-    * counting over position arrays (ExactPhraseScorer.cs:26-49 semantics:
-    * freq = #positions where every term sits at base + offset).
+  /** Positional leaf shared by PhraseQ (singleton slots) and MultiPhraseQ:
+    * conjunction of the slots, then exact-phrase counting over (merged)
+    * position arrays (ExactPhraseScorer.cs:26-49, MultiPhraseQuery.cs
+    * semantics: slot matches if ANY alternative sits at base + offset).
+    * Absent terms contribute idf with df = 0 (TermContext of a missing term).
     */
-  private def compilePhrase(terms: List[(String, Int)], boost: Float,
-                            stats: Map[String, (Long, Long)]): Dataset[Hit] = {
-    if (terms.exists(t => !stats.contains(t._1))) return spark.emptyDataset[Hit]
-    val idfSumF = terms.map { case (t, _) => bm25.idf(stats(t)._1, maxDoc) }.foldLeft(0.0f)(_ + _)
-    val idfSumD = terms.map { case (t, _) =>
-      math.log(1 + (maxDoc - stats(t)._1 + 0.5d) / (stats(t)._1 + 0.5d))
-    }.sum
+  private def compilePhraseGeneric(slots: List[(Set[String], Int)], boost: Float,
+                                   stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+    val allTerms = slots.flatMap { case (ts, _) => ts.toList.sorted }
+    if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains(t)) })
+      return spark.emptyDataset[Hit] // a slot with no present alternative matches nothing
+    def dfOf(t: String): Long = stats.get(t).map(_._1).getOrElse(0L)
+    val idfSumF = allTerms.map(t => bm25.idf(dfOf(t), maxDoc)).foldLeft(0.0f)(_ + _)
+    val idfSumD = allTerms.map(t => math.log(1 + (maxDoc - dfOf(t) + 0.5d) / (dfOf(t) + 0.5d))).sum
     val scorer = makeScorer(0L, boost, Some(idfSumF), Some(idfSumD))
-    val offsets = terms.map(_._2).toArray
-    val nTerms = terms.size
+    val offsets = slots.map(_._2).toArray
+    val nTerms = slots.size
 
-    // one decoded stream per phrase slot (duplicate terms get distinct slots)
-    val streams = terms.zipWithIndex.map { case ((t, _), i) =>
-      postings.filter(col("term") === t).flatMap { p =>
+    // one decoded stream per slot (union over its alternatives)
+    val streams = slots.zipWithIndex.map { case ((ts, _), i) =>
+      val present = ts.filter(stats.contains)
+      postings.filter(col("term").isInCollection(present)).flatMap { p =>
         val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
         (0 until d.docIds.length).map { k =>
           (p.segmentId, d.docIds(k), i,
@@ -270,7 +277,15 @@ final class Searcher(spark: SparkSession, indexPath: String,
         val posBySlot = new Array[Array[Int]](nTerms)
         var fieldLen = 0
         rows.foreach { r =>
-          posBySlot(r.getInt(2)) = r.getAs[scala.collection.Seq[Int]](3).toArray
+          val slot = r.getInt(2)
+          val ps = r.getAs[scala.collection.Seq[Int]](3).toArray
+          posBySlot(slot) =
+            if (posBySlot(slot) == null) ps
+            else {
+              val m = posBySlot(slot) ++ ps // multiple alternatives in one doc
+              java.util.Arrays.sort(m)
+              m
+            }
           fieldLen = r.getInt(4)
         }
         if (posBySlot.exists(_ == null)) Hit(seg, doc, Double.NaN)

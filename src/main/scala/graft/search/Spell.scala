@@ -1,0 +1,53 @@
+package graft.search
+
+import org.apache.spark.sql.{DataFrame, Column}
+import org.apache.spark.sql.functions._
+
+/** Spell suggestion + highlighting decorations over the term dictionary /
+  * token streams — the Suggest/Highlighter module analogs (SURVEY.md §2.7).
+  */
+object Spell {
+
+  /** DirectSpellChecker analog (/root/reference/src/Lucene.Net.Suggest/
+    * Spell/DirectSpellChecker.cs): dictionary terms within `maxEdits` of the
+    * input, ranked by (edit distance asc, df desc, term asc), top-k.
+    * `dictionary` = (term, df, ttf) as produced by Searcher.dictionary().
+    */
+  def suggest(dictionary: DataFrame, input: String, maxEdits: Int, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    dictionary
+      .withColumn("dist", levenshtein(col("term"), lit(input)))
+      .filter(col("dist") <= maxEdits && col("term") =!= input)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("dist").asc, col("df").desc, col("term").asc)))
+      .filter(col("rank") <= k)
+      .select(col("term"), col("rank"))
+      .orderBy("rank")
+  }
+}
+
+/** Token-window fragment extraction — the PostingsHighlighter analog
+  * (/root/reference/src/Lucene.Net.Highlighter/Postingshighlight/): fragments
+  * are built from analysis-chain token positions, not raw substring search,
+  * so "data" never highlights inside "database".
+  */
+object Highlighter {
+
+  /** For each doc containing `term`, the `before`+1+`after` token window
+    * around its FIRST occurrence, joined with spaces: (id, snippet).
+    * SQL-parity: array_position / slice / array_join over the same
+    * tokenization.
+    */
+  def firstSnippet(docs: DataFrame, idCol: String, textCol: String,
+                   term: String, before: Int, after: Int): DataFrame = {
+    val arr: Column = expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)")
+    docs
+      .withColumn("arr", arr)
+      .withColumn("p", array_position(col("arr"), term)) // 1-based, 0 if absent
+      .filter(col("p") > 0)
+      .withColumn("start", greatest(col("p") - before, lit(1)))
+      .withColumn("snippet", array_join(
+        slice(col("arr"), col("start"), lit(before + 1 + after)), " "))
+      .select(col(idCol), col("snippet"))
+  }
+}
