@@ -107,6 +107,37 @@ object PostingsCodec {
     }
   }
 
+  /** Positions-free decode for scoring-only paths (docIds, tfs, lens) —
+    * lets the Parquet scan skip the positions column entirely. */
+  def decodeDocs(df: Int, docDeltas: Array[Byte], tfBytes: Array[Byte],
+                 lenBytes: Array[Byte]): (Array[Int], Array[Int], Array[Int]) = {
+    val docIds = new Array[Int](df)
+    val tfs = new Array[Int](df)
+    val lens = new Array[Int](df)
+    val fullBlocks = df / BlockSize
+    val dc = new Cursor(0)
+    val tc = new Cursor(0)
+    val lc = new Cursor(0)
+    var b = 0
+    while (b < fullBlocks) {
+      ForBlock.decode(docDeltas, dc, docIds, b * BlockSize)
+      ForBlock.decode(tfBytes, tc, tfs, b * BlockSize)
+      ForBlock.decode(lenBytes, lc, lens, b * BlockSize)
+      b += 1
+    }
+    var i = fullBlocks * BlockSize
+    while (i < df) {
+      docIds(i) = VByte.readInt(docDeltas, dc)
+      tfs(i) = VByte.readInt(tfBytes, tc)
+      lens(i) = VByte.readInt(lenBytes, lc)
+      i += 1
+    }
+    var acc = 0
+    i = 0
+    while (i < df) { acc += docIds(i); docIds(i) = acc; i += 1 }
+    (docIds, tfs, lens)
+  }
+
   def decode(df: Int, docDeltas: Array[Byte], tfBytes: Array[Byte],
              positions: Array[Byte], lenBytes: Array[Byte]): DecodedPostings = {
     val docIds = new Array[Int](df)

@@ -21,6 +21,10 @@ final case class PostingRow(segmentId: Int, term: String, df: Int, ttf: Long,
                             positions: Array[Byte], lens: Array[Byte],
                             skips: Array[SkipRow])
 
+/** Scoring-only posting projection (no positions column read). */
+final case class PostingSlim(segmentId: Int, term: String, df: Int,
+                             docDeltas: Array[Byte], tfs: Array[Byte], lens: Array[Byte])
+
 final case class SegmentStats(segmentId: Int, maxDoc: Long, sumTotalTermFreq: Long, sumDocFreq: Long)
 
 final case class ManifestRow(segmentId: Int, status: String, numDocs: Long, numTerms: Long,

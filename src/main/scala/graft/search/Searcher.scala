@@ -51,6 +51,11 @@ final class Searcher(spark: SparkSession, indexPath: String,
       .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
       .as[PostingRow]
 
+  /** Scoring-only projection: Parquet never reads the positions column. */
+  @transient lazy val postingsSlim: Dataset[PostingSlim] =
+    postingsRaw.select("segmentId", "term", "df", "docDeltas", "tfs", "lens")
+      .as[PostingSlim]
+
   @transient lazy val docs: DataFrame = spark.read.parquet(IndexBuilder.docsPath(indexPath))
 
   /** Global collection stats; dropDuplicates guards against re-appended stats
@@ -134,12 +139,12 @@ final class Searcher(spark: SparkSession, indexPath: String,
         case None => spark.emptyDataset[Hit]
         case Some((df, _)) =>
           val scorer = makeScorer(df, boost)
-          postings.filter(col("term") === term).flatMap { p =>
-            val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
-            val out = new Array[Hit](d.docIds.length)
+          postingsSlim.filter(col("term") === term).flatMap { p =>
+            val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
+            val out = new Array[Hit](docIds.length)
             var i = 0
-            while (i < d.docIds.length) {
-              out(i) = Hit(p.segmentId, d.docIds(i), scorer(d.tfs(i), d.lens(i)))
+            while (i < docIds.length) {
+              out(i) = Hit(p.segmentId, docIds(i), scorer(tfs(i), lens(i)))
               i += 1
             }
             out
@@ -179,9 +184,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * rewrite (Search/MultiTermQuery.cs:97).
     */
   private def constantScoreOver(termPred: Column): Dataset[Hit] =
-    postings.filter(termPred).flatMap { p =>
-      val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
-      d.docIds.map(id => (p.segmentId, id))
+    postingsSlim.filter(termPred).flatMap { p =>
+      val (docIds, _, _) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
+      docIds.map(id => (p.segmentId, id))
     }.distinct().map { case (s, d) => Hit(s, d, 1.0d) }
 
   private def compileBool(clauses: List[(Occur.Value, Query)], msm: Int,
@@ -344,9 +349,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   /** Decoded postings of one term joined to doc keys: (url, tf, fieldLen). */
   def termPostings(term: String): DataFrame = {
-    val stream = postings.filter(col("term") === term).flatMap { p =>
-      val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
-      (0 until d.docIds.length).map(i => (p.segmentId, d.docIds(i), d.tfs(i), d.lens(i)))
+    val stream = postingsSlim.filter(col("term") === term).flatMap { p =>
+      val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
+      (0 until docIds.length).map(i => (p.segmentId, docIds(i), tfs(i), lens(i)))
     }.toDF("segmentId", "docId", "tf", "fieldLen")
     stream.join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
       .select("url", "tf", "fieldLen")

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.build.IndexBuilder
 import graft.codec.{Cursor, ForBlock, SmallFloat, VByte}
-import graft.model.{PostingRow, SkipRow}
+import graft.model.{PostingSlim, SkipRow}
 import scala.jdk.CollectionConverters._
 
 /** Block-Max WAND top-k for pure-disjunction BM25 queries — the serving-path
@@ -30,7 +30,12 @@ object Wand {
     * scoring). Supports shallow block inspection (metadata only) for the
     * block-max check, and forward `advance` with block skipping.
     */
-  private final class TermCursor(p: PostingRow, val weight: Float, cache: Array[Float]) {
+  /** Posting row projection for WAND: skips but no positions. */
+  final case class WandRow(segmentId: Int, term: String, df: Int,
+                          docDeltas: Array[Byte], tfs: Array[Byte], lens: Array[Byte],
+                          skips: Array[SkipRow])
+
+  private final class TermCursor(p: WandRow, val weight: Float, cache: Array[Float]) {
     private val blocks: Array[SkipRow] = p.skips
     private val nFull = p.df / ForBlock.BlockSize
     private val tailLen = p.df - nFull * ForBlock.BlockSize
@@ -281,8 +286,8 @@ object Wand {
 
     val partials = searcher.postingsRaw
       .filter(col("term").isInCollection(weights.keySet))
-      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
-      .as[PostingRow]
+      .select("segmentId", "term", "df", "docDeltas", "tfs", "lens", "skips")
+      .as[WandRow]
       .repartition(col("segmentId"))
       .mapPartitions { rows =>
         val heap = new java.util.PriorityQueue[WandHit](k + 1, heapComparator)

@@ -148,6 +148,25 @@ class SparkEngineSpec extends AnyFunSuite {
     assert(q3 == BoolQ(List(Occur.Should -> PrefixQ("wiki"), Occur.Should -> WildcardQ("x?b"))))
   }
 
+  test("multiphrase identical to oracle") {
+    checkIdentical(MultiPhraseQ(List((Set("quick", "lazy"), 0), (Set("brown", "dog"), 1))))
+    checkIdentical(MultiPhraseQ(List((Set("quick"), 0), (Set("brown", "zzzabsent"), 1))))
+  }
+
+  test("commonTerms rewrite splits by df threshold") {
+    val stats = idx1.termStats(Set(freq, rare))
+    val q = Query.commonTerms(List(freq, rare), stats, idx1.maxDoc,
+      lowFreqOccur = Occur.Must, maxTermFrequency = 0.05)
+    q match {
+      case BoolQ(clauses, _) =>
+        val occ = clauses.map(_._1)
+        // the zipf-head term is above 5% df ratio -> SHOULD; the tail term -> MUST
+        assert(occ == List(Occur.Should, Occur.Must), s"got $q")
+      case other => fail(s"expected BoolQ, got $other")
+    }
+    checkIdentical(q)
+  }
+
   test("resume skips completed segments and produces an identical index") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graftresume").toString
