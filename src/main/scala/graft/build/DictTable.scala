@@ -1,0 +1,74 @@
+package graft.build
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Global term dictionary: (term, df, ttf) aggregated across segments — the
+  * BlockTree/.tip term-index analog (SURVEY.md §2.3 "Term dictionary"): at
+  * query time, term stats come from this small pruned table instead of a
+  * scan over every segment's postings metadata. One term-shuffle at build
+  * time; df/ttf are invariant under merges.
+  *
+  * Freshness contract: the dictionary is valid only while the segment set it
+  * was computed from matches the live stats table (signature check). A
+  * streaming append changes the set -> readers silently fall back to the
+  * postings-scan path; the next batch build or explicit refresh rewrites it.
+  */
+object DictTable {
+
+  def dictPath(base: String) = s"$base/dict"
+  def markerPath(base: String) = s"$base/dict_marker.txt"
+
+  /** Signature of the live segment set (ids + maxDocs from stats). */
+  def segsSignature(spark: SparkSession, indexPath: String): String = {
+    import spark.implicits._
+    try {
+      spark.read.parquet(IndexBuilder.statsPath(indexPath))
+        .dropDuplicates("segmentId")
+        .select("segmentId", "maxDoc").as[(Int, Long)].collect()
+        .sortBy(_._1).map { case (s, m) => s"$s:$m" }.mkString(",")
+    } catch { case _: Exception => "" }
+  }
+
+  def write(spark: SparkSession, indexPath: String): Unit = {
+    val sig = segsSignature(spark, indexPath)
+    if (sig.isEmpty) return
+    spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .select("term", "df", "ttf")
+      .groupBy("term")
+      .agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
+      .write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
+    writeMarker(spark, indexPath, sig)
+  }
+
+  def writeMarker(spark: SparkSession, indexPath: String, sig: String): Unit = {
+    val p = new Path(markerPath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(p, true)
+    out.write(sig.getBytes("UTF-8"))
+    out.close()
+  }
+
+  def readMarker(spark: SparkSession, indexPath: String): Option[String] = {
+    val p = new Path(markerPath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val s = scala.io.Source.fromInputStream(in).mkString
+      in.close()
+      Some(s)
+    }
+  }
+
+  def isValid(spark: SparkSession, indexPath: String): Boolean =
+    readMarker(spark, indexPath).contains(segsSignature(spark, indexPath))
+
+  /** The dictionary DataFrame if present AND fresh. */
+  def readIfValid(spark: SparkSession, indexPath: String): Option[DataFrame] =
+    if (isValid(spark, indexPath)) {
+      try Some(spark.read.parquet(dictPath(indexPath)))
+      catch { case _: Exception => None }
+    } else None
+}

@@ -64,6 +64,10 @@ object IndexBuilder {
     groups.foreach { group =>
       totalDocs += buildGroup(spark, pages, indexPath, cfg, group.toSet, done)
     }
+    // refresh the global term dictionary (BlockTree/.tip analog) — one
+    // term-shuffle over (term, df, ttf); readers fall back to postings scans
+    // whenever this is stale, so the refresh is an optimization, not a gate
+    DictTable.write(spark, indexPath)
     val elapsed = (System.nanoTime() - t0) / 1e9
     val report = BuildReport(totalDocs, cfg.numSegments, elapsed, totalDocs / math.max(elapsed, 1e-9))
     report

@@ -46,6 +46,7 @@ object MergeJob {
     val target = sources.min
     val srcSorted = sources.sorted
 
+    val dictWasValid = graft.build.DictTable.isValid(spark, indexPath)
     val stats = spark.read.parquet(IndexBuilder.statsPath(indexPath))
       .dropDuplicates("segmentId")
       .as[SegmentStats].collect().map(s => s.segmentId -> s).toMap
@@ -162,6 +163,13 @@ object MergeJob {
     val statsDst = new Path(IndexBuilder.statsPath(indexPath))
     fs.delete(statsDst, true)
     require(fs.rename(new Path(statsTmp), statsDst), "stats swap failed")
+
+    // global df/ttf are invariant under merge: if the dictionary was fresh
+    // before, re-stamp it for the post-merge segment set
+    if (dictWasValid) {
+      graft.build.DictTable.writeMarker(spark, indexPath,
+        graft.build.DictTable.segsSignature(spark, indexPath))
+    }
 
     target
   }

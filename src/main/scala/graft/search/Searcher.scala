@@ -83,14 +83,27 @@ final class Searcher(spark: SparkSession, indexPath: String,
   /** Cross-segment term stats (TermContext.Build analog, Index/TermContext.cs:90):
     * one tiny pruned aggregate, collected to the driver, folded into constants.
     */
+  /** Fresh global dictionary (BlockTree/.tip analog) resolved once per
+    * reader; None -> per-query postings-scan fallback. */
+  @transient private lazy val dictTable: Option[DataFrame] =
+    graft.build.DictTable.readIfValid(spark, indexPath)
+
   def termStats(terms: Set[String]): Map[String, (Long, Long)] = {
     if (terms.isEmpty) Map.empty
-    else postingsRaw
-      .select("term", "df", "ttf")
-      .filter(col("term").isInCollection(terms))
-      .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
-      .as[(String, Long, Long)].collect()
-      .map { case (t, df, ttf) => t -> (df, ttf) }.toMap
+    else dictTable match {
+      case Some(dict) =>
+        dict.filter(col("term").isInCollection(terms))
+          .select("term", "df", "ttf")
+          .as[(String, Long, Long)].collect()
+          .map { case (t, df, ttf) => t -> (df, ttf) }.toMap
+      case None =>
+        postingsRaw
+          .select("term", "df", "ttf")
+          .filter(col("term").isInCollection(terms))
+          .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
+          .as[(String, Long, Long)].collect()
+          .map { case (t, df, ttf) => t -> (df, ttf) }.toMap
+    }
   }
 
   /** Per-posting scorer: (tf, fieldLen) => score, with constants folded. */
@@ -358,9 +371,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
   }
 
   /** Term dictionary with global stats: (term, df, ttf). */
-  def dictionary(): DataFrame =
+  def dictionary(): DataFrame = dictTable.getOrElse(
     postingsRaw
-      .groupBy("term").agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
+      .groupBy("term").agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf")))
 
   /** Parse with the same analyzer and search (QueryParser path, SURVEY.md §3.3). */
   def searchText(queryText: String, k: Int): DataFrame =
