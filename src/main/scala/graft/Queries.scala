@@ -147,7 +147,39 @@ object Queries {
         .filter(col("l_quantity") >= 10 && col("l_quantity") < 30 &&
           col("l_shipdate") >= "1995-01-01")
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
-        .orderBy("l_returnflag"))
+        .orderBy("l_returnflag")),
+
+    // --- FilteredQuery analog: search restricted by a metadata predicate
+    "q_filtered" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val allowed = s.read.parquet(s"$dir/documents.parquet")
+        .filter(col("source") === "src3")
+        .select(format_string("doc%09d", col("doc_id")).as("url"))
+      val hits = se.compile(TermQ("vector"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .join(allowed, Seq("url"), "left_semi")
+      IndexCache.rankedIds(hits.select("url", "score", "segmentId", "docId"))
+    }),
+
+    // --- CustomScoreQuery / FunctionQuery analog: score * fn(doc value)
+    "q_custom_score" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val hits = se.compile(TermQ("vector"))
+        .join(se.docs.select("segmentId", "docId", "url", "fieldLen"), Seq("segmentId", "docId"))
+        .withColumn("score", col("score") * log(lit(1.0d) + col("fieldLen")))
+      IndexCache.rankedIds(hits.select("url", "score", "segmentId", "docId")).limit(10)
+    }),
+
+    // --- QueryRescorer analog: re-rank the top window with a phrase bonus
+    "q_rescore" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val rescored = Rescorer.rescore(se,
+        BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))),
+        window = 20, PhraseQ(List("hash" -> 0, "join" -> 1)), weight = 2.0d)
+      val withUrl = broadcast(rescored)
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      IndexCache.rankedIds(withUrl.select("url", "score", "segmentId", "docId")).limit(10)
+    })
   )
 
   private def searchOracle: Map[String, String] = Map(
@@ -274,6 +306,43 @@ object Queries {
     "q_numrange" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |WHERE l_quantity >= 10 AND l_quantity < 30 AND l_shipdate >= '1995-01-01'
-        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_filtered" ->
+      s"""$P, ${scoreCte("a", "vector")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM scores_a JOIN documents USING (doc_id)
+         |WHERE source = 'src3' ORDER BY rank""".stripMargin,
+
+    "q_custom_score" ->
+      s"""$P, ${scoreCte("a", "vector")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s2 DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT a.doc_id, a.s * ln(1.0 + dl.dl) AS s2
+         |  FROM scores_a a JOIN dl ON dl.doc_id = a.doc_id)
+         |ORDER BY s2 DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_rescore" ->
+      s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")},
+         |pf AS (
+         |  SELECT x.doc_id, count(*) AS freq FROM toks x JOIN toks y
+         |    ON x.doc_id = y.doc_id AND y.pos = x.pos + 1
+         |  WHERE x.term = 'hash' AND y.term = 'join' GROUP BY x.doc_id),
+         |ps AS (
+         |  SELECT pf.doc_id,
+         |    ((ln(1 + ((c.n - dh.df) + 0.5) / (dh.df + 0.5))
+         |      + ln(1 + ((c.n - dj.df) + 0.5) / (dj.df + 0.5))) * (1.2 + 1)) * pf.freq /
+         |    (pf.freq + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n)))) AS s
+         |  FROM pf JOIN dl USING (doc_id) CROSS JOIN consts c
+         |  JOIN dfs dh ON dh.term = 'hash' JOIN dfs dj ON dj.term = 'join'),
+         |base AS (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM scores_a a FULL OUTER JOIN scores_b b ON a.doc_id = b.doc_id),
+         |win AS (SELECT * FROM base ORDER BY s DESC, doc_id LIMIT 20),
+         |resc AS (
+         |  SELECT w.doc_id, w.s + 2.0 * coalesce(p.s, 0) AS s
+         |  FROM win w LEFT JOIN ps p ON p.doc_id = w.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM resc ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
   )
 }

@@ -26,6 +26,26 @@ object Spell {
   }
 }
 
+/** Top-window re-ranking — the QueryRescorer analog
+  * (/root/reference/src/Lucene.Net.Core/Search/QueryRescorer.cs): collect the
+  * top `window` hits of the base query, then combine each with the rescore
+  * query's score (newScore = base + weight * rescore, missing -> 0) and
+  * re-sort. Docs outside the window keep their base ranking excluded.
+  */
+object Rescorer {
+  def rescore(s: Searcher, base: Query, window: Int, rq: Query, weight: Double): DataFrame = {
+    val top = s.compile(base)
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+      .limit(window)
+      .withColumnRenamed("score", "baseScore")
+    val re = s.compile(rq).withColumnRenamed("score", "reScore")
+    broadcast(top).join(re, Seq("segmentId", "docId"), "left_outer")
+      .withColumn("score", col("baseScore") + lit(weight) * coalesce(col("reScore"), lit(0d)))
+      .select(col("segmentId"), col("docId"), col("score"))
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+  }
+}
+
 /** Token-window fragment extraction — the PostingsHighlighter analog
   * (/root/reference/src/Lucene.Net.Highlighter/Postingshighlight/): fragments
   * are built from analysis-chain token positions, not raw substring search,
