@@ -112,6 +112,47 @@ object QueriesPipeline {
         .orderBy("c_mktsegment")
     }),
 
+    // ---- range facets (Facet/Range module): numeric bucketing of a measure
+    "q_facet_range" -> ((s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .withColumn("bucket", (floor(col("l_quantity") / 10) * 10).cast("int"))
+        .groupBy(col("bucket")).agg(count(lit(1)).as("cnt"))
+        .orderBy("bucket")),
+
+    // ---- JoinUtil.CreateJoinQuery analog: from-side values -> to-side filter
+    // ("sources that contain a 'hash join' doc" gate a 'vector' search)
+    "q_semijoin" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val tokPos = docs.select(col("doc_id"), col("source"),
+        posexplode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as(Seq("pos", "term")))
+      val phraseSources = tokPos.as("a")
+        .join(tokPos.as("b"),
+          col("a.doc_id") === col("b.doc_id") && col("b.pos") === col("a.pos") + 1 &&
+            col("a.term") === "hash" && col("b.term") === "join")
+        .select(col("a.source").as("source")).distinct()
+      docs.join(phraseSources, Seq("source"), "left_semi")
+        .join(tokPos.filter(col("term") === "vector").select("doc_id").distinct(), Seq("doc_id"), "left_semi")
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // ---- unigram-LM quality score: mean corpus log-probability per token,
+    // scaled to an integer (micro-nats) for exact cross-engine comparison
+    "q_lm_score" -> ((s, dir) => {
+      val docs = documents(s, dir)
+      val toks = docs.select(col("doc_id"),
+        explode(expr("regexp_extract_all(lower(text), '[a-z0-9]+', 0)")).as("term"))
+      val ttf = toks.groupBy("term").agg(count(lit(1)).as("ttf"))
+      val total = toks.count()
+      toks.join(ttf, "term")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n"), sum(log(col("ttf").cast("double") / total)).as("lp"))
+        // milli-nat integer scale: coarse enough that sum-order ulp noise
+        // cannot flip the floor on either engine
+        .select(col("doc_id"),
+          expr("cast(floor(lp / n * 1000) as bigint)").as("score_milli"))
+        .orderBy("doc_id")
+    }),
+
     // ---- event-time analytics (streaming-analog window + sessionization)
     "q_events_window" -> ((s, dir) =>
       s.read.parquet(s"$dir/events.parquet")
@@ -314,6 +355,37 @@ object QueriesPipeline {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total100
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_facet_range" ->
+      """SELECT CAST(floor(l_quantity / 10) * 10 AS INT) AS bucket, count(*) AS cnt
+        |FROM lineitem GROUP BY 1 ORDER BY bucket""".stripMargin,
+
+    "q_semijoin" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, source, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+        |tok_pos AS (
+        |  SELECT doc_id, source, arr[i] AS term, i - 1 AS pos
+        |  FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)),
+        |phrase_sources AS (
+        |  SELECT DISTINCT a.source FROM tok_pos a JOIN tok_pos b
+        |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+        |  WHERE a.term = 'hash' AND b.term = 'join')
+        |SELECT DISTINCT d.doc_id FROM documents d
+        |JOIN phrase_sources ps ON d.source = ps.source
+        |WHERE EXISTS (SELECT 1 FROM tok_pos t WHERE t.doc_id = d.doc_id AND t.term = 'vector')
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |ttf AS (SELECT term, count(*) AS ttf FROM toks GROUP BY term),
+        |total AS (SELECT count(*) AS total FROM toks)
+        |SELECT doc_id, CAST(floor(lp / n * 1000) AS BIGINT) AS score_milli FROM (
+        |  SELECT t.doc_id, count(*) AS n,
+        |    sum(ln(CAST(f.ttf AS DOUBLE) / tt.total)) AS lp
+        |  FROM toks t JOIN ttf f ON f.term = t.term CROSS JOIN total tt
+        |  GROUP BY t.doc_id)
+        |ORDER BY doc_id""".stripMargin,
 
     "q_events_window" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type,
