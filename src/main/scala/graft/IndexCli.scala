@@ -1,0 +1,78 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import graft.build.{CheckIndex, IndexBuilder}
+import graft.merge.{MergeJob, TieredMergePolicy}
+import graft.search.{QueryParser, Searcher}
+import graft.streaming.StreamingIndexer
+
+/** spark-submit entry point for the whole engine lifecycle (the north rule's
+  * "runs via spark-submit on multi-executor clusters" contract; in local dev
+  * use `sbt "runMain graft.IndexCli <cmd> ..."`).
+  *
+  *   build  <pagesParquet> <indexPath> [numSegments] [analyzer]
+  *   stream <pagesDir> <indexPath> <checkpointDir> [analyzer]
+  *   merge  <indexPath>                      # tiered merge to policy
+  *   check  <indexPath>                      # CheckIndex invariants
+  *   search <indexPath> <k> <query...>       # classic query syntax
+  *
+  * No .master() is set — spark-submit (or SPARK_MASTER) decides; a local
+  * default applies only when launched outside spark-submit.
+  */
+object IndexCli {
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: build|stream|merge|check|search ...")
+    val builder = SparkSession.builder()
+      .appName(s"graft-${args(0)}")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+    if (sys.props.get("spark.master").isEmpty && sys.env.get("SPARK_MASTER").isEmpty)
+      builder.master(s"local[${Runtime.getRuntime.availableProcessors()}]")
+    val spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    args(0) match {
+      case "build" =>
+        val Array(_, pagesPath, indexPath, rest @ _*) = args: @unchecked
+        val numSegments = rest.headOption.map(_.toInt)
+          .getOrElse(math.max(spark.sparkContext.defaultParallelism * 4, 16))
+        val analyzer = rest.lift(1).getOrElse("standard")
+        val pages = spark.read.parquet(pagesPath).select("url", "text")
+        val report = IndexBuilder.build(spark, pages, indexPath,
+          IndexBuilder.BuildConfig(numSegments, analyzer))
+        println(s"""{"docs":${report.numDocs},"segments":${report.numSegments},""" +
+          s""""sec":${report.elapsedSec},"docsPerSec":${report.docsPerSec.toLong}}""")
+
+      case "stream" =>
+        val Array(_, inputDir, indexPath, ckpt, rest @ _*) = args: @unchecked
+        val analyzer = rest.headOption.getOrElse("standard")
+        StreamingIndexer.start(spark, inputDir, indexPath, ckpt, analyzer).awaitTermination()
+
+      case "merge" =>
+        val indexPath = args(1)
+        val merges = MergeJob.mergeToPolicy(spark, indexPath, new TieredMergePolicy())
+        println(s"""{"merges":$merges}""")
+
+      case "check" =>
+        val report = CheckIndex.run(spark, args(1))
+        println(s"""{"ok":${report.ok},"segments":${report.segments},"docs":${report.docs},""" +
+          s""""postingRows":${report.postingRows},"violations":${report.violations.size}}""")
+        report.violations.foreach(v => System.err.println(s"VIOLATION: $v"))
+        if (!report.ok) sys.exit(1)
+
+      case "search" =>
+        val indexPath = args(1)
+        val k = args(2).toInt
+        val queryText = args.drop(3).mkString(" ")
+        val s = new Searcher(spark, indexPath)
+        val q = QueryParser.parse(queryText, s.analyzer)
+        s.search(q, k).collect().foreach { r =>
+          println(f"${r.getDouble(1)}%10.4f  ${r.getString(0)}")
+        }
+
+      case other => throw new IllegalArgumentException(s"unknown command: $other")
+    }
+    spark.stop()
+  }
+}

@@ -112,6 +112,38 @@ class CodecSpec extends AnyFunSuite {
     }
   }
 
+  test("multi-million-entry posting list round-trip (Test2BPostings-style stress, scaled)") {
+    // 5M docs, block count ~39k — exercises offset arithmetic far past any
+    // small-index paths (the scaled analog of core/Index/Test2BPostings.cs)
+    val n = 5000000
+    val enc = new PostingsCodec.Encoder
+    var doc = 0
+    var i = 0
+    while (i < n) {
+      doc += 1 + (i % 7)
+      enc.add(doc, 1 + (i % 3), if (i % 3 == 0) Array(i % 1000) else Array(i % 1000, i % 1000 + 5), 100 + (i % 900))
+      i += 1
+    }
+    val e = enc.finish()
+    assert(e.df == n)
+    assert(e.skips.length == n / 128)
+    val (docIds, tfs, lens) = PostingsCodec.decodeDocs(e.df, e.docDeltas, e.tfs, e.lens)
+    assert(docIds.length == n)
+    var j = 0
+    var prev = 0
+    var ok = true
+    while (j < n && ok) {
+      ok = docIds(j) > prev && tfs(j) >= 1 && lens(j) >= 100
+      prev = docIds(j)
+      j += 1
+    }
+    assert(ok, s"invariant broke near index ${j - 1}")
+    // spot-check skip entries deep into the list
+    val sk = e.skips(e.skips.length / 2)
+    assert(sk.cumDocs == (e.skips.length / 2) * 128)
+    assert(sk.lastDoc == docIds(sk.cumDocs + 127))
+  }
+
   test("bm25 norm table matches the reference construction") {
     val bm = graft.search.Bm25.default
     (1 until 256).foreach { i =>
