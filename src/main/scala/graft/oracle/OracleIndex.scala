@@ -76,25 +76,32 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
         }
       }
 
-    case PhraseQ(terms, boost) =>
+    case PhraseQ(terms, boost, slop) =>
       val arrays = terms.map { case (t, off) => (d.positions.get(t), off) }
       if (arrays.exists(_._1.isEmpty)) None
       else {
-        val base = arrays.head._1.get
-        val baseOff = arrays.head._2
-        var freq = 0
-        base.foreach { p =>
-          val start = p - baseOff
-          if (arrays.forall { case (ps, off) => ps.get.contains(start + off) }) freq += 1
-        }
-        if (freq == 0) None
+        val freq: Float =
+          if (slop > 0)
+            graft.search.SloppyMatcher.phraseFreq(
+              arrays.map(_._1.get).toArray, terms.map(_._2).toArray, slop)
+          else {
+            val base = arrays.head._1.get
+            val baseOff = arrays.head._2
+            var f = 0
+            base.foreach { p =>
+              val start = p - baseOff
+              if (arrays.forall { case (ps, off) => ps.get.contains(start + off) }) f += 1
+            }
+            f.toFloat
+          }
+        if (freq == 0f) None
         else {
           // combined weight: summed idf over terms (BM25Similarity.cs:208-221)
           var idfSum = 0.0f
           terms.foreach { case (t, _) => idfSum += bm25.idf(docFreq(t), maxDoc) }
           val avgCache = weight(terms.head._1, 1f).cache // cache is term-independent
           val w = bm25.TermWeight(idfSum * boost * (bm25.k1 + 1), avgCache)
-          Some(w.score(freq.toFloat, d.normByte))
+          Some(w.score(freq, d.normByte))
         }
       }
 

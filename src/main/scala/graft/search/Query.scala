@@ -21,7 +21,10 @@ final case class BoolQ(clauses: List[(Occur.Value, Query)], minShouldMatch: Int 
 /** Exact phrase: terms with their relative positions (gaps > 1 encode removed
   * stopwords, PhraseQuery.cs:383-402 / ExactPhraseScorer.cs:26-49).
   */
-final case class PhraseQ(terms: List[(String, Int)], boost: Float = 1f) extends Query
+final case class PhraseQ(terms: List[(String, Int)], boost: Float = 1f,
+                         /** slop > 0 switches to SloppyPhraseScorer semantics
+                           * (sloppyFreq = 1/(distance+1)); terms must be distinct. */
+                         slop: Int = 0) extends Query
 
 /** Phrase with term alternatives per slot (MultiPhraseQuery.cs): slot i
   * matches if ANY of its terms sits at base + offset_i. idf = sum over all
@@ -47,7 +50,7 @@ object Query {
     * collapse (BooleanQuery.cs:522).
     */
   def rewrite(q: Query): Query = q match {
-    case PhraseQ((t, _) :: Nil, boost) => TermQ(t, boost)
+    case PhraseQ((t, _) :: Nil, boost, _) => TermQ(t, boost)
     case BoolQ((occ, inner) :: Nil, msm) if occ != Occur.MustNot && msm <= (if (occ == Occur.Should) 1 else 0) =>
       rewrite(inner)
     case BoolQ(cs, msm) => BoolQ(cs.map { case (o, c) => (o, rewrite(c)) }, msm)
@@ -62,7 +65,7 @@ object Query {
   def literalTerms(q: Query): Set[String] = q match {
     case TermQ(t, _) => Set(t)
     case BoolQ(cs, _) => cs.flatMap(c => literalTerms(c._2)).toSet
-    case PhraseQ(ts, _) => ts.map(_._1).toSet
+    case PhraseQ(ts, _, _) => ts.map(_._1).toSet
     case MultiPhraseQ(ss, _) => ss.flatMap(_._1).toSet
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case ConstantScoreQ(inner, _) => literalTerms(inner)

@@ -22,7 +22,7 @@ object QueryParser {
   private case object NotOp extends Tok
   private case object Plus extends Tok
   private case object Minus extends Tok
-  private final case class Phrase(s: String) extends Tok
+  private final case class Phrase(s: String, slop: Int) extends Tok
   private final case class Range(lo: String, hi: String, incLo: Boolean, incHi: Boolean) extends Tok
   private final case class Word(s: String, fuzzy: Option[Int]) extends Tok
 
@@ -40,8 +40,17 @@ object QueryParser {
       else if (c == '"') {
         val end = s.indexOf('"', i + 1)
         val stop = if (end < 0) n else end
-        out += Phrase(s.substring(i + 1, stop))
+        val body = s.substring(i + 1, stop)
         i = stop + 1
+        // "phrase"~N slop suffix
+        var slop = 0
+        if (i < n && s.charAt(i) == '~') {
+          var j = i + 1
+          while (j < n && Character.isDigit(s.charAt(j))) j += 1
+          if (j > i + 1) { slop = s.substring(i + 1, j).toInt; i = j }
+          else i += 1
+        }
+        out += Phrase(body, slop)
       } else if (c == '[' || c == '{') {
         val close = s.indexWhere(ch => ch == ']' || ch == '}', i)
         val stop = if (close < 0) n else close
@@ -114,9 +123,9 @@ object QueryParser {
             case t => t
           }
           addClause(inner)
-        case Phrase(body) =>
+        case Phrase(body, slop) =>
           val ts = analyzer.tokenize(body).map(t => (t.term, t.position)).toList
-          if (ts.nonEmpty) addClause(if (ts.size == 1) TermQ(ts.head._1) else PhraseQ(ts))
+          if (ts.nonEmpty) addClause(if (ts.size == 1) TermQ(ts.head._1) else PhraseQ(ts, slop = slop))
           else { pendingConj = None; pendingOccur = None }
           toks = toks.tail
         case Range(lo, hi, il, ih) =>

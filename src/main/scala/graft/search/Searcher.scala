@@ -106,14 +106,16 @@ final class Searcher(spark: SparkSession, indexPath: String,
     }
   }
 
-  /** Per-posting scorer: (tf, fieldLen) => score, with constants folded. */
+  /** Per-posting scorer: (freq, fieldLen) => score, constants folded. freq is
+    * Double so sloppy-phrase float frequencies flow through exactly (integer
+    * tfs embed losslessly). */
   private def makeScorer(df: Long, boost: Float, idfSumOverride: Option[Float] = None,
-                         idfSumOverrideD: Option[Double] = None): (Int, Int) => Double = mode match {
+                         idfSumOverrideD: Option[Double] = None): (Double, Int) => Double = mode match {
     case LuceneFloat =>
       val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
       val w = idf * boost * (bm25.k1 + 1)
       val cache = normCache
-      (tf: Int, len: Int) => {
+      (tf: Double, len: Int) => {
         // index-time boost is fixed at 1f (BM25Similarity.EncodeNormValue)
         val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
         val norm = cache(nb & 0xff)
@@ -126,7 +128,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
       val k1 = bm25.k1d
       val b = bm25.bd
       val avgdl = avgdlDouble
-      (tf: Int, len: Int) => {
+      (tf: Double, len: Int) => {
         val norm = k1 * ((1 - b) + b * len / avgdl)
         w * tf / (tf + norm)
       }
@@ -157,7 +159,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
             val out = new Array[Hit](docIds.length)
             var i = 0
             while (i < docIds.length) {
-              out(i) = Hit(p.segmentId, docIds(i), scorer(tfs(i), lens(i)))
+              out(i) = Hit(p.segmentId, docIds(i), scorer(tfs(i).toDouble, lens(i)))
               i += 1
             }
             out
@@ -166,10 +168,10 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
     case BoolQ(clauses, msm) => compileBool(clauses, msm, stats)
 
-    case PhraseQ(terms, boost) =>
-      compilePhraseGeneric(terms.map { case (t, o) => (Set(t), o) }, boost, stats)
+    case PhraseQ(terms, boost, slop) =>
+      compilePhraseGeneric(terms.map { case (t, o) => (Set(t), o) }, boost, stats, slop)
 
-    case MultiPhraseQ(slots, boost) => compilePhraseGeneric(slots, boost, stats)
+    case MultiPhraseQ(slots, boost) => compilePhraseGeneric(slots, boost, stats, 0)
 
     case MatchAllQ =>
       docs.select(col("segmentId"), col("docId")).as[(Int, Int)]
@@ -264,7 +266,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * Absent terms contribute idf with df = 0 (TermContext of a missing term).
     */
   private def compilePhraseGeneric(slots: List[(Set[String], Int)], boost: Float,
-                                   stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+                                   stats: Map[String, (Long, Long)], slop: Int): Dataset[Hit] = {
     val allTerms = slots.flatMap { case (ts, _) => ts.toList.sorted }
     if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains(t)) })
       return spark.emptyDataset[Hit] // a slot with no present alternative matches nothing
@@ -307,7 +309,12 @@ final class Searcher(spark: SparkSession, indexPath: String,
           fieldLen = r.getInt(4)
         }
         if (posBySlot.exists(_ == null)) Hit(seg, doc, Double.NaN)
-        else {
+        else if (slop > 0) {
+          // SloppyPhraseScorer path: float freq, shared matcher
+          val freq = SloppyMatcher.phraseFreq(posBySlot, offsets, slop)
+          if (freq == 0f) Hit(seg, doc, Double.NaN)
+          else Hit(seg, doc, scorer(freq.toDouble, fieldLen))
+        } else {
           var freq = 0
           val base = posBySlot(0)
           var bi = 0
@@ -323,7 +330,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
             bi += 1
           }
           if (freq == 0) Hit(seg, doc, Double.NaN)
-          else Hit(seg, doc, scorer(freq, fieldLen))
+          else Hit(seg, doc, scorer(freq.toDouble, fieldLen))
         }
       }
       .filter(h => !h.score.isNaN)

@@ -146,6 +146,35 @@ class SparkEngineSpec extends AnyFunSuite {
     checkIdentical(q2)
     val q3 = QueryParser.parse("wiki* OR x?b", StandardAnalyzer)
     assert(q3 == BoolQ(List(Occur.Should -> PrefixQ("wiki"), Occur.Should -> WildcardQ("x?b"))))
+    val q4 = QueryParser.parse("\"quick brown\"~2", StandardAnalyzer)
+    assert(q4 == PhraseQ(List("quick" -> 0, "brown" -> 1), slop = 2))
+    checkIdentical(q4, 15)
+  }
+
+  test("sloppy phrase matcher: reference golden example") {
+    // SloppyPhraseScorer.cs doc comment: query "a b"~2 on doc "x a b a y"
+    // scores twice: "a b" (distance 0) and "b a" (distance 2)
+    val posA = Array(1, 3) // 'a' at positions 1 and 3
+    val posB = Array(2)    // 'b' at position 2
+    val freq = SloppyMatcher.phraseFreq(Array(posA, posB), Array(0, 1), 2)
+    assert(freq == 1.0f / 1 + 1.0f / 3, s"got $freq")
+    // slop 0: only the exact match
+    assert(SloppyMatcher.phraseFreq(Array(posA, posB), Array(0, 1), 0) == 1.0f)
+    // no window within slop
+    assert(SloppyMatcher.phraseFreq(Array(Array(0), Array(10)), Array(0, 1), 3) == 0f)
+  }
+
+  test("sloppy phrase identical to oracle, exact subset of sloppy") {
+    val qExact = PhraseQ(List("quick" -> 0, "brown" -> 1))
+    val qSloppy = PhraseQ(List("quick" -> 0, "brown" -> 1), slop = 3)
+    checkIdentical(qSloppy, 15)
+    // every exact-phrase doc also matches the sloppy version
+    val exactDocs = idx1.compile(qExact).collect().map(h => (h.segmentId, h.docId)).toSet
+    val sloppyDocs = idx1.compile(qSloppy).collect().map(h => (h.segmentId, h.docId)).toSet
+    assert(exactDocs.subsetOf(sloppyDocs))
+    assert(sloppyDocs.size >= exactDocs.size)
+    // reversed phrase within slop 2 matches where reversed-adjacent occurs
+    checkIdentical(PhraseQ(List("brown" -> 0, "quick" -> 1), slop = 2), 15)
   }
 
   test("multiphrase identical to oracle") {
