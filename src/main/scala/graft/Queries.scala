@@ -149,6 +149,12 @@ object Queries {
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
 
+    // --- span near (ordered/unordered proximity, Search/Spans family)
+    "q_spannear" -> ((s, dir) => idsOf(searcher(s, dir),
+      SpanMatchQ(SpanNearS(List(SpanTermS("hash"), SpanTermS("join")), 2, inOrder = true)))),
+    "q_spannear_un" -> ((s, dir) => idsOf(searcher(s, dir),
+      SpanMatchQ(SpanNearS(List(SpanTermS("vector"), SpanTermS("stream")), 1, inOrder = false)))),
+
     // --- FilteredQuery analog: search restricted by a metadata predicate
     "q_filtered" -> ((s, dir) => {
       val se = searcher(s, dir)
@@ -307,6 +313,17 @@ object Queries {
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |WHERE l_quantity >= 10 AND l_quantity < 30 AND l_shipdate >= '1995-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_spannear" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND (b.pos - a.pos - 1) <= 2
+         |WHERE a.term = 'hash' AND b.term = 'join' ORDER BY 1""".stripMargin,
+
+    "q_spannear_un" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND a.pos <> b.pos
+         |  AND (greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1) <= 1
+         |WHERE a.term = 'vector' AND b.term = 'stream' ORDER BY 1""".stripMargin,
 
     "q_filtered" ->
       s"""$P, ${scoreCte("a", "vector")}

@@ -130,6 +130,9 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
         }
       }
 
+    case SpanMatchQ(span, boost) =>
+      if (SpanMatcher.matches(span, d.positions)) Some(boost) else None
+
     case PrefixQ(p) =>
       if (d.positions.keys.exists(_.startsWith(p))) Some(1.0f) else None
 

@@ -32,6 +32,9 @@ final case class PhraseQ(terms: List[(String, Int)], boost: Float = 1f,
   */
 final case class MultiPhraseQ(slots: List[(Set[String], Int)], boost: Float = 1f) extends Query
 
+/** Span-algebra matching as a constant-score query (Search/Spans family). */
+final case class SpanMatchQ(span: SpanQ, boost: Float = 1f) extends Query
+
 final case class PrefixQ(prefix: String) extends Query
 /** Term range [lo, hi]; null bound = open (TermRangeQuery.cs). */
 final case class RangeQ(lo: String, hi: String, includeLo: Boolean = true, includeHi: Boolean = true) extends Query
@@ -67,6 +70,7 @@ object Query {
     case BoolQ(cs, _) => cs.flatMap(c => literalTerms(c._2)).toSet
     case PhraseQ(ts, _, _) => ts.map(_._1).toSet
     case MultiPhraseQ(ss, _) => ss.flatMap(_._1).toSet
+    case SpanMatchQ(sp, _) => SpanMatcher.termsOf(sp)
     case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
     case ConstantScoreQ(inner, _) => literalTerms(inner)
     case _ => Set.empty

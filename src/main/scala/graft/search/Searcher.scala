@@ -173,6 +173,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
     case MultiPhraseQ(slots, boost) => compilePhraseGeneric(slots, boost, stats, 0)
 
+    case SpanMatchQ(span, boost) => compileSpan(span, boost, stats)
+
     case MatchAllQ =>
       docs.select(col("segmentId"), col("docId")).as[(Int, Int)]
         .map { case (s, d) => Hit(s, d, 1.0d) }
@@ -257,6 +259,33 @@ final class Searcher(spark: SparkSession, indexPath: String,
       .reduce((a, b) => (a + b).cast(scoreCast))
     val score = (mx + (lit(tie).cast(scoreCast) * (sumOrdered - mx)).cast(scoreCast)).cast("double")
     g.select(col("segmentId"), col("docId"), score.as("score")).as[Hit]
+  }
+
+  /** Span-algebra matching: gather per-doc positions of the span's terms,
+    * evaluate the shared SpanMatcher, constant score (Spans family v1).
+    */
+  private def compileSpan(span: SpanQ, boost: Float,
+                          stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+    val terms = SpanMatcher.termsOf(span).filter(stats.contains)
+    if (terms.isEmpty) return spark.emptyDataset[Hit]
+    val bd = boost.toDouble
+    val stream = postings.filter(col("term").isInCollection(terms)).flatMap { p =>
+      val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+      (0 until d.docIds.length).map { k =>
+        (p.segmentId, d.docIds(k), p.term,
+          d.posFlat.slice(d.posStart(k), d.posStart(k + 1)))
+      }
+    }.toDF("segmentId", "docId", "term", "positions")
+    stream.groupByKey(r => (r.getInt(0), r.getInt(1)))
+      .mapGroups { (key: (Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
+        val (seg, doc) = key
+        val posMap = rows.map { r =>
+          r.getString(2) -> r.getAs[scala.collection.Seq[Int]](3).toArray
+        }.toMap
+        if (SpanMatcher.matches(span, posMap)) Hit(seg, doc, bd)
+        else Hit(seg, doc, Double.NaN)
+      }
+      .filter(h => !h.score.isNaN)
   }
 
   /** Positional leaf shared by PhraseQ (singleton slots) and MultiPhraseQ:

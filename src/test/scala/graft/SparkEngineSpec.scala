@@ -177,6 +177,40 @@ class SparkEngineSpec extends AnyFunSuite {
     checkIdentical(PhraseQ(List("brown" -> 0, "quick" -> 1), slop = 2), 15)
   }
 
+  test("span matcher unit semantics") {
+    val pos = Map("a" -> Array(1, 10), "b" -> Array(3, 12), "c" -> Array(5))
+    // ordered near a..b slop 1: (1,3): gap = 3+1-1-2 = wait span math: start 1 end 4, len 2 -> 4-1-2=1 <= 1 ok
+    assert(SpanMatcher.matches(SpanNearS(List(SpanTermS("a"), SpanTermS("b")), 1, inOrder = true), pos))
+    // ordered b..a requires b before a: b@3, a@10 -> window 3..11 len 2 -> slop 6 needed
+    assert(!SpanMatcher.matches(SpanNearS(List(SpanTermS("b"), SpanTermS("a")), 5, inOrder = true), pos))
+    assert(SpanMatcher.matches(SpanNearS(List(SpanTermS("b"), SpanTermS("a")), 6, inOrder = true), pos))
+    // unordered matches either direction within slop
+    assert(SpanMatcher.matches(SpanNearS(List(SpanTermS("b"), SpanTermS("a")), 1, inOrder = false), pos))
+    // spanFirst: only spans ending <= 4
+    assert(SpanMatcher.spans(SpanFirstS(SpanTermS("b"), 4), pos) == List((3, 4)))
+    // spanNot: a spans not overlapping c spans
+    assert(SpanMatcher.spans(SpanNotS(SpanTermS("a"), SpanTermS("c")), pos).size == 2)
+    assert(SpanMatcher.spans(SpanNotS(SpanTermS("c"), SpanTermS("c")), pos).isEmpty)
+    // spanOr merges
+    assert(SpanMatcher.spans(SpanOrS(List(SpanTermS("a"), SpanTermS("c"))), pos).size == 3)
+  }
+
+  test("span queries identical to oracle") {
+    checkIdentical(SpanMatchQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 2, inOrder = true)))
+    checkIdentical(SpanMatchQ(SpanNearS(List(SpanTermS("fox"), SpanTermS("quick")), 3, inOrder = false)))
+    checkIdentical(SpanMatchQ(SpanOrS(List(SpanTermS("quick"), SpanTermS(PagesGen.word(40))))))
+    checkIdentical(SpanMatchQ(SpanFirstS(SpanTermS("quick"), 10)))
+    checkIdentical(SpanMatchQ(SpanNotS(SpanTermS("quick"), SpanTermS("brown"))))
+  }
+
+  test("span near generalizes phrase: slop 0 ordered equals exact adjacency docs") {
+    val ph = idx1.compile(PhraseQ(List("quick" -> 0, "brown" -> 1))).collect()
+      .map(h => (h.segmentId, h.docId)).toSet
+    val sp = idx1.compile(SpanMatchQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("brown")), 0, inOrder = true)))
+      .collect().map(h => (h.segmentId, h.docId)).toSet
+    assert(ph == sp)
+  }
+
   test("multiphrase identical to oracle") {
     checkIdentical(MultiPhraseQ(List((Set("quick", "lazy"), 0), (Set("brown", "dog"), 1))))
     checkIdentical(MultiPhraseQ(List((Set("quick"), 0), (Set("brown", "zzzabsent"), 1))))
