@@ -135,6 +135,10 @@ object Queries {
     "q_spell" -> ((s, dir) =>
       Spell.suggest(searcher(s, dir).dictionary(), "strema", 2, 5)),
 
+    // --- word-break suggestion (WordBreakSpellChecker analog)
+    "q_wordbreak" -> ((s, dir) =>
+      WordBreak.suggest(searcher(s, dir).dictionary(), "hashjoin", 5)),
+
     // --- highlighter (token-window fragment around first occurrence)
     "q_highlight" -> ((s, dir) => {
       val docs = s.read.parquet(s"$dir/documents.parquet")
@@ -148,6 +152,26 @@ object Queries {
           col("l_shipdate") >= "1995-01-01")
         .groupBy(col("l_returnflag")).agg(count(lit(1)).as("cnt"))
         .orderBy("l_returnflag")),
+
+    // --- CheckIndex invariants surfaced through the gate
+    "q_checkindex" -> ((s, dir) => {
+      import s.implicits._
+      val se = searcher(s, dir) // ensure the index exists
+      val report = graft.build.CheckIndex.run(s, IndexCache.indexPath(dir))
+      Seq((report.docs, report.postingRows, report.violations.size.toLong))
+        .toDF("docs", "posting_rows", "violations")
+    }),
+
+    // --- Sort/SortField (TopFieldCollector): matching docs by field order
+    "q_sort_field" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val se = searcher(s, dir)
+      val meta = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars")
+      idsOf(se, TermQ("vector")).join(meta, "doc_id")
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .select("doc_id", "rank").orderBy("rank").limit(15)
+    }),
 
     // --- span near (ordered/unordered proximity, Search/Spans family)
     "q_spannear" -> ((s, dir) => idsOf(searcher(s, dir),
@@ -300,6 +324,16 @@ object Queries {
          |FROM d WHERE levenshtein(term, 'strema') <= 2 AND term <> 'strema'
          |ORDER BY rank LIMIT 5""".stripMargin,
 
+    "q_wordbreak" ->
+      s"""$P, d AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+         |splits AS (
+         |  SELECT substr('hashjoin', 1, i) AS l, substr('hashjoin', i + 1) AS r
+         |  FROM unnest(generate_series(1, length('hashjoin') - 1)) AS t(i))
+         |SELECT l AS left, r AS right, CAST(row_number() OVER (
+         |  ORDER BY (dl.df + dr.df) DESC, l ASC) AS INT) AS rank
+         |FROM splits JOIN d dl ON dl.term = l JOIN d dr ON dr.term = r
+         |ORDER BY rank LIMIT 5""".stripMargin,
+
     "q_highlight" ->
       """WITH arrs AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
@@ -313,6 +347,16 @@ object Queries {
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem
         |WHERE l_quantity >= 10 AND l_quantity < 30 AND l_shipdate >= '1995-01-01'
         |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    "q_checkindex" ->
+      s"""$P SELECT (SELECT count(*) FROM documents) AS docs,
+         |  (SELECT count(*) FROM dfs) AS posting_rows,
+         |  CAST(0 AS BIGINT) AS violations""".stripMargin,
+
+    "q_sort_field" ->
+      s"""$P SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS rank
+         |FROM documents WHERE doc_id IN (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector')
+         |ORDER BY rank LIMIT 15""".stripMargin,
 
     "q_spannear" ->
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b

@@ -93,6 +93,14 @@ object QueriesPipeline {
         .orderBy("source")
     }),
 
+    // ---- drill-down (DrillDownQuery): facet counts within a facet filter
+    "q_drilldown" -> ((s, dir) =>
+      documents(s, dir)
+        .filter(col("lang") === "en")
+        .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
+        .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        .orderBy("source")),
+
     // ---- relational core (TPC-H-ish; grouping/join modules as Catalyst one-liners)
     "q1_agg" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -355,6 +363,18 @@ object QueriesPipeline {
         |  CAST(sum(CAST(floor(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total100
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q_drilldown" ->
+      """SELECT source, count(*) AS cnt FROM documents
+        |WHERE lang = 'en'
+        |  AND list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_drilldown" ->
+      """SELECT source, count(*) AS cnt FROM documents
+        |WHERE lang = 'en'
+        |  AND list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
+        |GROUP BY source ORDER BY source""".stripMargin,
 
     "q_facet_range" ->
       """SELECT CAST(floor(l_quantity / 10) * 10 AS INT) AS bucket, count(*) AS cnt

@@ -72,14 +72,24 @@ object QueryParser {
           case "AND" | "&&" => out += AndOp
           case "OR" | "||" => out += OrOp
           case "NOT" | "!" => out += NotOp
-          case w =>
+          case w0 =>
+            // single-field engine: a "field:" prefix (classic grammar) is
+            // accepted and mapped onto the text field. URLs are exempt
+            // (":" followed by "//").
+            val w = {
+              val ci = w0.indexOf(':')
+              if (ci > 0 && !w0.startsWith("//", ci + 1) &&
+                  w0.substring(0, ci).matches("[A-Za-z_][A-Za-z0-9_]*"))
+                w0.substring(ci + 1) // may be empty: bare "field:" before a phrase
+              else w0
+            }
             val ti = w.indexOf('~')
             if (ti > 0) {
               val base = w.substring(0, ti)
               val editsStr = w.substring(ti + 1)
               val edits = if (editsStr.isEmpty) 2 else editsStr.toFloat.toInt.min(2)
               out += Word(base, Some(edits))
-            } else out += Word(w, None)
+            } else if (w.nonEmpty) out += Word(w, None)
         }
       }
     }

@@ -26,6 +26,28 @@ object Spell {
   }
 }
 
+/** WordBreakSpellChecker analog (/root/reference/src/Lucene.Net.Suggest/
+  * Spell/WordBreakSpellChecker.cs): split an unbroken input at every cut
+  * point where BOTH halves are dictionary terms; ranked by combined df.
+  */
+object WordBreak {
+  def suggest(dictionary: DataFrame, input: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = dictionary.sparkSession
+    import spark.implicits._
+    val splits = (1 until input.length)
+      .map(i => (input.substring(0, i), input.substring(i))).toDF("left", "right")
+    val dl = dictionary.select(col("term").as("left"), col("df").as("df_l"))
+    val dr = dictionary.select(col("term").as("right"), col("df").as("df_r"))
+    splits.join(dl, "left").join(dr, "right")
+      .withColumn("rank", row_number().over(
+        Window.orderBy((col("df_l") + col("df_r")).desc, col("left").asc)))
+      .filter(col("rank") <= k)
+      .select("left", "right", "rank")
+      .orderBy("rank")
+  }
+}
+
 /** Top-window re-ranking — the QueryRescorer analog
   * (/root/reference/src/Lucene.Net.Core/Search/QueryRescorer.cs): collect the
   * top `window` hits of the base query, then combine each with the rescore

@@ -149,6 +149,11 @@ class SparkEngineSpec extends AnyFunSuite {
     val q4 = QueryParser.parse("\"quick brown\"~2", StandardAnalyzer)
     assert(q4 == PhraseQ(List("quick" -> 0, "brown" -> 1), slop = 2))
     checkIdentical(q4, 15)
+    // field prefixes map onto the single text field; URLs are untouched
+    assert(QueryParser.parse(s"title:$freq", StandardAnalyzer) == TermQ(freq))
+    assert(QueryParser.parse(s"body:\"quick brown\"", StandardAnalyzer) ==
+      PhraseQ(List("quick" -> 0, "brown" -> 1)))
+    assert(QueryParser.parse("wiki.apache.org", StandardAnalyzer) == TermQ("wiki.apache.org"))
   }
 
   test("sloppy phrase matcher: reference golden example") {
