@@ -33,7 +33,7 @@ import graft.model._
   */
 object MergeJob {
 
-  final case class PieceRow(term: String, piece: Int, df: Int, ttf: Long,
+  final case class PieceRow(term: String, piece: Int, firstDoc: Int, df: Int, ttf: Long,
                             docDeltas: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], lens: Array[Byte],
                             skips: Array[SkipRow])
@@ -78,15 +78,18 @@ object MergeJob {
       .as[PostingRow]
       .map { p =>
         val base = basesB.value(p.segmentId)
-        val e = reencode(p.df, p.docDeltas, p.tfs, p.positions, p.lens, base)
-        PieceRow(p.term, p.segmentId, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
+        val (e, firstDoc) = reencode(p.df, p.docDeltas, p.tfs, p.positions, p.lens, base)
+        PieceRow(p.term, p.segmentId, firstDoc, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
           e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
       }
 
     // ---- phase 2: shuffle compressed pieces by term, stitch per term
+    // sort key includes firstDoc: a source segment may hold several pieces
+    // per term (builder RAM flushes / prior merges share one segmentId), and
+    // stitching must follow docId order, not source order alone
     val merged: Dataset[PostingRow] = pieces
       .repartition(col("term"))
-      .sortWithinPartitions(col("term"), col("piece"))
+      .sortWithinPartitions(col("term"), col("firstDoc"))
       .mapPartitions { rows =>
         val hot = hotTermDf
         new Iterator[PostingRow] {
@@ -175,7 +178,8 @@ object MergeJob {
   }
 
   private def reencode(df: Int, docDeltas: Array[Byte], tfs: Array[Byte],
-                       positions: Array[Byte], lens: Array[Byte], base: Int): graft.codec.EncodedPostings = {
+                       positions: Array[Byte], lens: Array[Byte],
+                       base: Int): (graft.codec.EncodedPostings, Int) = {
     val d = PostingsCodec.decode(df, docDeltas, tfs, positions, lens)
     val enc = new PostingsCodec.Encoder
     var i = 0
@@ -184,7 +188,7 @@ object MergeJob {
       enc.add(d.docIds(i) + base, d.tfs(i), ps, d.lens(i))
       i += 1
     }
-    enc.finish()
+    (enc.finish(), if (d.docIds.isEmpty) 0 else d.docIds(0) + base)
   }
 
   /** Run tiered merge rounds until the policy is satisfied. Returns the

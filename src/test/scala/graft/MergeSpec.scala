@@ -72,6 +72,24 @@ class MergeSpec extends AnyFunSuite {
     assert(preSearcher.termStats(Set(t)) == postSearcher.termStats(Set(t)))
   }
 
+  test("re-merging a piece-split segment stitches pieces in docId order") {
+    // seg 0 gains multiple pieces per term (hotTermDf = 0); merging it again
+    // puts same-segmentId pieces into one group — order must come from
+    // firstDoc, not source id (regression: crashed on non-increasing docIds)
+    val base = Files.createTempDirectory("graftremerge").toString
+    val df = spark.createDataFrame(PagesGen.local(160)).toDF("url", "text")
+    IndexBuilder.build(spark, df, base, IndexBuilder.BuildConfig(4, "standard", groupSize = 4))
+    val q = BoolQ(List(Occur.Should -> TermQ(PagesGen.word(2)), Occur.Should -> TermQ(PagesGen.word(9))))
+    val before = resultSet(new Searcher(spark, base), q, 25)
+    MergeJob.merge(spark, base, List(0, 1), hotTermDf = 0) // -> seg 0 with pieces
+    MergeJob.merge(spark, base, List(0, 2))                // re-merge piece rows
+    MergeJob.merge(spark, base, List(0, 3), hotTermDf = 0)
+    val report = CheckIndex.run(spark, base)
+    assert(report.ok, report.violations.mkString("; "))
+    assert(report.segments == 1)
+    assert(resultSet(new Searcher(spark, base), q, 25) == before)
+  }
+
   test("hot-term piece split keeps queries correct") {
     // force every term to stay as pieces (hotTermDf = 0), then merge two
     // fresh segments and confirm the split posting rows still serve queries
