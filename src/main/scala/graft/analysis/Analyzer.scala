@@ -210,12 +210,39 @@ object WhitespaceAnalyzer extends Analyzer {
   }
 }
 
+/** Whole-value-as-one-token analyzer (reference: Analysis/KeywordAnalyzer.cs)
+  * — the StringField/not-tokenized indexing mode.
+  */
+object KeywordAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    if (text == null || text.isEmpty) Iterator.empty
+    else Iterator(Token(text, 0, 0, text.length, TokenType.ALPHANUM))
+}
+
+/** Letter-run lowercase + English stop set (reference: Analysis/StopAnalyzer.cs). */
+object StopAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] = {
+    var pos = -1
+    var pending = 0
+    SimpleAnalyzer.tokenize(text).flatMap { t =>
+      if (StandardAnalyzer.EnglishStopWords.contains(t.term)) { pending += 1; Iterator.empty }
+      else {
+        pos += 1 + pending
+        pending = 0
+        Iterator(t.copy(position = pos))
+      }
+    }
+  }
+}
+
 object Analyzers {
   /** Stable names for config/serialization across executors. */
   def byName(name: String): Analyzer = name match {
     case "standard" => StandardAnalyzer
     case "simple" => SimpleAnalyzer
     case "whitespace" => WhitespaceAnalyzer
+    case "keyword" => KeywordAnalyzer
+    case "stop" => StopAnalyzer
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

@@ -85,6 +85,14 @@ class AnalysisSpec extends AnyFunSuite {
     }
   }
 
+  test("keyword and stop analyzers") {
+    assert(KeywordAnalyzer.tokenize("Hello World!").map(_.term).toList == List("Hello World!"))
+    assert(KeywordAnalyzer.tokenize("").isEmpty)
+    assert(StopAnalyzer.tokenize("The Quick brown fox").map(t => (t.term, t.position)).toList ==
+      List(("quick", 1), ("brown", 2), ("fox", 3)))
+    assert(StopAnalyzer.tokenCount("the quick brown") == 2)
+  }
+
   test("stop set matches the 33-word reference list") {
     assert(StandardAnalyzer.EnglishStopWords.size == 33)
     assert(StandardAnalyzer.EnglishStopWords.contains("such"))
