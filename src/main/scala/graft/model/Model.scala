@@ -30,10 +30,6 @@ final case class SegmentStats(segmentId: Int, maxDoc: Long, sumTotalTermFreq: Lo
 final case class ManifestRow(segmentId: Int, status: String, numDocs: Long, numTerms: Long,
                              docsPerSec: Double, attempt: Int, startedAtMs: Long, finishedAtMs: Long)
 
-/** Tokenized doc intermediate (one row per doc, token arrays inline). */
-final case class DocTokens(segmentId: Int, docId: Int, url: String, fieldLen: Int,
-                           normByte: Byte, terms: Array[String], positions: Array[Int])
-
 /** A scored hit; global doc order (tie-break) = (segmentId asc, docId asc). */
 final case class Hit(segmentId: Int, docId: Int, score: Double)
 

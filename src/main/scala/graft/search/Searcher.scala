@@ -367,8 +367,21 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   // ---------------------------------------------------------------- serve
 
-  /** Top-k search returning (url, score, segmentId, docId), rank order. */
+  /** Top-k search returning (url, score, segmentId, docId), rank order.
+    * Pure term-disjunctions in LuceneFloat mode route through Block-Max WAND
+    * automatically (the reference likewise picks its specialist scorer —
+    * BooleanQuery.cs:429-495); all other shapes take the DataFrame plan.
+    * Identity of the two paths is pinned by WandSpec.
+    */
   def search(q: Query, k: Int): DataFrame = {
+    (mode, wandOrTerms(q)) match {
+      case (LuceneFloat, Some(terms)) => Wand.searchOr(this, spark, indexPath, terms, k)
+      case _ => searchPlan(q, k)
+    }
+  }
+
+  /** The DataFrame-plan top-k path (no WAND dispatch). */
+  def searchPlan(q: Query, k: Int): DataFrame = {
     val hits = compile(q)
       .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
       .limit(k)
@@ -419,18 +432,18 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * other query shapes (and ExactDouble mode) fall back to the DataFrame
     * plan. Identical results by construction — validated in WandSpec.
     */
-  def searchWand(q: Query, k: Int): DataFrame = {
-    def orTerms(q0: Query): Option[List[String]] = Query.rewrite(q0) match {
-      case TermQ(t, b) if b == 1f => Some(List(t))
-      case BoolQ(cs, msm) if msm <= 1 && cs.nonEmpty &&
-          cs.forall { case (o, c) => o == Occur.Should && c.isInstanceOf[TermQ] &&
-            c.asInstanceOf[TermQ].boost == 1f } =>
-        Some(cs.map(_._2.asInstanceOf[TermQ].term))
-      case _ => None
-    }
-    (mode, orTerms(q)) match {
+  def searchWand(q: Query, k: Int): DataFrame =
+    (mode, wandOrTerms(q)) match {
       case (LuceneFloat, Some(terms)) => Wand.searchOr(this, spark, indexPath, terms, k)
-      case _ => search(q, k)
+      case _ => searchPlan(q, k)
     }
+
+  private def wandOrTerms(q0: Query): Option[List[String]] = Query.rewrite(q0) match {
+    case TermQ(t, b) if b == 1f => Some(List(t))
+    case BoolQ(cs, msm) if msm <= 1 && cs.nonEmpty &&
+        cs.forall { case (o, c) => o == Occur.Should && c.isInstanceOf[TermQ] &&
+          c.asInstanceOf[TermQ].boost == 1f } =>
+      Some(cs.map(_._2.asInstanceOf[TermQ].term))
+    case _ => None
   }
 }

@@ -27,7 +27,7 @@ class WandSpec extends AnyFunSuite {
     df.collect().map(r => (r.getString(0), r.getDouble(1))).toList
 
   private def checkSame(q: Query, k: Int): Unit = {
-    val a = rows(searcher.search(q, k))
+    val a = rows(searcher.searchPlan(q, k))
     val b = rows(searcher.searchWand(q, k))
     assert(a == b, s"WAND mismatch for $q\nplan=$a\nwand=$b")
   }
@@ -64,7 +64,12 @@ class WandSpec extends AnyFunSuite {
 
   test("non-OR shapes fall back to the plan path") {
     val q = BoolQ(List(Occur.Must -> TermQ(PagesGen.word(2)), Occur.MustNot -> TermQ(PagesGen.word(5))))
-    assert(rows(searcher.searchWand(q, 10)) == rows(searcher.search(q, 10)))
+    assert(rows(searcher.searchWand(q, 10)) == rows(searcher.searchPlan(q, 10)))
+  }
+
+  test("search() auto-routes eligible disjunctions through WAND identically") {
+    val q = BoolQ(List(Occur.Should -> TermQ(PagesGen.word(2)), Occur.Should -> TermQ(PagesGen.word(11))))
+    assert(rows(searcher.search(q, 10)) == rows(searcher.searchPlan(q, 10)))
   }
 
   test("WAND survives merged piece-split posting rows") {
@@ -75,6 +80,6 @@ class WandSpec extends AnyFunSuite {
     val s = new Searcher(spark, base)
     val q = BoolQ(List(Occur.Should -> TermQ(PagesGen.word(2)),
       Occur.Should -> TermQ(PagesGen.word(9))))
-    assert(rows(s.searchWand(q, 15)) == rows(s.search(q, 15)))
+    assert(rows(s.searchWand(q, 15)) == rows(s.searchPlan(q, 15)))
   }
 }
