@@ -50,7 +50,7 @@ object Bench {
     val orQ = BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"),
       Occur.Should -> TermQ("data")))
     results("q_term_top10") = time { lucene.search(TermQ("data"), 10).collect() }
-    results("q_or_top10_plan") = time { lucene.search(orQ, 10).collect() }
+    results("q_or_top10_plan") = time { lucene.searchPlan(orQ, 10).collect() }
     results("q_or_top10_wand") = time { lucene.searchWand(orQ, 10).collect() }
     results("q_and") = time {
       lucene.search(BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))), 10).collect()
