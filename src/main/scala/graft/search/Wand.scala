@@ -231,9 +231,15 @@ object Wand {
           if (bLast < minBoundary) minBoundary = bLast
           j += 1
         }
-        if (blockSum <= th && minBoundary != Int.MaxValue) {
-          // the whole block region cannot beat theta: jump past it
-          val target = minBoundary + 1
+        // the skip region is only sound while cursors > pivotIdx cannot
+        // contribute: cap it just before the next cursor's doc (BMW's
+        // NextShallow candidate rule) — without the cap, docs supported by
+        // later cursors inside the block region would be skipped wrongly
+        val cap = if (pivotIdx + 1 < active.length) active(pivotIdx + 1).doc - 1 else Int.MaxValue
+        val skipTo = math.min(minBoundary, cap)
+        if (blockSum <= th && minBoundary != Int.MaxValue && skipTo >= pivotDoc) {
+          // the capped block region cannot beat theta: jump past it
+          val target = skipTo + 1
           j = 0
           while (j <= pivotIdx) { active(j).advance(target); j += 1 }
         } else {

@@ -72,6 +72,24 @@ class WandSpec extends AnyFunSuite {
     assert(rows(searcher.search(q, 10)) == rows(searcher.searchPlan(q, 10)))
   }
 
+  test("block-skip cap regression: deep multi-block lists, frequent+mid OR") {
+    // regression for the BMW skip bug: jumping to the block boundary without
+    // capping at the next cursor's doc dropped top-score docs once lists
+    // spanned many blocks (surfaced at 1M docs; reproduced here at 20k)
+    val base = Files.createTempDirectory("graftwandbig").toString
+    val df = spark.createDataFrame(PagesGen.local(20000)).toDF("url", "text")
+    IndexBuilder.build(spark, df, base, IndexBuilder.BuildConfig(4, "standard", groupSize = 4))
+    val s = new Searcher(spark, base)
+    List(
+      BoolQ(List(Occur.Should -> TermQ(PagesGen.word(3)), Occur.Should -> TermQ(PagesGen.word(77)))),
+      BoolQ(List(Occur.Should -> TermQ(PagesGen.word(2)), Occur.Should -> TermQ(PagesGen.word(9)),
+        Occur.Should -> TermQ(PagesGen.word(300)))),
+      TermQ(PagesGen.word(2))
+    ).foreach { q =>
+      assert(rows(s.searchWand(q, 20)) == rows(s.searchPlan(q, 20)), s"mismatch for $q")
+    }
+  }
+
   test("WAND survives merged piece-split posting rows") {
     val base = Files.createTempDirectory("graftwandmerge").toString
     val df = spark.createDataFrame(PagesGen.local(200)).toDF("url", "text")
