@@ -14,9 +14,13 @@ object Occur extends Enumeration {
 final case class TermQ(term: String, boost: Float = 1f) extends Query
 
 /** Clause algebra per BooleanQuery.cs:429-495; minShouldMatch applies to
-  * Should clauses only.
+  * Should clauses only. Clause count is capped at 1024
+  * (BooleanQuery.MaxClauseCount / TooManyClauses, BooleanQuery.cs:44).
   */
-final case class BoolQ(clauses: List[(Occur.Value, Query)], minShouldMatch: Int = 0) extends Query
+final case class BoolQ(clauses: List[(Occur.Value, Query)], minShouldMatch: Int = 0) extends Query {
+  require(clauses.size <= Query.MaxClauseCount,
+    s"too many boolean clauses: ${clauses.size} > ${Query.MaxClauseCount}")
+}
 
 /** Exact phrase: terms with their relative positions (gaps > 1 encode removed
   * stopwords, PhraseQuery.cs:383-402 / ExactPhraseScorer.cs:26-49).
@@ -48,6 +52,9 @@ final case class ConstantScoreQ(inner: Query, boost: Float = 1f) extends Query
 final case class DisMaxQ(clauses: List[Query], tieBreaker: Float = 0f) extends Query
 
 object Query {
+  /** BooleanQuery.cs:44 maxClauseCount default. */
+  val MaxClauseCount = 1024
+
   /** Rewrite-to-fixpoint normalization (IndexSearcher.cs:673-680 analog):
     * 1-term phrase -> term (PhraseQuery.cs:164); single-clause MUST/SHOULD bool
     * collapse (BooleanQuery.cs:522).

@@ -86,7 +86,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
   /** Fresh global dictionary (BlockTree/.tip analog) resolved once per
     * reader; None -> per-query postings-scan fallback. */
   @transient private lazy val dictTable: Option[DataFrame] =
-    graft.build.DictTable.readIfValid(spark, indexPath)
+    graft.build.DictTable.readIfValid(spark, indexPath).map(_.cache())
 
   def termStats(terms: Set[String]): Map[String, (Long, Long)] = {
     if (terms.isEmpty) Map.empty

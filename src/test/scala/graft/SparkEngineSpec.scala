@@ -235,6 +235,12 @@ class SparkEngineSpec extends AnyFunSuite {
     checkIdentical(q)
   }
 
+  test("boolean clause cap (TooManyClauses analog)") {
+    val many = List.fill(1025)(Occur.Should -> (TermQ("x"): Query))
+    intercept[IllegalArgumentException] { BoolQ(many) }
+    BoolQ(List.fill(1024)(Occur.Should -> (TermQ("x"): Query))) // at the cap: fine
+  }
+
   test("resume skips completed segments and produces an identical index") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graftresume").toString
