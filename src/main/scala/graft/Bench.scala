@@ -18,6 +18,13 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Median of `n` trials — single-JVM walls have ±40% noise; medians are the
+    * honest protocol (VERDICT r1 / PLAN_r2 note). */
+  def timeMedian[A](n: Int)(f: => A): Double = {
+    val ts = (1 to n).map(_ => time(f)).sorted
+    ts(ts.length / 2)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -49,14 +56,15 @@ object Bench {
     // 2. serving-path latencies (full search incl. stats lookup + top-k)
     val orQ = BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"),
       Occur.Should -> TermQ("data")))
-    results("q_term_top10") = time { lucene.search(TermQ("data"), 10).collect() }
-    results("q_or_top10_plan") = time { lucene.searchPlan(orQ, 10).collect() }
-    results("q_or_top10_wand") = time { lucene.searchWand(orQ, 10).collect() }
-    results("q_and") = time {
+    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
+    results("q_term_top10") = timeMedian(trials) { lucene.search(TermQ("data"), 10).collect() }
+    results("q_or_top10_plan") = timeMedian(trials) { lucene.searchPlan(orQ, 10).collect() }
+    results("q_or_top10_wand") = timeMedian(trials) { lucene.searchWand(orQ, 10).collect() }
+    results("q_and") = timeMedian(trials) {
       lucene.search(BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))), 10).collect()
     }
-    results("q_phrase_top10") = time { lucene.search(PhraseQ(List("hash" -> 0, "join" -> 1)), 10).collect() }
-    results("q_prefix") = time { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
+    results("q_phrase_top10") = timeMedian(trials) { lucene.search(PhraseQ(List("hash" -> 0, "join" -> 1)), 10).collect() }
+    results("q_prefix") = timeMedian(trials) { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
 
     // 3. pipeline operators at scale
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
@@ -80,7 +88,17 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.mkString("{", ",", "}")
     val total = results.values.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"cpus":$cpus}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","docs":$nDocs,"cpus":$cpus,"trials":$trials}"""
+    // also persist to a file so the driver's metric extraction never depends
+    // on stdout being clean (VERDICT r1 "parsed: null" fix)
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH/last_run.json")
+    try {
+      val p = java.nio.file.Paths.get(outPath)
+      if (p.getParent != null) java.nio.file.Files.createDirectories(p.getParent)
+      java.nio.file.Files.write(p, (json + "\n").getBytes("UTF-8"))
+    } catch { case _: Exception => () }
+    println(json)
     spark.stop()
   }
 }

@@ -81,6 +81,9 @@ object Queries {
       BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))))),
     "q_bool_or_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+    // ranked conjunction through the per-segment leapfrog path (Leapfrog.scala)
+    "q_and_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
+      BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))), 10))),
     "q_bool_not" -> ((s, dir) => idsOf(searcher(s, dir),
       BoolQ(List(Occur.Must -> TermQ("vector"), Occur.MustNot -> TermQ("stream"))))),
     "q_minsm" -> ((s, dir) => idsOf(searcher(s, dir),
@@ -231,6 +234,13 @@ object Queries {
          |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
          |  FROM scores_a a FULL OUTER JOIN scores_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_and_topk" ->
+      s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT a.doc_id, (a.s + b.s) AS s
+         |  FROM scores_a a JOIN scores_b b ON a.doc_id = b.doc_id)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_bool_not" ->

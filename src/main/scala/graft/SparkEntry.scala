@@ -64,12 +64,14 @@ object IndexCache {
     new Searcher(spark, path, mode = ExactDouble)
   })
 
-  /** (url, score, segmentId, docId) -> (doc_id, rank) for SQL-stable output. */
+  /** (url, score, segmentId, docId) -> (doc_id, rank) for SQL-stable output.
+    * Rank is computed distributed (Ranks.appendRank) — no unpartitioned
+    * window funnel even for unbounded result sets (q_filtered-shaped).
+    */
   def rankedIds(df: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    df.withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)))
+    val withId = df.withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+    Ranks.appendRank(withId, "rank",
+        Seq(col("score").desc, col("segmentId").asc, col("docId").asc))
       .select(col("doc_id"), col("rank"))
       .orderBy(col("rank"))
   }

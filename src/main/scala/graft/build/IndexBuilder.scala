@@ -206,11 +206,14 @@ object IndexBuilder {
 
   def completedSegments(spark: SparkSession, indexPath: String): Set[Int] = {
     import spark.implicits._
-    try {
-      spark.read.parquet(manifestPath(indexPath))
-        .filter(col("status") === "done")
-        .select("segmentId").as[Int].collect().toSet
-    } catch { case _: Exception => Set.empty }
+    // existence check, not try/catch: a missing manifest is the normal
+    // "fresh index" case and must not emit an ERROR stack into job logs
+    val p = new org.apache.hadoop.fs.Path(manifestPath(indexPath))
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Set.empty
+    else spark.read.parquet(manifestPath(indexPath))
+      .filter(col("status") === "done")
+      .select("segmentId").as[Int].collect().toSet
   }
 
   private def writeConfig(spark: SparkSession, indexPath: String, cfg: BuildConfig): Unit = {

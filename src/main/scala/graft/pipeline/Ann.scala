@@ -49,8 +49,11 @@ object Ann {
       .withColumn("cos", dotCol(embCol, q) / (normCol(col(embCol)) * lit(qNorm)))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+    // constant partition key: the window only ever sees the k surviving rows
+    // (top-k above is a parallel TakeOrderedAndProject), so no funnel
     scored.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window.orderBy(col("cos").desc, col(idCol).asc)))
+      org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+        .orderBy(col("cos").desc, col(idCol).asc)))
       .select(col(idCol), col("rank"))
   }
 

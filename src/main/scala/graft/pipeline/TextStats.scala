@@ -84,9 +84,11 @@ object TextStats {
     tf.filter(col("id") === targetId)
       .join(dfs, "term")
       .withColumn("s", col("tf") * log(lit(1d) + ((lit(n) - col("df")) + 0.5d) / (col("df") + 0.5d)))
+      .orderBy(col("s").desc, col("term").asc)
+      .limit(k) // parallel top-k first; the window then only sees k rows
       .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.orderBy(col("s").desc, col("term").asc)))
-      .filter(col("rank") <= k)
+        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
+          .orderBy(col("s").desc, col("term").asc)))
       .select(col("term"), col("rank"))
   }
 }

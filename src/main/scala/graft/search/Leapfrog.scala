@@ -1,0 +1,400 @@
+package graft.search
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Hit, PostingRow}
+
+/** Per-segment leapfrog evaluation of Boolean-of-terms queries — the
+  * ConjunctionScorer / BooleanScorer2 analog
+  * (/root/reference/src/Lucene.Net.Core/Search/ConjunctionScorer.cs:26-133 —
+  * cost-sorted cursors, least-frequent list leads;
+  * Search/BooleanScorer2.cs req/opt/prohibited combination).
+  *
+  * Plan shape (the 100 TB shape): the query terms' ENCODED posting rows are
+  * shuffled by segment (KBs of compressed blocks per term — proportional to
+  * query-term df, never to candidate count... and the shuffle payload is the
+  * compressed index, not decoded hits); each task leapfrogs within its
+  * segments, decoding only the blocks the rarest clause steers it into, and
+  * emits exactly the matching docs. The union+groupBy fallback in
+  * Searcher.compileBool shuffles every clause's decoded postings — for
+  * `rare AND the` that is corpus-sized; this path is result-sized.
+  *
+  * Scoring matches the DataFrame path bit-for-bit: per-clause scores summed
+  * in clause order (float chain under LuceneFloat, double under ExactDouble),
+  * matching BS2's in-order accumulation (SURVEY.md §7.3 rank-identity note).
+  */
+object Leapfrog {
+
+  /** occur: 0 = Must, 1 = Should, 2 = MustNot. */
+  final case class ClauseSpec(occur: Int, term: String)
+
+  /** Compile a Boolean query whose every clause is a TermQ. Caller guarantees
+    * `stats` covers all present terms (Searcher.compile does).
+    */
+  def boolTerms(searcher: Searcher, spark: SparkSession,
+                clauses: List[(Occur.Value, TermQ)], msm: Int,
+                stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+    import spark.implicits._
+
+    val specs: Array[ClauseSpec] = clauses.map { case (o, tq) =>
+      ClauseSpec(o match {
+        case Occur.Must => 0
+        case Occur.Should => 1
+        case Occur.MustNot => 2
+      }, tq.term)
+    }.toArray
+
+    // a Must clause over an absent term matches nothing
+    if (specs.exists(s => s.occur == 0 && !stats.contains(s.term)))
+      return spark.emptyDataset[Hit]
+    val scoringExists = specs.exists(_.occur != 2)
+    if (!scoringExists) return spark.emptyDataset[Hit] // prohibited-only
+
+    val hasMust = specs.exists(_.occur == 0)
+    val shouldCount = specs.count(_.occur == 1)
+    val needed = math.max(msm, if (!hasMust && shouldCount > 0) 1 else 0)
+    if (needed > shouldCount) return spark.emptyDataset[Hit] // unsatisfiable
+    if (!hasMust && shouldCount == 0) return spark.emptyDataset[Hit]
+
+    // per-clause scorer, constants folded on the driver (TermWeight analog)
+    val scorers: Array[(Double, Int) => Double] = clauses.map { case (o, tq) =>
+      if (o == Occur.MustNot) null
+      else stats.get(tq.term).map { case (df, _) => searcher.makeScorer(df, tq.boost) }.orNull
+    }.toArray
+
+    val floatMode = searcher.mode == LuceneFloat
+    val present: Set[String] = specs.map(_.term).toSet.filter(stats.contains)
+    if (present.isEmpty) return spark.emptyDataset[Hit]
+
+    searcher.postingsRaw
+      .filter(col("term").isInCollection(present))
+      .select("segmentId", "term", "df", "docDeltas", "tfs", "lens", "skips")
+      .as[Wand.WandRow]
+      .repartition(col("segmentId"))
+      .mapPartitions { rows =>
+        val bySeg = rows.toArray.groupBy(_.segmentId)
+        bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
+          segmentHits(seg, ps, specs, scorers, needed, floatMode)
+        }
+      }
+  }
+
+  /** Lazy per-segment match iterator. */
+  private def segmentHits(seg: Int, rows: Array[Wand.WandRow], specs: Array[ClauseSpec],
+                          scorers: Array[(Double, Int) => Double], needed: Int,
+                          floatMode: Boolean): Iterator[Hit] = {
+    val byTerm: Map[String, Array[Wand.WandRow]] = rows.groupBy(_.term)
+
+    // independent cursors per CLAUSE (two clauses over one term must not
+    // share iteration state); pieces with disjoint docId ranges union
+    def cursorFor(term: String): ClauseCursor = {
+      val pieces = byTerm.getOrElse(term, Array.empty).map(p =>
+        new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips))
+      if (pieces.isEmpty) null else new ClauseCursor(pieces)
+    }
+
+    val n = specs.length
+    val cursors = new Array[ClauseCursor](n) // null = term absent in segment
+    var i = 0
+    while (i < n) { cursors(i) = cursorFor(specs(i).term); i += 1 }
+
+    val mustIdx = (0 until n).filter(specs(_).occur == 0).toArray
+    val shouldIdx = (0 until n).filter(i => specs(i).occur == 1 && cursors(i) != null).toArray
+    val notIdx = (0 until n).filter(i => specs(i).occur == 2 && cursors(i) != null).toArray
+
+    // a Must term absent in THIS segment: the segment contributes nothing
+    if (mustIdx.exists(cursors(_) == null)) return Iterator.empty
+    if (mustIdx.isEmpty && shouldIdx.isEmpty) return Iterator.empty
+
+    // least-frequent MUST leads (ConjunctionScorer.cs:48-51 cost sort)
+    val lead: Array[ClauseCursor] = mustIdx.map(cursors(_)).sortBy(_.cost)
+    lead.foreach(_.next())
+    shouldIdx.foreach(i => cursors(i).next())
+    notIdx.foreach(i => cursors(i).next())
+
+    new Iterator[Hit] {
+      private var pending: Hit = null
+      private var done = false
+
+      private def nextCandidate(): Int = {
+        if (lead.nonEmpty) {
+          // leapfrog to agreement on all MUST cursors
+          while (true) {
+            if (lead.exists(_.exhausted)) return -1
+            var cand = lead(0).doc
+            var agreed = true
+            var j = 1
+            while (j < lead.length) {
+              val c = lead(j)
+              if (c.doc < cand) { c.advance(cand); if (c.exhausted) return -1 }
+              if (c.doc > cand) { cand = c.doc; agreed = false }
+              j += 1
+            }
+            if (agreed) return cand
+            lead(0).advance(cand)
+          }
+          -1
+        } else {
+          // disjunction: minimum doc across live SHOULD cursors
+          var best = Int.MaxValue
+          var j = 0
+          while (j < shouldIdx.length) {
+            val c = cursors(shouldIdx(j))
+            if (!c.exhausted && c.doc < best) best = c.doc
+            j += 1
+          }
+          if (best == Int.MaxValue) -1 else best
+        }
+      }
+
+      private def advancePast(cand: Int): Unit = {
+        if (lead.nonEmpty) lead.foreach(_.advance(cand + 1))
+        else shouldIdx.foreach { i =>
+          val c = cursors(i)
+          if (!c.exhausted && c.doc == cand) c.advance(cand + 1)
+        }
+      }
+
+      private def step(): Unit = {
+        val cand = nextCandidate()
+        if (cand < 0) { done = true; return }
+        // prohibited check (ReqExclScorer)
+        var rejected = false
+        var j = 0
+        while (j < notIdx.length && !rejected) {
+          val c = cursors(notIdx(j))
+          if (!c.exhausted && c.doc < cand) c.advance(cand)
+          if (!c.exhausted && c.doc == cand) rejected = true
+          j += 1
+        }
+        if (!rejected) {
+          // align optional cursors (ReqOptSumScorer / MinShouldMatch)
+          var matchedShoulds = 0
+          j = 0
+          while (j < shouldIdx.length) {
+            val c = cursors(shouldIdx(j))
+            if (!c.exhausted && c.doc < cand) c.advance(cand)
+            if (!c.exhausted && c.doc == cand) matchedShoulds += 1
+            j += 1
+          }
+          if (needed == 0 || matchedShoulds >= needed) {
+            // clause-ordered score chain, float or double per mode
+            var accF = 0f
+            var accD = 0d
+            var k = 0
+            while (k < specs.length) {
+              val c = cursors(k)
+              if (scorers(k) != null && c != null && !c.exhausted && c.doc == cand) {
+                val s = scorers(k)(c.tf.toDouble, c.len)
+                if (floatMode) accF += s.toFloat else accD += s
+              }
+              k += 1
+            }
+            pending = Hit(seg, cand, if (floatMode) accF.toDouble else accD)
+          }
+        }
+        advancePast(cand)
+      }
+
+      override def hasNext: Boolean = {
+        while (pending == null && !done) step()
+        pending != null
+      }
+
+      override def next(): Hit = {
+        if (!hasNext) throw new NoSuchElementException
+        val h = pending
+        pending = null
+        h
+      }
+    }
+  }
+
+  // ------------------------------------------------- positional pre-intersect
+
+  /** Exact/sloppy phrase and multi-phrase — ExactPhraseScorer semantics
+    * (/root/reference/src/Lucene.Net.Core/Search/ExactPhraseScorer.cs:26-49:
+    * intersect docs FIRST, count positions only for survivors). Candidate
+    * docs come from a leapfrog conjunction of the slots' doc streams; the
+    * position stream of a block is decoded only when a candidate lands in it.
+    * The old plan shipped every term-matching doc's position arrays through a
+    * groupByKey — frequent-term positions dominated the shuffle (VERDICT r1
+    * #2); this one shuffles compressed posting rows only.
+    */
+  def phraseSlots(searcher: Searcher, spark: SparkSession,
+                  slots: List[(Set[String], Int)], boost: Float,
+                  stats: Map[String, (Long, Long)], slop: Int): Dataset[Hit] = {
+    import spark.implicits._
+    if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains(t)) })
+      return spark.emptyDataset[Hit] // a slot with no present alternative
+
+    // idf over all alternatives of all slots (IdfExplain(termStats[]))
+    val allTerms = slots.flatMap { case (ts, _) => ts.toList.sorted }
+    def dfOf(t: String): Long = stats.get(t).map(_._1).getOrElse(0L)
+    val bm25 = searcher.bm25
+    val maxDoc = searcher.maxDoc
+    val idfSumF = allTerms.map(t => bm25.idf(dfOf(t), maxDoc)).foldLeft(0.0f)(_ + _)
+    val idfSumD = allTerms.map(t => math.log(1 + (maxDoc - dfOf(t) + 0.5d) / (dfOf(t) + 0.5d))).sum
+    val scorer = searcher.makeScorer(0L, boost, Some(idfSumF), Some(idfSumD))
+
+    val groups: Array[Array[String]] = slots.map(_._1.filter(stats.contains).toArray).toArray
+    val offsets = slots.map(_._2).toArray
+    val present = groups.flatten.toSet
+
+    postingRows(searcher, present).mapPartitions { rows =>
+      val bySeg = rows.toArray.groupBy(_.segmentId)
+      bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
+        val cursors = groups.map(g => slotCursor(ps, g))
+        if (cursors.exists(_ == null)) Iterator.empty
+        else candidateDocs(cursors).flatMap { cand =>
+          val nSlots = cursors.length
+          val posBySlot = new Array[Array[Int]](nSlots)
+          var fieldLen = 0
+          var i = 0
+          while (i < nSlots) {
+            posBySlot(i) = cursors(i).positionsMerged()
+            fieldLen = cursors(i).len
+            i += 1
+          }
+          val freq: Double =
+            if (slop > 0) SloppyMatcher.phraseFreq(posBySlot, offsets, slop).toDouble
+            else exactPhraseFreq(posBySlot, offsets).toDouble
+          if (freq == 0d) None else Some(Hit(seg, cand, scorer(freq, fieldLen)))
+        }
+      }
+    }
+  }
+
+  /** Span-algebra doc matching (constant score): candidates from a leapfrog
+    * over the span tree's CNF over-approximation (SpanOr group = any of its
+    * terms; SpanNear = all children; SpanNot/SpanFirst = inner), then the
+    * exact SpanMatcher verifies with lazily-decoded positions.
+    */
+  def spanMatch(searcher: Searcher, spark: SparkSession, span: SpanQ, boost: Float,
+                stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+    import spark.implicits._
+    def cnf(q: SpanQ): List[Set[String]] = q match {
+      case SpanTermS(t) => List(Set(t))
+      case SpanNearS(cs, _, _) => cs.flatMap(cnf)
+      case SpanOrS(cs) => List(cs.flatMap(SpanMatcher.termsOf).toSet)
+      case SpanNotS(i, _) => cnf(i)
+      case SpanFirstS(i, _) => cnf(i)
+    }
+    val groups0 = cnf(span).map(_.filter(stats.contains))
+    if (groups0.exists(_.isEmpty)) return spark.emptyDataset[Hit]
+    val groups: Array[Array[String]] = groups0.map(_.toArray).toArray
+    // exclusion terms (SpanNot.exclude) are needed for verification only
+    val verifyTerms = SpanMatcher.termsOf(span).filter(stats.contains).toArray
+    val bd = boost.toDouble
+
+    postingRows(searcher, verifyTerms.toSet).mapPartitions { rows =>
+      val bySeg = rows.toArray.groupBy(_.segmentId)
+      bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
+        val groupCursors = groups.map(g => slotCursor(ps, g))
+        // independent per-term cursors for position verification
+        val termCursors: Map[String, ClauseCursor] =
+          verifyTerms.flatMap(t => Option(slotCursor(ps, Array(t))).map(t -> _)).toMap
+        if (groupCursors.exists(_ == null)) Iterator.empty
+        else candidateDocs(groupCursors).flatMap { cand =>
+          val posMap: Map[String, Array[Int]] = termCursors.flatMap { case (t, c) =>
+            if (!c.exhausted && c.doc < cand) c.advance(cand)
+            if (!c.exhausted && c.doc == cand) Some(t -> c.positionsMerged()) else None
+          }
+          if (SpanMatcher.matches(span, posMap)) Some(Hit(seg, cand, bd)) else None
+        }
+      }
+    }
+  }
+
+  /** Query-term posting rows (with positions) routed to segment tasks —
+    * compressed blocks only cross the wire.
+    */
+  private def postingRows(searcher: Searcher, terms: Set[String]): Dataset[PostingRow] = {
+    val spark = searcher.postingsRaw.sparkSession
+    import spark.implicits._
+    searcher.postingsRaw
+      .filter(col("term").isInCollection(terms))
+      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .as[PostingRow]
+      .repartition(col("segmentId"))
+  }
+
+  /** Cursor over the union of `terms`' pieces in this segment (alternatives
+    * of one slot / one CNF group); null when none present.
+    */
+  private def slotCursor(rows: Array[PostingRow], terms: Array[String]): ClauseCursor = {
+    val pieces = rows.filter(r => terms.contains(r.term)).map(p =>
+      new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips, p.positions))
+    if (pieces.isEmpty) null else new ClauseCursor(pieces)
+  }
+
+  /** Leapfrog conjunction over group cursors: docs where EVERY group matches.
+    * Cursors are left SITTING ON the emitted candidate until the next
+    * hasNext() call, so the consumer can read tf/len/positions for it.
+    */
+  private def candidateDocs(groups: Array[ClauseCursor]): Iterator[Int] = {
+    groups.foreach(_.next())
+    new Iterator[Int] {
+      private var pending = -1
+      private var lastEmitted = -1
+      private var done = groups.exists(_.exhausted)
+
+      private def step(): Unit = {
+        if (done || pending >= 0) return
+        if (lastEmitted >= 0) {
+          groups.foreach(g => if (!g.exhausted) g.advance(lastEmitted + 1))
+          lastEmitted = -1
+          if (groups.exists(_.exhausted)) { done = true; return }
+        }
+        while (pending < 0 && !done) {
+          var cand = groups(0).doc
+          var agreed = true
+          var j = 0
+          while (j < groups.length) {
+            val c = groups(j)
+            if (!c.exhausted && c.doc < cand) c.advance(cand)
+            if (c.exhausted) { done = true; return }
+            if (c.doc > cand) { cand = c.doc; agreed = false }
+            j += 1
+          }
+          if (agreed) pending = cand
+          else {
+            groups(0).advance(cand)
+            if (groups(0).exhausted) done = true
+          }
+        }
+      }
+
+      override def hasNext: Boolean = { step(); pending >= 0 }
+
+      override def next(): Int = {
+        if (!hasNext) throw new NoSuchElementException
+        val c = pending
+        pending = -1
+        lastEmitted = c
+        c
+      }
+    }
+  }
+
+  /** ExactPhraseScorer counting: slot-0 occurrences whose base position has a
+    * matching position in every other slot (binary search, merged arrays).
+    */
+  private def exactPhraseFreq(posBySlot: Array[Array[Int]], offsets: Array[Int]): Int = {
+    var freq = 0
+    val base = posBySlot(0)
+    var bi = 0
+    while (bi < base.length) {
+      val start = base(bi) - offsets(0)
+      var ok = true
+      var ti = 1
+      while (ok && ti < posBySlot.length) {
+        ok = java.util.Arrays.binarySearch(posBySlot(ti), start + offsets(ti)) >= 0
+        ti += 1
+      }
+      if (ok) freq += 1
+      bi += 1
+    }
+    freq
+  }
+}

@@ -84,9 +84,11 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * one tiny pruned aggregate, collected to the driver, folded into constants.
     */
   /** Fresh global dictionary (BlockTree/.tip analog) resolved once per
-    * reader; None -> per-query postings-scan fallback. */
-  @transient private lazy val dictTable: Option[DataFrame] =
-    graft.build.DictTable.readIfValid(spark, indexPath).map(_.cache())
+    * reader; None -> per-query postings-scan fallback. NOT cached: at web
+    * scale the dictionary is hundreds of GB, and every use filters it down
+    * to a handful of terms first (Parquet min/max prunes the scan). */
+  @transient lazy val dictTable: Option[DataFrame] =
+    graft.build.DictTable.readIfValid(spark, indexPath)
 
   def termStats(terms: Set[String]): Map[String, (Long, Long)] = {
     if (terms.isEmpty) Map.empty
@@ -109,7 +111,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
   /** Per-posting scorer: (freq, fieldLen) => score, constants folded. freq is
     * Double so sloppy-phrase float frequencies flow through exactly (integer
     * tfs embed losslessly). */
-  private def makeScorer(df: Long, boost: Float, idfSumOverride: Option[Float] = None,
+  private[search] def makeScorer(df: Long, boost: Float, idfSumOverride: Option[Float] = None,
                          idfSumOverrideD: Option[Double] = None): (Double, Int) => Double = mode match {
     case LuceneFloat =>
       val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
@@ -206,12 +208,45 @@ final class Searcher(spark: SparkSession, indexPath: String,
       docIds.map(id => (p.segmentId, id))
     }.distinct().map { case (s, d) => Hit(s, d, 1.0d) }
 
+  /** MUST-term df under which the other clause streams are pruned map-side by
+    * a broadcast semi-join on the rarest MUST clause's doc set. */
+  private val SemiJoinPruneDf = 100000L
+
   private def compileBool(clauses: List[(Occur.Value, Query)], msm: Int,
                           stats: Map[String, (Long, Long)]): Dataset[Hit] = {
     val scoringIdx = clauses.zipWithIndex.filter(_._1._1 != Occur.MustNot)
     if (scoringIdx.isEmpty) return spark.emptyDataset[Hit] // prohibited-only matches nothing
+
+    // Boolean-of-terms: per-segment leapfrog over compressed posting rows —
+    // no shuffle of decoded hits at all (ConjunctionScorer/BS2 analog)
+    if (clauses.forall(_._2.isInstanceOf[TermQ]))
+      return Leapfrog.boolTerms(this, spark,
+        clauses.map { case (o, q) => (o, q.asInstanceOf[TermQ]) }, msm, stats)
+
+    // mixed tree with a rare MUST term: every other clause's decoded stream
+    // is semi-joined (broadcast, map-side) against the rarest MUST clause's
+    // doc set before the union — the shuffle becomes result-bounded instead
+    // of max-df-bounded (the left_semi fallback of VERDICT r1 #1)
+    val mustTerms = clauses.filter(_._1 == Occur.Must).map(_._2).collect {
+      case t: TermQ if stats.contains(t.term) => t
+    }
+    val rarest: Option[TermQ] =
+      if (mustTerms.isEmpty) None
+      else {
+        val r = mustTerms.minBy(t => stats(t.term)._1)
+        if (stats(r.term)._1 <= SemiJoinPruneDf) Some(r) else None
+      }
+    val pruneSet = rarest.map(t => broadcast(
+      compileNode(t, stats).select(col("segmentId"), col("docId"))))
+
     val streams = clauses.zipWithIndex.map { case ((_, cq), i) =>
-      compileNode(cq, stats).withColumn("clause", lit(i))
+      val s0 = compileNode(cq, stats)
+      val s = pruneSet match {
+        case Some(p) if !cq.eq(rarest.get) =>
+          s0.join(p, Seq("segmentId", "docId"), "left_semi").as[Hit]
+        case _ => s0
+      }
+      s.withColumn("clause", lit(i))
     }
     val unioned = streams.reduce(_ unionByName _)
 
@@ -261,109 +296,23 @@ final class Searcher(spark: SparkSession, indexPath: String,
     g.select(col("segmentId"), col("docId"), score.as("score")).as[Hit]
   }
 
-  /** Span-algebra matching: gather per-doc positions of the span's terms,
-    * evaluate the shared SpanMatcher, constant score (Spans family v1).
+  /** Span-algebra matching (constant score): leapfrog candidate docs from
+    * the span tree's CNF over-approximation, then exact SpanMatcher
+    * verification over lazily-decoded positions (Leapfrog.spanMatch).
     */
   private def compileSpan(span: SpanQ, boost: Float,
-                          stats: Map[String, (Long, Long)]): Dataset[Hit] = {
-    val terms = SpanMatcher.termsOf(span).filter(stats.contains)
-    if (terms.isEmpty) return spark.emptyDataset[Hit]
-    val bd = boost.toDouble
-    val stream = postings.filter(col("term").isInCollection(terms)).flatMap { p =>
-      val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
-      (0 until d.docIds.length).map { k =>
-        (p.segmentId, d.docIds(k), p.term,
-          d.posFlat.slice(d.posStart(k), d.posStart(k + 1)))
-      }
-    }.toDF("segmentId", "docId", "term", "positions")
-    stream.groupByKey(r => (r.getInt(0), r.getInt(1)))
-      .mapGroups { (key: (Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
-        val (seg, doc) = key
-        val posMap = rows.map { r =>
-          r.getString(2) -> r.getAs[scala.collection.Seq[Int]](3).toArray
-        }.toMap
-        if (SpanMatcher.matches(span, posMap)) Hit(seg, doc, bd)
-        else Hit(seg, doc, Double.NaN)
-      }
-      .filter(h => !h.score.isNaN)
-  }
+                          stats: Map[String, (Long, Long)]): Dataset[Hit] =
+    Leapfrog.spanMatch(this, spark, span, boost, stats)
 
   /** Positional leaf shared by PhraseQ (singleton slots) and MultiPhraseQ:
-    * conjunction of the slots, then exact-phrase counting over (merged)
-    * position arrays (ExactPhraseScorer.cs:26-49, MultiPhraseQuery.cs
-    * semantics: slot matches if ANY alternative sits at base + offset).
-    * Absent terms contribute idf with df = 0 (TermContext of a missing term).
+    * docs are intersected FIRST via per-segment leapfrog, positions decoded
+    * only for survivors (ExactPhraseScorer.cs:26-49 shape;
+    * Leapfrog.phraseSlots). Absent terms contribute idf with df = 0
+    * (TermContext of a missing term).
     */
   private def compilePhraseGeneric(slots: List[(Set[String], Int)], boost: Float,
-                                   stats: Map[String, (Long, Long)], slop: Int): Dataset[Hit] = {
-    val allTerms = slots.flatMap { case (ts, _) => ts.toList.sorted }
-    if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains(t)) })
-      return spark.emptyDataset[Hit] // a slot with no present alternative matches nothing
-    def dfOf(t: String): Long = stats.get(t).map(_._1).getOrElse(0L)
-    val idfSumF = allTerms.map(t => bm25.idf(dfOf(t), maxDoc)).foldLeft(0.0f)(_ + _)
-    val idfSumD = allTerms.map(t => math.log(1 + (maxDoc - dfOf(t) + 0.5d) / (dfOf(t) + 0.5d))).sum
-    val scorer = makeScorer(0L, boost, Some(idfSumF), Some(idfSumD))
-    val offsets = slots.map(_._2).toArray
-    val nTerms = slots.size
-
-    // one decoded stream per slot (union over its alternatives)
-    val streams = slots.zipWithIndex.map { case ((ts, _), i) =>
-      val present = ts.filter(stats.contains)
-      postings.filter(col("term").isInCollection(present)).flatMap { p =>
-        val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
-        (0 until d.docIds.length).map { k =>
-          (p.segmentId, d.docIds(k), i,
-            d.posFlat.slice(d.posStart(k), d.posStart(k + 1)), d.lens(k))
-        }
-      }
-    }
-    val unioned = streams.reduce(_ union _)
-      .toDF("segmentId", "docId", "slot", "positions", "fieldLen")
-
-    unioned.groupByKey(r => (r.getInt(0), r.getInt(1)))
-      .mapGroups { (key: (Int, Int), rows: Iterator[org.apache.spark.sql.Row]) =>
-        val (seg, doc) = key
-        val posBySlot = new Array[Array[Int]](nTerms)
-        var fieldLen = 0
-        rows.foreach { r =>
-          val slot = r.getInt(2)
-          val ps = r.getAs[scala.collection.Seq[Int]](3).toArray
-          posBySlot(slot) =
-            if (posBySlot(slot) == null) ps
-            else {
-              val m = posBySlot(slot) ++ ps // multiple alternatives in one doc
-              java.util.Arrays.sort(m)
-              m
-            }
-          fieldLen = r.getInt(4)
-        }
-        if (posBySlot.exists(_ == null)) Hit(seg, doc, Double.NaN)
-        else if (slop > 0) {
-          // SloppyPhraseScorer path: float freq, shared matcher
-          val freq = SloppyMatcher.phraseFreq(posBySlot, offsets, slop)
-          if (freq == 0f) Hit(seg, doc, Double.NaN)
-          else Hit(seg, doc, scorer(freq.toDouble, fieldLen))
-        } else {
-          var freq = 0
-          val base = posBySlot(0)
-          var bi = 0
-          while (bi < base.length) {
-            val start = base(bi) - offsets(0)
-            var ok = true
-            var ti = 1
-            while (ok && ti < nTerms) {
-              ok = java.util.Arrays.binarySearch(posBySlot(ti), start + offsets(ti)) >= 0
-              ti += 1
-            }
-            if (ok) freq += 1
-            bi += 1
-          }
-          if (freq == 0) Hit(seg, doc, Double.NaN)
-          else Hit(seg, doc, scorer(freq.toDouble, fieldLen))
-        }
-      }
-      .filter(h => !h.score.isNaN)
-  }
+                                   stats: Map[String, (Long, Long)], slop: Int): Dataset[Hit] =
+    Leapfrog.phraseSlots(this, spark, slots, boost, stats, slop)
 
   // ---------------------------------------------------------------- serve
 
@@ -443,7 +392,11 @@ final class Searcher(spark: SparkSession, indexPath: String,
     case BoolQ(cs, msm) if msm <= 1 && cs.nonEmpty &&
         cs.forall { case (o, c) => o == Occur.Should && c.isInstanceOf[TermQ] &&
           c.asInstanceOf[TermQ].boost == 1f } =>
-      Some(cs.map(_._2.asInstanceOf[TermQ].term))
+      val ts = cs.map(_._2.asInstanceOf[TermQ].term)
+      // duplicate clauses fold into `weight * n` in WAND, which is float-
+      // identical to the plan path's clause-ordered chain only when n is a
+      // power of two — route duplicates through the plan path instead
+      if (ts.distinct.size == ts.size) Some(ts) else None
     case _ => None
   }
 }

@@ -59,16 +59,16 @@ object SpanMatcher {
             val start = c.map(_._1).min
             val end = c.map(_._2).max
             val totalLen = c.map(s => s._2 - s._1).sum
+            // ordered: clause spans must follow query order without overlap
+            // (NearSpansOrdered.DocSpansOrdered). Unordered: the reference's
+            // AtMatch (NearSpansUnordered.cs:424-427) checks ONLY
+            // (max.End - min.Start - totalLength) <= slop — overlapping
+            // clause spans (e.g. via SpanOr sharing a term) still match.
             val ok = (end - start - totalLen) <= slop &&
               (!inOrder || c.sliding(2).forall {
                 case List(a, b) => a._2 <= b._1
                 case _ => true
-              }) &&
-              // spans must not overlap each other even unordered (NearSpans semantics)
-              c.sortBy(_._1).sliding(2).forall {
-                case List(a, b) => a._2 <= b._1
-                case _ => true
-              }
+              })
             if (ok) out += ((start, end))
           } else {
             childSpans(i).foreach(s => rec(i + 1, s :: chosen))

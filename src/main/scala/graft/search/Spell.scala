@@ -15,12 +15,16 @@ object Spell {
     */
   def suggest(dictionary: DataFrame, input: String, maxEdits: Int, k: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // top-k FIRST (TakeOrderedAndProject — parallel), then rank the <=k rows;
+    // the constant partition key keeps the window off the unpartitioned-
+    // window single-task funnel (it only ever sees k rows)
     dictionary
       .withColumn("dist", levenshtein(col("term"), lit(input)))
       .filter(col("dist") <= maxEdits && col("term") =!= input)
+      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy(col("dist").asc, col("df").desc, col("term").asc)))
-      .filter(col("rank") <= k)
+        Window.partitionBy(lit(0)).orderBy(col("dist").asc, col("df").desc, col("term").asc)))
       .select(col("term"), col("rank"))
       .orderBy("rank")
   }
@@ -40,9 +44,10 @@ object WordBreak {
     val dl = dictionary.select(col("term").as("left"), col("df").as("df_l"))
     val dr = dictionary.select(col("term").as("right"), col("df").as("df_r"))
     splits.join(dl, "left").join(dr, "right")
+      .orderBy((col("df_l") + col("df_r")).desc, col("left").asc)
+      .limit(k)
       .withColumn("rank", row_number().over(
-        Window.orderBy((col("df_l") + col("df_r")).desc, col("left").asc)))
-      .filter(col("rank") <= k)
+        Window.partitionBy(lit(0)).orderBy((col("df_l") + col("df_r")).desc, col("left").asc)))
       .select("left", "right", "rank")
       .orderBy("rank")
   }

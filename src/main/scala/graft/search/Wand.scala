@@ -3,7 +3,7 @@ package graft.search
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.build.IndexBuilder
-import graft.codec.{Cursor, ForBlock, SmallFloat, VByte}
+import graft.codec.SmallFloat
 import graft.model.{PostingSlim, SkipRow}
 import scala.jdk.CollectionConverters._
 
@@ -35,48 +35,16 @@ object Wand {
                           docDeltas: Array[Byte], tfs: Array[Byte], lens: Array[Byte],
                           skips: Array[SkipRow])
 
+  /** Scoring wrapper over the shared block cursor (PostingCursor.scala):
+    * adds the BM25 score + per-block score upper bounds for BMW.
+    */
   private final class TermCursor(p: WandRow, val weight: Float, cache: Array[Float]) {
-    private val blocks: Array[SkipRow] = p.skips
-    private val nFull = p.df / ForBlock.BlockSize
-    private val tailLen = p.df - nFull * ForBlock.BlockSize
-    private val docBuf = new Array[Int](ForBlock.BlockSize)
-    private val tfBuf = new Array[Int](ForBlock.BlockSize)
-    private val lenBuf = new Array[Int](ForBlock.BlockSize)
-    private var blockIdx = -1 // loaded block (nFull == tail)
-    private var blockLen = 0
-    private var pos = 0
-    var doc: Int = -1
-    var exhausted: Boolean = p.df == 0
+    private val c = new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips)
 
-    // lens blocks carry no skip offsets (skips store doc/tf/pos streams);
-    // compute their byte offsets once by scanning the 1-byte headers
-    private lazy val lenOffs: Array[Int] = {
-      val offs = new Array[Int](nFull + 1)
-      var off = 0
-      var b = 0
-      while (b < nFull) {
-        offs(b) = off
-        off += 1 + ((p.lens(off) & 0xff) * ForBlock.BlockSize + 7) / 8
-        b += 1
-      }
-      offs(nFull) = off // tail start
-      offs
-    }
-
-    private lazy val (tailDocOff, tailTfOff) = {
-      if (nFull == 0) (0, 0)
-      else {
-        var dOff = 0
-        var tOff = 0
-        var b = 0
-        while (b < nFull) {
-          dOff += 1 + ((p.docDeltas(dOff) & 0xff) * ForBlock.BlockSize + 7) / 8
-          tOff += 1 + ((p.tfs(tOff) & 0xff) * ForBlock.BlockSize + 7) / 8
-          b += 1
-        }
-        (dOff, tOff)
-      }
-    }
+    def doc: Int = c.doc
+    def exhausted: Boolean = c.exhausted
+    def advance(target: Int): Unit = c.advance(target)
+    def next(): Unit = c.next()
 
     @inline private def ub(maxTf: Int, minLen: Int): Float = {
       val nb = SmallFloat.floatToByte315(1f / math.sqrt(minLen.toDouble).toFloat)
@@ -85,25 +53,18 @@ object Wand {
       weight * tff / (tff + norm)
     }
 
-    private lazy val tailStats: (Int, Int) = { // (maxTf, minLen) of the tail
-      if (tailLen == 0) (0, 1)
-      else {
-        val (_, ts, ls) = decodeTailArrays()
-        (ts.max, ls.min)
-      }
-    }
-
     /** Global upper bound over the whole list (for pivot selection). */
     val maxScore: Float = {
       var m = 0f
       var i = 0
-      while (i < blocks.length) {
-        val s = ub(blocks(i).maxTf, blocks(i).minLen)
+      while (i < c.nFull) {
+        val sk = c.blockMeta(i)
+        val s = ub(sk.maxTf, sk.minLen)
         if (s > m) m = s
         i += 1
       }
-      if (tailLen > 0) {
-        val s = ub(tailStats._1, tailStats._2)
+      if (c.hasTail) {
+        val s = ub(c.tailStats._1, c.tailStats._2)
         if (s > m) m = s
       }
       m
@@ -113,75 +74,15 @@ object Wand {
       * the first doc >= target — metadata only, nothing decoded.
       */
     def blockInfoFor(target: Int): (Float, Int) = {
-      var b = math.max(blockIdx, 0)
-      while (b < nFull && blocks(b).lastDoc < target) b += 1
-      if (b < nFull) (ub(blocks(b).maxTf, blocks(b).minLen), blocks(b).lastDoc)
-      else if (tailLen > 0) (ub(tailStats._1, tailStats._2), Int.MaxValue)
-      else (0f, Int.MaxValue)
+      val (maxTf, minLen, lastDoc) = c.blockMetaFor(target)
+      if (maxTf == 0 && lastDoc == Int.MaxValue && !c.hasTail) (0f, Int.MaxValue)
+      else (ub(maxTf, minLen), lastDoc)
     }
-
-    private def decodeTailArrays(): (Array[Int], Array[Int], Array[Int]) = {
-      val base = if (nFull == 0) 0 else blocks(nFull - 1).lastDoc
-      val dc = new Cursor(tailDocOff)
-      val tc = new Cursor(tailTfOff)
-      val lc = new Cursor(lenOffs(nFull))
-      val ds = new Array[Int](tailLen)
-      val ts = new Array[Int](tailLen)
-      val ls = new Array[Int](tailLen)
-      var acc = base
-      var i = 0
-      while (i < tailLen) {
-        acc += VByte.readInt(p.docDeltas, dc)
-        ds(i) = acc
-        ts(i) = VByte.readInt(p.tfs, tc)
-        ls(i) = VByte.readInt(p.lens, lc)
-        i += 1
-      }
-      (ds, ts, ls)
-    }
-
-    private def loadBlock(b: Int): Unit = {
-      blockIdx = b
-      if (b < nFull) {
-        ForBlock.decode(p.docDeltas, new Cursor(blocks(b).docOff), docBuf, 0)
-        ForBlock.decode(p.tfs, new Cursor(blocks(b).tfOff), tfBuf, 0)
-        ForBlock.decode(p.lens, new Cursor(lenOffs(b)), lenBuf, 0)
-        var acc = if (b == 0) 0 else blocks(b - 1).lastDoc
-        var i = 0
-        while (i < ForBlock.BlockSize) { acc += docBuf(i); docBuf(i) = acc; i += 1 }
-        blockLen = ForBlock.BlockSize
-      } else {
-        val (ds, ts, ls) = decodeTailArrays()
-        System.arraycopy(ds, 0, docBuf, 0, tailLen)
-        System.arraycopy(ts, 0, tfBuf, 0, tailLen)
-        System.arraycopy(ls, 0, lenBuf, 0, tailLen)
-        blockLen = tailLen
-      }
-      pos = 0
-    }
-
-    def advance(target: Int): Unit = {
-      if (exhausted) return
-      var b = math.max(blockIdx, 0)
-      while (b < nFull && blocks(b).lastDoc < target) b += 1
-      if (b >= nFull && tailLen == 0) { exhausted = true; doc = Int.MaxValue; return }
-      if (b != blockIdx) loadBlock(b)
-      while (pos < blockLen && docBuf(pos) < target) pos += 1
-      while (pos >= blockLen) {
-        val nb2 = blockIdx + 1
-        if (nb2 > nFull || (nb2 == nFull && tailLen == 0)) { exhausted = true; doc = Int.MaxValue; return }
-        loadBlock(nb2)
-        while (pos < blockLen && docBuf(pos) < target) pos += 1
-      }
-      doc = docBuf(pos)
-    }
-
-    def next(): Unit = advance(if (doc < 0) 0 else doc + 1)
 
     def score: Float = {
-      val nb = SmallFloat.floatToByte315(1f / math.sqrt(lenBuf(pos).toDouble).toFloat)
+      val nb = SmallFloat.floatToByte315(1f / math.sqrt(c.len.toDouble).toFloat)
       val norm = cache(nb & 0xff)
-      val tff = tfBuf(pos).toFloat
+      val tff = c.tf.toFloat
       weight * tff / (tff + norm)
     }
   }

@@ -91,11 +91,16 @@ final class SearcherManager(spark: SparkSession, indexPath: String) {
     current
   }
 
-  def maybeRefresh(): Boolean = {
+  /** Synchronized check-then-act (the reference SearcherManager is explicitly
+    * thread-safe); `current` is assigned before `lastSegments` so a racing
+    * unsynchronized reader can never observe the new segment set with a stale
+    * or null searcher.
+    */
+  def maybeRefresh(): Boolean = synchronized {
     val segs = IndexBuilder.completedSegments(spark, indexPath)
     if (current == null || segs != lastSegments) {
-      lastSegments = segs
       current = new Searcher(spark, indexPath)
+      lastSegments = segs
       true
     } else false
   }

@@ -200,6 +200,22 @@ class SparkEngineSpec extends AnyFunSuite {
     assert(SpanMatcher.spans(SpanOrS(List(SpanTermS("a"), SpanTermS("c"))), pos).size == 3)
   }
 
+  test("unordered near allows overlapping clause spans (NearSpansUnordered.cs:424-427)") {
+    // fixture derived from the reference's AtMatch formula, NOT the shared
+    // matcher: for clause spans (0,1) and (0,1) in a one-token doc,
+    // max.End - min.Start - totalLength = 1 - 0 - 2 = -1 <= slop => match.
+    // Only the overlapping combination exists here, so an extra non-overlap
+    // constraint (the pre-fix behavior) would wrongly reject the doc.
+    val pos = Map("a" -> Array(0))
+    val q = SpanNearS(List(SpanOrS(List(SpanTermS("a"), SpanTermS("b"))), SpanTermS("a")),
+      slop = 0, inOrder = false)
+    assert(SpanMatcher.matches(q, pos))
+    // ordered near keeps the no-overlap requirement (NearSpansOrdered)
+    val qo = SpanNearS(List(SpanOrS(List(SpanTermS("a"), SpanTermS("b"))), SpanTermS("a")),
+      slop = 0, inOrder = true)
+    assert(!SpanMatcher.matches(qo, pos))
+  }
+
   test("span queries identical to oracle") {
     checkIdentical(SpanMatchQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 2, inOrder = true)))
     checkIdentical(SpanMatchQ(SpanNearS(List(SpanTermS("fox"), SpanTermS("quick")), 3, inOrder = false)))

@@ -90,6 +90,17 @@ class WandSpec extends AnyFunSuite {
     }
   }
 
+  test("duplicate query terms route through the plan path identically") {
+    // 'x x x' folds to weight*3 in WAND — float-identical to the clause
+    // chain only for power-of-two counts, so search() must NOT take WAND
+    val t = PagesGen.word(2)
+    val q = BoolQ(List(Occur.Should -> TermQ(t), Occur.Should -> TermQ(t), Occur.Should -> TermQ(t)))
+    assert(rows(searcher.search(q, 10)) == rows(searcher.searchPlan(q, 10)))
+    // parsed-path analog
+    val qp = QueryParser.parse(s"$t $t $t", searcher.analyzer)
+    assert(rows(searcher.search(qp, 10)) == rows(searcher.searchPlan(qp, 10)))
+  }
+
   test("WAND survives merged piece-split posting rows") {
     val base = Files.createTempDirectory("graftwandmerge").toString
     val df = spark.createDataFrame(PagesGen.local(200)).toDF("url", "text")
