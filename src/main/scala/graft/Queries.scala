@@ -134,6 +134,24 @@ object Queries {
     "q_multiphrase" -> ((s, dir) => idsOf(searcher(s, dir),
       MultiPhraseQ(List((Set("hash", "merge"), 0), (Set("join"), 1))))),
 
+    // --- field-qualified queries over the multi-field index ((field, term)
+    //     posting keys — Index/Term.cs; keyword-indexed StringFields)
+    "q_field_term" -> ((s, dir) => idsOf(IndexCache.fieldedSearcher(s, dir),
+      FieldQ("source", TermQ("src3")))),
+    "q_field_bool" -> ((s, dir) => idsOf(IndexCache.fieldedSearcher(s, dir),
+      BoolQ(List(Occur.Must -> FieldQ("source", TermQ("src3")),
+        Occur.Must -> TermQ("vector"))))),
+    // ranked cross-field disjunction: text BM25 + lang-field BM25 (per-field
+    // df/avgdl statistics), clause-ordered double chain
+    "q_field_topk" -> ((s, dir) => ranked(IndexCache.fieldedSearcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"),
+        Occur.Should -> FieldQ("lang", TermQ("en")))), 10))),
+    // parsed field syntax end-to-end (QueryParser `field:` -> FieldQ)
+    "q_field_parsed" -> ((s, dir) => {
+      val se = IndexCache.fieldedSearcher(s, dir)
+      idsOf(se, QueryParser.parse("source:src3 AND stream", se.analyzer))
+    }),
+
     // --- spell suggestion (DirectSpellChecker analog over the dictionary)
     "q_spell" -> ((s, dir) =>
       Spell.suggest(searcher(s, dir).dictionary(), "strema", 2, 5)),
@@ -326,6 +344,32 @@ object Queries {
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
          |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |WHERE a.term IN ('hash', 'merge') AND b.term = 'join' ORDER BY 1""".stripMargin,
+
+    "q_field_term" ->
+      """SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id""",
+
+    "q_field_bool" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf JOIN documents USING (doc_id)
+         |WHERE term = 'vector' AND source = 'src3' ORDER BY doc_id""".stripMargin,
+
+    "q_field_topk" ->
+      s"""$P, ${scoreCte("a", "vector")},
+         |lconst AS (SELECT count(*) AS dfl FROM documents WHERE lang = 'en'),
+         |scores_l AS (
+         |  SELECT doc_id,
+         |    (ln(1 + ((c.n - lc.dfl) + 0.5) / (lc.dfl + 0.5)) * (1.2 + 1)) * 1 /
+         |    (1 + 1.2 * ((1 - 0.75) + ((0.75 * 1) / 1.0))) AS s
+         |  FROM documents CROSS JOIN consts c CROSS JOIN lconst lc
+         |  WHERE lang = 'en')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, l.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(l.s, 0)) AS s
+         |  FROM scores_a a FULL OUTER JOIN scores_l l ON a.doc_id = l.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_field_parsed" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf JOIN documents USING (doc_id)
+         |WHERE term = 'stream' AND source = 'src3' ORDER BY doc_id""".stripMargin,
 
     "q_spell" ->
       s"""$P, d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)

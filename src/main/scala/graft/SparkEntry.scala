@@ -39,10 +39,11 @@ object SparkEntry {
   */
 object IndexCache {
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+  private val fcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
   /** Bump when the on-disk postings layout changes — stale caches from a
     * previous engine version must not be reused across driver runs. */
-  val FormatVersion = 3
+  val FormatVersion = 4
 
   def indexPath(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -61,6 +62,23 @@ object IndexCache {
         IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "simple"))
     }
     // ExactDouble scoring: the mode an ANSI-SQL oracle can replicate exactly
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+
+  /** Multi-field index (text + keyword-indexed source/lang StringFields) for
+    * the field-qualified query entries (Index/Term.cs (field, term) keys).
+    */
+  def fieldedSearcher(spark: SparkSession, sfDir: String): Searcher = fcache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_fielded"
+    val done = IndexBuilder.completedSegments(spark, path)
+    if (done.isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%09d", col("doc_id")).as("url"),
+          col("text"), col("source"), col("lang"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "simple",
+          extraFields = Seq("source" -> "keyword", "lang" -> "keyword")))
+    }
     new Searcher(spark, path, mode = ExactDouble)
   })
 

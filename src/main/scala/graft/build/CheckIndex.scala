@@ -25,9 +25,10 @@ object CheckIndex {
 
     val docs = spark.read.parquet(IndexBuilder.docsPath(indexPath))
     val postings = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
-      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
       .as[PostingRow]
     val stats = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+      .filter(col("field") === IndexBuilder.DefaultField)
       .dropDuplicates("segmentId").as[SegmentStats]
 
     val segMaxDoc = stats.collect().map(s => s.segmentId -> s.maxDoc).toMap

@@ -25,6 +25,7 @@ object DictTable {
     import spark.implicits._
     try {
       spark.read.parquet(IndexBuilder.statsPath(indexPath))
+        .filter(col("field") === IndexBuilder.DefaultField)
         .dropDuplicates("segmentId")
         .select("segmentId", "maxDoc").as[(Int, Long)].collect()
         .sortBy(_._1).map { case (s, m) => s"$s:$m" }.mkString(",")
@@ -35,8 +36,8 @@ object DictTable {
     val sig = segsSignature(spark, indexPath)
     if (sig.isEmpty) return
     spark.read.parquet(IndexBuilder.postingsPath(indexPath))
-      .select("term", "df", "ttf")
-      .groupBy("term")
+      .select("field", "term", "df", "ttf")
+      .groupBy("field", "term")
       .agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
       .write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
     writeMarker(spark, indexPath, sig)

@@ -28,6 +28,9 @@ import graft.search.Bm25
   */
 object IndexBuilder {
 
+  /** The default indexed field (the `text` input column). */
+  val DefaultField = "text"
+
   final case class BuildConfig(
       numSegments: Int,
       analyzerName: String = "standard",
@@ -36,7 +39,15 @@ object IndexBuilder {
       boost: Float = 1f,
       /** RAM budget per in-partition segment writer, in buffered tokens —
         * the FlushByRamOrCountsPolicy analog; crossing it flushes a piece. */
-      flushTokens: Int = 8 * 1024 * 1024)
+      flushTokens: Int = 8 * 1024 * 1024,
+      /** Additional indexed fields beyond the default `text`: (name ->
+        * analyzer name); each must exist as a string column on the pages
+        * input (FieldInfos analog — per-field analyzer is a build-time
+        * invariant persisted in the config). */
+      extraFields: Seq[(String, String)] = Nil) {
+    /** Full field list, default field first. */
+    def fieldList: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
+  }
 
   final case class BuildReport(numDocs: Long, numSegments: Int, elapsedSec: Double, docsPerSec: Double)
 
@@ -80,7 +91,8 @@ object IndexBuilder {
     val inGroup = pages
       .withColumn("segmentId", segOf(col("url")))
       .filter(col("segmentId").isInCollection(group -- alreadyDone))
-    writeSegments(spark, inGroup, indexPath, cfg.analyzerName, cfg.boost, cfg.flushTokens, group)
+    writeSegments(spark, inGroup, indexPath, cfg.analyzerName, cfg.boost, cfg.flushTokens,
+      group, cfg.extraFields)
   }
 
   /** Write one group of segments from a pages DataFrame that already carries
@@ -89,26 +101,30 @@ object IndexBuilder {
     */
   def writeSegments(spark: SparkSession, inGroup: DataFrame, indexPath: String,
                     analyzerName: String, boost: Float, flushTokens: Int,
-                    group: Set[Int]): Long = {
+                    group: Set[Int], extraFields: Seq[(String, String)] = Nil): Long = {
     import spark.implicits._
     val tg0 = System.nanoTime()
+    val fieldSpecs: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
+    val fieldNames = fieldSpecs.map(_._1)
 
     // One partition can hold several whole segments (hash on segmentId);
     // within a partition, (segmentId, url) order assigns deterministic docIds.
     val parts = math.min(group.size, spark.sparkContext.defaultParallelism * 2).max(1)
     val sortedPages = inGroup
-      .select(col("url"), col("text"), col("segmentId"))
+      .select(col("url"),
+        array(fieldNames.map(f => col(f).cast("string")): _*).as("vals"),
+        col("segmentId"))
       .repartition(parts, col("segmentId"))
       .sortWithinPartitions(col("segmentId"), col("url"))
-      .as[(String, String, Int)]
+      .as[(String, Seq[String], Int)]
 
     // postings: per-partition in-memory segment build (SegmentWriter - the
     // DWPT/TermsHash analog): tokens go straight into primitive buffers,
     // RAM-bounded piece flushes, no per-token Spark rows, no sort.
     val postings: Dataset[PostingRow] = sortedPages.mapPartitions { rows =>
-      val analyzer = Analyzers.byName(analyzerName)
+      val fields = fieldSpecs.map { case (n, a) => n -> Analyzers.byName(a) }
       new Iterator[PostingRow] {
-        private var writer = new SegmentWriter(analyzer, flushTokens)
+        private var writer = new SegmentWriter(fields, flushTokens)
         private var curSeg = -1
         private var docId = -1
         private var queue: Iterator[PostingRow] = Iterator.empty
@@ -117,14 +133,14 @@ object IndexBuilder {
         private def refill(): Unit = {
           while (!queue.hasNext && (input.hasNext || curSeg != -2)) {
             if (input.hasNext) {
-              val (url, text, seg) = input.next()
+              val (url, vals, seg) = input.next()
               if (seg != curSeg && curSeg >= 0) {
                 writer.flush(curSeg)
                 queue = writer.drain().iterator
               }
               if (seg != curSeg) { curSeg = seg; docId = -1 }
               docId += 1
-              writer.addDoc(seg, docId, text)
+              writer.addDoc(seg, docId, vals)
               if (!queue.hasNext) queue = writer.drain().iterator // mid-segment RAM flush
             } else {
               if (curSeg >= 0) writer.flush(curSeg)
@@ -152,15 +168,17 @@ object IndexBuilder {
 
     // docs (+ norms column - the DocValues/.nvd analog): a second cheap pass
     // that reuses the repartition's shuffle files; tokenization-for-length
-    // costs far less than caching tokenized docs would.
+    // costs far less than caching tokenized docs would. fieldLen/normByte
+    // are the DEFAULT field's (per-field exact lens ride on the postings).
     val docsDf = sortedPages.mapPartitions { rows =>
       val analyzer = Analyzers.byName(analyzerName)
       val bm25 = Bm25.default
       var curSeg = -1
       var docId = -1
-      rows.map { case (url, text, seg) =>
+      rows.map { case (url, vals, seg) =>
         if (seg != curSeg) { curSeg = seg; docId = -1 }
         docId += 1
+        val text = vals.head
         val len = analyzer.tokenCount(if (text == null) "" else text)
         DocRow(seg, docId, url, len, bm25.encodeNormValue(boost, len))
       }
@@ -173,21 +191,30 @@ object IndexBuilder {
     Await.result(postingsJob, Duration.Inf)
     Await.result(docsJob, Duration.Inf)
 
-    // per-segment stats (CollectionStatistics analog, Search/CollectionStatistics.cs:32-37)
+    // per-segment, per-field stats (CollectionStatistics analog,
+    // Search/CollectionStatistics.cs:32-37): maxDoc is segment-wide; the
+    // default field's sumTotalTermFreq comes from docs.fieldLen (unchanged
+    // legacy semantics), extra fields' from their postings' ttf sums.
     val segDocs = spark.read.parquet(docsPath(indexPath))
       .filter(col("segmentId").isInCollection(group))
       .groupBy(col("segmentId"))
-      .agg(count(lit(1)).as("maxDoc"), sum(col("fieldLen")).as("sumTotalTermFreq"))
-    val segTerms = spark.read.parquet(postingsPath(indexPath))
+      .agg(count(lit(1)).as("maxDoc"), sum(col("fieldLen")).as("defaultSttf"))
+    val segFieldTerms = spark.read.parquet(postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(group))
-      .groupBy(col("segmentId")).agg(count(lit(1)).as("sumDocFreq"))
-    val stats = segDocs.join(segTerms, Seq("segmentId"), "left")
-      .select(col("segmentId").cast("int").as("segmentId"), col("maxDoc").cast("long").as("maxDoc"),
-        col("sumTotalTermFreq").cast("long").as("sumTotalTermFreq"),
+      .groupBy(col("segmentId"), col("field"))
+      .agg(count(lit(1)).as("sumDocFreq"), sum(col("ttf")).as("postSttf"))
+    val fieldsDf = fieldNames.toDF("field")
+    val stats = segDocs.crossJoin(fieldsDf)
+      .join(segFieldTerms, Seq("segmentId", "field"), "left")
+      .select(col("segmentId").cast("int").as("segmentId"), col("field"),
+        col("maxDoc").cast("long").as("maxDoc"),
+        when(col("field") === DefaultField, col("defaultSttf"))
+          .otherwise(coalesce(col("postSttf"), lit(0L)))
+          .cast("long").as("sumTotalTermFreq"),
         coalesce(col("sumDocFreq"), lit(0L)).cast("long").as("sumDocFreq"))
       .as[SegmentStats].collect()
 
-    val numDocs = stats.map(_.maxDoc).sum
+    val numDocs = stats.filter(_.field == DefaultField).map(_.maxDoc).sum
 
     spark.createDataset(stats.toSeq).write.mode(SaveMode.Append).parquet(statsPath(indexPath))
 
@@ -196,7 +223,7 @@ object IndexBuilder {
     val elapsed = (System.nanoTime() - tg0) / 1e9
     val now = System.currentTimeMillis()
     val manifest = group.toSeq.sorted.map { seg =>
-      val st = stats.find(_.segmentId == seg)
+      val st = stats.find(s => s.segmentId == seg && s.field == DefaultField)
       ManifestRow(seg, "done", st.map(_.maxDoc).getOrElse(0L), st.map(_.sumDocFreq).getOrElse(0L),
         numDocs / math.max(elapsed, 1e-9), 1, now - (elapsed * 1000).toLong, now)
     }
@@ -217,7 +244,9 @@ object IndexBuilder {
   }
 
   private def writeConfig(spark: SparkSession, indexPath: String, cfg: BuildConfig): Unit = {
-    val json = s"""{"numSegments":${cfg.numSegments},"analyzer":"${cfg.analyzerName}","boost":${cfg.boost}}"""
+    val extra = cfg.extraFields.map { case (f, a) => s"$f:$a" }.mkString(",")
+    val json = s"""{"numSegments":${cfg.numSegments},"analyzer":"${cfg.analyzerName}",""" +
+      s""""boost":${cfg.boost},"extraFields":"$extra"}"""
     val path = new org.apache.hadoop.fs.Path(configPath(indexPath))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
@@ -234,6 +263,11 @@ object IndexBuilder {
     val num = """"numSegments":(\d+)""".r.findFirstMatchIn(json).get.group(1).toInt
     val an = """"analyzer":"([^"]+)"""".r.findFirstMatchIn(json).get.group(1)
     val boost = """"boost":([0-9.eE+-]+)""".r.findFirstMatchIn(json).get.group(1).toFloat
-    BuildConfig(num, an, boost = boost)
+    val extra = """"extraFields":"([^"]*)"""".r.findFirstMatchIn(json).map(_.group(1)).getOrElse("")
+    val extraFields = extra.split(',').filter(_.nonEmpty).toSeq.map { kv =>
+      val Array(f, a) = kv.split(':')
+      (f, a)
+    }
+    BuildConfig(num, an, boost = boost, extraFields = extraFields)
   }
 }

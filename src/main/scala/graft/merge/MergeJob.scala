@@ -33,7 +33,8 @@ import graft.model._
   */
 object MergeJob {
 
-  final case class PieceRow(term: String, piece: Int, firstDoc: Int, df: Int, ttf: Long,
+  final case class PieceRow(field: String, term: String, piece: Int, firstDoc: Int,
+                            df: Int, ttf: Long,
                             docDeltas: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], lens: Array[Byte],
                             skips: Array[SkipRow])
@@ -47,9 +48,12 @@ object MergeJob {
     val srcSorted = sources.sorted
 
     val dictWasValid = graft.build.DictTable.isValid(spark, indexPath)
-    val stats = spark.read.parquet(IndexBuilder.statsPath(indexPath))
-      .dropDuplicates("segmentId")
-      .as[SegmentStats].collect().map(s => s.segmentId -> s).toMap
+    val statsAll = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+      .dropDuplicates("segmentId", "field")
+      .as[SegmentStats].collect()
+    // segment-wide maxDoc from the default field's rows (present per segment)
+    val stats = statsAll.filter(_.field == IndexBuilder.DefaultField)
+      .map(s => s.segmentId -> s).toMap
     val bases: Map[Int, Int] = {
       var acc = 0
       srcSorted.map { s =>
@@ -74,22 +78,22 @@ object MergeJob {
     val pieces: Dataset[PieceRow] = spark.read
       .parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(srcSorted))
-      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
       .as[PostingRow]
       .map { p =>
         val base = basesB.value(p.segmentId)
         val (e, firstDoc) = reencode(p.df, p.docDeltas, p.tfs, p.positions, p.lens, base)
-        PieceRow(p.term, p.segmentId, firstDoc, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
+        PieceRow(p.field, p.term, p.segmentId, firstDoc, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
           e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
       }
 
-    // ---- phase 2: shuffle compressed pieces by term, stitch per term
+    // ---- phase 2: shuffle compressed pieces by (field, term), stitch per key
     // sort key includes firstDoc: a source segment may hold several pieces
-    // per term (builder RAM flushes / prior merges share one segmentId), and
+    // per key (builder RAM flushes / prior merges share one segmentId), and
     // stitching must follow docId order, not source order alone
     val merged: Dataset[PostingRow] = pieces
-      .repartition(col("term"))
-      .sortWithinPartitions(col("term"), col("firstDoc"))
+      .repartition(col("field"), col("term"))
+      .sortWithinPartitions(col("field"), col("term"), col("firstDoc"))
       .mapPartitions { rows =>
         val hot = hotTermDf
         new Iterator[PostingRow] {
@@ -97,9 +101,10 @@ object MergeJob {
           private val out = scala.collection.mutable.Queue.empty[PostingRow]
           private def fill(): Unit = {
             while (out.isEmpty && pending != null) {
+              val field = pending.field
               val term = pending.term
               val group = scala.collection.mutable.ArrayBuffer.empty[PieceRow]
-              while (pending != null && pending.term == term) {
+              while (pending != null && pending.field == field && pending.term == term) {
                 group += pending
                 pending = if (rows.hasNext) rows.next() else null
               }
@@ -108,7 +113,7 @@ object MergeJob {
                 // hot term (or single piece): pieces stay separate rows with
                 // disjoint docId ranges — already rebased and skip-indexed
                 group.foreach { g =>
-                  out += PostingRow(0, term, g.df, g.ttf, g.docDeltas, g.tfs,
+                  out += PostingRow(0, field, term, g.df, g.ttf, g.docDeltas, g.tfs,
                     g.positions, g.lens, g.skips)
                 }
               } else {
@@ -123,7 +128,7 @@ object MergeJob {
                   }
                 }
                 val e = enc.finish()
-                out += PostingRow(0, term, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
+                out += PostingRow(0, field, term, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
                   e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
               }
             }
@@ -152,16 +157,23 @@ object MergeJob {
     swapIn(IndexBuilder.docsPath(indexPath), s"$staging/docs")
     swapIn(IndexBuilder.postingsPath(indexPath), s"$staging/postings")
 
-    // ---- stats rewrite (small table)
-    val newDocFreqRows = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
-      .filter(col("segmentId") === target).count()
-    val mergedStats = SegmentStats(target,
-      srcSorted.map(stats(_).maxDoc).sum,
-      srcSorted.map(stats(_).sumTotalTermFreq).sum,
-      newDocFreqRows)
-    val newStats = (stats -- srcSorted) + (target -> mergedStats)
+    // ---- stats rewrite (small table, per (segment, field))
+    val newDocFreqRows: Map[String, Long] = spark.read
+      .parquet(IndexBuilder.postingsPath(indexPath))
+      .filter(col("segmentId") === target)
+      .groupBy("field").count()
+      .as[(String, Long)].collect().toMap
+    val mergedMaxDoc = srcSorted.map(stats(_).maxDoc).sum
+    val srcFields = statsAll.filter(s => srcSorted.contains(s.segmentId)).map(_.field).distinct
+    val mergedStats = srcFields.map { f =>
+      SegmentStats(target, f, mergedMaxDoc,
+        statsAll.filter(s => srcSorted.contains(s.segmentId) && s.field == f)
+          .map(_.sumTotalTermFreq).sum,
+        newDocFreqRows.getOrElse(f, 0L))
+    }
+    val newStats = statsAll.filterNot(s => srcSorted.contains(s.segmentId)) ++ mergedStats
     val statsTmp = s"$indexPath/.staging/stats_new"
-    spark.createDataset(newStats.values.toSeq).write.mode(SaveMode.Overwrite).parquet(statsTmp)
+    spark.createDataset(newStats.toSeq).write.mode(SaveMode.Overwrite).parquet(statsTmp)
     val fs = new Path(indexPath).getFileSystem(hadoopConf)
     val statsDst = new Path(IndexBuilder.statsPath(indexPath))
     fs.delete(statsDst, true)
@@ -203,6 +215,7 @@ object MergeJob {
     var cont = true
     while (cont) {
       val sizes = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+        .filter(col("field") === IndexBuilder.DefaultField)
         .dropDuplicates("segmentId")
         .as[SegmentStats].collect().map(s => s.segmentId -> s.maxDoc).toMap
       policy.findMerges(sizes) match {

@@ -3,29 +3,33 @@ package graft.model
 /** Row models for the engine's tables (FIXTURES.md §3):
   *
   *   docs(segmentId, docId, url, fieldLen, normByte)
-  *   postings(segmentId, term, df, ttf, docDeltas, tfs, positions, norms, skips)
-  *   stats(segmentId, maxDoc, sumTotalTermFreq, sumDocFreq)
+  *   postings(segmentId, field, term, df, ttf, docDeltas, tfs, positions, lens, skips)
+  *   stats(segmentId, field, maxDoc, sumTotalTermFreq, sumDocFreq)
   *   manifest(segmentId, status, numDocs, numTerms, docsPerSec, ...)
   *
   * The Spark analog of the reference's per-segment files: postings =
   * .doc/.pos, docs+norms = .fdx/.nvd, stats/manifest = segments_N
   * (/root/reference/src/Lucene.Net.Core/Index/SegmentInfos.cs:49-69).
+  * A posting key is (field, term) exactly as the reference's Term
+  * (/root/reference/src/Lucene.Net.Core/Index/Term.cs); per-field invariants
+  * (analyzer, stats) follow FieldInfos (Index/FieldInfos.cs).
   */
 final case class DocRow(segmentId: Int, docId: Int, url: String, fieldLen: Int, normByte: Byte)
 
 final case class SkipRow(lastDoc: Int, docOff: Int, tfOff: Int, posOff: Int,
                          cumDocs: Int, maxTf: Int, minLen: Int)
 
-final case class PostingRow(segmentId: Int, term: String, df: Int, ttf: Long,
+final case class PostingRow(segmentId: Int, field: String, term: String, df: Int, ttf: Long,
                             docDeltas: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], lens: Array[Byte],
                             skips: Array[SkipRow])
 
 /** Scoring-only posting projection (no positions column read). */
-final case class PostingSlim(segmentId: Int, term: String, df: Int,
+final case class PostingSlim(segmentId: Int, field: String, term: String, df: Int,
                              docDeltas: Array[Byte], tfs: Array[Byte], lens: Array[Byte])
 
-final case class SegmentStats(segmentId: Int, maxDoc: Long, sumTotalTermFreq: Long, sumDocFreq: Long)
+final case class SegmentStats(segmentId: Int, field: String, maxDoc: Long,
+                              sumTotalTermFreq: Long, sumDocFreq: Long)
 
 final case class ManifestRow(segmentId: Int, status: String, numDocs: Long, numTerms: Long,
                              docsPerSec: Double, attempt: Int, startedAtMs: Long, finishedAtMs: Long)

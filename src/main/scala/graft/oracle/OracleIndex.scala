@@ -54,6 +54,11 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
     * SURVEY.md §7.3).
     */
   def scoreDoc(q: Query, d: Doc): Option[Float] = q match {
+    // the oracle corpus is single-field: the default binding is an identity,
+    // any other field has no postings here
+    case FieldQ(f, inner) =>
+      if (f == graft.build.IndexBuilder.DefaultField) scoreDoc(inner, d) else None
+
     case TermQ(t, boost) =>
       d.positions.get(t).map { ps => weight(t, boost).score(ps.length.toFloat, d.normByte) }
 

@@ -25,27 +25,33 @@ import graft.model.{Hit, PostingRow}
   */
 object Leapfrog {
 
-  /** occur: 0 = Must, 1 = Should, 2 = MustNot. */
-  final case class ClauseSpec(occur: Int, term: String)
+  /** occur: 0 = Must, 1 = Should, 2 = MustNot. Posting key = (field, term). */
+  final case class ClauseSpec(occur: Int, field: String, term: String)
 
-  /** Compile a Boolean query whose every clause is a TermQ. Caller guarantees
-    * `stats` covers all present terms (Searcher.compile does).
+  /** Filter predicate for a set of (field, term) posting keys. */
+  private def keysPred(keys: Set[(String, String)]): org.apache.spark.sql.Column =
+    keys.groupBy(_._1).map { case (f, ks) =>
+      col("field") === f && col("term").isInCollection(ks.map(_._2))
+    }.reduce(_ || _)
+
+  /** Compile a Boolean query whose every clause is a (field-bound) TermQ.
+    * Caller guarantees `stats` covers all present keys (Searcher.compile does).
     */
   def boolTerms(searcher: Searcher, spark: SparkSession,
-                clauses: List[(Occur.Value, TermQ)], msm: Int,
-                stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+                clauses: List[(Occur.Value, String, TermQ)], msm: Int,
+                stats: Map[(String, String), (Long, Long)]): Dataset[Hit] = {
     import spark.implicits._
 
-    val specs: Array[ClauseSpec] = clauses.map { case (o, tq) =>
+    val specs: Array[ClauseSpec] = clauses.map { case (o, f, tq) =>
       ClauseSpec(o match {
         case Occur.Must => 0
         case Occur.Should => 1
         case Occur.MustNot => 2
-      }, tq.term)
+      }, f, tq.term)
     }.toArray
 
     // a Must clause over an absent term matches nothing
-    if (specs.exists(s => s.occur == 0 && !stats.contains(s.term)))
+    if (specs.exists(s => s.occur == 0 && !stats.contains((s.field, s.term))))
       return spark.emptyDataset[Hit]
     val scoringExists = specs.exists(_.occur != 2)
     if (!scoringExists) return spark.emptyDataset[Hit] // prohibited-only
@@ -57,18 +63,19 @@ object Leapfrog {
     if (!hasMust && shouldCount == 0) return spark.emptyDataset[Hit]
 
     // per-clause scorer, constants folded on the driver (TermWeight analog)
-    val scorers: Array[(Double, Int) => Double] = clauses.map { case (o, tq) =>
+    val scorers: Array[(Double, Int) => Double] = clauses.map { case (o, f, tq) =>
       if (o == Occur.MustNot) null
-      else stats.get(tq.term).map { case (df, _) => searcher.makeScorer(df, tq.boost) }.orNull
+      else stats.get((f, tq.term)).map { case (df, _) => searcher.makeScorer(f, df, tq.boost) }.orNull
     }.toArray
 
     val floatMode = searcher.mode == LuceneFloat
-    val present: Set[String] = specs.map(_.term).toSet.filter(stats.contains)
+    val present: Set[(String, String)] =
+      specs.map(s => (s.field, s.term)).toSet.filter(stats.contains)
     if (present.isEmpty) return spark.emptyDataset[Hit]
 
     searcher.postingsRaw
-      .filter(col("term").isInCollection(present))
-      .select("segmentId", "term", "df", "docDeltas", "tfs", "lens", "skips")
+      .filter(keysPred(present))
+      .select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens", "skips")
       .as[Wand.WandRow]
       .repartition(col("segmentId"))
       .mapPartitions { rows =>
@@ -83,20 +90,20 @@ object Leapfrog {
   private def segmentHits(seg: Int, rows: Array[Wand.WandRow], specs: Array[ClauseSpec],
                           scorers: Array[(Double, Int) => Double], needed: Int,
                           floatMode: Boolean): Iterator[Hit] = {
-    val byTerm: Map[String, Array[Wand.WandRow]] = rows.groupBy(_.term)
+    val byKey: Map[(String, String), Array[Wand.WandRow]] = rows.groupBy(r => (r.field, r.term))
 
-    // independent cursors per CLAUSE (two clauses over one term must not
+    // independent cursors per CLAUSE (two clauses over one key must not
     // share iteration state); pieces with disjoint docId ranges union
-    def cursorFor(term: String): ClauseCursor = {
-      val pieces = byTerm.getOrElse(term, Array.empty).map(p =>
+    def cursorFor(field: String, term: String): ClauseCursor = {
+      val pieces = byKey.getOrElse((field, term), Array.empty).map(p =>
         new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips))
       if (pieces.isEmpty) null else new ClauseCursor(pieces)
     }
 
     val n = specs.length
-    val cursors = new Array[ClauseCursor](n) // null = term absent in segment
+    val cursors = new Array[ClauseCursor](n) // null = key absent in segment
     var i = 0
-    while (i < n) { cursors(i) = cursorFor(specs(i).term); i += 1 }
+    while (i < n) { cursors(i) = cursorFor(specs(i).field, specs(i).term); i += 1 }
 
     val mustIdx = (0 until n).filter(specs(_).occur == 0).toArray
     val shouldIdx = (0 until n).filter(i => specs(i).occur == 1 && cursors(i) != null).toArray
@@ -221,25 +228,25 @@ object Leapfrog {
     * groupByKey — frequent-term positions dominated the shuffle (VERDICT r1
     * #2); this one shuffles compressed posting rows only.
     */
-  def phraseSlots(searcher: Searcher, spark: SparkSession,
+  def phraseSlots(searcher: Searcher, spark: SparkSession, field: String,
                   slots: List[(Set[String], Int)], boost: Float,
-                  stats: Map[String, (Long, Long)], slop: Int): Dataset[Hit] = {
+                  stats: Map[(String, String), (Long, Long)], slop: Int): Dataset[Hit] = {
     import spark.implicits._
-    if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains(t)) })
+    if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains((field, t))) })
       return spark.emptyDataset[Hit] // a slot with no present alternative
 
     // idf over all alternatives of all slots (IdfExplain(termStats[]))
     val allTerms = slots.flatMap { case (ts, _) => ts.toList.sorted }
-    def dfOf(t: String): Long = stats.get(t).map(_._1).getOrElse(0L)
+    def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
     val bm25 = searcher.bm25
     val maxDoc = searcher.maxDoc
     val idfSumF = allTerms.map(t => bm25.idf(dfOf(t), maxDoc)).foldLeft(0.0f)(_ + _)
     val idfSumD = allTerms.map(t => math.log(1 + (maxDoc - dfOf(t) + 0.5d) / (dfOf(t) + 0.5d))).sum
-    val scorer = searcher.makeScorer(0L, boost, Some(idfSumF), Some(idfSumD))
+    val scorer = searcher.makeScorer(field, 0L, boost, Some(idfSumF), Some(idfSumD))
 
-    val groups: Array[Array[String]] = slots.map(_._1.filter(stats.contains).toArray).toArray
+    val groups: Array[Array[String]] = slots.map(_._1.filter(t => stats.contains((field, t))).toArray).toArray
     val offsets = slots.map(_._2).toArray
-    val present = groups.flatten.toSet
+    val present = groups.flatten.toSet.map((t: String) => (field, t))
 
     postingRows(searcher, present).mapPartitions { rows =>
       val bySeg = rows.toArray.groupBy(_.segmentId)
@@ -270,8 +277,8 @@ object Leapfrog {
     * terms; SpanNear = all children; SpanNot/SpanFirst = inner), then the
     * exact SpanMatcher verifies with lazily-decoded positions.
     */
-  def spanMatch(searcher: Searcher, spark: SparkSession, span: SpanQ, boost: Float,
-                stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+  def spanMatch(searcher: Searcher, spark: SparkSession, field: String, span: SpanQ,
+                boost: Float, stats: Map[(String, String), (Long, Long)]): Dataset[Hit] = {
     import spark.implicits._
     def cnf(q: SpanQ): List[Set[String]] = q match {
       case SpanTermS(t) => List(Set(t))
@@ -280,14 +287,14 @@ object Leapfrog {
       case SpanNotS(i, _) => cnf(i)
       case SpanFirstS(i, _) => cnf(i)
     }
-    val groups0 = cnf(span).map(_.filter(stats.contains))
+    val groups0 = cnf(span).map(_.filter(t => stats.contains((field, t))))
     if (groups0.exists(_.isEmpty)) return spark.emptyDataset[Hit]
     val groups: Array[Array[String]] = groups0.map(_.toArray).toArray
     // exclusion terms (SpanNot.exclude) are needed for verification only
-    val verifyTerms = SpanMatcher.termsOf(span).filter(stats.contains).toArray
+    val verifyTerms = SpanMatcher.termsOf(span).filter(t => stats.contains((field, t))).toArray
     val bd = boost.toDouble
 
-    postingRows(searcher, verifyTerms.toSet).mapPartitions { rows =>
+    postingRows(searcher, verifyTerms.toSet.map((t: String) => (field, t))).mapPartitions { rows =>
       val bySeg = rows.toArray.groupBy(_.segmentId)
       bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
         val groupCursors = groups.map(g => slotCursor(ps, g))
@@ -306,15 +313,15 @@ object Leapfrog {
     }
   }
 
-  /** Query-term posting rows (with positions) routed to segment tasks —
+  /** Query-key posting rows (with positions) routed to segment tasks —
     * compressed blocks only cross the wire.
     */
-  private def postingRows(searcher: Searcher, terms: Set[String]): Dataset[PostingRow] = {
+  private def postingRows(searcher: Searcher, keys: Set[(String, String)]): Dataset[PostingRow] = {
     val spark = searcher.postingsRaw.sparkSession
     import spark.implicits._
     searcher.postingsRaw
-      .filter(col("term").isInCollection(terms))
-      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .filter(keysPred(keys))
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
       .as[PostingRow]
       .repartition(col("segmentId"))
   }

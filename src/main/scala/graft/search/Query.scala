@@ -50,6 +50,11 @@ case object MatchAllQ extends Query
 final case class ConstantScoreQ(inner: Query, boost: Float = 1f) extends Query
 /** score = max + tieBreaker * (sum - max), DisjunctionMaxQuery.cs:46,113. */
 final case class DisMaxQ(clauses: List[Query], tieBreaker: Float = 0f) extends Query
+/** Rebind the field of the whole subtree (a posting key is (field, term) —
+  * Index/Term.cs; QueryParser's `field:` syntax produces this wrapper).
+  * Innermost binding wins, matching the classic parser's scoping.
+  */
+final case class FieldQ(field: String, inner: Query) extends Query
 
 object Query {
   /** BooleanQuery.cs:44 maxClauseCount default. */
@@ -66,20 +71,26 @@ object Query {
     case BoolQ(cs, msm) => BoolQ(cs.map { case (o, c) => (o, rewrite(c)) }, msm)
     case DisMaxQ(cs, tb) => DisMaxQ(cs.map(rewrite), tb)
     case ConstantScoreQ(inner, boost) => ConstantScoreQ(rewrite(inner), boost)
+    case FieldQ(f, inner) => rewrite(inner) match {
+      case FieldQ(g, q2) => FieldQ(g, q2) // innermost binding wins
+      case q2 => FieldQ(f, q2)
+    }
     case other => other
   }
 
-  /** All literal terms a query needs posting lists for (dictionary-expanding
-    * queries like prefix/range/wildcard/fuzzy are resolved separately).
+  /** All (field, term) posting keys a query needs lists for, given the
+    * default field (dictionary-expanding queries like prefix/range/wildcard/
+    * fuzzy are resolved separately).
     */
-  def literalTerms(q: Query): Set[String] = q match {
-    case TermQ(t, _) => Set(t)
-    case BoolQ(cs, _) => cs.flatMap(c => literalTerms(c._2)).toSet
-    case PhraseQ(ts, _, _) => ts.map(_._1).toSet
-    case MultiPhraseQ(ss, _) => ss.flatMap(_._1).toSet
-    case SpanMatchQ(sp, _) => SpanMatcher.termsOf(sp)
-    case DisMaxQ(cs, _) => cs.flatMap(literalTerms).toSet
-    case ConstantScoreQ(inner, _) => literalTerms(inner)
+  def fieldTerms(q: Query, field: String): Set[(String, String)] = q match {
+    case TermQ(t, _) => Set(field -> t)
+    case BoolQ(cs, _) => cs.flatMap(c => fieldTerms(c._2, field)).toSet
+    case PhraseQ(ts, _, _) => ts.map(field -> _._1).toSet
+    case MultiPhraseQ(ss, _) => ss.flatMap(_._1).map(field -> _).toSet
+    case SpanMatchQ(sp, _) => SpanMatcher.termsOf(sp).map(field -> _)
+    case DisMaxQ(cs, _) => cs.flatMap(fieldTerms(_, field)).toSet
+    case ConstantScoreQ(inner, _) => fieldTerms(inner, field)
+    case FieldQ(f, inner) => fieldTerms(inner, f)
     case _ => Set.empty
   }
 

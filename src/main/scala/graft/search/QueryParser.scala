@@ -24,7 +24,7 @@ object QueryParser {
   private case object Minus extends Tok
   private final case class Phrase(s: String, slop: Int) extends Tok
   private final case class Range(lo: String, hi: String, incLo: Boolean, incHi: Boolean) extends Tok
-  private final case class Word(s: String, fuzzy: Option[Int]) extends Tok
+  private final case class Word(s: String, fuzzy: Option[Int], field: Option[String]) extends Tok
 
   private def lex(s: String): List[Tok] = {
     val out = scala.collection.mutable.ListBuffer.empty[Tok]
@@ -73,23 +73,22 @@ object QueryParser {
           case "OR" | "||" => out += OrOp
           case "NOT" | "!" => out += NotOp
           case w0 =>
-            // single-field engine: a "field:" prefix (classic grammar) is
-            // accepted and mapped onto the text field. URLs are exempt
-            // (":" followed by "//").
-            val w = {
+            // a "field:" prefix (classic grammar) binds the clause to that
+            // field (FieldQ). URLs are exempt (":" followed by "//").
+            val (fieldOpt, w) = {
               val ci = w0.indexOf(':')
               if (ci > 0 && !w0.startsWith("//", ci + 1) &&
                   w0.substring(0, ci).matches("[A-Za-z_][A-Za-z0-9_]*"))
-                w0.substring(ci + 1) // may be empty: bare "field:" before a phrase
-              else w0
+                (Some(w0.substring(0, ci)), w0.substring(ci + 1))
+              else (None, w0)
             }
             val ti = w.indexOf('~')
             if (ti > 0) {
               val base = w.substring(0, ti)
               val editsStr = w.substring(ti + 1)
               val edits = if (editsStr.isEmpty) 2 else editsStr.toFloat.toInt.min(2)
-              out += Word(base, Some(edits))
-            } else if (w.nonEmpty) out += Word(w, None)
+              out += Word(base, Some(edits), fieldOpt)
+            } else if (w.nonEmpty) out += Word(w, None, fieldOpt)
         }
       }
     }
@@ -141,7 +140,7 @@ object QueryParser {
         case Range(lo, hi, il, ih) =>
           addClause(RangeQ(lo, hi, il, ih))
           toks = toks.tail
-        case Word(w, fuzzy) =>
+        case Word(w, fuzzy, fieldOpt) =>
           val q: Option[Query] =
             if (fuzzy.isDefined) Some(FuzzyQ(lowerRaw(w), fuzzy.get))
             else if (w.endsWith("*") && w.count(ch => ch == '*' || ch == '?') == 1 && w.length > 1)
@@ -154,7 +153,7 @@ object QueryParser {
               else Some(PhraseQ(ts)) // analyzer split one word into several tokens
             }
           q match {
-            case Some(qq) => addClause(qq)
+            case Some(qq) => addClause(fieldOpt.fold(qq)(f => FieldQ(f, qq)))
             case None => pendingConj = None; pendingOccur = None // stopword clause dropped
           }
           toks = toks.tail

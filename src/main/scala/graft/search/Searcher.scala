@@ -22,12 +22,16 @@ case object ExactDouble extends ScoringMode
   * (/root/reference/src/Lucene.Net.Core/Search/IndexSearcher.cs; lifecycle
   * SURVEY.md §3.2). A query compiles to a DataFrame plan:
   *
-  *   scan postings (Parquet min/max-pruned on `term`) -> decode to
-  *   (segmentId, docId, tf/positions, fieldLen) -> Boolean algebra as
-  *   union + single groupBy (one shuffle) -> BM25 score with constants
-  *   folded on the driver -> TakeOrderedAndProject top-k with Lucene's
-  *   exact tie-break (score desc, then global doc order = segmentId asc,
-  *   docId asc — HitQueue.cs:78-88 / TopDocs.cs:111-135).
+  *   scan postings (Parquet min/max-pruned on (field, term)) -> per-segment
+  *   leapfrog/WAND over compressed posting rows for term-only trees, or
+  *   decode -> union + single groupBy for mixed trees -> BM25 score with
+  *   constants folded on the driver -> TakeOrderedAndProject top-k with
+  *   Lucene's exact tie-break (score desc, then global doc order =
+  *   segmentId asc, docId asc — HitQueue.cs:78-88 / TopDocs.cs:111-135).
+  *
+  * Posting keys are (field, term) pairs exactly like the reference's Term
+  * (Index/Term.cs); [[FieldQ]] rebinds the field for a subtree and every
+  * leaf resolves against its bound field's statistics (avgdl, df).
   *
   * Float discipline (LuceneFloat mode): per-clause scores are exact floats;
   * the final sum is a clause-ordered chain of float additions (deterministic,
@@ -41,6 +45,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
   val cfg: IndexBuilder.BuildConfig = IndexBuilder.readConfig(spark, indexPath)
   @transient lazy val analyzer = Analyzers.byName(cfg.analyzerName)
 
+  /** The default query field (the `text` input column). */
+  val defaultField: String = IndexBuilder.DefaultField
+
   /** Open-reader state (IndexReader analog): lazily-built DataFrames whose
     * file listings are resolved once and reused across queries. */
   @transient lazy val postingsRaw: DataFrame =
@@ -48,75 +55,101 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   @transient lazy val postings: Dataset[PostingRow] =
     postingsRaw
-      .select("segmentId", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
       .as[PostingRow]
 
   /** Scoring-only projection: Parquet never reads the positions column. */
   @transient lazy val postingsSlim: Dataset[PostingSlim] =
-    postingsRaw.select("segmentId", "term", "df", "docDeltas", "tfs", "lens")
+    postingsRaw.select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens")
       .as[PostingSlim]
 
   @transient lazy val docs: DataFrame = spark.read.parquet(IndexBuilder.docsPath(indexPath))
 
-  /** Global collection stats; dropDuplicates guards against re-appended stats
-    * from a crash-resumed group (deterministic build => identical values).
+  /** Global collection stats: maxDoc is segment-wide (every field row of a
+    * segment carries it); sumTotalTermFreq is per field (CollectionStatistics
+    * is per field in the reference too — Search/CollectionStatistics.cs:32).
+    * dropDuplicates guards against re-appended stats from a crash-resumed
+    * group (deterministic build => identical values).
     */
-  @transient lazy val (maxDoc: Long, sumTotalTermFreq: Long) = {
-    val st = spark.read.parquet(IndexBuilder.statsPath(indexPath))
-      .dropDuplicates("segmentId")
-      .agg(sum("maxDoc"), sum("sumTotalTermFreq")).as[(Long, Long)].first()
-    st
+  @transient private lazy val statsRows: Array[SegmentStats] =
+    spark.read.parquet(IndexBuilder.statsPath(indexPath))
+      .dropDuplicates("segmentId", "field")
+      .as[SegmentStats].collect()
+
+  @transient lazy val maxDoc: Long =
+    statsRows.filter(_.field == defaultField).map(_.maxDoc).sum
+
+  @transient lazy val fieldSttf: Map[String, Long] =
+    statsRows.groupBy(_.field).map { case (f, rs) => f -> rs.map(_.sumTotalTermFreq).sum }
+
+  def sumTotalTermFreq: Long = fieldSttf.getOrElse(defaultField, 0L)
+
+  /** Norm cache shared by every term of a field (BM25Similarity.cs:235). */
+  @transient private lazy val normCaches =
+    scala.collection.concurrent.TrieMap.empty[String, Array[Float]]
+
+  private[search] def normCache(field: String): Array[Float] =
+    normCaches.getOrElseUpdate(field, {
+      val avgdl = bm25.avgFieldLength(fieldSttf.getOrElse(field, 0L), maxDoc)
+      val c = new Array[Float](256)
+      var j = 0
+      while (j < 256) { c(j) = bm25.k1 * ((1 - bm25.b) + bm25.b * bm25.normTable(j) / avgdl); j += 1 }
+      c
+    })
+
+  private[search] def avgdlDouble(field: String): Double = {
+    val sttf = fieldSttf.getOrElse(field, 0L)
+    if (sttf <= 0) 1d else sttf.toDouble / maxDoc
   }
 
-  /** Norm cache shared by every term of the field (BM25Similarity.cs:235). */
-  @transient private lazy val normCache: Array[Float] = {
-    val avgdl = bm25.avgFieldLength(sumTotalTermFreq, maxDoc)
-    val c = new Array[Float](256)
-    var j = 0
-    while (j < 256) { c(j) = bm25.k1 * ((1 - bm25.b) + bm25.b * bm25.normTable(j) / avgdl); j += 1 }
-    c
-  }
-
-  private def avgdlDouble: Double =
-    if (sumTotalTermFreq <= 0) 1d else sumTotalTermFreq.toDouble / maxDoc
-
-  /** Cross-segment term stats (TermContext.Build analog, Index/TermContext.cs:90):
-    * one tiny pruned aggregate, collected to the driver, folded into constants.
-    */
-  /** Fresh global dictionary (BlockTree/.tip analog) resolved once per
-    * reader; None -> per-query postings-scan fallback. NOT cached: at web
-    * scale the dictionary is hundreds of GB, and every use filters it down
-    * to a handful of terms first (Parquet min/max prunes the scan). */
+  /** Fresh global dictionary (BlockTree/.tip analog, (field, term) keyed)
+    * resolved once per reader; None -> per-query postings-scan fallback. NOT
+    * cached: at web scale the dictionary is hundreds of GB, and every use
+    * filters it down to a handful of terms first (Parquet min/max prunes). */
   @transient lazy val dictTable: Option[DataFrame] =
     graft.build.DictTable.readIfValid(spark, indexPath)
 
-  def termStats(terms: Set[String]): Map[String, (Long, Long)] = {
-    if (terms.isEmpty) Map.empty
-    else dictTable match {
+  /** Cross-segment (field, term) stats (TermContext.Build analog,
+    * Index/TermContext.cs:90): one tiny pruned aggregate, collected to the
+    * driver, folded into constants.
+    */
+  def fieldTermStats(keys: Set[(String, String)]): Map[(String, String), (Long, Long)] = {
+    if (keys.isEmpty) return Map.empty
+    val byField = keys.groupBy(_._1)
+    def pred(src: DataFrame): Column =
+      byField.map { case (f, ks) =>
+        col("field") === f && col("term").isInCollection(ks.map(_._2))
+      }.reduce(_ || _)
+    dictTable match {
       case Some(dict) =>
-        dict.filter(col("term").isInCollection(terms))
-          .select("term", "df", "ttf")
-          .as[(String, Long, Long)].collect()
-          .map { case (t, df, ttf) => t -> (df, ttf) }.toMap
+        dict.filter(pred(dict))
+          .select("field", "term", "df", "ttf")
+          .as[(String, String, Long, Long)].collect()
+          .map { case (f, t, df, ttf) => (f, t) -> (df, ttf) }.toMap
       case None =>
         postingsRaw
-          .select("term", "df", "ttf")
-          .filter(col("term").isInCollection(terms))
-          .groupBy("term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
-          .as[(String, Long, Long)].collect()
-          .map { case (t, df, ttf) => t -> (df, ttf) }.toMap
+          .select("field", "term", "df", "ttf")
+          .filter(pred(postingsRaw))
+          .groupBy("field", "term").agg(sum("df").as("df"), sum("ttf").as("ttf"))
+          .as[(String, String, Long, Long)].collect()
+          .map { case (f, t, df, ttf) => (f, t) -> (df, ttf) }.toMap
     }
   }
+
+  /** Default-field term stats (back-compat convenience). */
+  def termStats(terms: Set[String]): Map[String, (Long, Long)] =
+    fieldTermStats(terms.map(defaultField -> _)).map { case ((_, t), v) => t -> v }
 
   /** Per-posting scorer: (freq, fieldLen) => score, constants folded. freq is
     * Double so sloppy-phrase float frequencies flow through exactly (integer
     * tfs embed losslessly). */
-  private[search] def makeScorer(df: Long, boost: Float, idfSumOverride: Option[Float] = None,
-                         idfSumOverrideD: Option[Double] = None): (Double, Int) => Double = mode match {
+  private[search] def makeScorer(field: String, df: Long, boost: Float,
+                                 idfSumOverride: Option[Float] = None,
+                                 idfSumOverrideD: Option[Double] = None): (Double, Int) => Double = mode match {
     case LuceneFloat =>
       val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
       val w = idf * boost * (bm25.k1 + 1)
-      val cache = normCache
+      val cache = normCache(field)
       (tf: Double, len: Int) => {
         // index-time boost is fixed at 1f (BM25Similarity.EncodeNormValue)
         val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
@@ -129,7 +162,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
       val w = idf * boost * (bm25.k1d + 1)
       val k1 = bm25.k1d
       val b = bm25.bd
-      val avgdl = avgdlDouble
+      val avgdl = avgdlDouble(field)
       (tf: Double, len: Int) => {
         val norm = k1 * ((1 - b) + b * len / avgdl)
         w * tf / (tf + norm)
@@ -143,20 +176,24 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   // ---------------------------------------------------------------- compile
 
+  type FTStats = Map[(String, String), (Long, Long)]
+
   /** Compile to a Dataset[Hit]; every doc appears at most once. */
   def compile(q0: Query): Dataset[Hit] = {
     val q = Query.rewrite(q0)
-    val stats = termStats(Query.literalTerms(q))
-    compileNode(q, stats)
+    val stats = fieldTermStats(Query.fieldTerms(q, defaultField))
+    compileNode(q, stats, defaultField)
   }
 
-  private def compileNode(q: Query, stats: Map[String, (Long, Long)]): Dataset[Hit] = q match {
+  private def compileNode(q: Query, stats: FTStats, field: String): Dataset[Hit] = q match {
+    case FieldQ(f, inner) => compileNode(inner, stats, f)
+
     case TermQ(term, boost) =>
-      stats.get(term) match {
+      stats.get((field, term)) match {
         case None => spark.emptyDataset[Hit]
         case Some((df, _)) =>
-          val scorer = makeScorer(df, boost)
-          postingsSlim.filter(col("term") === term).flatMap { p =>
+          val scorer = makeScorer(field, df, boost)
+          postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
             val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
             val out = new Array[Hit](docIds.length)
             var i = 0
@@ -168,14 +205,16 @@ final class Searcher(spark: SparkSession, indexPath: String,
           }
       }
 
-    case BoolQ(clauses, msm) => compileBool(clauses, msm, stats)
+    case BoolQ(clauses, msm) => compileBool(clauses, msm, stats, field)
 
     case PhraseQ(terms, boost, slop) =>
-      compilePhraseGeneric(terms.map { case (t, o) => (Set(t), o) }, boost, stats, slop)
+      Leapfrog.phraseSlots(this, spark, field,
+        terms.map { case (t, o) => (Set(t), o) }, boost, stats, slop)
 
-    case MultiPhraseQ(slots, boost) => compilePhraseGeneric(slots, boost, stats, 0)
+    case MultiPhraseQ(slots, boost) =>
+      Leapfrog.phraseSlots(this, spark, field, slots, boost, stats, 0)
 
-    case SpanMatchQ(span, boost) => compileSpan(span, boost, stats)
+    case SpanMatchQ(span, boost) => Leapfrog.spanMatch(this, spark, field, span, boost, stats)
 
     case MatchAllQ =>
       docs.select(col("segmentId"), col("docId")).as[(Int, Int)]
@@ -183,18 +222,18 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
     case ConstantScoreQ(inner, boost) =>
       val bd = boost.toDouble
-      compileNode(inner, stats).map(h => Hit(h.segmentId, h.docId, bd))
+      compileNode(inner, stats, field).map(h => Hit(h.segmentId, h.docId, bd))
 
-    case DisMaxQ(cs, tie) => compileDisMax(cs, tie, stats)
+    case DisMaxQ(cs, tie) => compileDisMax(cs, tie, stats, field)
 
-    case PrefixQ(p) => constantScoreOver(col("term").startsWith(p))
+    case PrefixQ(p) => constantScoreOver(col("term").startsWith(p), field)
     case RangeQ(lo, hi, incLo, incHi) =>
       var pred: Column = lit(true)
       if (lo != null) pred = pred && (if (incLo) col("term") >= lo else col("term") > lo)
       if (hi != null) pred = pred && (if (incHi) col("term") <= hi else col("term") < hi)
-      constantScoreOver(pred)
-    case WildcardQ(pat) => constantScoreOver(col("term").rlike("^" + Query.wildcardRegex(pat) + "$"))
-    case FuzzyQ(t, maxEdits) => constantScoreOver(levenshtein(col("term"), lit(t)) <= maxEdits)
+      constantScoreOver(pred, field)
+    case WildcardQ(pat) => constantScoreOver(col("term").rlike("^" + Query.wildcardRegex(pat) + "$"), field)
+    case FuzzyQ(t, maxEdits) => constantScoreOver(levenshtein(col("term"), lit(t)) <= maxEdits, field)
   }
 
   /** Dictionary-expanding queries (MultiTermQuery family, SURVEY.md §2.5):
@@ -202,8 +241,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * lists are decoded to docIds and deduped — the CONSTANT_SCORE_FILTER
     * rewrite (Search/MultiTermQuery.cs:97).
     */
-  private def constantScoreOver(termPred: Column): Dataset[Hit] =
-    postingsSlim.filter(termPred).flatMap { p =>
+  private def constantScoreOver(termPred: Column, field: String): Dataset[Hit] =
+    postingsSlim.filter(col("field") === field && termPred).flatMap { p =>
       val (docIds, _, _) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
       docIds.map(id => (p.segmentId, id))
     }.distinct().map { case (s, d) => Hit(s, d, 1.0d) }
@@ -212,38 +251,46 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * a broadcast semi-join on the rarest MUST clause's doc set. */
   private val SemiJoinPruneDf = 100000L
 
+  /** Resolve a clause to (field, TermQ) through FieldQ wrappers, if it is a
+    * plain (possibly field-bound) term. */
+  private def asFieldTerm(q: Query, field: String): Option[(String, TermQ)] = q match {
+    case t: TermQ => Some((field, t))
+    case FieldQ(f, inner) => asFieldTerm(inner, f)
+    case _ => None
+  }
+
   private def compileBool(clauses: List[(Occur.Value, Query)], msm: Int,
-                          stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+                          stats: FTStats, field: String): Dataset[Hit] = {
     val scoringIdx = clauses.zipWithIndex.filter(_._1._1 != Occur.MustNot)
     if (scoringIdx.isEmpty) return spark.emptyDataset[Hit] // prohibited-only matches nothing
 
-    // Boolean-of-terms: per-segment leapfrog over compressed posting rows —
-    // no shuffle of decoded hits at all (ConjunctionScorer/BS2 analog)
-    if (clauses.forall(_._2.isInstanceOf[TermQ]))
-      return Leapfrog.boolTerms(this, spark,
-        clauses.map { case (o, q) => (o, q.asInstanceOf[TermQ]) }, msm, stats)
+    // Boolean-of-terms (field-bound terms included): per-segment leapfrog
+    // over compressed posting rows — no shuffle of decoded hits at all
+    // (ConjunctionScorer/BS2 analog)
+    val asTerms = clauses.map { case (o, q) => asFieldTerm(q, field).map(ft => (o, ft._1, ft._2)) }
+    if (asTerms.forall(_.isDefined))
+      return Leapfrog.boolTerms(this, spark, asTerms.map(_.get), msm, stats)
 
     // mixed tree with a rare MUST term: every other clause's decoded stream
     // is semi-joined (broadcast, map-side) against the rarest MUST clause's
     // doc set before the union — the shuffle becomes result-bounded instead
     // of max-df-bounded (the left_semi fallback of VERDICT r1 #1)
-    val mustTerms = clauses.filter(_._1 == Occur.Must).map(_._2).collect {
-      case t: TermQ if stats.contains(t.term) => t
-    }
-    val rarest: Option[TermQ] =
+    val mustTerms = clauses.filter(_._1 == Occur.Must).flatMap(c => asFieldTerm(c._2, field))
+      .filter { case (f, t) => stats.contains((f, t.term)) }
+    val rarest: Option[(String, TermQ)] =
       if (mustTerms.isEmpty) None
       else {
-        val r = mustTerms.minBy(t => stats(t.term)._1)
-        if (stats(r.term)._1 <= SemiJoinPruneDf) Some(r) else None
+        val r = mustTerms.minBy { case (f, t) => stats((f, t.term))._1 }
+        if (stats((r._1, r._2.term))._1 <= SemiJoinPruneDf) Some(r) else None
       }
-    val pruneSet = rarest.map(t => broadcast(
-      compileNode(t, stats).select(col("segmentId"), col("docId"))))
+    val pruneSet = rarest.map { case (f, t) =>
+      broadcast(compileNode(t, stats, f).select(col("segmentId"), col("docId")))
+    }
 
     val streams = clauses.zipWithIndex.map { case ((_, cq), i) =>
-      val s0 = compileNode(cq, stats)
+      val s0 = compileNode(cq, stats, field)
       val s = pruneSet match {
-        case Some(p) if !cq.eq(rarest.get) =>
-          s0.join(p, Seq("segmentId", "docId"), "left_semi").as[Hit]
+        case Some(p) => s0.join(p, Seq("segmentId", "docId"), "left_semi").as[Hit]
         case _ => s0
       }
       s.withColumn("clause", lit(i))
@@ -282,9 +329,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
   }
 
   private def compileDisMax(cs: List[Query], tie: Float,
-                            stats: Map[String, (Long, Long)]): Dataset[Hit] = {
+                            stats: FTStats, field: String): Dataset[Hit] = {
     val streams = cs.zipWithIndex.map { case (cq, i) =>
-      compileNode(cq, stats).withColumn("clause", lit(i))
+      compileNode(cq, stats, field).withColumn("clause", lit(i))
     }
     val unioned = streams.reduce(_ unionByName _)
     val aggs = cs.indices.map(i => sum(when(col("clause") === i, col("score"))).as(s"s$i"))
@@ -296,24 +343,6 @@ final class Searcher(spark: SparkSession, indexPath: String,
     g.select(col("segmentId"), col("docId"), score.as("score")).as[Hit]
   }
 
-  /** Span-algebra matching (constant score): leapfrog candidate docs from
-    * the span tree's CNF over-approximation, then exact SpanMatcher
-    * verification over lazily-decoded positions (Leapfrog.spanMatch).
-    */
-  private def compileSpan(span: SpanQ, boost: Float,
-                          stats: Map[String, (Long, Long)]): Dataset[Hit] =
-    Leapfrog.spanMatch(this, spark, span, boost, stats)
-
-  /** Positional leaf shared by PhraseQ (singleton slots) and MultiPhraseQ:
-    * docs are intersected FIRST via per-segment leapfrog, positions decoded
-    * only for survivors (ExactPhraseScorer.cs:26-49 shape;
-    * Leapfrog.phraseSlots). Absent terms contribute idf with df = 0
-    * (TermContext of a missing term).
-    */
-  private def compilePhraseGeneric(slots: List[(Set[String], Int)], boost: Float,
-                                   stats: Map[String, (Long, Long)], slop: Int): Dataset[Hit] =
-    Leapfrog.phraseSlots(this, spark, slots, boost, stats, slop)
-
   // ---------------------------------------------------------------- serve
 
   /** Top-k search returning (url, score, segmentId, docId), rank order.
@@ -324,7 +353,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   def search(q: Query, k: Int): DataFrame = {
     (mode, wandOrTerms(q)) match {
-      case (LuceneFloat, Some(terms)) => Wand.searchOr(this, spark, indexPath, terms, k)
+      case (LuceneFloat, Some((f, terms))) => Wand.searchOr(this, spark, indexPath, f, terms, k)
       case _ => searchPlan(q, k)
     }
   }
@@ -359,8 +388,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
   def count(q: Query): Long = compile(q).count()
 
   /** Decoded postings of one term joined to doc keys: (url, tf, fieldLen). */
-  def termPostings(term: String): DataFrame = {
-    val stream = postingsSlim.filter(col("term") === term).flatMap { p =>
+  def termPostings(term: String, field: String = defaultField): DataFrame = {
+    val stream = postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
       val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
       (0 until docIds.length).map(i => (p.segmentId, docIds(i), tfs(i), lens(i)))
     }.toDF("segmentId", "docId", "tf", "fieldLen")
@@ -368,10 +397,13 @@ final class Searcher(spark: SparkSession, indexPath: String,
       .select("url", "tf", "fieldLen")
   }
 
-  /** Term dictionary with global stats: (term, df, ttf). */
-  def dictionary(): DataFrame = dictTable.getOrElse(
-    postingsRaw
-      .groupBy("term").agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf")))
+  /** Term dictionary of one field with global stats: (term, df, ttf). */
+  def dictionary(field: String = defaultField): DataFrame = dictTable match {
+    case Some(dict) => dict.filter(col("field") === field).select("term", "df", "ttf")
+    case None =>
+      postingsRaw.filter(col("field") === field)
+        .groupBy("term").agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
+  }
 
   /** Parse with the same analyzer and search (QueryParser path, SURVEY.md §3.3). */
   def searchText(queryText: String, k: Int): DataFrame =
@@ -383,20 +415,25 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   def searchWand(q: Query, k: Int): DataFrame =
     (mode, wandOrTerms(q)) match {
-      case (LuceneFloat, Some(terms)) => Wand.searchOr(this, spark, indexPath, terms, k)
+      case (LuceneFloat, Some((f, terms))) => Wand.searchOr(this, spark, indexPath, f, terms, k)
       case _ => searchPlan(q, k)
     }
 
-  private def wandOrTerms(q0: Query): Option[List[String]] = Query.rewrite(q0) match {
-    case TermQ(t, b) if b == 1f => Some(List(t))
-    case BoolQ(cs, msm) if msm <= 1 && cs.nonEmpty &&
-        cs.forall { case (o, c) => o == Occur.Should && c.isInstanceOf[TermQ] &&
-          c.asInstanceOf[TermQ].boost == 1f } =>
-      val ts = cs.map(_._2.asInstanceOf[TermQ].term)
-      // duplicate clauses fold into `weight * n` in WAND, which is float-
-      // identical to the plan path's clause-ordered chain only when n is a
-      // power of two — route duplicates through the plan path instead
-      if (ts.distinct.size == ts.size) Some(ts) else None
-    case _ => None
+  /** Single-field pure disjunction of unboosted terms -> WAND-eligible. */
+  private def wandOrTerms(q0: Query): Option[(String, List[String])] = {
+    def go(q: Query, f: String): Option[(String, List[String])] = q match {
+      case FieldQ(f2, inner) => go(inner, f2)
+      case TermQ(t, b) if b == 1f => Some((f, List(t)))
+      case BoolQ(cs, msm) if msm <= 1 && cs.nonEmpty &&
+          cs.forall { case (o, c) => o == Occur.Should && c.isInstanceOf[TermQ] &&
+            c.asInstanceOf[TermQ].boost == 1f } =>
+        val ts = cs.map(_._2.asInstanceOf[TermQ].term)
+        // duplicate clauses fold into `weight * n` in WAND, which is float-
+        // identical to the plan path's clause-ordered chain only when n is a
+        // power of two — route duplicates through the plan path instead
+        if (ts.distinct.size == ts.size) Some((f, ts)) else None
+      case _ => None
+    }
+    go(Query.rewrite(q0), defaultField)
   }
 }

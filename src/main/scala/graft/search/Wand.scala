@@ -31,7 +31,7 @@ object Wand {
     * block-max check, and forward `advance` with block skipping.
     */
   /** Posting row projection for WAND: skips but no positions. */
-  final case class WandRow(segmentId: Int, term: String, df: Int,
+  final case class WandRow(segmentId: Int, field: String, term: String, df: Int,
                           docDeltas: Array[Byte], tfs: Array[Byte], lens: Array[Byte],
                           skips: Array[SkipRow])
 
@@ -163,9 +163,10 @@ object Wand {
     * into the clause weight — numerically identical to summed clauses).
     */
   def searchOr(searcher: Searcher, spark: SparkSession, indexPath: String,
-               terms: List[String], k: Int): DataFrame = {
+               field: String, terms: List[String], k: Int): DataFrame = {
     import spark.implicits._
-    val stats = searcher.termStats(terms.toSet)
+    val statsFT = searcher.fieldTermStats(terms.toSet.map((t: String) => (field, t)))
+    val stats: Map[String, (Long, Long)] = statsFT.map { case ((_, t), v) => t -> v }
     val present = terms.filter(stats.contains)
     if (present.isEmpty) {
       return spark.createDataset(Seq.empty[(String, Double, Int, Int)])
@@ -173,7 +174,7 @@ object Wand {
     }
     val bm25 = searcher.bm25
     val maxDoc = searcher.maxDoc
-    val sttf = searcher.sumTotalTermFreq
+    val sttf = searcher.fieldSttf.getOrElse(field, 0L)
     val weights: Map[String, Float] = present.groupBy(identity).map { case (t, dup) =>
       t -> (bm25.idf(stats(t)._1, maxDoc) * (bm25.k1 + 1) * dup.size)
     }
@@ -192,8 +193,8 @@ object Wand {
     val orderB = spark.sparkContext.broadcast(termOrder)
 
     val partials = searcher.postingsRaw
-      .filter(col("term").isInCollection(weights.keySet))
-      .select("segmentId", "term", "df", "docDeltas", "tfs", "lens", "skips")
+      .filter(col("field") === field && col("term").isInCollection(weights.keySet))
+      .select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens", "skips")
       .as[WandRow]
       .repartition(col("segmentId"))
       .mapPartitions { rows =>

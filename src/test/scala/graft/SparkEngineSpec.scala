@@ -149,11 +149,13 @@ class SparkEngineSpec extends AnyFunSuite {
     val q4 = QueryParser.parse("\"quick brown\"~2", StandardAnalyzer)
     assert(q4 == PhraseQ(List("quick" -> 0, "brown" -> 1), slop = 2))
     checkIdentical(q4, 15)
-    // field prefixes map onto the single text field; URLs are untouched
-    assert(QueryParser.parse(s"title:$freq", StandardAnalyzer) == TermQ(freq))
-    assert(QueryParser.parse(s"body:\"quick brown\"", StandardAnalyzer) ==
-      PhraseQ(List("quick" -> 0, "brown" -> 1)))
+    // field prefixes bind the clause's field (FieldQ); URLs are untouched
+    assert(QueryParser.parse(s"title:$freq", StandardAnalyzer) == FieldQ("title", TermQ(freq)))
     assert(QueryParser.parse("wiki.apache.org", StandardAnalyzer) == TermQ("wiki.apache.org"))
+    // a field absent from the index matches nothing (Term.cs (field, term))
+    assert(sparkHits(idx1, FieldQ("nosuchfield", TermQ(freq)), 5).isEmpty)
+    // default-field binding is the identity
+    assert(sparkHits(idx1, FieldQ("text", TermQ(freq)), 10) == sparkHits(idx1, TermQ(freq), 10))
   }
 
   test("sloppy phrase matcher: reference golden example") {
