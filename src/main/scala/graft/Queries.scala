@@ -152,6 +152,16 @@ object Queries {
       idsOf(se, QueryParser.parse("source:src3 AND stream", se.analyzer))
     }),
 
+    // --- deletes (IndexWriter.DeleteDocuments / live-docs overlay): matches
+    //     vanish immediately; BM25 stats stay un-decremented until merge
+    "q_deleted" -> ((s, dir) => idsOf(IndexCache.deletedSearcher(s, dir), TermQ("data"))),
+    "q_deleted_topk" -> ((s, dir) =>
+      ranked(IndexCache.deletedSearcher(s, dir).search(TermQ("data"), 10))),
+    "q_deleted_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq(IndexCache.deletedSearcher(s, dir).count(MatchAllQ)).toDF("cnt")
+    }),
+
     // --- spell suggestion (DirectSpellChecker analog over the dictionary)
     "q_spell" -> ((s, dir) =>
       Spell.suggest(searcher(s, dir).dictionary(), "strema", 2, 5)),
@@ -370,6 +380,23 @@ object Queries {
     "q_field_parsed" ->
       s"""$P SELECT DISTINCT doc_id FROM tf JOIN documents USING (doc_id)
          |WHERE term = 'stream' AND source = 'src3' ORDER BY doc_id""".stripMargin,
+
+    "q_deleted" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf WHERE term = 'data'
+         |AND doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src1')
+         |ORDER BY doc_id""".stripMargin,
+
+    // NOTE: scores use the FULL corpus statistics (deletes do not decrement
+    // df/maxDoc/avgdl until merged away) — only the result set shrinks
+    "q_deleted_topk" ->
+      s"""$P, ${scoreCte("a", "data")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM scores_a
+         |WHERE doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src1')
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_deleted_count" ->
+      """SELECT count(*) AS cnt FROM documents WHERE source <> 'src1'""",
 
     "q_spell" ->
       s"""$P, d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)

@@ -65,6 +65,27 @@ object IndexCache {
     new Searcher(spark, path, mode = ExactDouble)
   })
 
+  /** Index with live deletes applied (urls of source='src1' docs), for the
+    * delete-semantics entries: matches vanish, stats stay un-decremented
+    * until merge (IndexWriter.DeleteDocuments / FixedBitSet live docs).
+    */
+  def deletedSearcher(spark: SparkSession, sfDir: String): Searcher = dcache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_del"
+    val done = IndexBuilder.completedSegments(spark, path)
+    if (done.isEmpty) {
+      IndexBuilder.build(spark, pagesFromDocuments(spark, sfDir), path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "simple"))
+    }
+    if (!graft.build.Deletes.exists(spark, path)) {
+      val urls = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("source") === "src1")
+        .select(format_string("doc%09d", col("doc_id")).as("url"))
+      graft.build.Deletes.deleteUrls(spark, path, urls)
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val dcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** Multi-field index (text + keyword-indexed source/lang StringFields) for
     * the field-qualified query entries (Index/Term.cs (field, term) keys).
     */

@@ -40,6 +40,7 @@ object DictTable {
       .groupBy("field", "term")
       .agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
       .write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
+    spark.catalog.refreshByPath(dictPath(indexPath))
     writeMarker(spark, indexPath, sig)
   }
 

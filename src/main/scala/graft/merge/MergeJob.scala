@@ -54,15 +54,34 @@ object MergeJob {
     // segment-wide maxDoc from the default field's rows (present per segment)
     val stats = statsAll.filter(_.field == IndexBuilder.DefaultField)
       .map(s => s.segmentId -> s).toMap
+
+    // deleted docs of the source segments are PURGED here (docIds compact,
+    // stats recomputed) — Lucene's merge applies live docs and remaps via
+    // MergeDocIDRemapper, Index/SegmentMerger.cs:89
+    val deleted: Map[Int, Array[Int]] =
+      graft.build.Deletes.deletedDocIds(spark, indexPath)
+        .filter { case (s, _) => srcSorted.contains(s) }
     val bases: Map[Int, Int] = {
       var acc = 0
       srcSorted.map { s =>
         val b = s -> acc
-        acc += stats(s).maxDoc.toInt
+        acc += stats(s).maxDoc.toInt - deleted.get(s).map(_.length).getOrElse(0)
         b
       }.toMap
     }
     val basesB = spark.sparkContext.broadcast(bases)
+    val deletedB = spark.sparkContext.broadcast(deleted)
+
+    // live docId -> compacted merged docId; -1 for deleted
+    val remapFn: (Int, Int) => Int = (seg: Int, docId: Int) => {
+      val del = deletedB.value.getOrElse(seg, Array.empty[Int])
+      if (del.isEmpty) basesB.value(seg) + docId
+      else {
+        val idx = java.util.Arrays.binarySearch(del, docId)
+        if (idx >= 0) -1
+        else basesB.value(seg) + docId - (-idx - 1) // minus #deleted below
+      }
+    }
 
     val staging = s"$indexPath/.staging/merge_$target"
 
@@ -70,21 +89,27 @@ object MergeJob {
     spark.read.parquet(IndexBuilder.docsPath(indexPath))
       .filter(col("segmentId").isInCollection(srcSorted))
       .as[DocRow]
-      .map(d => (d.docId + basesB.value(d.segmentId), d.url, d.fieldLen, d.normByte))
+      .flatMap { d =>
+        val nid = remapFn(d.segmentId, d.docId)
+        if (nid < 0) None else Some((nid, d.url, d.fieldLen, d.normByte))
+      }
       .toDF("docId", "url", "fieldLen", "normByte")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
 
-    // ---- postings phase 1: narrow rebase + piece tagging
+    // ---- postings phase 1: narrow rebase (+ purge) + piece tagging
     val pieces: Dataset[PieceRow] = spark.read
       .parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(srcSorted))
       .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
       .as[PostingRow]
-      .map { p =>
-        val base = basesB.value(p.segmentId)
-        val (e, firstDoc) = reencode(p.df, p.docDeltas, p.tfs, p.positions, p.lens, base)
-        PieceRow(p.field, p.term, p.segmentId, firstDoc, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
-          e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
+      .flatMap { p =>
+        val seg = p.segmentId
+        val (e, firstDoc) = reencode(p.df, p.docDeltas, p.tfs, p.positions, p.lens,
+          (d: Int) => remapFn(seg, d))
+        if (e.df == 0) None // every doc of this piece was deleted
+        else Some(PieceRow(p.field, p.term, p.segmentId, firstDoc, e.df, e.ttf,
+          e.docDeltas, e.tfs, e.positions, e.lens,
+          e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen))))
       }
 
     // ---- phase 2: shuffle compressed pieces by (field, term), stitch per key
@@ -156,20 +181,31 @@ object MergeJob {
     }
     swapIn(IndexBuilder.docsPath(indexPath), s"$staging/docs")
     swapIn(IndexBuilder.postingsPath(indexPath), s"$staging/postings")
+    // fs-level renames bypass DataFrameWriter's automatic cache refresh:
+    // evict stale file listings for the swapped paths
+    spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
+    spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
 
-    // ---- stats rewrite (small table, per (segment, field))
-    val newDocFreqRows: Map[String, Long] = spark.read
+    // ---- stats rewrite (small table, per (segment, field)): recomputed from
+    // the merged segment's own data, so purged deletes decrement maxDoc/
+    // sumTotalTermFreq exactly as a reference merge does
+    val postStats: Map[String, (Long, Long)] = spark.read
       .parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId") === target)
-      .groupBy("field").count()
-      .as[(String, Long)].collect().toMap
-    val mergedMaxDoc = srcSorted.map(stats(_).maxDoc).sum
+      .groupBy("field").agg(count(lit(1)).as("rows"), sum("ttf").as("sttf"))
+      .as[(String, Long, Long)].collect()
+      .map { case (f, r, s) => f -> (r, s) }.toMap
+    val (mergedMaxDoc, mergedDefaultSttf) = spark.read
+      .parquet(IndexBuilder.docsPath(indexPath))
+      .filter(col("segmentId") === target)
+      .agg(count(lit(1)), coalesce(sum("fieldLen"), lit(0L)))
+      .as[(Long, Long)].first()
     val srcFields = statsAll.filter(s => srcSorted.contains(s.segmentId)).map(_.field).distinct
     val mergedStats = srcFields.map { f =>
+      val (rows, sttf) = postStats.getOrElse(f, (0L, 0L))
       SegmentStats(target, f, mergedMaxDoc,
-        statsAll.filter(s => srcSorted.contains(s.segmentId) && s.field == f)
-          .map(_.sumTotalTermFreq).sum,
-        newDocFreqRows.getOrElse(f, 0L))
+        if (f == IndexBuilder.DefaultField) mergedDefaultSttf else sttf,
+        rows)
     }
     val newStats = statsAll.filterNot(s => srcSorted.contains(s.segmentId)) ++ mergedStats
     val statsTmp = s"$indexPath/.staging/stats_new"
@@ -178,12 +214,20 @@ object MergeJob {
     val statsDst = new Path(IndexBuilder.statsPath(indexPath))
     fs.delete(statsDst, true)
     require(fs.rename(new Path(statsTmp), statsDst), "stats swap failed")
+    spark.catalog.refreshByPath(IndexBuilder.statsPath(indexPath))
 
-    // global df/ttf are invariant under merge: if the dictionary was fresh
-    // before, re-stamp it for the post-merge segment set
-    if (dictWasValid) {
+    // drop delete markers whose docs were just purged (liveDocs lifecycle)
+    if (deleted.nonEmpty) graft.build.Deletes.pruneApplied(spark, indexPath)
+
+    // global df/ttf are invariant under merge WHEN nothing was purged: if the
+    // dictionary was fresh before, re-stamp it; a purging merge changes df,
+    // so the dictionary goes stale and readers fall back to postings scans
+    // until the next refresh
+    if (dictWasValid && deleted.isEmpty) {
       graft.build.DictTable.writeMarker(spark, indexPath,
         graft.build.DictTable.segsSignature(spark, indexPath))
+    } else if (deleted.nonEmpty && dictWasValid) {
+      graft.build.DictTable.write(spark, indexPath)
     }
 
     target
@@ -191,16 +235,21 @@ object MergeJob {
 
   private def reencode(df: Int, docDeltas: Array[Byte], tfs: Array[Byte],
                        positions: Array[Byte], lens: Array[Byte],
-                       base: Int): (graft.codec.EncodedPostings, Int) = {
+                       remap: Int => Int): (graft.codec.EncodedPostings, Int) = {
     val d = PostingsCodec.decode(df, docDeltas, tfs, positions, lens)
     val enc = new PostingsCodec.Encoder
+    var first = -1
     var i = 0
     while (i < d.docIds.length) {
-      val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
-      enc.add(d.docIds(i) + base, d.tfs(i), ps, d.lens(i))
+      val nid = remap(d.docIds(i))
+      if (nid >= 0) { // deleted docs (-1) purge here
+        val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
+        enc.add(nid, d.tfs(i), ps, d.lens(i))
+        if (first < 0) first = nid
+      }
       i += 1
     }
-    (enc.finish(), if (d.docIds.isEmpty) 0 else d.docIds(0) + base)
+    (enc.finish(), math.max(first, 0))
   }
 
   /** Run tiered merge rounds until the policy is satisfied. Returns the

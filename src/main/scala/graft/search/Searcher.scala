@@ -102,6 +102,29 @@ final class Searcher(spark: SparkSession, indexPath: String,
     if (sttf <= 0) 1d else sttf.toDouble / maxDoc
   }
 
+  /** Per-segment deleted docIds (inverted live-docs, Util/FixedBitSet.cs:35
+    * analog): resolved once per reader, broadcast into every scorer path.
+    * Reference semantics: deleted docs vanish from all matches immediately;
+    * collection stats stay un-decremented until a merge purges them.
+    */
+  @transient lazy val deletedDocs: Map[Int, Array[Int]] =
+    graft.build.Deletes.deletedDocIds(spark, indexPath)
+
+  @transient private lazy val deletedB =
+    spark.sparkContext.broadcast(deletedDocs)
+
+  private def applyLiveDocs(ds: Dataset[Hit]): Dataset[Hit] =
+    if (deletedDocs.isEmpty) ds
+    else {
+      val b = deletedB
+      ds.filter { h =>
+        b.value.get(h.segmentId) match {
+          case Some(a) => java.util.Arrays.binarySearch(a, h.docId) < 0
+          case None => true
+        }
+      }
+    }
+
   /** Fresh global dictionary (BlockTree/.tip analog, (field, term) keyed)
     * resolved once per reader; None -> per-query postings-scan fallback. NOT
     * cached: at web scale the dictionary is hundreds of GB, and every use
@@ -178,11 +201,14 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   type FTStats = Map[(String, String), (Long, Long)]
 
-  /** Compile to a Dataset[Hit]; every doc appears at most once. */
+  /** Compile to a Dataset[Hit]; every doc appears at most once. Live docs
+    * (deletes overlay) are applied to the final stream — equivalent to the
+    * reference's per-scorer acceptDocs since deletions are doc-local.
+    */
   def compile(q0: Query): Dataset[Hit] = {
     val q = Query.rewrite(q0)
     val stats = fieldTermStats(Query.fieldTerms(q, defaultField))
-    compileNode(q, stats, defaultField)
+    applyLiveDocs(compileNode(q, stats, defaultField))
   }
 
   private def compileNode(q: Query, stats: FTStats, field: String): Dataset[Hit] = q match {
@@ -387,11 +413,17 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   def count(q: Query): Long = compile(q).count()
 
-  /** Decoded postings of one term joined to doc keys: (url, tf, fieldLen). */
+  /** Decoded postings of one term joined to doc keys: (url, tf, fieldLen);
+    * deleted docs excluded (TermDocs honors liveDocs). */
   def termPostings(term: String, field: String = defaultField): DataFrame = {
+    val b = deletedB
+    val hasDeletes = deletedDocs.nonEmpty
     val stream = postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
       val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
-      (0 until docIds.length).map(i => (p.segmentId, docIds(i), tfs(i), lens(i)))
+      val del = if (hasDeletes) b.value.getOrElse(p.segmentId, Array.empty[Int]) else Array.empty[Int]
+      (0 until docIds.length)
+        .filter(i => del.isEmpty || java.util.Arrays.binarySearch(del, docIds(i)) < 0)
+        .map(i => (p.segmentId, docIds(i), tfs(i), lens(i)))
     }.toDF("segmentId", "docId", "tf", "fieldLen")
     stream.join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
       .select("url", "tf", "fieldLen")

@@ -98,9 +98,14 @@ object Wand {
   private def heapComparator: java.util.Comparator[WandHit] =
     (x: WandHit, y: WandHit) => if (better(x, y)) 1 else if (better(y, x)) -1 else 0
 
-  /** Run BMW over one segment's term cursors, updating the shared heap. */
+  /** Run BMW over one segment's term cursors, updating the shared heap.
+    * `deleted` = sorted deleted docIds of THIS segment (liveDocs overlay) —
+    * checked before a hit can enter the heap, like every reference scorer
+    * consults acceptDocs.
+    */
   private def wandSegment(segmentId: Int, cursors: Array[TermCursor], k: Int,
-                          heap: java.util.PriorityQueue[WandHit]): Unit = {
+                          heap: java.util.PriorityQueue[WandHit],
+                          deleted: Array[Int] = Array.empty): Unit = {
     cursors.foreach(_.next())
     def theta: Float = if (heap.size < k) Float.NegativeInfinity else heap.peek().score
 
@@ -144,11 +149,14 @@ object Wand {
           j = 0
           while (j <= pivotIdx) { active(j).advance(target); j += 1 }
         } else {
-          var s = 0f
-          cursors.foreach { c => if (!c.exhausted && c.doc == pivotDoc) s += c.score }
-          val hit = WandHit(segmentId, pivotDoc, s)
-          if (heap.size < k) heap.add(hit)
-          else if (better(hit, heap.peek())) { heap.poll(); heap.add(hit) }
+          val live = deleted.isEmpty || java.util.Arrays.binarySearch(deleted, pivotDoc) < 0
+          if (live) {
+            var s = 0f
+            cursors.foreach { c => if (!c.exhausted && c.doc == pivotDoc) s += c.score }
+            val hit = WandHit(segmentId, pivotDoc, s)
+            if (heap.size < k) heap.add(hit)
+            else if (better(hit, heap.peek())) { heap.poll(); heap.add(hit) }
+          }
           cursors.foreach { c => if (!c.exhausted && c.doc == pivotDoc) c.advance(pivotDoc + 1) }
         }
       } else {
@@ -191,6 +199,7 @@ object Wand {
     val weightsB = spark.sparkContext.broadcast(weights)
     val cacheB = spark.sparkContext.broadcast(cache)
     val orderB = spark.sparkContext.broadcast(termOrder)
+    val deletedB = spark.sparkContext.broadcast(searcher.deletedDocs)
 
     val partials = searcher.postingsRaw
       .filter(col("field") === field && col("term").isInCollection(weights.keySet))
@@ -203,7 +212,8 @@ object Wand {
         bySeg.toSeq.sortBy(_._1).foreach { case (seg, ps) =>
           val cursors = ps.sortBy(p => orderB.value(p.term))
             .map(p => new TermCursor(p, weightsB.value(p.term), cacheB.value))
-          wandSegment(seg, cursors, k, heap)
+          wandSegment(seg, cursors, k, heap,
+            deletedB.value.getOrElse(seg, Array.empty[Int]))
         }
         heap.iterator().asScala
       }
