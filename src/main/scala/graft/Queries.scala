@@ -103,7 +103,12 @@ object Queries {
     "q_range" -> ((s, dir) => idsOf(searcher(s, dir),
       RangeQ("query", "sort", includeLo = true, includeHi = false))),
     "q_wildcard" -> ((s, dir) => idsOf(searcher(s, dir), WildcardQ("s?a*"))),
+    "q_regexp" -> ((s, dir) => idsOf(searcher(s, dir), RegexpQ("st[aeiou]+.*"))),
     "q_fuzzy" -> ((s, dir) => idsOf(searcher(s, dir), FuzzyQ("joins", 1))),
+    // the reference FuzzyQuery default: scored top-terms rewrite with
+    // boost = 1 - ed/min(len), maxExpansions cap, term-ordered clauses
+    "q_fuzzy_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
+      FuzzyTopQ("joins", 1, 50), 10))),
 
     // --- dictionary & stats (HighFreqTerms, CollectionStatistics)
     "q_dict" -> ((s, dir) => {
@@ -324,6 +329,31 @@ object Queries {
     "q_fuzzy" ->
       s"""$P SELECT DISTINCT doc_id FROM tf
          |WHERE levenshtein(term, 'joins') <= 1 ORDER BY doc_id""".stripMargin,
+
+    "q_regexp" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE regexp_matches(term, '^st[aeiou]+.*$$') ORDER BY doc_id""".stripMargin,
+
+    "q_fuzzy_topk" ->
+      s"""$P, cands AS (
+         |  SELECT term, df, levenshtein(term, 'joins') AS ed FROM dfs
+         |  WHERE levenshtein(term, 'joins') <= 1),
+         |boosted AS (
+         |  SELECT term, df,
+         |    CASE WHEN ed = 0 THEN CAST(1.0 AS FLOAT)
+         |         ELSE CAST(1.0 - (CAST(ed AS FLOAT) / CAST(least(length(term), 5) AS FLOAT)) AS FLOAT)
+         |    END AS boost
+         |  FROM cands
+         |  WHERE ed = 0 OR CAST(1.0 - (CAST(ed AS FLOAT) / CAST(least(length(term), 5) AS FLOAT)) AS FLOAT) > 0),
+         |top AS (SELECT term, df, boost FROM boosted ORDER BY boost DESC, term ASC LIMIT 50),
+         |cl AS (
+         |  SELECT tf.doc_id, t.term,
+         |    ((ln(1 + ((c.n - t.df) + 0.5) / (t.df + 0.5)) * t.boost) * (1.2 + 1)) * tf.tf /
+         |    (tf.tf + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n)))) AS s
+         |  FROM top t JOIN tf ON tf.term = t.term JOIN dl USING (doc_id) CROSS JOIN consts c),
+         |agg AS (SELECT doc_id, sum(s ORDER BY term) AS s FROM cl GROUP BY doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM agg ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_dict" ->
       s"""$P SELECT term, df, CAST(sum_tf AS BIGINT) AS ttf FROM (

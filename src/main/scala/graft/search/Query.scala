@@ -44,8 +44,23 @@ final case class PrefixQ(prefix: String) extends Query
 final case class RangeQ(lo: String, hi: String, includeLo: Boolean = true, includeHi: Boolean = true) extends Query
 /** Wildcard with * (any run) and ? (one char), WildcardQuery.cs. */
 final case class WildcardQ(pattern: String) extends Query
-/** Terms within Levenshtein distance maxEdits (FuzzyQuery.cs:57-85). */
+/** Regular-expression dictionary scan (RegexpQuery.cs; matching is anchored
+  * over the whole term exactly like the reference's automaton intersection —
+  * dialect here is Java/Spark rlike rather than Lucene's RegExp class). */
+final case class RegexpQ(pattern: String) extends Query
+/** Terms within Levenshtein distance maxEdits, CONSTANT_SCORE_FILTER rewrite
+  * (doc-set semantics; FuzzyQuery.cs:57-85 with a filter rewrite). */
 final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
+/** The reference FuzzyQuery's DEFAULT behavior: top-`maxExpansions` expanded
+  * terms by boost = 1 - ed/min(|cand|, |term|) (exact match -> 1), planned as
+  * a scored SHOULD-disjunction of boosted term queries in term order —
+  * TopTermsScoringBooleanQueryRewrite (FuzzyQuery.cs:106,
+  * FuzzyTermsEnum.cs:440-460 raw-edits path with minSimilarity=0 scale=1,
+  * TopTermsRewrite.cs:72-87 PQ by (boost, then smaller-term-wins) + final
+  * term-order clause assembly).
+  */
+final case class FuzzyTopQ(term: String, maxEdits: Int = 2, maxExpansions: Int = 50,
+                           boost: Float = 1f) extends Query
 case object MatchAllQ extends Query
 final case class ConstantScoreQ(inner: Query, boost: Float = 1f) extends Query
 /** score = max + tieBreaker * (sum - max), DisjunctionMaxQuery.cs:46,113. */

@@ -259,19 +259,82 @@ final class Searcher(spark: SparkSession, indexPath: String,
       if (hi != null) pred = pred && (if (incHi) col("term") <= hi else col("term") < hi)
       constantScoreOver(pred, field)
     case WildcardQ(pat) => constantScoreOver(col("term").rlike("^" + Query.wildcardRegex(pat) + "$"), field)
+    case RegexpQ(re) => constantScoreOver(col("term").rlike("^" + re + "$"), field)
     case FuzzyQ(t, maxEdits) => constantScoreOver(levenshtein(col("term"), lit(t)) <= maxEdits, field)
+
+    case FuzzyTopQ(t, maxEdits, maxExpansions, boost) =>
+      val expanded = fuzzyExpand(field, t, maxEdits, maxExpansions)
+      if (expanded.isEmpty) spark.emptyDataset[Hit]
+      else {
+        // plan as a scored SHOULD-disjunction in term order, clause boost =
+        // query boost * expansion boost (TopTermsRewrite.AddClause)
+        val clauses = expanded.map { case (term, _, b) =>
+          Occur.Should -> (TermQ(term, boost * b): Query)
+        }.toList
+        val expStats: FTStats = expanded.map { case (term, df, _) =>
+          (field, term) -> (df, 0L)
+        }.toMap
+        compileNode(BoolQ(clauses), stats ++ expStats, field)
+      }
   }
 
-  /** Dictionary-expanding queries (MultiTermQuery family, SURVEY.md §2.5):
-    * the term dictionary scan is a pruned Parquet predicate; matching posting
-    * lists are decoded to docIds and deduped — the CONSTANT_SCORE_FILTER
-    * rewrite (Search/MultiTermQuery.cs:97).
+  /** Dictionary expansion for FuzzyTopQ: (term, df, boost) sorted in term
+    * order, top-maxExpansions by (boost desc, term asc) — the
+    * FuzzyTermsEnum boost (raw-edits: similarity with minSim=0, scale=1) +
+    * TopTermsRewrite PQ selection.
     */
-  private def constantScoreOver(termPred: Column, field: String): Dataset[Hit] =
-    postingsSlim.filter(col("field") === field && termPred).flatMap { p =>
+  private def fuzzyExpand(field: String, term: String, maxEdits: Int,
+                          maxExpansions: Int): Array[(String, Long, Float)] = {
+    val qLen = term.codePointCount(0, term.length)
+    val cands = dictionary(field)
+      .withColumn("ed", levenshtein(col("term"), lit(term)))
+      .filter(col("ed") <= maxEdits)
+      .select("term", "df", "ed").as[(String, Long, Int)].collect()
+    val boosted = cands.flatMap { case (t, df, ed) =>
+      if (ed == 0) Some((t, df, 1f))
+      else {
+        val cLen = t.codePointCount(0, t.length)
+        val sim = 1f - ed.toFloat / math.min(cLen, qLen).toFloat
+        if (sim > 0f) Some((t, df, sim)) else None // minSimilarity = 0 bound
+      }
+    }
+    boosted.sortBy { case (t, _, b) => (-b, t) }
+      .take(math.min(maxExpansions, Query.MaxClauseCount))
+      .sortBy(_._1) // final clause assembly is in term order
+  }
+
+  /** Term-count budget for the dictionary-first constant-score plan — the
+    * ConstantScoreAutoRewrite cutover (Search/ConstantScoreAutoRewrite.cs:
+    * term-count budget; larger expansions fall back to the full predicate
+    * scan over postings). */
+  private val ConstantScoreTermBudget = 4096
+
+  /** Dictionary-expanding queries (MultiTermQuery family, SURVEY.md §2.5),
+    * CONSTANT_SCORE_FILTER rewrite (Search/MultiTermQuery.cs:97). Expansion
+    * runs against the dictionary table first (~1000x smaller than postings);
+    * the matched terms then hit postings as an in-list (Parquet min/max
+    * prunable). Expansions above the budget — or a stale dictionary — fall
+    * back to the predicate scan over postings metadata.
+    */
+  private def constantScoreOver(termPred: Column, field: String): Dataset[Hit] = {
+    val expanded: Option[Array[String]] = dictTable.flatMap { dict =>
+      val terms = dict.filter(col("field") === field && termPred)
+        .select("term").limit(ConstantScoreTermBudget + 1)
+        .as[String].collect()
+      if (terms.length <= ConstantScoreTermBudget) Some(terms) else None
+    }
+    val rows = expanded match {
+      case Some(terms) if terms.isEmpty => return spark.emptyDataset[Hit]
+      case Some(terms) =>
+        postingsSlim.filter(col("field") === field && col("term").isInCollection(terms))
+      case None =>
+        postingsSlim.filter(col("field") === field && termPred)
+    }
+    rows.flatMap { p =>
       val (docIds, _, _) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
       docIds.map(id => (p.segmentId, id))
     }.distinct().map { case (s, d) => Hit(s, d, 1.0d) }
+  }
 
   /** MUST-term df under which the other clause streams are pruned map-side by
     * a broadcast semi-join on the rarest MUST clause's doc set. */
