@@ -157,6 +157,11 @@ object Queries {
       idsOf(se, QueryParser.parse("source:src3 AND stream", se.analyzer))
     }),
 
+    // --- TFIDF/DefaultSimilarity (the reference engine default): coord *
+    //     queryNorm * sum(sqrt(tf) * idf^2 * norm), per-doc coord factor
+    "q_tfidf_topk" -> ((s, dir) => ranked(IndexCache.tfidfSearcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+
     // --- deletes (IndexWriter.DeleteDocuments / live-docs overlay): matches
     //     vanish immediately; BM25 stats stay un-decremented until merge
     "q_deleted" -> ((s, dir) => idsOf(IndexCache.deletedSearcher(s, dir), TermQ("data"))),
@@ -410,6 +415,26 @@ object Queries {
     "q_field_parsed" ->
       s"""$P SELECT DISTINCT doc_id FROM tf JOIN documents USING (doc_id)
          |WHERE term = 'stream' AND source = 'src3' ORDER BY doc_id""".stripMargin,
+
+    "q_tfidf_topk" ->
+      s"""$P, iv AS (SELECT ln(c.n / CAST(d.df + 1 AS DOUBLE)) + 1.0 AS idf
+         |  FROM dfs d CROSS JOIN consts c WHERE d.term = 'vector'),
+         |iw AS (SELECT ln(c.n / CAST(d.df + 1 AS DOUBLE)) + 1.0 AS idf
+         |  FROM dfs d CROSS JOIN consts c WHERE d.term = 'stream'),
+         |qn AS (SELECT 1.0 / sqrt(iv.idf * iv.idf + iw.idf * iw.idf) AS v FROM iv, iw),
+         |sa AS (SELECT tf.doc_id,
+         |    (sqrt(tf.tf) * (((iv.idf * 1.0) * qn.v) * iv.idf)) * (1.0 / sqrt(dl.dl)) AS s
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN iv CROSS JOIN qn WHERE tf.term = 'vector'),
+         |sb AS (SELECT tf.doc_id,
+         |    (sqrt(tf.tf) * (((iw.idf * 1.0) * qn.v) * iw.idf)) * (1.0 / sqrt(dl.dl)) AS s
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN iw CROSS JOIN qn WHERE tf.term = 'stream'),
+         |m AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    (coalesce(a.s, 0) + coalesce(b.s, 0)) *
+         |    (CAST((CASE WHEN a.s IS NOT NULL THEN 1 ELSE 0 END +
+         |           CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 2) AS s
+         |  FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM m ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_deleted" ->
       s"""$P SELECT DISTINCT doc_id FROM tf WHERE term = 'data'

@@ -65,6 +65,15 @@ object IndexCache {
     new Searcher(spark, path, mode = ExactDouble)
   })
 
+  /** TFIDF/DefaultSimilarity reader over the main gate index (the reference
+    * engine default, Search/IndexSearcher.cs:89), ExactDouble for the oracle.
+    */
+  def tfidfSearcher(spark: SparkSession, sfDir: String): Searcher = tcache.getOrElseUpdate(sfDir, {
+    searcher(spark, sfDir) // ensure the index is built
+    new Searcher(spark, indexPath(sfDir), mode = ExactDouble, similarity = TfIdfSim)
+  })
+  private val tcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** Index with live deletes applied (urls of source='src1' docs), for the
     * delete-semantics entries: matches vanish, stats stay un-decremented
     * until merge (IndexWriter.DeleteDocuments / FixedBitSet live docs).

@@ -170,6 +170,106 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
       }
   }
 
+  // ------------------------------------------------------------ TFIDF twin
+
+  /** DefaultSimilarity idf = (float)(ln(N/(df+1)) + 1), DefaultSimilarity.cs:156. */
+  private def tfIdfIdf(df: Long): Float =
+    (math.log(maxDoc / (df + 1).toDouble) + 1.0).toFloat
+
+  /** Sum of squared clause weights in clause order, prohibited skipped
+    * (BooleanWeight.ValueForNormalization, BooleanQuery.cs:257-276). */
+  private def sswTfIdf(q: Query): Float = q match {
+    case FieldQ(f, inner) =>
+      if (f == graft.build.IndexBuilder.DefaultField) sswTfIdf(inner) else 0f
+    case TermQ(t, b) => val w = tfIdfIdf(docFreq(t)) * b; w * w
+    case BoolQ(cs, _) =>
+      cs.filter(_._1 != Occur.MustNot).map(c => sswTfIdf(c._2)).foldLeft(0f)(_ + _)
+    case PhraseQ(ts, b, _) =>
+      val w = ts.map(t => tfIdfIdf(docFreq(t._1))).foldLeft(0f)(_ + _) * b; w * w
+    case ConstantScoreQ(_, b) => b * b
+    case _ => 1f
+  }
+
+  /** TFIDF/DefaultSimilarity scoring (the reference engine default):
+    * value = ((idf*boost)*queryNorm)*idf; score = tf(freq)*value*decodeNorm
+    * (TFIDFSimilarity.cs:707-711,753-769); booleans multiply the clause-chain
+    * sum by coord = matched/maxOverlap AFTER summing (BooleanScorer2.cs:348).
+    */
+  def scoreDocTfIdf(q: Query, d: Doc, qn: Float): Option[Float] = q match {
+    case FieldQ(f, inner) =>
+      if (f == graft.build.IndexBuilder.DefaultField) scoreDocTfIdf(inner, d, qn) else None
+
+    case TermQ(t, boost) =>
+      d.positions.get(t).map { ps =>
+        val idf = tfIdfIdf(docFreq(t))
+        val value = idf * boost * qn * idf
+        val raw = math.sqrt(ps.length.toDouble).toFloat * value
+        raw * graft.codec.SmallFloat.byte315ToFloat(d.normByte)
+      }
+
+    case BoolQ(clauses, msm) =>
+      val scoring = clauses.filter(_._1 != Occur.MustNot)
+      val musts = clauses.filter(_._1 == Occur.Must)
+      val nots = clauses.filter(_._1 == Occur.MustNot)
+      val shoulds = clauses.filter(_._1 == Occur.Should)
+      if (scoring.isEmpty) None
+      else if (nots.exists(c => scoreDocTfIdf(c._2, d, qn).isDefined)) None
+      else if (musts.exists(c => scoreDocTfIdf(c._2, d, qn).isEmpty)) None
+      else {
+        val shouldMatched = shoulds.count(c => scoreDocTfIdf(c._2, d, qn).isDefined)
+        val needed = math.max(msm, if (musts.isEmpty && shoulds.nonEmpty) 1 else 0)
+        if (shouldMatched < needed) None
+        else {
+          var s = 0.0f
+          var matched = 0
+          scoring.foreach { c => scoreDocTfIdf(c._2, d, qn).foreach { v => s += v; matched += 1 } }
+          Some(s * (matched / scoring.size.toFloat))
+        }
+      }
+
+    case PhraseQ(terms, boost, slop) =>
+      // reuse the BM25 matcher for freq, swap the weight formula
+      val arrays = terms.map { case (t, off) => (d.positions.get(t), off) }
+      if (arrays.exists(_._1.isEmpty)) None
+      else {
+        val freq: Float =
+          if (slop > 0)
+            graft.search.SloppyMatcher.phraseFreq(
+              arrays.map(_._1.get).toArray, terms.map(_._2).toArray, slop)
+          else {
+            val base = arrays.head._1.get
+            val baseOff = arrays.head._2
+            var f = 0
+            base.foreach { p =>
+              val start = p - baseOff
+              if (arrays.forall { case (ps, off) => ps.get.contains(start + off) }) f += 1
+            }
+            f.toFloat
+          }
+        if (freq == 0f) None
+        else {
+          var idfSum = 0.0f
+          terms.foreach { case (t, _) => idfSum += tfIdfIdf(docFreq(t)) }
+          val value = idfSum * boost * qn * idfSum
+          val raw = math.sqrt(freq.toDouble).toFloat * value
+          Some(raw * graft.codec.SmallFloat.byte315ToFloat(d.normByte))
+        }
+      }
+
+    case ConstantScoreQ(inner, boost) => scoreDocTfIdf(inner, d, qn).map(_ => boost)
+    case MatchAllQ => Some(1.0f)
+    case other => scoreDoc(other, d) // constant-score dictionary queries
+  }
+
+  def searchTfIdf(q: Query, k: Int): Vector[Hit] = {
+    val rw = Query.rewrite(q)
+    val ssw = sswTfIdf(rw)
+    val qn = if (ssw <= 0f) 1f else (1.0 / math.sqrt(ssw.toDouble)).toFloat
+    docs.flatMap(d => scoreDocTfIdf(rw, d, qn).map(s => Hit(d.key, d.segmentId, d.docId, s)))
+      .sortBy(h => (-h.score, h.segmentId, h.docId))
+      .take(k)
+  }
+
   final case class Hit(key: String, segmentId: Int, docId: Int, score: Float)
 
   /** Top-k with the exact tie-break of HitQueue.cs:78-88 + TopDocs.Merge:

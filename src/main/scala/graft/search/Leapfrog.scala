@@ -39,7 +39,8 @@ object Leapfrog {
     */
   def boolTerms(searcher: Searcher, spark: SparkSession,
                 clauses: List[(Occur.Value, String, TermQ)], msm: Int,
-                stats: Map[(String, String), (Long, Long)]): Dataset[Hit] = {
+                stats: Map[(String, String), (Long, Long)],
+                qn: Double = 1d, coords: Array[Double] = null): Dataset[Hit] = {
     import spark.implicits._
 
     val specs: Array[ClauseSpec] = clauses.map { case (o, f, tq) =>
@@ -65,10 +66,14 @@ object Leapfrog {
     // per-clause scorer, constants folded on the driver (TermWeight analog)
     val scorers: Array[(Double, Int) => Double] = clauses.map { case (o, f, tq) =>
       if (o == Occur.MustNot) null
-      else stats.get((f, tq.term)).map { case (df, _) => searcher.makeScorer(f, df, tq.boost) }.orNull
+      else stats.get((f, tq.term)).map { case (df, _) => searcher.makeScorer(f, df, tq.boost, qn) }.orNull
     }.toArray
 
     val floatMode = searcher.mode == LuceneFloat
+    // identity coords when absent (BM25 callers)
+    val coordArr: Array[Double] =
+      if (coords != null) coords
+      else Array.fill(specs.count(_.occur != 2) + 1)(1d)
     val present: Set[(String, String)] =
       specs.map(s => (s.field, s.term)).toSet.filter(stats.contains)
     if (present.isEmpty) return spark.emptyDataset[Hit]
@@ -81,7 +86,7 @@ object Leapfrog {
       .mapPartitions { rows =>
         val bySeg = rows.toArray.groupBy(_.segmentId)
         bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
-          segmentHits(seg, ps, specs, scorers, needed, floatMode)
+          segmentHits(seg, ps, specs, scorers, needed, floatMode, coordArr)
         }
       }
   }
@@ -89,7 +94,7 @@ object Leapfrog {
   /** Lazy per-segment match iterator. */
   private def segmentHits(seg: Int, rows: Array[Wand.WandRow], specs: Array[ClauseSpec],
                           scorers: Array[(Double, Int) => Double], needed: Int,
-                          floatMode: Boolean): Iterator[Hit] = {
+                          floatMode: Boolean, coords: Array[Double]): Iterator[Hit] = {
     val byKey: Map[(String, String), Array[Wand.WandRow]] = rows.groupBy(r => (r.field, r.term))
 
     // independent cursors per CLAUSE (two clauses over one key must not
@@ -185,19 +190,24 @@ object Leapfrog {
             j += 1
           }
           if (needed == 0 || matchedShoulds >= needed) {
-            // clause-ordered score chain, float or double per mode
+            // clause-ordered score chain (float or double per mode), then
+            // * coordFactors[matched] (BooleanScorer2.cs:348-353; 1 for BM25)
             var accF = 0f
             var accD = 0d
+            var matched = 0
             var k = 0
             while (k < specs.length) {
               val c = cursors(k)
               if (scorers(k) != null && c != null && !c.exhausted && c.doc == cand) {
                 val s = scorers(k)(c.tf.toDouble, c.len)
                 if (floatMode) accF += s.toFloat else accD += s
+                matched += 1
               }
               k += 1
             }
-            pending = Hit(seg, cand, if (floatMode) accF.toDouble else accD)
+            val coord = coords(matched)
+            pending = Hit(seg, cand,
+              if (floatMode) (accF * coord.toFloat).toDouble else accD * coord)
           }
         }
         advancePast(cand)
@@ -230,19 +240,19 @@ object Leapfrog {
     */
   def phraseSlots(searcher: Searcher, spark: SparkSession, field: String,
                   slots: List[(Set[String], Int)], boost: Float,
-                  stats: Map[(String, String), (Long, Long)], slop: Int): Dataset[Hit] = {
+                  stats: Map[(String, String), (Long, Long)], slop: Int,
+                  qn: Double = 1d): Dataset[Hit] = {
     import spark.implicits._
     if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains((field, t))) })
       return spark.emptyDataset[Hit] // a slot with no present alternative
 
-    // idf over all alternatives of all slots (IdfExplain(termStats[]))
+    // idf over all alternatives of all slots (IdfExplain(termStats[]));
+    // per-similarity idf formula
     val allTerms = slots.flatMap { case (ts, _) => ts.toList.sorted }
     def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
-    val bm25 = searcher.bm25
-    val maxDoc = searcher.maxDoc
-    val idfSumF = allTerms.map(t => bm25.idf(dfOf(t), maxDoc)).foldLeft(0.0f)(_ + _)
-    val idfSumD = allTerms.map(t => math.log(1 + (maxDoc - dfOf(t) + 0.5d) / (dfOf(t) + 0.5d))).sum
-    val scorer = searcher.makeScorer(field, 0L, boost, Some(idfSumF), Some(idfSumD))
+    val idfSumF = allTerms.map(t => searcher.idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
+    val idfSumD = allTerms.map(t => searcher.idfDouble(dfOf(t))).sum
+    val scorer = searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD))
 
     val groups: Array[Array[String]] = slots.map(_._1.filter(t => stats.contains((field, t))).toArray).toArray
     val offsets = slots.map(_._2).toArray

@@ -18,6 +18,21 @@ sealed trait ScoringMode extends Serializable
 case object LuceneFloat extends ScoringMode
 case object ExactDouble extends ScoringMode
 
+/** Pluggable similarity (the Similarity seam,
+  * /root/reference/src/Lucene.Net.Core/Search/Similarities/Similarity.cs):
+  *  - Bm25Sim: BM25Similarity (coord = 1, queryNorm = 1 — BM25Similarity.cs
+  *    :338-343 ignores queryNorm; Similarity.Coord returns 1f).
+  *  - TfIdfSim: TFIDF/DefaultSimilarity — the reference ENGINE DEFAULT
+  *    (Search/IndexSearcher.cs:89): tf = sqrt(freq), idf = ln(N/(df+1)) + 1,
+  *    lengthNorm = byte315(1/sqrt(len)), queryNorm = 1/sqrt(ssw),
+  *    coord = overlap/maxOverlap, score = coord * Σ (tf·idf²·boost·qn·norm)
+  *    (DefaultSimilarity.cs:70-156, TFIDFSimilarity.cs:707-770,
+  *    BooleanScorer2.cs:348-353 sum-then-coord order).
+  */
+sealed trait SimilarityKind extends Serializable
+case object Bm25Sim extends SimilarityKind
+case object TfIdfSim extends SimilarityKind
+
 /** Query execution over a built index — the IndexSearcher analog
   * (/root/reference/src/Lucene.Net.Core/Search/IndexSearcher.cs; lifecycle
   * SURVEY.md §3.2). A query compiles to a DataFrame plan:
@@ -39,7 +54,8 @@ case object ExactDouble extends ScoringMode
   */
 final class Searcher(spark: SparkSession, indexPath: String,
                      val bm25: Bm25 = Bm25.default,
-                     val mode: ScoringMode = LuceneFloat) extends Serializable {
+                     val mode: ScoringMode = LuceneFloat,
+                     val similarity: SimilarityKind = Bm25Sim) extends Serializable {
   import spark.implicits._
 
   val cfg: IndexBuilder.BuildConfig = IndexBuilder.readConfig(spark, indexPath)
@@ -163,32 +179,111 @@ final class Searcher(spark: SparkSession, indexPath: String,
   def termStats(terms: Set[String]): Map[String, (Long, Long)] =
     fieldTermStats(terms.map(defaultField -> _)).map { case ((_, t), v) => t -> v }
 
-  /** Per-posting scorer: (freq, fieldLen) => score, constants folded. freq is
-    * Double so sloppy-phrase float frequencies flow through exactly (integer
-    * tfs embed losslessly). */
-  private[search] def makeScorer(field: String, df: Long, boost: Float,
+  /** Similarity-appropriate idf (per-term or, via the overrides, a phrase's
+    * summed idf — IdfExplain(TermStatistics[])). */
+  private[search] def idfFloat(df: Long): Float = similarity match {
+    case Bm25Sim => bm25.idf(df, maxDoc)
+    case TfIdfSim => (math.log(maxDoc / (df + 1).toDouble) + 1.0).toFloat
+  }
+  private[search] def idfDouble(df: Long): Double = similarity match {
+    case Bm25Sim => math.log(1 + (maxDoc - df + 0.5d) / (df + 0.5d))
+    case TfIdfSim => math.log(maxDoc / (df + 1).toDouble) + 1.0
+  }
+
+  /** Per-posting scorer: (freq, fieldLen) => score, constants folded
+    * (TermWeight/Similarity.SimScorer analog). freq is Double so
+    * sloppy-phrase float frequencies flow through exactly (integer tfs embed
+    * losslessly). `qn` = the query-level norm (1 under BM25).
+    */
+  private[search] def makeScorer(field: String, df: Long, boost: Float, qn: Double = 1d,
                                  idfSumOverride: Option[Float] = None,
-                                 idfSumOverrideD: Option[Double] = None): (Double, Int) => Double = mode match {
-    case LuceneFloat =>
-      val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
-      val w = idf * boost * (bm25.k1 + 1)
-      val cache = normCache(field)
-      (tf: Double, len: Int) => {
-        // index-time boost is fixed at 1f (BM25Similarity.EncodeNormValue)
-        val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
-        val norm = cache(nb & 0xff)
-        val tff = tf.toFloat
-        (w * tff / (tff + norm)).toDouble
+                                 idfSumOverrideD: Option[Double] = None): (Double, Int) => Double =
+    (similarity, mode) match {
+      case (Bm25Sim, LuceneFloat) =>
+        val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
+        val w = idf * boost * (bm25.k1 + 1)
+        val cache = normCache(field)
+        (tf: Double, len: Int) => {
+          // index-time boost is fixed at 1f (BM25Similarity.EncodeNormValue)
+          val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
+          val norm = cache(nb & 0xff)
+          val tff = tf.toFloat
+          (w * tff / (tff + norm)).toDouble
+        }
+      case (Bm25Sim, ExactDouble) =>
+        val idf = idfSumOverrideD.getOrElse(math.log(1 + (maxDoc - df + 0.5d) / (df + 0.5d)))
+        val w = idf * boost * (bm25.k1d + 1)
+        val k1 = bm25.k1d
+        val b = bm25.bd
+        val avgdl = avgdlDouble(field)
+        (tf: Double, len: Int) => {
+          val norm = k1 * ((1 - b) + b * len / avgdl)
+          w * tf / (tf + norm)
+        }
+      case (TfIdfSim, LuceneFloat) =>
+        // queryWeight = (idf*boost)*queryNorm; value = queryWeight*idf;
+        // score = tf(freq)*value*decodeNorm (TFIDFSimilarity.cs:707-711,753-769)
+        val idf = idfSumOverride.getOrElse(idfFloat(df))
+        val qw = idf * boost * qn.toFloat
+        val value = qw * idf
+        (tf: Double, len: Int) => {
+          val raw = math.sqrt(tf).toFloat * value
+          val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
+          (raw * SmallFloat.byte315ToFloat(nb)).toDouble
+        }
+      case (TfIdfSim, ExactDouble) =>
+        // unquantized double twin (norm = 1/sqrt(len)); SQL-replicable
+        val idf = idfSumOverrideD.getOrElse(idfDouble(df))
+        val value = ((idf * boost) * qn) * idf
+        (tf: Double, len: Int) =>
+          (math.sqrt(tf) * value) * (1.0 / math.sqrt(len.toDouble))
+    }
+
+  /** Query-level normalization (CreateNormalizedWeight, IndexSearcher.cs:
+    * 725-737): sum of squared clause weights in clause order, skipping
+    * prohibited clauses (BooleanQuery.cs:257-276), then 1/sqrt. Identity
+    * under BM25.
+    */
+  private def queryNorm(q: Query, stats: FTStats): Double = similarity match {
+    case Bm25Sim => 1d
+    case TfIdfSim =>
+      def phraseIdfF(terms: List[String], field: String): Float =
+        terms.map(t => idfFloat(stats.get((field, t)).map(_._1).getOrElse(0L))).foldLeft(0f)(_ + _)
+      def phraseIdfD(terms: List[String], field: String): Double =
+        terms.map(t => idfDouble(stats.get((field, t)).map(_._1).getOrElse(0L))).sum
+      def sswF(q: Query, field: String): Float = q match {
+        case FieldQ(f, inner) => sswF(inner, f)
+        case TermQ(t, b) =>
+          val w = idfFloat(stats.get((field, t)).map(_._1).getOrElse(0L)) * b
+          w * w
+        case BoolQ(cs, _) =>
+          cs.filter(_._1 != Occur.MustNot).map(c => sswF(c._2, field)).foldLeft(0f)(_ + _)
+        case PhraseQ(ts, b, _) => val w = phraseIdfF(ts.map(_._1), field) * b; w * w
+        case MultiPhraseQ(ss, b) =>
+          val w = phraseIdfF(ss.flatMap(_._1.toList.sorted), field) * b; w * w
+        case DisMaxQ(cs, _) => cs.map(sswF(_, field)).foldLeft(0f)(_ + _)
+        case ConstantScoreQ(_, b) => b * b
+        case _ => 1f
       }
-    case ExactDouble =>
-      val idf = idfSumOverrideD.getOrElse(math.log(1 + (maxDoc - df + 0.5d) / (df + 0.5d)))
-      val w = idf * boost * (bm25.k1d + 1)
-      val k1 = bm25.k1d
-      val b = bm25.bd
-      val avgdl = avgdlDouble(field)
-      (tf: Double, len: Int) => {
-        val norm = k1 * ((1 - b) + b * len / avgdl)
-        w * tf / (tf + norm)
+      def sswD(q: Query, field: String): Double = q match {
+        case FieldQ(f, inner) => sswD(inner, f)
+        case TermQ(t, b) =>
+          val w = idfDouble(stats.get((field, t)).map(_._1).getOrElse(0L)) * b
+          w * w
+        case BoolQ(cs, _) => cs.filter(_._1 != Occur.MustNot).map(c => sswD(c._2, field)).sum
+        case PhraseQ(ts, b, _) => val w = phraseIdfD(ts.map(_._1), field) * b; w * w
+        case MultiPhraseQ(ss, b) => val w = phraseIdfD(ss.flatMap(_._1.toList.sorted), field) * b; w * w
+        case DisMaxQ(cs, _) => cs.map(sswD(_, field)).sum
+        case ConstantScoreQ(_, b) => b.toDouble * b
+        case _ => 1d
+      }
+      mode match {
+        case LuceneFloat =>
+          val ssw = sswF(q, defaultField)
+          if (ssw <= 0f) 1d else (1.0 / math.sqrt(ssw.toDouble)).toFloat.toDouble
+        case ExactDouble =>
+          val ssw = sswD(q, defaultField)
+          if (ssw <= 0d) 1d else 1.0 / math.sqrt(ssw)
       }
   }
 
@@ -208,17 +303,18 @@ final class Searcher(spark: SparkSession, indexPath: String,
   def compile(q0: Query): Dataset[Hit] = {
     val q = Query.rewrite(q0)
     val stats = fieldTermStats(Query.fieldTerms(q, defaultField))
-    applyLiveDocs(compileNode(q, stats, defaultField))
+    val qn = queryNorm(q, stats)
+    applyLiveDocs(compileNode(q, stats, defaultField, qn))
   }
 
-  private def compileNode(q: Query, stats: FTStats, field: String): Dataset[Hit] = q match {
-    case FieldQ(f, inner) => compileNode(inner, stats, f)
+  private def compileNode(q: Query, stats: FTStats, field: String, qn: Double): Dataset[Hit] = q match {
+    case FieldQ(f, inner) => compileNode(inner, stats, f, qn)
 
     case TermQ(term, boost) =>
       stats.get((field, term)) match {
         case None => spark.emptyDataset[Hit]
         case Some((df, _)) =>
-          val scorer = makeScorer(field, df, boost)
+          val scorer = makeScorer(field, df, boost, qn)
           postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
             val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
             val out = new Array[Hit](docIds.length)
@@ -231,14 +327,14 @@ final class Searcher(spark: SparkSession, indexPath: String,
           }
       }
 
-    case BoolQ(clauses, msm) => compileBool(clauses, msm, stats, field)
+    case BoolQ(clauses, msm) => compileBool(clauses, msm, stats, field, qn)
 
     case PhraseQ(terms, boost, slop) =>
       Leapfrog.phraseSlots(this, spark, field,
-        terms.map { case (t, o) => (Set(t), o) }, boost, stats, slop)
+        terms.map { case (t, o) => (Set(t), o) }, boost, stats, slop, qn)
 
     case MultiPhraseQ(slots, boost) =>
-      Leapfrog.phraseSlots(this, spark, field, slots, boost, stats, 0)
+      Leapfrog.phraseSlots(this, spark, field, slots, boost, stats, 0, qn)
 
     case SpanMatchQ(span, boost) => Leapfrog.spanMatch(this, spark, field, span, boost, stats)
 
@@ -248,9 +344,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
     case ConstantScoreQ(inner, boost) =>
       val bd = boost.toDouble
-      compileNode(inner, stats, field).map(h => Hit(h.segmentId, h.docId, bd))
+      compileNode(inner, stats, field, qn).map(h => Hit(h.segmentId, h.docId, bd))
 
-    case DisMaxQ(cs, tie) => compileDisMax(cs, tie, stats, field)
+    case DisMaxQ(cs, tie) => compileDisMax(cs, tie, stats, field, qn)
 
     case PrefixQ(p) => constantScoreOver(col("term").startsWith(p), field)
     case RangeQ(lo, hi, incLo, incHi) =>
@@ -274,7 +370,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
         val expStats: FTStats = expanded.map { case (term, df, _) =>
           (field, term) -> (df, 0L)
         }.toMap
-        compileNode(BoolQ(clauses), stats ++ expStats, field)
+        compileNode(BoolQ(clauses), stats ++ expStats, field, qn)
       }
   }
 
@@ -348,17 +444,30 @@ final class Searcher(spark: SparkSession, indexPath: String,
     case _ => None
   }
 
+  /** Per-doc coordination factors (Coordinator.CoordFactors,
+    * BooleanScorer2.cs:44-53): index = number of matching scoring clauses;
+    * identity under BM25 (Similarity.Coord = 1).
+    */
+  private def coordFactors(maxCoord: Int): Array[Double] = (similarity, mode) match {
+    case (Bm25Sim, _) => Array.fill(maxCoord + 1)(1d)
+    case (TfIdfSim, LuceneFloat) =>
+      Array.tabulate(maxCoord + 1)(i => (i / maxCoord.toFloat).toDouble)
+    case (TfIdfSim, ExactDouble) =>
+      Array.tabulate(maxCoord + 1)(i => i.toDouble / maxCoord)
+  }
+
   private def compileBool(clauses: List[(Occur.Value, Query)], msm: Int,
-                          stats: FTStats, field: String): Dataset[Hit] = {
+                          stats: FTStats, field: String, qn: Double): Dataset[Hit] = {
     val scoringIdx = clauses.zipWithIndex.filter(_._1._1 != Occur.MustNot)
     if (scoringIdx.isEmpty) return spark.emptyDataset[Hit] // prohibited-only matches nothing
+    val coords = coordFactors(scoringIdx.size)
 
     // Boolean-of-terms (field-bound terms included): per-segment leapfrog
     // over compressed posting rows — no shuffle of decoded hits at all
     // (ConjunctionScorer/BS2 analog)
     val asTerms = clauses.map { case (o, q) => asFieldTerm(q, field).map(ft => (o, ft._1, ft._2)) }
     if (asTerms.forall(_.isDefined))
-      return Leapfrog.boolTerms(this, spark, asTerms.map(_.get), msm, stats)
+      return Leapfrog.boolTerms(this, spark, asTerms.map(_.get), msm, stats, qn, coords)
 
     // mixed tree with a rare MUST term: every other clause's decoded stream
     // is semi-joined (broadcast, map-side) against the rarest MUST clause's
@@ -373,11 +482,11 @@ final class Searcher(spark: SparkSession, indexPath: String,
         if (stats((r._1, r._2.term))._1 <= SemiJoinPruneDf) Some(r) else None
       }
     val pruneSet = rarest.map { case (f, t) =>
-      broadcast(compileNode(t, stats, f).select(col("segmentId"), col("docId")))
+      broadcast(compileNode(t, stats, f, qn).select(col("segmentId"), col("docId")))
     }
 
     val streams = clauses.zipWithIndex.map { case ((_, cq), i) =>
-      val s0 = compileNode(cq, stats, field)
+      val s0 = compileNode(cq, stats, field, qn)
       val s = pruneSet match {
         case Some(p) => s0.join(p, Seq("segmentId", "docId"), "left_semi").as[Hit]
         case _ => s0
@@ -408,9 +517,16 @@ final class Searcher(spark: SparkSession, indexPath: String,
       cond = lit(false)
     }
 
-    // clause-ordered accumulation: ((s0 + s1) + s2)... in the mode's precision
-    val scoreExpr = scoringIdx.map { case (_, i) => coalesce(col(s"s$i"), lit(0d)).cast(scoreCast) }
+    // clause-ordered accumulation: ((s0 + s1) + s2)... in the mode's
+    // precision, then * coordFactors[matched] (BooleanScorer2.cs:348-353)
+    val chain = scoringIdx.map { case (_, i) => coalesce(col(s"s$i"), lit(0d)).cast(scoreCast) }
       .reduce((a, b) => (a + b).cast(scoreCast))
+    val scoreExpr =
+      if (similarity == Bm25Sim) chain
+      else {
+        val matched = scoringIdx.map { case (_, i) => col(s"m$i") }.reduce(_ + _)
+        (chain * element_at(lit(coords), matched + 1).cast(scoreCast)).cast(scoreCast)
+      }
 
     g.filter(cond)
       .select(col("segmentId"), col("docId"), scoreExpr.cast("double").as("score"))
@@ -418,9 +534,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
   }
 
   private def compileDisMax(cs: List[Query], tie: Float,
-                            stats: FTStats, field: String): Dataset[Hit] = {
+                            stats: FTStats, field: String, qn: Double): Dataset[Hit] = {
     val streams = cs.zipWithIndex.map { case (cq, i) =>
-      compileNode(cq, stats, field).withColumn("clause", lit(i))
+      compileNode(cq, stats, field, qn).withColumn("clause", lit(i))
     }
     val unioned = streams.reduce(_ unionByName _)
     val aggs = cs.indices.map(i => sum(when(col("clause") === i, col("score"))).as(s"s$i"))
@@ -514,8 +630,227 @@ final class Searcher(spark: SparkSession, indexPath: String,
       case _ => searchPlan(q, k)
     }
 
-  /** Single-field pure disjunction of unboosted terms -> WAND-eligible. */
+  // ---------------------------------------------------------------- explain
+
+  /** Per-doc postings view for explain: (field, term) -> (tf, len, positions)
+    * of exactly one (segment, doc) — a pruned scan + block-seek per term.
+    */
+  private def docView(keys: Set[(String, String)], seg: Int,
+                      doc: Int): Map[(String, String), (Int, Int, Array[Int])] = {
+    if (keys.isEmpty) return Map.empty
+    val pred = keys.groupBy(_._1).map { case (f, ks) =>
+      col("field") === f && col("term").isInCollection(ks.map(_._2))
+    }.reduce(_ || _)
+    postings.filter(col("segmentId") === seg && pred).flatMap { p =>
+      val c = new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips, p.positions)
+      c.advance(doc)
+      if (!c.exhausted && c.doc == doc) Some(((p.field, p.term), (c.tf, c.len, c.positions())))
+      else None
+    }.collect().toMap // piece rows have disjoint ranges: at most one matches
+  }
+
+  /** IndexSearcher.Explain analog (Search/IndexSearcher.cs:692): decompose
+    * the score of one (segment, doc) for `q`. The returned value equals the
+    * compile() score exactly (same scorer closures compute both).
+    */
+  def explain(q0: Query, segmentId: Int, docId: Int): Explanation = {
+    val q = Query.rewrite(q0)
+    if (deletedDocs.get(segmentId).exists(a => java.util.Arrays.binarySearch(a, docId) >= 0))
+      return Explanation.noMatch(s"doc ($segmentId,$docId) is deleted")
+    val stats = fieldTermStats(Query.fieldTerms(q, defaultField))
+    val qn = queryNorm(q, stats)
+    // pre-resolve dictionary expansions so the doc view covers them
+    val dv = docView(explainKeys(q, defaultField, stats), segmentId, docId)
+    explainNode(q, stats, defaultField, qn, dv, segmentId, docId)
+  }
+
+  /** (field, term) keys needed by explain, including dictionary expansions. */
+  private def explainKeys(q: Query, field: String, stats: FTStats): Set[(String, String)] = q match {
+    case FieldQ(f, inner) => explainKeys(inner, f, stats)
+    case BoolQ(cs, _) => cs.flatMap(c => explainKeys(c._2, field, stats)).toSet
+    case DisMaxQ(cs, _) => cs.flatMap(explainKeys(_, field, stats)).toSet
+    case ConstantScoreQ(inner, _) => explainKeys(inner, field, stats)
+    case PrefixQ(p) => expandDict(field, col("term").startsWith(p))
+    case RangeQ(lo, hi, il, ih) =>
+      var pred: Column = lit(true)
+      if (lo != null) pred = pred && (if (il) col("term") >= lo else col("term") > lo)
+      if (hi != null) pred = pred && (if (ih) col("term") <= hi else col("term") < hi)
+      expandDict(field, pred)
+    case WildcardQ(p) => expandDict(field, col("term").rlike("^" + Query.wildcardRegex(p) + "$"))
+    case RegexpQ(re) => expandDict(field, col("term").rlike("^" + re + "$"))
+    case FuzzyQ(t, me) => expandDict(field, levenshtein(col("term"), lit(t)) <= me)
+    case FuzzyTopQ(t, me, mx, _) =>
+      fuzzyExpand(field, t, me, mx).map(e => (field, e._1)).toSet
+    case other => Query.fieldTerms(other, field)
+  }
+
+  private def expandDict(field: String, pred: Column): Set[(String, String)] =
+    dictionary(field).filter(pred).select("term").as[String].collect()
+      .map((field, _)).toSet
+
+  private def explainNode(q: Query, stats: FTStats, field: String, qn: Double,
+                          dv: Map[(String, String), (Int, Int, Array[Int])],
+                          seg: Int, doc: Int): Explanation = q match {
+    case FieldQ(f, inner) => explainNode(inner, stats, f, qn, dv, seg, doc)
+
+    case TermQ(term, boost) =>
+      (stats.get((field, term)), dv.get((field, term))) match {
+        case (Some((df, _)), Some((tf, len, _))) =>
+          val s = makeScorer(field, df, boost, qn)(tf.toDouble, len)
+          Explanation(s, s"weight($field:$term) [${similarity}], product of:", Seq(
+            Explanation(idfDouble(df), s"idf(df=$df, maxDoc=$maxDoc)"),
+            Explanation(tf.toDouble, "termFreq"),
+            Explanation(len.toDouble, "fieldLength"),
+            Explanation(boost.toDouble, "boost"),
+            Explanation(qn, "queryNorm")))
+        case _ => Explanation.noMatch(s"no match on $field:$term")
+      }
+
+    case BoolQ(clauses, msm) =>
+      val scoring = clauses.filter(_._1 != Occur.MustNot)
+      val det = clauses.map { case (occ, cq) =>
+        occ -> explainNode(cq, stats, field, qn, dv, seg, doc)
+      }
+      val notsMatched = det.exists { case (o, e) => o == Occur.MustNot && e.matched }
+      val mustsMissed = det.exists { case (o, e) => o == Occur.Must && !e.matched }
+      val shouldMatched = det.count { case (o, e) => o == Occur.Should && e.matched }
+      val needed = math.max(msm,
+        if (!clauses.exists(_._1 == Occur.Must) && clauses.exists(_._1 == Occur.Should)) 1 else 0)
+      val childDetails = det.map { case (o, e) => e.copy(description = s"[$o] ${e.description}") }
+      if (scoring.isEmpty) Explanation.noMatch("prohibited-only boolean", childDetails)
+      else if (notsMatched) Explanation.noMatch("a MUST_NOT clause matched", childDetails)
+      else if (mustsMissed) Explanation.noMatch("a MUST clause did not match", childDetails)
+      else if (shouldMatched < needed)
+        Explanation.noMatch(s"minShouldMatch: $shouldMatched < $needed", childDetails)
+      else {
+        val scoringDet = det.filter(_._1 != Occur.MustNot).map(_._2)
+        val matched = scoringDet.count(_.matched)
+        val coords = coordFactors(scoring.size)
+        val chain: Double = mode match {
+          case LuceneFloat =>
+            var acc = 0f
+            scoringDet.foreach(e => if (e.matched) acc += e.value.toFloat)
+            (acc * coords(matched).toFloat).toDouble
+          case ExactDouble =>
+            var acc = 0d
+            scoringDet.foreach(e => if (e.matched) acc += e.value)
+            acc * coords(matched)
+        }
+        Explanation(chain, s"sum of clauses * coord($matched/${scoring.size})",
+          childDetails :+ Explanation(coords(matched), "coord"))
+      }
+
+    case PhraseQ(terms, boost, slop) =>
+      explainPhrase(terms.map { case (t, o) => (Set(t), o) }, boost, slop, stats, field, qn, dv)
+    case MultiPhraseQ(slots, boost) =>
+      explainPhrase(slots, boost, 0, stats, field, qn, dv)
+
+    case SpanMatchQ(span, boost) =>
+      val posMap = SpanMatcher.termsOf(span).flatMap { t =>
+        dv.get((field, t)).map(v => t -> v._3)
+      }.toMap
+      if (SpanMatcher.matches(span, posMap)) Explanation(boost.toDouble, s"span match, constant $boost")
+      else Explanation.noMatch("span did not match")
+
+    case MatchAllQ => Explanation(1d, "matchAll, constant 1")
+
+    case ConstantScoreQ(inner, boost) =>
+      val e = explainNode(inner, stats, field, qn, dv, seg, doc)
+      if (e.matched) Explanation(boost.toDouble, s"constantScore $boost", Seq(e))
+      else Explanation.noMatch("constantScore: inner did not match", Seq(e))
+
+    case DisMaxQ(cs, tie) =>
+      val det = cs.map(explainNode(_, stats, field, qn, dv, seg, doc))
+      val ms = det.filter(_.matched)
+      if (ms.isEmpty) Explanation.noMatch("no disMax clause matched", det)
+      else mode match {
+        case LuceneFloat =>
+          val scores = det.map(e => if (e.matched) e.value.toFloat else Float.MinValue)
+          val mx = scores.max
+          val sum = det.foldLeft(0f)((a, e) => (a + (if (e.matched) e.value.toFloat else 0f)))
+          val v = (mx + (tie * (sum - mx))).toDouble
+          Explanation(v, s"max plus $tie times others", det)
+        case ExactDouble =>
+          val mx = ms.map(_.value).max
+          val sum = det.foldLeft(0d)((a, e) => a + (if (e.matched) e.value else 0d))
+          Explanation(mx + tie * (sum - mx), s"max plus $tie times others", det)
+      }
+
+    case FuzzyTopQ(t, me, mx, boost) =>
+      val expanded = fuzzyExpand(field, t, me, mx)
+      val expStats: FTStats = expanded.map { case (term, df, _) => (field, term) -> (df, 0L) }.toMap
+      val clauses = expanded.map { case (term, _, b) =>
+        Occur.Should -> (TermQ(term, boost * b): Query)
+      }.toList
+      if (clauses.isEmpty) Explanation.noMatch(s"fuzzy($t~$me): no expansions")
+      else explainNode(BoolQ(clauses), stats ++ expStats, field, qn, dv, seg, doc)
+
+    case mtq @ (PrefixQ(_) | RangeQ(_, _, _, _) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _)) =>
+      // constant-score dictionary queries: matched iff the doc holds any of
+      // THIS node's expanded terms (expansions were folded into the doc view)
+      val own = explainKeys(mtq, field, stats)
+      own.find(dv.contains) match {
+        case Some((_, t)) => Explanation(1d, s"constant-score dictionary match via $t")
+        case None => Explanation.noMatch("no expanded term matched")
+      }
+  }
+
+  private def explainPhrase(slots: List[(Set[String], Int)], boost: Float, slop: Int,
+                            stats: FTStats, field: String, qn: Double,
+                            dv: Map[(String, String), (Int, Int, Array[Int])]): Explanation = {
+    if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains((field, t))) })
+      return Explanation.noMatch("a slot has no indexed alternative")
+    val posBySlot = slots.map { case (ts, _) =>
+      val arrs = ts.toList.sorted.flatMap(t => dv.get((field, t)).map(_._3))
+      if (arrs.isEmpty) null
+      else {
+        val m = arrs.flatten.toArray
+        java.util.Arrays.sort(m)
+        m
+      }
+    }.toArray
+    if (posBySlot.exists(_ == null)) return Explanation.noMatch("a slot is absent in this doc")
+    val len = slots.flatMap { case (ts, _) => ts.toList.sorted.flatMap(t => dv.get((field, t)).map(_._2)) }.head
+    val offsets = slots.map(_._2).toArray
+    val allTerms = slots.flatMap { case (ts, _) => ts.toList.sorted }
+    def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
+    val idfSumF = allTerms.map(t => idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
+    val idfSumD = allTerms.map(t => idfDouble(dfOf(t))).sum
+    val freq: Double =
+      if (slop > 0) SloppyMatcher.phraseFreq(posBySlot, offsets, slop).toDouble
+      else {
+        var f = 0
+        val base = posBySlot(0)
+        var bi = 0
+        while (bi < base.length) {
+          val start = base(bi) - offsets(0)
+          var ok = true
+          var ti = 1
+          while (ok && ti < posBySlot.length) {
+            ok = java.util.Arrays.binarySearch(posBySlot(ti), start + offsets(ti)) >= 0
+            ti += 1
+          }
+          if (ok) f += 1
+          bi += 1
+        }
+        f.toDouble
+      }
+    if (freq == 0d) Explanation.noMatch("phrase positions never align")
+    else {
+      val s = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD))(freq, len)
+      Explanation(s, "phrase weight, product of:", Seq(
+        Explanation(idfSumD, "idf, sum over slot terms"),
+        Explanation(freq, "phraseFreq"),
+        Explanation(len.toDouble, "fieldLength"),
+        Explanation(boost.toDouble, "boost"),
+        Explanation(qn, "queryNorm")))
+    }
+  }
+
+  /** Single-field pure disjunction of unboosted terms -> WAND-eligible
+    * (BM25 only: the block-max bounds are BM25 score bounds). */
   private def wandOrTerms(q0: Query): Option[(String, List[String])] = {
+    if (similarity != Bm25Sim) return None
     def go(q: Query, f: String): Option[(String, List[String])] = q match {
       case FieldQ(f2, inner) => go(inner, f2)
       case TermQ(t, b) if b == 1f => Some((f, List(t)))
