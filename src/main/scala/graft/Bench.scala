@@ -82,6 +82,10 @@ object Bench {
     results("ann_topk") = time {
       graft.pipeline.Ann.cosineTopK(emb, "vec_id", "embedding", qv, 10, Some(0L)).collect()
     }
+    results("ann_ivf") = time {
+      graft.pipeline.Ann.ivfTopK(emb, "vec_id", "embedding", qv, 10,
+        every = 20, nprobe = 3, excludeId = Some(0L)).collect()
+    }
     results("q1_agg") = time {
       Queries.all("q1_agg")(spark, sfDir).collect()
     }

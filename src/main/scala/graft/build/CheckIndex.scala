@@ -23,15 +23,18 @@ object CheckIndex {
     import spark.implicits._
     val violations = scala.collection.mutable.ArrayBuffer.empty[String]
 
-    val docs = spark.read.parquet(IndexBuilder.docsPath(indexPath))
-    val postings = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
-      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
-      .as[PostingRow]
-    val stats = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+    val stats = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
       .filter(col("field") === IndexBuilder.DefaultField)
       .dropDuplicates("segmentId").as[SegmentStats]
-
     val segMaxDoc = stats.collect().map(s => s.segmentId -> s.maxDoc).toMap
+    // the committed stats define the live segment set (segments_N analog)
+    val live = segMaxDoc.keySet
+    val docs = spark.read.parquet(IndexBuilder.docsPath(indexPath))
+      .filter(col("segmentId").isInCollection(live))
+    val postings = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .filter(col("segmentId").isInCollection(live))
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .as[PostingRow]
     val segMaxDocB = spark.sparkContext.broadcast(segMaxDoc)
 
     // decode-level invariants, one pass over postings

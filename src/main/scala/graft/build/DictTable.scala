@@ -24,7 +24,7 @@ object DictTable {
   def segsSignature(spark: SparkSession, indexPath: String): String = {
     import spark.implicits._
     try {
-      spark.read.parquet(IndexBuilder.statsPath(indexPath))
+      spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
         .filter(col("field") === IndexBuilder.DefaultField)
         .dropDuplicates("segmentId")
         .select("segmentId", "maxDoc").as[(Int, Long)].collect()
@@ -33,9 +33,14 @@ object DictTable {
   }
 
   def write(spark: SparkSession, indexPath: String): Unit = {
+    import spark.implicits._
     val sig = segsSignature(spark, indexPath)
     if (sig.isEmpty) return
+    // live segment set from the committed stats (orphan dirs excluded)
+    val live = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
+      .select("segmentId").distinct().as[Int].collect().toSet
     spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .filter(col("segmentId").isInCollection(live))
       .select("field", "term", "df", "ttf")
       .groupBy("field", "term")
       .agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))

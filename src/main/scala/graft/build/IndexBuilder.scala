@@ -53,9 +53,36 @@ object IndexBuilder {
 
   def docsPath(base: String) = s"$base/docs"
   def postingsPath(base: String) = s"$base/postings"
-  def statsPath(base: String) = s"$base/stats"
   def manifestPath(base: String) = s"$base/manifest"
   def configPath(base: String) = s"$base/config.json"
+
+  /** Stats generations — the segments_N analog: `stats` is generation 0 and
+    * a merge commits `stats_gN` with ONE atomic directory rename. The stats
+    * table defines the LIVE segment set: readers resolve the highest
+    * generation and filter docs/postings to its segments, so the whole
+    * merge (docs + postings + stats) becomes visible at that single rename
+    * and leftover source dirs from a crash are invisible.
+    */
+  def statsDirName(gen: Long): String = if (gen == 0) "stats" else s"stats_g$gen"
+
+  def statsGen(spark: SparkSession, base: String): Long = {
+    val dir = new org.apache.hadoop.fs.Path(base)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0L
+    val gens = fs.listStatus(dir).map(_.getPath.getName).collect {
+      case "stats" => 0L
+      case n if n.startsWith("stats_g") && n.drop(7).forall(_.isDigit) && n.length > 7 =>
+        n.drop(7).toLong
+    }
+    if (gens.isEmpty) 0L else gens.max
+  }
+
+  /** Resolved path of the CURRENT stats generation. */
+  def statsPath(spark: SparkSession, base: String): String =
+    s"$base/${statsDirName(statsGen(spark, base))}"
+
+  /** Legacy fixed path (generation 0) — build-time appends before any merge. */
+  def statsPath(base: String): String = s"$base/stats"
 
   /** Build the index from a pages DataFrame with columns (url string, text string).
     * Resume-safe: segments recorded in the manifest are skipped.
@@ -216,7 +243,8 @@ object IndexBuilder {
 
     val numDocs = stats.filter(_.field == DefaultField).map(_.maxDoc).sum
 
-    spark.createDataset(stats.toSeq).write.mode(SaveMode.Append).parquet(statsPath(indexPath))
+    spark.createDataset(stats.toSeq).write.mode(SaveMode.Append)
+      .parquet(statsPath(spark, indexPath)) // current generation (post-merge appends included)
 
     // manifest LAST — the commit point: a segment is only "done" once its
     // docs+postings+stats are all on disk (resume reads this).

@@ -23,13 +23,17 @@ import graft.model._
   *     reducer ever materializes a stopword-scale posting list. This is the
   *     salted-hot-term handling of SURVEY.md §7.3 realized structurally.
   *
-  * Writes go through a staging directory and are moved into the partitioned
-  * layout with filesystem renames (the Iceberg-snapshot analog of the
-  * reference's segments_N commit), avoiding read-path/write-path overlap.
+  * Commit protocol (the segments_N two-phase-commit analog): the merged
+  * segment gets a FRESH id, staged data renames in while readers still see
+  * only the old stats generation, and ONE atomic directory rename of
+  * `stats_gN` flips visibility of docs+postings+stats together; source dirs
+  * are deleted afterwards as unobservable cleanup. Readers resolve the
+  * highest stats generation and filter all data reads to its segment set,
+  * so a crash at any point leaves either the old or the new committed view.
   *
-  * The merged segment takes min(sources) as its id; global tie-break order
-  * changes across a merge exactly as Lucene's ephemeral docIDs do — scores
-  * are invariant (BM25 depends only on global stats, tf and length).
+  * Segment ids (and thus global tie-break order) change across a merge
+  * exactly as Lucene's ephemeral docIDs do — scores are invariant (BM25
+  * depends only on global stats, tf and length).
   */
 object MergeJob {
 
@@ -39,18 +43,24 @@ object MergeJob {
                             positions: Array[Byte], lens: Array[Byte],
                             skips: Array[SkipRow])
 
-  /** Merge `sources` into segment min(sources). Returns the new segment id. */
+  /** Merge `sources` into a FRESH segment id (max live id + 1) — fully
+    * disjoint from every source, so staged data renames IN before anything
+    * is deleted. Visibility is gated on the stats-generation flip (one
+    * atomic directory rename covering docs+postings+stats — the segments_N
+    * analog); source-dir deletion afterwards is mere cleanup that readers
+    * can no longer observe. Returns the new segment id.
+    */
   def merge(spark: SparkSession, indexPath: String, sources: List[Int],
             hotTermDf: Int = 5000000): Int = {
     import spark.implicits._
     require(sources.size >= 2)
-    val target = sources.min
     val srcSorted = sources.sorted
 
     val dictWasValid = graft.build.DictTable.isValid(spark, indexPath)
-    val statsAll = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+    val statsAll = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
       .dropDuplicates("segmentId", "field")
       .as[SegmentStats].collect()
+    val target = statsAll.map(_.segmentId).max + 1 // fresh, disjoint id
     // segment-wide maxDoc from the default field's rows (present per segment)
     val stats = statsAll.filter(_.field == IndexBuilder.DefaultField)
       .map(s => s.segmentId -> s).toMap
@@ -166,29 +176,26 @@ object MergeJob {
     merged.toDF().drop("segmentId")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
 
-    // ---- commit: swap staged files into the partitioned layout
+    // ---- bring the staged merged data in under the FRESH id: nothing is
+    // deleted yet, and readers ignore it (not in the committed stats)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
-    def swapIn(base: String, staged: String): Unit = {
+    def renameIn(base: String, staged: String): Unit = {
       val fs = new Path(base).getFileSystem(hadoopConf)
-      srcSorted.foreach { s =>
-        val p = new Path(s"$base/segmentId=$s")
-        if (fs.exists(p)) fs.delete(p, true)
-      }
       val dst = new Path(s"$base/segmentId=$target")
       fs.mkdirs(dst.getParent)
       val ok = fs.rename(new Path(staged), dst)
       require(ok, s"rename $staged -> $dst failed")
     }
-    swapIn(IndexBuilder.docsPath(indexPath), s"$staging/docs")
-    swapIn(IndexBuilder.postingsPath(indexPath), s"$staging/postings")
+    renameIn(IndexBuilder.docsPath(indexPath), s"$staging/docs")
+    renameIn(IndexBuilder.postingsPath(indexPath), s"$staging/postings")
     // fs-level renames bypass DataFrameWriter's automatic cache refresh:
     // evict stale file listings for the swapped paths
     spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
     spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
 
-    // ---- stats rewrite (small table, per (segment, field)): recomputed from
-    // the merged segment's own data, so purged deletes decrement maxDoc/
-    // sumTotalTermFreq exactly as a reference merge does
+    // ---- merged stats, recomputed from the merged segment's own data so
+    // purged deletes decrement maxDoc/sumTotalTermFreq exactly like a
+    // reference merge
     val postStats: Map[String, (Long, Long)] = spark.read
       .parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId") === target)
@@ -208,13 +215,32 @@ object MergeJob {
         rows)
     }
     val newStats = statsAll.filterNot(s => srcSorted.contains(s.segmentId)) ++ mergedStats
-    val statsTmp = s"$indexPath/.staging/stats_new"
-    spark.createDataset(newStats.toSeq).write.mode(SaveMode.Overwrite).parquet(statsTmp)
+
+    // ---- THE COMMIT: one atomic rename flips in the next stats generation
+    // (segments_N analog); everything before this is invisible, everything
+    // after is cleanup
     val fs = new Path(indexPath).getFileSystem(hadoopConf)
-    val statsDst = new Path(IndexBuilder.statsPath(indexPath))
-    fs.delete(statsDst, true)
-    require(fs.rename(new Path(statsTmp), statsDst), "stats swap failed")
-    spark.catalog.refreshByPath(IndexBuilder.statsPath(indexPath))
+    val newGen = IndexBuilder.statsGen(spark, indexPath) + 1
+    val statsTmp = s"$indexPath/.staging/stats_g$newGen"
+    spark.createDataset(newStats.toSeq).write.mode(SaveMode.Overwrite).parquet(statsTmp)
+    val statsDst = new Path(s"$indexPath/${IndexBuilder.statsDirName(newGen)}")
+    require(fs.rename(new Path(statsTmp), statsDst), "stats generation flip failed")
+    spark.catalog.refreshByPath(statsDst.toString)
+
+    // ---- cleanup (idempotent; a crash here leaves only invisible orphans):
+    // source segment dirs + superseded stats generations
+    srcSorted.foreach { s =>
+      Seq(IndexBuilder.docsPath(indexPath), IndexBuilder.postingsPath(indexPath)).foreach { base =>
+        val p = new Path(s"$base/segmentId=$s")
+        if (fs.exists(p)) fs.delete(p, true)
+      }
+    }
+    (0L until newGen).foreach { g =>
+      val p = new Path(s"$indexPath/${IndexBuilder.statsDirName(g)}")
+      if (fs.exists(p)) fs.delete(p, true)
+    }
+    spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
+    spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
 
     // drop delete markers whose docs were just purged (liveDocs lifecycle)
     if (deleted.nonEmpty) graft.build.Deletes.pruneApplied(spark, indexPath)
@@ -263,7 +289,7 @@ object MergeJob {
     var merges = 0
     var cont = true
     while (cont) {
-      val sizes = spark.read.parquet(IndexBuilder.statsPath(indexPath))
+      val sizes = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
         .filter(col("field") === IndexBuilder.DefaultField)
         .dropDuplicates("segmentId")
         .as[SegmentStats].collect().map(s => s.segmentId -> s.maxDoc).toMap

@@ -70,6 +70,52 @@ object Ann {
   def planes(dim: Int, nBits: Int): Array[Array[Double]] =
     Array.tabulate(nBits)(j => Array.tabulate(dim)(i => planeComponent(i, j)))
 
+  /** Sequential-fold squared L2 distance between two array columns. */
+  def l2sqCol(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
+      lit(0.0d), (acc, x) => acc + x)
+
+  /** IVF coarse quantizer with deterministic centroids: every `every`-th
+    * vector (id % every == 0) is a centroid. No RNG/k-means state — the
+    * assignment is replicable by a SQL oracle and stable across reruns.
+    */
+  def ivfCentroids(emb: DataFrame, idCol: String, embCol: String, every: Int): DataFrame =
+    emb.filter(col(idCol) % every === 0)
+      .select(col(idCol).as("cid"), col(embCol).as("ce"))
+
+  /** Cell assignment: nearest centroid by (squared L2 asc, cid asc). One
+    * narrow pass over a broadcast centroid table — the bucketing that makes
+    * a 100 TB scan pruned: persist/partition by `cid` and a query touches
+    * only its probed cells.
+    */
+  def ivfAssign(emb: DataFrame, idCol: String, embCol: String, every: Int): DataFrame =
+    emb.crossJoin(broadcast(ivfCentroids(emb, idCol, embCol, every)))
+      .withColumn("d2", l2sqCol(col(embCol), col("ce")))
+      .groupBy(col(idCol))
+      .agg(min(struct(col("d2"), col("cid"))).as("m"))
+      .select(col(idCol), col("m.cid").as("cid"))
+
+  /** Pruned top-k: probe the `nprobe` cells nearest to the query, brute-force
+    * cosine only inside them. Scan cost ~ nprobe/numCells of the corpus
+    * instead of all of it (the IVF scale path; brute cosineTopK remains the
+    * correctness baseline).
+    */
+  def ivfTopK(emb: DataFrame, idCol: String, embCol: String, q: Array[Float],
+              k: Int, every: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    import emb.sparkSession.implicits._
+    val qArr = array(q.map(v => lit(v)): _*)
+    val probed: Array[Long] = ivfCentroids(emb, idCol, embCol, every)
+      .withColumn("d2", l2sqCol(col("ce"), qArr))
+      .orderBy(col("d2").asc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").cast("long")).as[Long].collect()
+    val cand = emb.join(
+      ivfAssign(emb, idCol, embCol, every).filter(col("cid").isInCollection(probed)),
+      Seq(idCol), "left_semi")
+    cosineTopK(cand, idCol, embCol, q, k, excludeId)
+  }
+
   /** LSH bucket id per vector: bit j = 1 iff dot(v, plane_j) > 0;
     * bucket = sum bit_j * 2^j.
     */

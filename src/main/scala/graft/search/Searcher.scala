@@ -65,9 +65,16 @@ final class Searcher(spark: SparkSession, indexPath: String,
   val defaultField: String = IndexBuilder.DefaultField
 
   /** Open-reader state (IndexReader analog): lazily-built DataFrames whose
-    * file listings are resolved once and reused across queries. */
+    * file listings are resolved once and reused across queries. All data
+    * reads filter to the LIVE segment set defined by the current stats
+    * generation (the segments_N commit point) — segment dirs mid-merge or
+    * left by a crash are invisible.
+    */
+  @transient lazy val liveSegments: Set[Int] = statsRows.map(_.segmentId).toSet
+
   @transient lazy val postingsRaw: DataFrame =
     spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .filter(col("segmentId").isInCollection(liveSegments))
 
   @transient lazy val postings: Dataset[PostingRow] =
     postingsRaw
@@ -79,7 +86,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
     postingsRaw.select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens")
       .as[PostingSlim]
 
-  @transient lazy val docs: DataFrame = spark.read.parquet(IndexBuilder.docsPath(indexPath))
+  @transient lazy val docs: DataFrame =
+    spark.read.parquet(IndexBuilder.docsPath(indexPath))
+      .filter(col("segmentId").isInCollection(liveSegments))
 
   /** Global collection stats: maxDoc is segment-wide (every field row of a
     * segment carries it); sumTotalTermFreq is per field (CollectionStatistics
@@ -88,7 +97,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * group (deterministic build => identical values).
     */
   @transient private lazy val statsRows: Array[SegmentStats] =
-    spark.read.parquet(IndexBuilder.statsPath(indexPath))
+    spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
       .dropDuplicates("segmentId", "field")
       .as[SegmentStats].collect()
 

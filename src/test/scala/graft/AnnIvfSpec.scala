@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.pipeline.Ann
+
+/** IVF pruned ANN: deterministic cells, pruned probe, and the metamorphic
+  * guarantee that probing ALL cells reproduces the brute-force top-k exactly.
+  */
+class AnnIvfSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+  private lazy val qv = emb.filter(col("vec_id") === 1).select("embedding")
+    .collect()(0).getAs[scala.collection.Seq[Float]](0).toArray
+
+  test("every vector lands in exactly one cell; cells are centroids") {
+    val n = emb.count()
+    val assign = Ann.ivfAssign(emb, "vec_id", "embedding", every = 10)
+    assert(assign.count() == n)
+    val cells = assign.select("cid").distinct().collect().map(_.getLong(0)).toSet
+    val cents = Ann.ivfCentroids(emb, "vec_id", "embedding", 10)
+      .select("cid").collect().map(_.getLong(0)).toSet
+    assert(cells.subsetOf(cents))
+    // a centroid is assigned to itself (d2 = 0 minimal, tie-break on cid holds)
+    val self = assign.filter(col("vec_id") % 10 === 0)
+      .filter(col("vec_id") =!= col("cid")).count()
+    assert(self == 0)
+  }
+
+  test("probing all cells reproduces brute-force top-k exactly") {
+    val cellCount = Ann.ivfCentroids(emb, "vec_id", "embedding", 10).count().toInt
+    val brute = Ann.cosineTopK(emb, "vec_id", "embedding", qv, 10, Some(1L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    val full = Ann.ivfTopK(emb, "vec_id", "embedding", qv, 10, every = 10,
+      nprobe = cellCount, excludeId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(full == brute)
+  }
+
+  test("pruned probe returns k results from probed cells only") {
+    val pruned = Ann.ivfTopK(emb, "vec_id", "embedding", qv, 10, every = 10,
+      nprobe = 2, excludeId = Some(1L)).collect()
+    assert(pruned.length == 10)
+    // results are a subset of the union of 2 cells' members
+    val assign = Ann.ivfAssign(emb, "vec_id", "embedding", 10)
+    val cellsOfResults = assign
+      .filter(col("vec_id").isInCollection(pruned.map(_.getLong(0)).toSeq))
+      .select("cid").distinct().count()
+    assert(cellsOfResults <= 2)
+  }
+}

@@ -90,11 +90,13 @@ class LeapfrogSpec extends AnyFunSuite {
     IndexBuilder.build(spark, df, base, IndexBuilder.BuildConfig(4, "standard", groupSize = 4))
     val before = new Searcher(spark, base)
     val q = BoolQ(List(Occur.Must -> TermQ(freq), Occur.Must -> TermQ(PagesGen.word(9))))
-    val expected = before.search(q, 15).collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    val kAll = before.count(q).toInt + 5 // cover all hits: merge reorders ties
+    def hits(s: Searcher) = s.search(q, kAll).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toList
+    val expected = hits(before)
     MergeJob.merge(spark, base, List(0, 1, 2, 3), hotTermDf = 0) // force pieces
     val after = new Searcher(spark, base)
-    val got = after.search(q, 15).collect().map(r => (r.getString(0), r.getDouble(1))).toList
-    assert(got == expected)
+    assert(hits(after) == expected)
   }
 
   test("duplicate MUST clauses score each clause independently") {

@@ -36,7 +36,7 @@ class MergeSpec extends AnyFunSuite {
 
   test("merge reduces segment count per tiered policy") {
     import spark.implicits._
-    val segs = spark.read.parquet(IndexBuilder.statsPath(mergedPath))
+    val segs = spark.read.parquet(IndexBuilder.statsPath(spark, mergedPath))
       .select("segmentId").as[Int].collect().toSet
     assert(segs.size < 8)
   }
@@ -72,6 +72,36 @@ class MergeSpec extends AnyFunSuite {
     assert(preSearcher.termStats(Set(t)) == postSearcher.termStats(Set(t)))
   }
 
+  test("commit atomicity: orphan segment dirs (simulated crash) are invisible") {
+    // simulate a crash between the data renames and the stats-generation
+    // flip: a segment dir exists on disk but is absent from the committed
+    // stats — readers and CheckIndex must not see it
+    val base = Files.createTempDirectory("graftatomic").toString
+    val df = spark.createDataFrame(PagesGen.local(120)).toDF("url", "text")
+    IndexBuilder.build(spark, df, base, IndexBuilder.BuildConfig(2, "standard"))
+    val q = TermQ(PagesGen.word(2))
+    val s0 = new Searcher(spark, base)
+    val before = resultSet(s0, q, s0.count(q).toInt + 5)
+    val n0 = s0.count(MatchAllQ)
+
+    val conf = spark.sparkContext.hadoopConfiguration
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    Seq(IndexBuilder.docsPath(base), IndexBuilder.postingsPath(base)).foreach { p =>
+      val fs = new Path(p).getFileSystem(conf)
+      FileUtil.copy(fs, new Path(s"$p/segmentId=0"), fs, new Path(s"$p/segmentId=99"), false, conf)
+    }
+    val s1 = new Searcher(spark, base)
+    assert(s1.count(MatchAllQ) == n0)
+    assert(resultSet(s1, q, s1.count(q).toInt + 5) == before)
+    val report = CheckIndex.run(spark, base)
+    assert(report.ok, report.violations.mkString("; "))
+    // and a completed merge cleans the orphans' world up via the gen flip
+    val m = MergeJob.merge(spark, base, List(0, 1))
+    val s2 = new Searcher(spark, base)
+    assert(s2.count(MatchAllQ) == n0)
+    assert(s2.liveSegments == Set(m))
+  }
+
   test("re-merging a piece-split segment stitches pieces in docId order") {
     // seg 0 gains multiple pieces per term (hotTermDf = 0); merging it again
     // puts same-segmentId pieces into one group — order must come from
@@ -80,14 +110,16 @@ class MergeSpec extends AnyFunSuite {
     val df = spark.createDataFrame(PagesGen.local(160)).toDF("url", "text")
     IndexBuilder.build(spark, df, base, IndexBuilder.BuildConfig(4, "standard", groupSize = 4))
     val q = BoolQ(List(Occur.Should -> TermQ(PagesGen.word(2)), Occur.Should -> TermQ(PagesGen.word(9))))
-    val before = resultSet(new Searcher(spark, base), q, 25)
-    MergeJob.merge(spark, base, List(0, 1), hotTermDf = 0) // -> seg 0 with pieces
-    MergeJob.merge(spark, base, List(0, 2))                // re-merge piece rows
-    MergeJob.merge(spark, base, List(0, 3), hotTermDf = 0)
+    val pre = new Searcher(spark, base)
+    val kAll = pre.count(q).toInt + 5 // ties at a smaller k cut differently across ephemeral ids
+    val before = resultSet(pre, q, kAll)
+    val m1 = MergeJob.merge(spark, base, List(0, 1), hotTermDf = 0) // piece rows kept
+    val m2 = MergeJob.merge(spark, base, List(m1, 2))               // re-merge piece rows
+    MergeJob.merge(spark, base, List(m2, 3), hotTermDf = 0)
     val report = CheckIndex.run(spark, base)
     assert(report.ok, report.violations.mkString("; "))
     assert(report.segments == 1)
-    assert(resultSet(new Searcher(spark, base), q, 25) == before)
+    assert(resultSet(new Searcher(spark, base), q, kAll) == before)
   }
 
   test("hot-term piece split keeps queries correct") {
@@ -98,10 +130,11 @@ class MergeSpec extends AnyFunSuite {
     IndexBuilder.build(spark, df, base, IndexBuilder.BuildConfig(4, "standard", groupSize = 4))
     val full = new Searcher(spark, base)
     val q = TermQ(PagesGen.word(2))
-    val before = resultSet(full, q, 20)
+    val kAll = full.count(q).toInt + 5
+    val before = resultSet(full, q, kAll)
     MergeJob.merge(spark, base, List(0, 1, 2, 3), hotTermDf = 0)
     val after = new Searcher(spark, base)
-    assert(resultSet(after, q, 20) == before)
+    assert(resultSet(after, q, kAll) == before)
     val report = CheckIndex.run(spark, base)
     assert(report.ok, report.violations.mkString("; "))
   }

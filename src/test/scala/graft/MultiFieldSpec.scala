@@ -88,10 +88,10 @@ class MultiFieldSpec extends AnyFunSuite {
   test("merge preserves per-field postings and stats") {
     val freq = PagesGen.word(2)
     val q = BoolQ(List(Occur.Must -> FieldQ("site", TermQ("site5")), Occur.Should -> TermQ(freq)))
-    val before = searcher.search(q, 50).collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toList
+    val before = searcher.search(q, 10000).collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toList
     MergeJob.merge(spark, idxPath, List(0, 1, 2, 3))
     val after = new Searcher(spark, idxPath)
-    val got = after.search(q, 50).collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toList
+    val got = after.search(q, 10000).collect().map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toList
     assert(got == before)
     assert(after.fieldSttf == searcher.fieldSttf)
   }
