@@ -172,6 +172,26 @@ object Queries {
       Seq(IndexCache.deletedSearcher(s, dir).count(MatchAllQ)).toDF("cnt")
     }),
 
+    // --- paging (TopScoreDocCollector.SearchAfter): page 2 strictly after
+    //     page 1's (score, segmentId, docId) cursor
+    "q_search_after" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val last = se.search(TermQ("data"), 5).collect().last
+      ranked(se.searchAfter(TermQ("data"), 5,
+        last.getDouble(1), last.getInt(2), last.getInt(3)))
+    }),
+
+    // --- CommonTermsQuery (df-threshold splits high/low-frequency clauses)
+    "q_common_terms" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val terms = List("data", "stream")
+      idsOf(se, Query.commonTerms(terms, se.termStats(terms.toSet), se.maxDoc))
+    }),
+
+    // --- prefix completion (AnalyzingSuggester analog: weight-ranked)
+    "q_suggest" -> ((s, dir) =>
+      Suggest.complete(searcher(s, dir).dictionary(), "st", 5)),
+
     // --- spell suggestion (DirectSpellChecker analog over the dictionary)
     "q_spell" -> ((s, dir) =>
       Spell.suggest(searcher(s, dir).dictionary(), "strema", 2, 5)),
@@ -217,6 +237,9 @@ object Queries {
     // --- span near (ordered/unordered proximity, Search/Spans family)
     "q_spannear" -> ((s, dir) => idsOf(searcher(s, dir),
       SpanMatchQ(SpanNearS(List(SpanTermS("hash"), SpanTermS("join")), 2, inOrder = true)))),
+    // scored spans (SpanScorer): freq = sum of 1/(matchLength+1) over spans
+    "q_spanscore_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
+      SpanScoreQ(SpanNearS(List(SpanTermS("hash"), SpanTermS("join")), 2, inOrder = true)), 10))),
     "q_spannear_un" -> ((s, dir) => idsOf(searcher(s, dir),
       SpanMatchQ(SpanNearS(List(SpanTermS("vector"), SpanTermS("stream")), 1, inOrder = false)))),
 
@@ -453,6 +476,32 @@ object Queries {
     "q_deleted_count" ->
       """SELECT count(*) AS cnt FROM documents WHERE source <> 'src1'""",
 
+    "q_search_after" ->
+      s"""$P, ${scoreCte("a", "data")},
+         |ord AS (SELECT doc_id, row_number() OVER (ORDER BY s DESC, doc_id) AS rn FROM scores_a)
+         |SELECT doc_id, CAST(rn - 5 AS INT) AS rank FROM ord
+         |WHERE rn BETWEEN 6 AND 10 ORDER BY rn""".stripMargin,
+
+    "q_common_terms" ->
+      s"""$P, sel AS (SELECT 'data' AS term UNION ALL SELECT 'stream'),
+         |cls AS (SELECT s.term, CASE WHEN coalesce(d.df, 0) * 1.0 / c.n > 0.4 THEN 1 ELSE 0 END AS high
+         |  FROM sel s LEFT JOIN dfs d ON d.term = s.term CROSS JOIN consts c),
+         |lowt AS (SELECT term FROM cls WHERE high = 0),
+         |hight AS (SELECT term FROM cls WHERE high = 1),
+         |lowmatch AS (
+         |  SELECT doc_id FROM tf JOIN lowt USING (term) GROUP BY doc_id
+         |  HAVING count(DISTINCT term) = (SELECT count(*) FROM lowt))
+         |SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id FROM lowmatch WHERE (SELECT count(*) FROM lowt) > 0
+         |  UNION ALL
+         |  SELECT doc_id FROM tf JOIN hight USING (term)
+         |  WHERE (SELECT count(*) FROM lowt) = 0)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_suggest" ->
+      s"""$P SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
+         |FROM dfs WHERE term LIKE 'st%' ORDER BY rank LIMIT 5""".stripMargin,
+
     "q_spell" ->
       s"""$P, d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
          |SELECT term, CAST(row_number() OVER (
@@ -498,6 +547,23 @@ object Queries {
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
          |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND (b.pos - a.pos - 1) <= 2
          |WHERE a.term = 'hash' AND b.term = 'join' ORDER BY 1""".stripMargin,
+
+    "q_spanscore_topk" ->
+      s"""$P, sp AS (
+         |  SELECT DISTINCT a.doc_id, a.pos AS s, b.pos + 1 AS e
+         |  FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos > a.pos AND (b.pos - a.pos - 1) <= 2
+         |  WHERE a.term = 'hash' AND b.term = 'join'),
+         |pf AS (SELECT doc_id, sum(1.0 / ((e - s) + 1) ORDER BY s, e) AS freq FROM sp GROUP BY doc_id),
+         |ps AS (
+         |  SELECT pf.doc_id,
+         |    ((ln(1 + ((c.n - dh.df) + 0.5) / (dh.df + 0.5))
+         |      + ln(1 + ((c.n - dj.df) + 0.5) / (dj.df + 0.5))) * (1.2 + 1)) * pf.freq /
+         |    (pf.freq + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n)))) AS s
+         |  FROM pf JOIN dl USING (doc_id) CROSS JOIN consts c
+         |  JOIN dfs dh ON dh.term = 'hash' JOIN dfs dj ON dj.term = 'join')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM ps ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_spannear_un" ->
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Ann, Dedup, Multimodal, TextStats}
+import graft.pipeline.{Ann, BlockJoin, Dedup, Multimodal, TextStats}
 
 /** Pipeline/relational/streaming-analog query battery + DuckDB oracles —
   * mixed into [[Queries.all]]. Covers the training-data operators (dedup,
@@ -34,6 +34,12 @@ object QueriesPipeline {
     "q_simhash" -> ((s, dir) =>
       Dedup.simhash48(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
+
+    // THE scale-path dedup API: LSH candidates (band-bucket capped) verified
+    // by pair-scoped Jaccard — all-pairs never runs
+    "q_dedup_pairs" -> ((s, dir) =>
+      Dedup.nearDupPairs(documents(s, dir), "doc_id", "text",
+        k = 3, numHashes = 16, rowsPerBand = 4, tNum = 1, tDen = 2).orderBy("ida", "idb")),
 
     // ---- similarity search family
     "q_ann_topk" -> ((s, dir) => {
@@ -110,6 +116,52 @@ object QueriesPipeline {
         .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
         .groupBy(col("source")).agg(count(lit(1)).as("cnt"))
         .orderBy("source")),
+
+    // ---- taxonomy facets (Facet/Taxonomy): hierarchical path counts at both
+    // levels of the source/lang taxonomy for docs matching 'vector'
+    "q_facet_tax" -> ((s, dir) => {
+      val matching = documents(s, dir)
+        .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
+      val l1 = matching.groupBy(col("source").as("path")).agg(count(lit(1)).as("cnt"))
+      val l2 = matching.groupBy(concat(col("source"), lit("/"), col("lang")).as("path"))
+        .agg(count(lit(1)).as("cnt"))
+      l1.unionByName(l2).orderBy("path")
+    }),
+
+    // ---- drill-sideways (DrillSideways.cs): drill into source=src3 while
+    // keeping the drilled dimension's SIBLING counts computed without the
+    // drill constraint (the other dimension counts within it)
+    "q_drill_sideways" -> ((s, dir) => {
+      val matching = documents(s, dir)
+        .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
+      val langInDrill = matching.filter(col("source") === "src3")
+        .groupBy(col("lang").as("value")).agg(count(lit(1)).as("cnt"))
+        .withColumn("dim", lit("lang"))
+      val sourceSideways = matching
+        .groupBy(col("source").as("value")).agg(count(lit(1)).as("cnt"))
+        .withColumn("dim", lit("source"))
+      langInDrill.unionByName(sourceSideways)
+        .select("dim", "value", "cnt").orderBy("dim", "value")
+    }),
+
+    // ---- block join (Lucene.Net.Join ToParent/ToChildBlockJoinQuery):
+    // parents by matching children with a child-score aggregate, and the
+    // reverse
+    "q_blockjoin_parent" -> ((s, dir) =>
+      BlockJoin.toParent(s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+          col("l_quantity") >= 48, expr("cast(floor(l_extendedprice * 100) as bigint)"), "Max")
+        .select(col("l_orderkey").as("o_orderkey"), col("child_matches"),
+          col("score").cast("long").as("max_price100"))
+        .orderBy("o_orderkey")),
+
+    "q_blockjoin_child" -> ((s, dir) => {
+      val par = s.read.parquet(s"$dir/orders.parquet")
+        .select(col("o_orderkey").as("l_orderkey"), col("o_totalprice"))
+      val li = s.read.parquet(s"$dir/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber")
+      BlockJoin.toChild(par, li, "l_orderkey", col("o_totalprice") > 400000)
+        .orderBy("l_orderkey", "l_linenumber")
+    }),
 
     // ---- relational core (TPC-H-ish; grouping/join modules as Catalyst one-liners)
     "q1_agg" -> ((s, dir) =>
@@ -240,6 +292,65 @@ object QueriesPipeline {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
          |ORDER BY ida, idb""".stripMargin,
+
+    "q_dedup_pairs" ->
+      s"""$SH, coef(i, a, b) AS (VALUES $coefValues),
+         |hashed AS (
+         |  SELECT id, CAST(('0x' || substr(md5(shingle), 1, 8)) AS BIGINT) % 2147483647 AS h
+         |  FROM sh),
+         |minh AS (
+         |  SELECT id, c.i, min((h * c.a + c.b) % 2147483647) AS minh
+         |  FROM hashed CROSS JOIN coef c GROUP BY id, c.i),
+         |banded AS (
+         |  SELECT id, i // 4 AS band, string_agg(CAST(minh AS VARCHAR), '_' ORDER BY i) AS sig
+         |  FROM minh GROUP BY id, i // 4),
+         |cand AS (
+         |  SELECT DISTINCT a.id AS ida, b.id AS idb
+         |  FROM banded a JOIN banded b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.id < b.id),
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT c.ida, c.idb, count(*) AS i
+         |  FROM cand c JOIN sh a ON a.id = c.ida
+         |  JOIN sh b ON b.id = c.idb AND a.shingle = b.shingle
+         |  GROUP BY c.ida, c.idb)
+         |SELECT ida, idb FROM inter
+         |JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+         |WHERE i * 2 >= (sa.n + sb.n - i) * 1
+         |ORDER BY ida, idb""".stripMargin,
+
+    "q_facet_tax" ->
+      """WITH matching AS (
+        |  SELECT * FROM documents
+        |  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector'))
+        |SELECT path, cnt FROM (
+        |  SELECT source AS path, count(*) AS cnt FROM matching GROUP BY source
+        |  UNION ALL
+        |  SELECT source || '/' || lang AS path, count(*) AS cnt FROM matching GROUP BY source, lang)
+        |ORDER BY path""".stripMargin,
+
+    "q_drill_sideways" ->
+      """WITH matching AS (
+        |  SELECT * FROM documents
+        |  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector'))
+        |SELECT dim, value, cnt FROM (
+        |  SELECT 'lang' AS dim, lang AS value, count(*) AS cnt
+        |  FROM matching WHERE source = 'src3' GROUP BY lang
+        |  UNION ALL
+        |  SELECT 'source' AS dim, source AS value, count(*) AS cnt
+        |  FROM matching GROUP BY source)
+        |ORDER BY dim, value""".stripMargin,
+
+    "q_blockjoin_parent" ->
+      """SELECT l_orderkey AS o_orderkey, count(*) AS child_matches,
+        |  CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_price100
+        |FROM lineitem WHERE l_quantity >= 48
+        |GROUP BY l_orderkey ORDER BY o_orderkey""".stripMargin,
+
+    "q_blockjoin_child" ->
+      """SELECT l_orderkey, l_linenumber FROM lineitem
+        |WHERE l_orderkey IN (SELECT o_orderkey FROM orders WHERE o_totalprice > 400000)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
 
     "q_simhash" ->
       """WITH toks AS (

@@ -138,6 +138,22 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
     case SpanMatchQ(span, boost) =>
       if (SpanMatcher.matches(span, d.positions)) Some(boost) else None
 
+    case SpanScoreQ(span, boost) =>
+      // SpanScorer.cs:72-88: freq = sum of sloppyFreq(end-start) over spans
+      val spans = SpanMatcher.spans(span, d.positions)
+      if (spans.isEmpty) None
+      else {
+        var f = 0f
+        spans.foreach { case (s, e) => f += 1f / ((e - s) + 1) }
+        var idfSum = 0.0f
+        SpanMatcher.termsOf(span).toList.sorted.foreach { t =>
+          idfSum += bm25.idf(docFreq(t), maxDoc)
+        }
+        val cache = weight(SpanMatcher.termsOf(span).head, 1f).cache
+        val w = bm25.TermWeight(idfSum * boost * (bm25.k1 + 1), cache)
+        Some(w.score(f, d.normByte))
+      }
+
     case PrefixQ(p) =>
       if (d.positions.keys.exists(_.startsWith(p))) Some(1.0f) else None
 
@@ -186,6 +202,9 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
       cs.filter(_._1 != Occur.MustNot).map(c => sswTfIdf(c._2)).foldLeft(0f)(_ + _)
     case PhraseQ(ts, b, _) =>
       val w = ts.map(t => tfIdfIdf(docFreq(t._1))).foldLeft(0f)(_ + _) * b; w * w
+    case SpanScoreQ(sp, b) =>
+      val w = SpanMatcher.termsOf(sp).toList.sorted
+        .map(t => tfIdfIdf(docFreq(t))).foldLeft(0f)(_ + _) * b; w * w
     case ConstantScoreQ(_, b) => b * b
     case _ => 1f
   }
@@ -254,6 +273,19 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
           val raw = math.sqrt(freq.toDouble).toFloat * value
           Some(raw * graft.codec.SmallFloat.byte315ToFloat(d.normByte))
         }
+      }
+
+    case SpanScoreQ(span, boost) =>
+      val spans = SpanMatcher.spans(span, d.positions)
+      if (spans.isEmpty) None
+      else {
+        var f = 0f
+        spans.foreach { case (s, e) => f += 1f / ((e - s) + 1) }
+        var idfSum = 0.0f
+        SpanMatcher.termsOf(span).toList.sorted.foreach(t => idfSum += tfIdfIdf(docFreq(t)))
+        val value = idfSum * boost * qn * idfSum
+        val raw = math.sqrt(f.toDouble).toFloat * value
+        Some(raw * graft.codec.SmallFloat.byte315ToFloat(d.normByte))
       }
 
     case ConstantScoreQ(inner, boost) => scoreDocTfIdf(inner, d, qn).map(_ => boost)

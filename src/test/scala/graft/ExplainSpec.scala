@@ -43,7 +43,8 @@ class ExplainSpec extends AnyFunSuite {
       BoolQ(List(Occur.Must -> TermQ(freq),
         Occur.Should -> PhraseQ(List("quick" -> 0, "brown" -> 1)))),
       FuzzyTopQ("quicc", 1, 10),
-      SpanMatchQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 3, inOrder = true)))
+      SpanMatchQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 3, inOrder = true)),
+      SpanScoreQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 3, inOrder = true)))
   }
 
   private def checkSearcher(s: Searcher, label: String): Unit = {

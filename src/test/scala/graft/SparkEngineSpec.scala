@@ -226,6 +226,17 @@ class SparkEngineSpec extends AnyFunSuite {
     checkIdentical(SpanMatchQ(SpanNotS(SpanTermS("quick"), SpanTermS("brown"))))
   }
 
+  test("scored spans identical to oracle (SpanScorer sloppyFreq)") {
+    checkIdentical(SpanScoreQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 3, inOrder = true)))
+    checkIdentical(SpanScoreQ(SpanNearS(List(SpanTermS("fox"), SpanTermS("quick")), 4, inOrder = false)))
+    checkIdentical(SpanScoreQ(SpanOrS(List(SpanTermS("quick"), SpanTermS("fox")))))
+    checkIdentical(SpanScoreQ(SpanFirstS(SpanTermS("brown"), 12)))
+    // composes inside booleans
+    checkIdentical(BoolQ(List(
+      Occur.Must -> TermQ(freq),
+      Occur.Should -> SpanScoreQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("brown")), 1, inOrder = true)))))
+  }
+
   test("span near generalizes phrase: slop 0 ordered equals exact adjacency docs") {
     val ph = idx1.compile(PhraseQ(List("quick" -> 0, "brown" -> 1))).collect()
       .map(h => (h.segmentId, h.docId)).toSet

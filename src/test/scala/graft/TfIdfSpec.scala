@@ -67,6 +67,10 @@ class TfIdfSpec extends AnyFunSuite {
     checkIdentical(PhraseQ(List("quick" -> 0, "brown" -> 1), slop = 2))
   }
 
+  test("scored spans identical under TFIDF") {
+    checkIdentical(SpanScoreQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 3, inOrder = true)))
+  }
+
   test("mixed req/opt tree identical") {
     checkIdentical(BoolQ(List(
       Occur.Must -> TermQ(freq),
