@@ -206,6 +206,14 @@ object Queries {
       Highlighter.firstSnippet(docs, "doc_id", "text", "vector", 3, 3).orderBy("doc_id")
     }),
 
+    // --- passage-SCORED highlighting (PostingsHighlighter passage ranking):
+    //     best window by (distinct terms, total matches, earliest start)
+    "q_highlight_best" -> ((s, dir) => {
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      Highlighter.bestSnippet(docs, "doc_id", "text", Seq("vector", "stream"), 7)
+        .orderBy("doc_id")
+    }),
+
     // --- numeric range (NumericRangeQuery -> native Catalyst predicate)
     "q_numrange" -> ((s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
@@ -527,6 +535,27 @@ object Queries {
         |SELECT doc_id,
         |  array_to_string(list_slice(arr, greatest(p - 3, 1), greatest(p - 3, 1) + 6), ' ') AS snippet
         |FROM hits WHERE p IS NOT NULL AND p > 0 ORDER BY doc_id""".stripMargin,
+
+    "q_highlight_best" ->
+      """WITH arrs AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+        |toks AS (
+        |  SELECT doc_id, arr[i] AS term, i - 1 AS pos
+        |  FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)),
+        |m AS (SELECT doc_id, pos, term FROM toks WHERE term IN ('vector', 'stream')),
+        |scored AS (
+        |  SELECT c.doc_id, c.pos AS start,
+        |    count(DISTINCT m2.term) AS nterm, count(*) AS nmatch
+        |  FROM m c JOIN m m2 ON m2.doc_id = c.doc_id
+        |    AND m2.pos >= c.pos AND m2.pos < c.pos + 7
+        |  GROUP BY c.doc_id, c.pos),
+        |best AS (
+        |  SELECT doc_id, start FROM (
+        |    SELECT doc_id, start, row_number() OVER (
+        |      PARTITION BY doc_id ORDER BY nterm DESC, nmatch DESC, start ASC) AS rn
+        |    FROM scored) WHERE rn = 1)
+        |SELECT b.doc_id, array_to_string(a.arr[b.start + 1:b.start + 7], ' ') AS snippet
+        |FROM best b JOIN arrs a USING (doc_id) ORDER BY b.doc_id""".stripMargin,
 
     "q_numrange" ->
       """SELECT l_returnflag, count(*) AS cnt FROM lineitem

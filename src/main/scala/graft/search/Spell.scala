@@ -97,4 +97,38 @@ object Highlighter {
         slice(col("arr"), col("start"), lit(before + 1 + after)), " "))
       .select(col(idCol), col("snippet"))
   }
+
+  /** PASSAGE-SCORED highlighting — the PostingsHighlighter passage-ranking
+    * analog (/root/reference/src/Lucene.Net.Highlighter/Postingshighlight/
+    * PostingsHighlighter.cs): candidate passages are `window`-token spans
+    * anchored at each query-term occurrence; the best passage per doc
+    * maximizes (distinct matching terms, total matches, earliest start) —
+    * a deterministic stand-in for the reference's weighted passage score
+    * that an ANSI-SQL oracle replicates exactly.
+    */
+  def bestSnippet(docs: DataFrame, idCol: String, textCol: String,
+                  terms: Seq[String], window: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("id"),
+      expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)").as("arr"))
+    val toks = base.select(col("id"),
+      posexplode(col("arr")).as(Seq("pos", "term")))
+    val matches = toks.filter(col("term").isInCollection(terms))
+    // explicit renames on the anchor side: both inputs share a lineage
+    // (self-join), so disambiguate by column NAME, not alias resolution
+    val cand = matches.select(col("id").as("cid"), col("pos").as("start"))
+    val scored = cand.join(matches.as("m"),
+        col("m.id") === col("cid") &&
+          col("m.pos") >= col("start") && col("m.pos") < col("start") + window)
+      .groupBy(col("cid").as("id"), col("start"))
+      .agg(countDistinct(col("m.term")).as("nterm"), count(lit(1)).as("nmatch"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("id"))
+          .orderBy(col("nterm").desc, col("nmatch").desc, col("start").asc)))
+      .filter(col("rn") === 1)
+      .select(col("id"), col("start"))
+    best.join(base, "id")
+      .withColumn("snippet", array_join(slice(col("arr"), col("start") + 1, lit(window)), " "))
+      .select(col("id").as(idCol), col("snippet"))
+  }
 }
