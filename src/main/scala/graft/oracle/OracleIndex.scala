@@ -205,6 +205,10 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
     case SpanScoreQ(sp, b) =>
       val w = SpanMatcher.termsOf(sp).toList.sorted
         .map(t => tfIdfIdf(docFreq(t))).foldLeft(0f)(_ + _) * b; w * w
+    case MultiPhraseQ(ss, b) =>
+      val w = ss.flatMap(_._1.toList.sorted)
+        .map(t => tfIdfIdf(docFreq(t))).foldLeft(0f)(_ + _) * b; w * w
+    case DisMaxQ(cs, _) => cs.map(sswTfIdf).foldLeft(0f)(_ + _)
     case ConstantScoreQ(_, b) => b * b
     case _ => 1f
   }
@@ -286,6 +290,37 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
         val value = idfSum * boost * qn * idfSum
         val raw = math.sqrt(f.toDouble).toFloat * value
         Some(raw * graft.codec.SmallFloat.byte315ToFloat(d.normByte))
+      }
+
+    case MultiPhraseQ(slots, boost) =>
+      val arrays = slots.map { case (ts, off) =>
+        val merged = ts.toList.flatMap(t => d.positions.getOrElse(t, Array.empty[Int]).toList).sorted
+        (merged, off)
+      }
+      if (arrays.exists(_._1.isEmpty)) None
+      else {
+        val (base, baseOff) = arrays.head
+        var freq = 0
+        base.foreach { p =>
+          val start = p - baseOff
+          if (arrays.forall { case (ps, off) => ps.contains(start + off) }) freq += 1
+        }
+        if (freq == 0) None
+        else {
+          var idfSum = 0.0f
+          slots.flatMap(_._1.toList.sorted).foreach(t => idfSum += tfIdfIdf(docFreq(t)))
+          val value = idfSum * boost * qn * idfSum
+          val raw = math.sqrt(freq.toDouble).toFloat * value
+          Some(raw * graft.codec.SmallFloat.byte315ToFloat(d.normByte))
+        }
+      }
+
+    case DisMaxQ(cs, tie) =>
+      val scores = cs.flatMap(c => scoreDocTfIdf(c, d, qn))
+      if (scores.isEmpty) None
+      else {
+        val mx = scores.max
+        Some(mx + tie * (scores.sum - mx))
       }
 
     case ConstantScoreQ(inner, boost) => scoreDocTfIdf(inner, d, qn).map(_ => boost)

@@ -32,7 +32,7 @@ object SoakOracle {
 
     val rnd = new Random(4242)
     def t(): String = PagesGen.word(rnd.nextInt(1500))
-    def leaf(): Query = rnd.nextInt(8) match {
+    def leaf(): Query = rnd.nextInt(10) match {
       case 0 | 1 => TermQ(t())
       case 2 => PhraseQ(List("quick" -> 0, "brown" -> 1))
       case 3 => PhraseQ(List("quick" -> 0, "fox" -> 1), slop = 1 + rnd.nextInt(3))
@@ -41,6 +41,9 @@ object SoakOracle {
         rnd.nextInt(4), inOrder = rnd.nextBoolean()))
       case 6 => PrefixQ(t().take(3))
       case 7 => DisMaxQ(List(TermQ(t()), TermQ(t())), 0.5f)
+      case 8 => SpanScoreQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")),
+        rnd.nextInt(4), inOrder = rnd.nextBoolean()))
+      case 9 => FuzzyQ(t(), 1)
     }
     def tree(depth: Int): Query =
       if (depth == 0 || rnd.nextInt(3) == 0) leaf()
@@ -56,6 +59,7 @@ object SoakOracle {
         BoolQ(cs, if (sh > 1 && rnd.nextInt(4) == 0) 1 + rnd.nextInt(sh) else 0)
       }
 
+    val tfidf = new Searcher(spark, base, similarity = TfIdfSim)
     var pass = 0
     (0 until 40).foreach { i =>
       val q = tree(2)
@@ -63,10 +67,14 @@ object SoakOracle {
       val expected = oracle.search(q, k).map(h => (h.key, h.score)).toList
       val got = s.search(q, k).collect().map(r => (r.getString(0), r.getDouble(1).toFloat)).toList
       require(got == expected, s"SOAK3 #$i mismatch for $q\ngot=${got.take(4)}\nexp=${expected.take(4)}")
+      // same tree under TFIDF/DefaultSimilarity (coord + queryNorm)
+      val expectedT = oracle.searchTfIdf(q, k).map(h => (h.key, h.score)).toList
+      val gotT = tfidf.search(q, k).collect().map(r => (r.getString(0), r.getDouble(1).toFloat)).toList
+      require(gotT == expectedT, s"SOAK3 #$i TFIDF mismatch for $q\ngot=${gotT.take(4)}\nexp=${expectedT.take(4)}")
       pass += 1
-      if (i % 10 == 9) println(s"SOAK3 $pass/40 identical so far")
+      if (i % 10 == 9) println(s"SOAK3 $pass/40 identical so far (BM25 + TFIDF)")
     }
-    println(s"SOAK3 done: $pass/40 rank+score identical at $n docs")
+    println(s"SOAK3 done: $pass/40 rank+score identical at $n docs under both similarities")
     spark.stop()
   }
 }
