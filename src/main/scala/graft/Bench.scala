@@ -82,9 +82,13 @@ object Bench {
     results("ann_topk") = time {
       graft.pipeline.Ann.cosineTopK(emb, "vec_id", "embedding", qv, 10, Some(0L)).collect()
     }
-    results("ann_ivf") = time {
+    // IVF: cell assignment is a build-time pass (the persisted bucket layout
+    // at scale) — timed separately from the per-query probe
+    val ivfAssigned = graft.pipeline.Ann.ivfAssign(emb, "vec_id", "embedding", 20).cache()
+    results("ann_ivf_assign") = time { ivfAssigned.count() }
+    results("ann_ivf_probe") = timeMedian(trials) {
       graft.pipeline.Ann.ivfTopK(emb, "vec_id", "embedding", qv, 10,
-        every = 20, nprobe = 3, excludeId = Some(0L)).collect()
+        every = 20, nprobe = 3, excludeId = Some(0L), assignment = Some(ivfAssigned)).collect()
     }
     results("q1_agg") = time {
       Queries.all("q1_agg")(spark, sfDir).collect()

@@ -99,10 +99,13 @@ object Ann {
   /** Pruned top-k: probe the `nprobe` cells nearest to the query, brute-force
     * cosine only inside them. Scan cost ~ nprobe/numCells of the corpus
     * instead of all of it (the IVF scale path; brute cosineTopK remains the
-    * correctness baseline).
+    * correctness baseline). Pass a pre-computed `assignment` (the persisted
+    * bucket layout at production scale — cell assignment is a BUILD-time
+    * pass, like segment construction) to amortize it across queries.
     */
   def ivfTopK(emb: DataFrame, idCol: String, embCol: String, q: Array[Float],
-              k: Int, every: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+              k: Int, every: Int, nprobe: Int, excludeId: Option[Long] = None,
+              assignment: Option[DataFrame] = None): DataFrame = {
     import emb.sparkSession.implicits._
     val qArr = array(q.map(v => lit(v)): _*)
     val probed: Array[Long] = ivfCentroids(emb, idCol, embCol, every)
@@ -110,8 +113,9 @@ object Ann {
       .orderBy(col("d2").asc, col("cid").asc)
       .limit(nprobe)
       .select(col("cid").cast("long")).as[Long].collect()
+    val assigned = assignment.getOrElse(ivfAssign(emb, idCol, embCol, every))
     val cand = emb.join(
-      ivfAssign(emb, idCol, embCol, every).filter(col("cid").isInCollection(probed)),
+      assigned.filter(col("cid").isInCollection(probed)),
       Seq(idCol), "left_semi")
     cosineTopK(cand, idCol, embCol, q, k, excludeId)
   }
