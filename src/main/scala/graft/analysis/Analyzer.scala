@@ -243,6 +243,7 @@ object Analyzers {
     case "whitespace" => WhitespaceAnalyzer
     case "keyword" => KeywordAnalyzer
     case "stop" => StopAnalyzer
+    case "english" => EnglishAnalyzer // standard chain + Porter stemming
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

@@ -1,0 +1,256 @@
+package graft.analysis
+
+/** Token-filter combinators over `Iterator[Token]` — the Analysis.Common
+  * catalog analogs (SURVEY.md §2.1 "other analyzers" row). Each is a pure
+  * `Iterator[Token] => Iterator[Token]` stage, so chains compose exactly like
+  * the reference's TokenFilter stacks
+  * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/):
+  *
+  *  - [[PorterStemFilter]] — En/PorterStemFilter.cs (Porter 1980 algorithm)
+  *  - [[AsciiFoldingFilter]] — Miscellaneous/ASCIIFoldingFilter.cs (Latin-1 +
+  *    Latin Extended-A subset)
+  *  - [[ShingleFilter]] — Shingle/ShingleFilter.cs (word n-grams)
+  *  - [[NGramFilter]] — Ngram/NGramTokenFilter.cs (char n-grams per token)
+  *  - [[SynonymFilter]] — Synonym/SynonymFilter.cs (map-based injection at
+  *    the same position, the posIncr=0 overlap semantics)
+  */
+object TokenFilters {
+
+  // --------------------------------------------------------------- Porter
+
+  /** The Porter stemming algorithm (M.F. Porter, "An algorithm for suffix
+    * stripping", Program 14(3) 1980) — the same published algorithm the
+    * reference's En/PorterStemmer.cs implements. Clean-room from the paper;
+    * PorterSpec pins the paper's example vectors.
+    */
+  object PorterStemmer {
+
+    private def isVowel(w: String, i: Int): Boolean = w.charAt(i) match {
+      case 'a' | 'e' | 'i' | 'o' | 'u' => true
+      case 'y' => i > 0 && !isVowel(w, i - 1)
+      case _ => false
+    }
+
+    /** m() — the number of VC sequences in [C](VC)^m[V]. */
+    private def measure(w: String): Int = {
+      var m = 0
+      var i = 0
+      val n = w.length
+      while (i < n && !isVowel(w, i)) i += 1 // optional initial C
+      while (i < n) {
+        while (i < n && isVowel(w, i)) i += 1 // V run
+        if (i < n) { m += 1; while (i < n && !isVowel(w, i)) i += 1 } // C run
+      }
+      m
+    }
+
+    private def containsVowel(w: String): Boolean =
+      (0 until w.length).exists(isVowel(w, _))
+
+    private def endsDoubleC(w: String): Boolean =
+      w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+        !isVowel(w, w.length - 1)
+
+    /** *o — stem ends cvc where the final c is not w, x or y. */
+    private def endsCvc(w: String): Boolean = {
+      val n = w.length
+      n >= 3 && !isVowel(w, n - 3) && isVowel(w, n - 2) && !isVowel(w, n - 1) &&
+        "wxy".indexOf(w.charAt(n - 1)) < 0
+    }
+
+    def stem(word: String): String = {
+      if (word.length <= 2) return word
+      var w = word
+
+      // step 1a
+      if (w.endsWith("sses")) w = w.dropRight(2)
+      else if (w.endsWith("ies")) w = w.dropRight(2)
+      else if (w.endsWith("ss")) ()
+      else if (w.endsWith("s")) w = w.dropRight(1)
+
+      // step 1b
+      var extraStep1b = false
+      if (w.endsWith("eed")) {
+        if (measure(w.dropRight(3)) > 0) w = w.dropRight(1)
+      } else if (w.endsWith("ed") && containsVowel(w.dropRight(2))) {
+        w = w.dropRight(2); extraStep1b = true
+      } else if (w.endsWith("ing") && containsVowel(w.dropRight(3))) {
+        w = w.dropRight(3); extraStep1b = true
+      }
+      if (extraStep1b) {
+        if (w.endsWith("at") || w.endsWith("bl") || w.endsWith("iz")) w = w + "e"
+        else if (endsDoubleC(w) && !(w.endsWith("l") || w.endsWith("s") || w.endsWith("z")))
+          w = w.dropRight(1)
+        else if (measure(w) == 1 && endsCvc(w)) w = w + "e"
+      }
+
+      // step 1c
+      if (w.endsWith("y") && containsVowel(w.dropRight(1))) w = w.dropRight(1) + "i"
+
+      // step 2 (m > 0 suffix mappings)
+      val step2 = List(
+        "ational" -> "ate", "tional" -> "tion", "enci" -> "ence", "anci" -> "ance",
+        "izer" -> "ize", "abli" -> "able", "alli" -> "al", "entli" -> "ent",
+        "eli" -> "e", "ousli" -> "ous", "ization" -> "ize", "ation" -> "ate",
+        "ator" -> "ate", "alism" -> "al", "iveness" -> "ive", "fulness" -> "ful",
+        "ousness" -> "ous", "aliti" -> "al", "iviti" -> "ive", "biliti" -> "ble")
+      step2.find { case (s, _) => w.endsWith(s) }.foreach { case (s, r) =>
+        val stem = w.substring(0, w.length - s.length)
+        if (measure(stem) > 0) w = stem + r
+      }
+
+      // step 3 (m > 0)
+      val step3 = List(
+        "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+        "ical" -> "ic", "ful" -> "", "ness" -> "")
+      step3.find { case (s, _) => w.endsWith(s) }.foreach { case (s, r) =>
+        val stem = w.substring(0, w.length - s.length)
+        if (measure(stem) > 0) w = stem + r
+      }
+
+      // step 4 (m > 1)
+      val step4 = List("al", "ance", "ence", "er", "ic", "able", "ible", "ant",
+        "ement", "ment", "ent", "ion", "ou", "ism", "ate", "iti", "ous", "ive", "ize")
+      step4.find(w.endsWith).foreach { s =>
+        val stem = w.substring(0, w.length - s.length)
+        val ok = s != "ion" || (stem.nonEmpty && (stem.endsWith("s") || stem.endsWith("t")))
+        if (ok && measure(stem) > 1) w = stem
+      }
+
+      // step 5a
+      if (w.endsWith("e")) {
+        val stem = w.dropRight(1)
+        val m = measure(stem)
+        if (m > 1 || (m == 1 && !endsCvc(stem))) w = stem
+      }
+      // step 5b
+      if (measure(w) > 1 && endsDoubleC(w) && w.endsWith("l")) w = w.dropRight(1)
+      w
+    }
+  }
+
+  /** Stem each token in place (PorterStemFilter semantics: position/offsets
+    * unchanged). */
+  def porterStem(in: Iterator[Token]): Iterator[Token] =
+    in.map(t => t.copy(term = PorterStemmer.stem(t.term)))
+
+  // -------------------------------------------------------- ASCII folding
+
+  /** Latin-1 Supplement + Latin Extended-A folding to ASCII (a documented
+    * SUBSET of ASCIIFoldingFilter.cs's full table — covers the accented
+    * Latin alphabets of European web text). */
+  def foldAscii(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    s.foreach { c =>
+      val f: String = c match {
+        case c if c < 0x80 => c.toString
+        case 'à' | 'á' | 'â' | 'ã' | 'ä' | 'å' | 'ā' | 'ă' | 'ą' => "a"
+        case 'À' | 'Á' | 'Â' | 'Ã' | 'Ä' | 'Å' | 'Ā' | 'Ă' | 'Ą' => "A"
+        case 'ç' | 'ć' | 'ĉ' | 'ċ' | 'č' => "c"
+        case 'Ç' | 'Ć' | 'Ĉ' | 'Ċ' | 'Č' => "C"
+        case 'ď' | 'đ' => "d"
+        case 'Ď' | 'Đ' => "D"
+        case 'è' | 'é' | 'ê' | 'ë' | 'ē' | 'ĕ' | 'ė' | 'ę' | 'ě' => "e"
+        case 'È' | 'É' | 'Ê' | 'Ë' | 'Ē' | 'Ĕ' | 'Ė' | 'Ę' | 'Ě' => "E"
+        case 'ĝ' | 'ğ' | 'ġ' | 'ģ' => "g"
+        case 'Ĝ' | 'Ğ' | 'Ġ' | 'Ģ' => "G"
+        case 'ĥ' | 'ħ' => "h"
+        case 'Ĥ' | 'Ħ' => "H"
+        case 'ì' | 'í' | 'î' | 'ï' | 'ĩ' | 'ī' | 'ĭ' | 'į' | 'ı' => "i"
+        case 'Ì' | 'Í' | 'Î' | 'Ï' | 'Ĩ' | 'Ī' | 'Ĭ' | 'Į' | 'İ' => "I"
+        case 'ĵ' => "j"
+        case 'Ĵ' => "J"
+        case 'ķ' => "k"
+        case 'Ķ' => "K"
+        case 'ĺ' | 'ļ' | 'ľ' | 'ŀ' | 'ł' => "l"
+        case 'Ĺ' | 'Ļ' | 'Ľ' | 'Ŀ' | 'Ł' => "L"
+        case 'ñ' | 'ń' | 'ņ' | 'ň' => "n"
+        case 'Ñ' | 'Ń' | 'Ņ' | 'Ň' => "N"
+        case 'ò' | 'ó' | 'ô' | 'õ' | 'ö' | 'ø' | 'ō' | 'ŏ' | 'ő' => "o"
+        case 'Ò' | 'Ó' | 'Ô' | 'Õ' | 'Ö' | 'Ø' | 'Ō' | 'Ŏ' | 'Ő' => "O"
+        case 'ŕ' | 'ŗ' | 'ř' => "r"
+        case 'Ŕ' | 'Ŗ' | 'Ř' => "R"
+        case 'ś' | 'ŝ' | 'ş' | 'š' => "s"
+        case 'Ś' | 'Ŝ' | 'Ş' | 'Š' => "S"
+        case 'ţ' | 'ť' | 'ŧ' => "t"
+        case 'Ţ' | 'Ť' | 'Ŧ' => "T"
+        case 'ù' | 'ú' | 'û' | 'ü' | 'ũ' | 'ū' | 'ŭ' | 'ů' | 'ű' | 'ų' => "u"
+        case 'Ù' | 'Ú' | 'Û' | 'Ü' | 'Ũ' | 'Ū' | 'Ŭ' | 'Ů' | 'Ű' | 'Ų' => "U"
+        case 'ŵ' => "w"
+        case 'Ŵ' => "W"
+        case 'ý' | 'ÿ' | 'ŷ' => "y"
+        case 'Ý' | 'Ÿ' | 'Ŷ' => "Y"
+        case 'ź' | 'ż' | 'ž' => "z"
+        case 'Ź' | 'Ż' | 'Ž' => "Z"
+        case 'æ' => "ae"
+        case 'Æ' => "AE"
+        case 'œ' => "oe"
+        case 'Œ' => "OE"
+        case 'ß' => "ss"
+        case 'þ' => "th"
+        case 'Þ' => "TH"
+        case 'ð' => "d"
+        case 'Ð' => "D"
+        case other => other.toString
+      }
+      sb.append(f)
+    }
+    sb.toString
+  }
+
+  def asciiFold(in: Iterator[Token]): Iterator[Token] =
+    in.map(t => t.copy(term = foldAscii(t.term)))
+
+  // -------------------------------------------------------------- shingles
+
+  /** Word n-grams of sizes [2, maxSize], space-joined, optionally keeping the
+    * unigrams (ShingleFilter defaults: maxShingleSize=2, outputUnigrams=true).
+    * Shingle position = position of its first token.
+    */
+  def shingles(in: Iterator[Token], maxSize: Int = 2,
+               outputUnigrams: Boolean = true): Iterator[Token] = {
+    val toks = in.toVector
+    toks.indices.iterator.flatMap { i =>
+      val uni = if (outputUnigrams) Iterator.single(toks(i)) else Iterator.empty
+      val grams = (2 to maxSize).iterator.flatMap { k =>
+        if (i + k <= toks.length)
+          Some(toks(i).copy(
+            term = toks.slice(i, i + k).map(_.term).mkString(" "),
+            endOffset = toks(i + k - 1).endOffset))
+        else None
+      }
+      uni ++ grams
+    }
+  }
+
+  // -------------------------------------------------------------- n-grams
+
+  /** Character n-grams [minGram, maxGram] of each token, all at the token's
+    * position (NGramTokenFilter semantics). */
+  def ngrams(in: Iterator[Token], minGram: Int, maxGram: Int): Iterator[Token] =
+    in.flatMap { t =>
+      (minGram to maxGram).iterator.flatMap { g =>
+        (0 to t.term.length - g).iterator.map(i => t.copy(term = t.term.substring(i, i + g)))
+      }
+    }
+
+  // -------------------------------------------------------------- synonyms
+
+  /** Inject synonyms at the SAME position as the source token (posIncr = 0
+    * overlap, SynonymFilter's default keepOrig behavior). */
+  def synonyms(in: Iterator[Token], map: Map[String, Seq[String]]): Iterator[Token] =
+    in.flatMap { t =>
+      map.get(t.term) match {
+        case Some(syns) => Iterator.single(t) ++ syns.iterator.map(s => t.copy(term = s))
+        case None => Iterator.single(t)
+      }
+    }
+}
+
+/** StandardAnalyzer chain + Porter stemming — the EnglishAnalyzer-shaped
+  * catalog entry (stemming after stop-filtering, positions preserved). */
+object EnglishAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.porterStem(StandardAnalyzer.tokenize(text))
+  override def tokenCount(text: String): Int = StandardAnalyzer.tokenCount(text)
+}
