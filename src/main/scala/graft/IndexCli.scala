@@ -10,11 +10,13 @@ import graft.streaming.StreamingIndexer
   * "runs via spark-submit on multi-executor clusters" contract; in local dev
   * use `sbt "runMain graft.IndexCli <cmd> ..."`).
   *
-  *   build  <pagesParquet> <indexPath> [numSegments] [analyzer]
-  *   stream <pagesDir> <indexPath> <checkpointDir> [analyzer]
-  *   merge  <indexPath>                      # tiered merge to policy
-  *   check  <indexPath>                      # CheckIndex invariants
-  *   search <indexPath> <k> <query...>       # classic query syntax
+  *   build   <pagesParquet> <indexPath> [numSegments] [analyzer]
+  *   stream  <pagesDir> <indexPath> <checkpointDir> [analyzer]
+  *   merge   <indexPath>                      # tiered merge to policy
+  *   check   <indexPath>                      # CheckIndex invariants
+  *   search  <indexPath> <k> <query...>       # classic query syntax
+  *   delete  <indexPath> <query...>           # DeleteDocuments(Query)
+  *   explain <indexPath> <segmentId> <docId> <query...>
   *
   * No .master() is set — spark-submit (or SPARK_MASTER) decides; a local
   * default applies only when launched outside spark-submit.
@@ -70,6 +72,21 @@ object IndexCli {
         s.search(q, k).collect().foreach { r =>
           println(f"${r.getDouble(1)}%10.4f  ${r.getString(0)}")
         }
+
+      case "delete" =>
+        val indexPath = args(1)
+        val queryText = args.drop(2).mkString(" ")
+        val s = new Searcher(spark, indexPath)
+        val q = QueryParser.parse(queryText, s.analyzer)
+        val before = s.count(q)
+        graft.build.Deletes.deleteByQuery(s, indexPath, q)
+        println(s"""{"deleted":$before}""")
+
+      case "explain" =>
+        val Array(_, indexPath, seg, doc, qrest @ _*) = args: @unchecked
+        val s = new Searcher(spark, indexPath)
+        val q = QueryParser.parse(qrest.mkString(" "), s.analyzer)
+        print(s.explain(q, seg.toInt, doc.toInt).toString)
 
       case other => throw new IllegalArgumentException(s"unknown command: $other")
     }

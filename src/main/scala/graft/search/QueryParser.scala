@@ -95,14 +95,24 @@ object QueryParser {
     out.toList
   }
 
-  def parse(query: String, analyzer: Analyzer): Query = {
-    val (q, rest) = parseGroup(lex(query), analyzer)
+  def parse(query: String, analyzer: Analyzer): Query =
+    parse(query, analyzer, Map.empty)
+
+  /** Parse with per-field analyzers — the PerFieldAnalyzerWrapper analog
+    * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Miscellaneous/
+    * PerFieldAnalyzerWrapper.cs): a `field:`-bound word is analyzed with that
+    * field's analyzer (e.g. keyword StringFields keep the value verbatim),
+    * everything else with the default.
+    */
+  def parse(query: String, analyzer: Analyzer, perField: Map[String, Analyzer]): Query = {
+    val (q, rest) = parseGroup(lex(query), analyzer, perField)
     require(rest.isEmpty || rest == List(RParen), s"dangling tokens in query: $query")
     q
   }
 
   /** Parse a clause sequence up to EOF or an unmatched ')'. */
-  private def parseGroup(toks0: List[Tok], analyzer: Analyzer): (Query, List[Tok]) = {
+  private def parseGroup(toks0: List[Tok], analyzer: Analyzer,
+                         perField: Map[String, Analyzer] = Map.empty): (Query, List[Tok]) = {
     var toks = toks0
     val clauses = scala.collection.mutable.ListBuffer.empty[(Occur.Value, Query)]
     var pendingConj: Option[Tok] = None
@@ -126,7 +136,7 @@ object QueryParser {
         case NotOp | Minus => pendingOccur = Some(Occur.MustNot); toks = toks.tail
         case Plus => pendingOccur = Some(Occur.Must); toks = toks.tail
         case LParen =>
-          val (inner, rest) = parseGroup(toks.tail, analyzer)
+          val (inner, rest) = parseGroup(toks.tail, analyzer, perField)
           toks = rest match {
             case RParen :: t => t
             case t => t
@@ -141,13 +151,14 @@ object QueryParser {
           addClause(RangeQ(lo, hi, il, ih))
           toks = toks.tail
         case Word(w, fuzzy, fieldOpt) =>
+          val fieldAnalyzer = fieldOpt.flatMap(perField.get).getOrElse(analyzer)
           val q: Option[Query] =
             if (fuzzy.isDefined) Some(FuzzyQ(lowerRaw(w), fuzzy.get))
             else if (w.endsWith("*") && w.count(ch => ch == '*' || ch == '?') == 1 && w.length > 1)
               Some(PrefixQ(lowerRaw(w.dropRight(1))))
             else if (w.exists(ch => ch == '*' || ch == '?')) Some(WildcardQ(lowerRaw(w)))
             else {
-              val ts = analyzer.tokenize(w).map(t => (t.term, t.position)).toList
+              val ts = fieldAnalyzer.tokenize(w).map(t => (t.term, t.position)).toList
               if (ts.isEmpty) None
               else if (ts.size == 1) Some(TermQ(ts.head._1))
               else Some(PhraseQ(ts)) // analyzer split one word into several tokens

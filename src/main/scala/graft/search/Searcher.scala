@@ -631,9 +631,15 @@ final class Searcher(spark: SparkSession, indexPath: String,
         .groupBy("term").agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
   }
 
-  /** Parse with the same analyzer and search (QueryParser path, SURVEY.md §3.3). */
+  /** Per-field analyzers from the index config (PerFieldAnalyzerWrapper
+    * analog): `field:` clauses are analyzed with that field's chain. */
+  @transient private lazy val fieldAnalyzers: Map[String, graft.analysis.Analyzer] =
+    cfg.fieldList.map { case (f, a) => f -> Analyzers.byName(a) }.toMap
+
+  /** Parse with the index's analyzers and search (QueryParser path,
+    * SURVEY.md §3.3); field-bound clauses use their field's analyzer. */
   def searchText(queryText: String, k: Int): DataFrame =
-    search(QueryParser.parse(queryText, analyzer), k)
+    search(QueryParser.parse(queryText, analyzer, fieldAnalyzers), k)
 
   /** Block-Max WAND fast path for pure term-disjunctions (LuceneFloat mode);
     * other query shapes (and ExactDouble mode) fall back to the DataFrame

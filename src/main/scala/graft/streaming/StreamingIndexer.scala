@@ -29,19 +29,25 @@ object StreamingIndexer {
   def batchSegmentBase(batchId: Long, segmentsPerBatch: Int, offset: Int): Int =
     offset + (batchId * segmentsPerBatch).toInt
 
-  /** Append one micro-batch as `segmentsPerBatch` fresh segments. */
+  /** Append one micro-batch as `segmentsPerBatch` fresh segments. Extra
+    * indexed fields (multi-field indexes) come from the target index's
+    * persisted config, so streaming appends stay schema-consistent. */
   def appendBatch(spark: SparkSession, batch: DataFrame, indexPath: String,
                   analyzerName: String, segmentsPerBatch: Int, batchId: Long,
                   segmentOffset: Int = 1 << 20): Unit = {
     if (batch.isEmpty) return
     val base = batchSegmentBase(batchId, segmentsPerBatch, segmentOffset)
     val nSeg = segmentsPerBatch
+    val extraFields =
+      try IndexBuilder.readConfig(spark, indexPath).extraFields
+      catch { case _: Exception => Nil }
     val segOf = udf((key: String) => base + Addressing.segmentOf(key, nSeg))
-    val withSeg = batch.select(col("url"), col("text"))
+    val cols = (Seq("url", "text") ++ extraFields.map(_._1)).map(col)
+    val withSeg = batch.select(cols: _*)
       .withColumn("segmentId", segOf(col("url")))
     IndexBuilder.writeSegments(spark, withSeg, indexPath, analyzerName,
       boost = 1f, flushTokens = 8 * 1024 * 1024,
-      group = (base until base + nSeg).toSet)
+      group = (base until base + nSeg).toSet, extraFields = extraFields)
   }
 
   /** Start the incremental indexer over a parquet file-source directory.

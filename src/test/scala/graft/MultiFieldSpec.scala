@@ -85,6 +85,36 @@ class MultiFieldSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("per-field query analyzer (PerFieldAnalyzerWrapper analog)") {
+    import graft.analysis.{KeywordAnalyzer, StandardAnalyzer}
+    // keyword-analyzed field keeps the raw value (case, punctuation) while
+    // the default field's text goes through the standard chain
+    val q = QueryParser.parse("site:X-1.2 Quick", StandardAnalyzer,
+      Map("site" -> KeywordAnalyzer))
+    q match {
+      case BoolQ(List((_, FieldQ("site", TermQ(t1, _))), (_, TermQ(t2, _))), _) =>
+        assert(t1 == "X-1.2") // verbatim (StringField semantics)
+        assert(t2 == "quick") // standard chain lowercases
+      case other => fail(s"unexpected parse: $other")
+    }
+  }
+
+  test("streaming append preserves the multi-field schema") {
+    val base = Files.createTempDirectory("graftmfstream").toString
+    val df = spark.createDataFrame(PagesGen.local(80)).toDF("url", "text")
+      .withColumn("site", concat(lit("site"), pmod(crc32(col("url")), lit(7))))
+    IndexBuilder.build(spark, df, base,
+      IndexBuilder.BuildConfig(2, "standard", extraFields = Seq("site" -> "keyword")))
+    val batch = spark.createDataFrame(Seq(
+      ("zz://appended/1", "fresh streamed text", "site99"),
+      ("zz://appended/2", "more streamed text", "site99"))).toDF("url", "text", "site")
+    graft.streaming.StreamingIndexer.appendBatch(spark, batch, base,
+      "standard", segmentsPerBatch = 1, batchId = 0)
+    val s = new Searcher(spark, base)
+    val got = s.search(FieldQ("site", TermQ("site99")), 10).collect().map(_.getString(0)).toSet
+    assert(got == Set("zz://appended/1", "zz://appended/2"))
+  }
+
   test("merge preserves per-field postings and stats") {
     val freq = PagesGen.word(2)
     val q = BoolQ(List(Occur.Must -> FieldQ("site", TermQ("site5")), Occur.Should -> TermQ(freq)))
