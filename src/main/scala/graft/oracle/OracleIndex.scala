@@ -172,6 +172,8 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
       val ms = d.positions.keys.exists(term => OracleIndex.levenshtein(term, t) <= maxEdits)
       if (ms) Some(1.0f) else None
 
+    case fq: FuzzyTopQ => scoreDoc(fuzzyTopRewrite(fq), d)
+
     case MatchAllQ => Some(1.0f)
 
     case ConstantScoreQ(inner, boost) =>
@@ -184,6 +186,26 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
         val mx = scores.max
         Some(mx + tie * (scores.sum - mx))
       }
+  }
+
+  /** FuzzyQuery default rewrite (TopTermsScoringBooleanQueryRewrite): same
+    * expansion/boost/top-N rules as the engine's fuzzyExpand. */
+  private def fuzzyTopRewrite(fq: FuzzyTopQ): Query = {
+    val qLen = fq.term.codePointCount(0, fq.term.length)
+    val boosted = dictionary.flatMap { t =>
+      val ed = OracleIndex.levenshtein(t, fq.term)
+      if (ed > fq.maxEdits) None
+      else if (ed == 0) Some((t, 1f))
+      else {
+        val sim = 1f - ed.toFloat / math.min(t.codePointCount(0, t.length), qLen).toFloat
+        if (sim > 0f) Some((t, sim)) else None
+      }
+    }
+    val top = boosted.sortBy { case (t, b) => (-b, t) }
+      .take(math.min(fq.maxExpansions, Query.MaxClauseCount))
+      .sortBy(_._1)
+    if (top.isEmpty) BoolQ(List(Occur.Must -> TermQ(" absent")))
+    else BoolQ(top.map { case (t, b) => Occur.Should -> (TermQ(t, fq.boost * b): Query) }.toList)
   }
 
   // ------------------------------------------------------------ TFIDF twin
@@ -322,6 +344,8 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
         val mx = scores.max
         Some(mx + tie * (scores.sum - mx))
       }
+
+    case fq: FuzzyTopQ => scoreDocTfIdf(fuzzyTopRewrite(fq), d, qn)
 
     case ConstantScoreQ(inner, boost) => scoreDocTfIdf(inner, d, qn).map(_ => boost)
     case MatchAllQ => Some(1.0f)

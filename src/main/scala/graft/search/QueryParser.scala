@@ -153,7 +153,9 @@ object QueryParser {
         case Word(w, fuzzy, fieldOpt) =>
           val fieldAnalyzer = fieldOpt.flatMap(perField.get).getOrElse(analyzer)
           val q: Option[Query] =
-            if (fuzzy.isDefined) Some(FuzzyQ(lowerRaw(w), fuzzy.get))
+            // `term~N` = the reference's SCORED FuzzyQuery default (top-terms
+            // rewrite), not the constant-score filter (FuzzyQuery.cs:106)
+            if (fuzzy.isDefined) Some(FuzzyTopQ(lowerRaw(w), fuzzy.get))
             else if (w.endsWith("*") && w.count(ch => ch == '*' || ch == '?') == 1 && w.length > 1)
               Some(PrefixQ(lowerRaw(w.dropRight(1))))
             else if (w.exists(ch => ch == '*' || ch == '?')) Some(WildcardQ(lowerRaw(w)))

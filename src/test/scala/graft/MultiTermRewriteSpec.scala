@@ -65,6 +65,19 @@ class MultiTermRewriteSpec extends AnyFunSuite {
     assert(exp1.head._1 == term)
   }
 
+  test("parser `term~N` produces the SCORED fuzzy (reference default) and matches the oracle") {
+    import graft.analysis.StandardAnalyzer
+    val term = PagesGen.word(40)
+    val parsed = QueryParser.parse(s"$term~1", StandardAnalyzer)
+    assert(parsed == FuzzyTopQ(term, 1))
+    // rank+score identity against the oracle's TopTermsRewrite twin
+    val oracle = new graft.oracle.OracleIndex(PagesGen.local(N), 4, StandardAnalyzer)
+    val o = oracle.search(parsed, 10).map(h => (h.key, h.score)).toList
+    val g = searcher.search(parsed, 10).collect()
+      .map(r => (r.getString(0), r.getDouble(1).toFloat)).toList
+    assert(g == o)
+  }
+
   test("regexp query equals the equivalent wildcard doc set") {
     val a = hits(RegexpQ("qui.*")).keySet
     val b = hits(PrefixQ("qui")).keySet
