@@ -67,7 +67,9 @@ object BenchScale {
     // all trial walls are disclosed below
     def median(cpus: Int): (Double, Double, Seq[Double]) = {
       val runs = (0 until trials).map(_ => buildRun(cpus, n))
-      val med = runs.sortBy(_._2).apply(runs.length / 2)
+      // lower median for even counts (sorted by rate asc): never report the
+      // better of the two middle runs as "the median"
+      val med = runs.sortBy(_._2).apply((runs.length - 1) / 2)
       (med._1, med._2, runs.map(_._1))
     }
     val (sec2, rate2, walls2) = median(2)

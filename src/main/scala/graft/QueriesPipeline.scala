@@ -37,9 +37,12 @@ object QueriesPipeline {
 
     // THE scale-path dedup API: LSH candidates (band-bucket capped) verified
     // by pair-scoped Jaccard — all-pairs never runs
+    // maxBucket uncapped here because the DuckDB twin enumerates ALL band
+    // buckets; production callers keep the default boilerplate cap
     "q_dedup_pairs" -> ((s, dir) =>
       Dedup.nearDupPairs(documents(s, dir), "doc_id", "text",
-        k = 3, numHashes = 16, rowsPerBand = 4, tNum = 1, tDen = 2).orderBy("ida", "idb")),
+        k = 3, numHashes = 16, rowsPerBand = 4, tNum = 1, tDen = 2,
+        maxBucket = Int.MaxValue).orderBy("ida", "idb")),
 
     // ---- similarity search family
     "q_ann_topk" -> ((s, dir) => {

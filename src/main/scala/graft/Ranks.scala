@@ -20,7 +20,11 @@ object Ranks {
   def appendRank(df: DataFrame, rankCol: String, order: Seq[Column]): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val sorted = df.orderBy(order: _*).cache()
+    // eager localCheckpoint (not cache): partition boundaries stay fixed
+    // between the size job and the rank job, lineage is cut, and the blocks
+    // are released by the ContextCleaner when the result is dropped — no
+    // session-lifetime pin per ranked query
+    val sorted = df.orderBy(order: _*).localCheckpoint(true)
     val sizes = sorted
       .select(spark_partition_id().as("pid"))
       .groupBy("pid").count()

@@ -24,16 +24,36 @@ import org.apache.spark.sql.functions._
 object Deletes {
 
   def deletesPath(base: String) = s"$base/deletes"
+  private def deletesNewPath(base: String) = s"$base/deletes_new"
+
+  /** Complete an interrupted [[pruneApplied]] swap: a crash between the
+    * delete and the rename leaves `deletes_new` (the correct post-prune
+    * content) without `deletes` — finish the rename so deleted docs can
+    * never resurrect. Called from every read/write entry point.
+    */
+  private def recoverSwap(spark: SparkSession, indexPath: String): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dst = new Path(deletesPath(indexPath))
+    val fs = dst.getFileSystem(conf)
+    val pending = new Path(deletesNewPath(indexPath))
+    if (!fs.exists(dst) && fs.exists(pending)) {
+      require(fs.rename(pending, dst), "deletes swap recovery failed")
+      spark.catalog.refreshByPath(deletesPath(indexPath))
+    }
+  }
 
   def exists(spark: SparkSession, indexPath: String): Boolean = {
+    recoverSwap(spark, indexPath)
     val p = new Path(deletesPath(indexPath))
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   /** Append deleted urls (idempotent at read time — consumers distinct()). */
-  def deleteUrls(spark: SparkSession, indexPath: String, urls: DataFrame): Unit =
+  def deleteUrls(spark: SparkSession, indexPath: String, urls: DataFrame): Unit = {
+    recoverSwap(spark, indexPath) // never append over an interrupted prune
     urls.select(col(urls.columns.head).cast("string").as("url"))
       .write.mode(SaveMode.Append).parquet(deletesPath(indexPath))
+  }
 
   /** DeleteDocuments(Query) analog: resolve matching docs to urls, append. */
   def deleteByQuery(searcher: graft.search.Searcher, indexPath: String,
@@ -66,21 +86,29 @@ object Deletes {
       .groupBy(_._1).map { case (s, arr) => s -> arr.map(_._2).sorted }
   }
 
-  /** Drop urls that no longer exist in the doc store (purged by a merge). */
+  /** Drop urls that no longer exist in the doc store (purged by a merge).
+    * Crash-safe swap: the new content lands at `deletes_new` FIRST, so the
+    * only crash window (between delete and rename) leaves a state
+    * [[recoverSwap]] completes on the next read — deleted docs never
+    * resurrect.
+    */
   def pruneApplied(spark: SparkSession, indexPath: String): Unit = {
     if (!exists(spark, indexPath)) return
     val docs = spark.read.parquet(IndexBuilder.docsPath(indexPath)).select("url")
     val remaining = deletedUrls(spark, indexPath)
       .join(docs, Seq("url"), "left_semi").collect().map(_.getString(0))
-    val tmp = s"$indexPath/.staging/deletes_new"
+    val staged = s"$indexPath/.staging/deletes_next"
     import spark.implicits._
     spark.createDataset(remaining.toSeq).toDF("url")
-      .write.mode(SaveMode.Overwrite).parquet(tmp)
+      .write.mode(SaveMode.Overwrite).parquet(staged)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(indexPath).getFileSystem(hadoopConf)
+    val pending = new Path(deletesNewPath(indexPath))
+    if (fs.exists(pending)) fs.delete(pending, true)
+    require(fs.rename(new Path(staged), pending), "deletes staging rename failed")
     val dst = new Path(deletesPath(indexPath))
     fs.delete(dst, true)
-    require(fs.rename(new Path(tmp), dst), "deletes table swap failed")
+    require(fs.rename(pending, dst), "deletes table swap failed")
     // fs-level rename bypasses the automatic listing-cache refresh
     spark.catalog.refreshByPath(deletesPath(indexPath))
   }

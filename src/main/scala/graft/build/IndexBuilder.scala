@@ -31,6 +31,14 @@ object IndexBuilder {
   /** The default indexed field (the `text` input column). */
   val DefaultField = "text"
 
+  /** Segment-id bands: batch builds allocate [0, 2^20), streaming appends
+    * [2^20, 2^30) (StreamingIndexer.batchSegmentBase), merges [2^30, ...).
+    * Keeping merge ids in their own band means a freshly merged segment can
+    * never collide with a FUTURE streaming batch's deterministic id (which
+    * dynamic-partition-overwrite would otherwise clobber).
+    */
+  val MergeIdOffset: Int = 1 << 30
+
   final case class BuildConfig(
       numSegments: Int,
       analyzerName: String = "standard",
@@ -80,9 +88,6 @@ object IndexBuilder {
   /** Resolved path of the CURRENT stats generation. */
   def statsPath(spark: SparkSession, base: String): String =
     s"$base/${statsDirName(statsGen(spark, base))}"
-
-  /** Legacy fixed path (generation 0) — build-time appends before any merge. */
-  def statsPath(base: String): String = s"$base/stats"
 
   /** Build the index from a pages DataFrame with columns (url string, text string).
     * Resume-safe: segments recorded in the manifest are skipped.
@@ -261,14 +266,19 @@ object IndexBuilder {
 
   def completedSegments(spark: SparkSession, indexPath: String): Set[Int] = {
     import spark.implicits._
-    // existence check, not try/catch: a missing manifest is the normal
-    // "fresh index" case and must not emit an ERROR stack into job logs
+    // existence check first: a missing manifest is the normal "fresh index"
+    // case and must not emit an ERROR stack into job logs. The try/catch
+    // stays for the crash-resume case where the dir exists but holds no
+    // readable footers yet (_temporary only) — treated as "nothing done",
+    // which the dynamic-overwrite + append write path self-heals.
     val p = new org.apache.hadoop.fs.Path(manifestPath(indexPath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Set.empty
-    else spark.read.parquet(manifestPath(indexPath))
-      .filter(col("status") === "done")
-      .select("segmentId").as[Int].collect().toSet
+    else try {
+      spark.read.parquet(manifestPath(indexPath))
+        .filter(col("status") === "done")
+        .select("segmentId").as[Int].collect().toSet
+    } catch { case _: Exception => Set.empty }
   }
 
   private def writeConfig(spark: SparkSession, indexPath: String, cfg: BuildConfig): Unit = {

@@ -60,7 +60,11 @@ object MergeJob {
     val statsAll = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
       .dropDuplicates("segmentId", "field")
       .as[SegmentStats].collect()
-    val target = statsAll.map(_.segmentId).max + 1 // fresh, disjoint id
+    // fresh id from the MERGE band (2^30+): disjoint from every source AND
+    // from any future batch/streaming segment id (their bands are below)
+    val mergeBand = statsAll.map(_.segmentId).filter(_ >= IndexBuilder.MergeIdOffset)
+    val target =
+      if (mergeBand.isEmpty) IndexBuilder.MergeIdOffset else mergeBand.max + 1
     // segment-wide maxDoc from the default field's rows (present per segment)
     val stats = statsAll.filter(_.field == IndexBuilder.DefaultField)
       .map(s => s.segmentId -> s).toMap
@@ -182,6 +186,10 @@ object MergeJob {
     def renameIn(base: String, staged: String): Unit = {
       val fs = new Path(base).getFileSystem(hadoopConf)
       val dst = new Path(s"$base/segmentId=$target")
+      // a retry after a crash between the data renames and the stats flip
+      // recomputes the SAME target: clear the (invisible) orphan first so
+      // rename cannot nest into it (HDFS) or fail (local FS)
+      if (fs.exists(dst)) fs.delete(dst, true)
       fs.mkdirs(dst.getParent)
       val ok = fs.rename(new Path(staged), dst)
       require(ok, s"rename $staged -> $dst failed")

@@ -38,6 +38,9 @@ object StreamingIndexer {
     if (batch.isEmpty) return
     val base = batchSegmentBase(batchId, segmentsPerBatch, segmentOffset)
     val nSeg = segmentsPerBatch
+    // streaming ids must stay below the merge band (IndexBuilder id bands)
+    require(base.toLong + nSeg <= IndexBuilder.MergeIdOffset,
+      s"streaming segment ids exhausted their band: $base + $nSeg")
     val extraFields =
       try IndexBuilder.readConfig(spark, indexPath).extraFields
       catch { case _: Exception => Nil }
@@ -73,7 +76,10 @@ object StreamingIndexer {
       .start()
   }
 
-  private def ensureConfig(spark: SparkSession, indexPath: String, analyzerName: String): Unit = {
+  /** Write the index config if absent (required before the first reader
+    * opens; `start` does this automatically, direct appendBatch users call
+    * it themselves). */
+  def ensureConfig(spark: SparkSession, indexPath: String, analyzerName: String): Unit = {
     val p = new org.apache.hadoop.fs.Path(IndexBuilder.configPath(indexPath))
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) {

@@ -102,6 +102,31 @@ class MergeSpec extends AnyFunSuite {
     assert(s2.liveSegments == Set(m))
   }
 
+  test("merged ids live in their own band: future streaming batches cannot clobber") {
+    // regression: target = max(id)+1 used to equal the NEXT streaming
+    // batch's deterministic id, which dynamic-overwrite would then replace
+    val base = Files.createTempDirectory("graftband").toString
+    val spark2 = spark
+    import org.apache.spark.sql.functions._
+    def batchDf(tag: String, n: Int) = spark2.createDataFrame(
+      PagesGen.local(n).map { case (u, t) => (s"$tag/$u", t) }).toDF("url", "text")
+    graft.streaming.StreamingIndexer.ensureConfig(spark2, base, "standard")
+    graft.streaming.StreamingIndexer.appendBatch(spark2, batchDf("b0", 60), base,
+      "standard", segmentsPerBatch = 2, batchId = 0)
+    graft.streaming.StreamingIndexer.appendBatch(spark2, batchDf("b1", 60), base,
+      "standard", segmentsPerBatch = 2, batchId = 1)
+    val live = new Searcher(spark2, base).liveSegments.toList.sorted
+    val merged = MergeJob.merge(spark2, base, live)
+    assert(merged >= IndexBuilder.MergeIdOffset, s"merged id $merged must be in the merge band")
+    // the NEXT batch's ids are below the merge band — nothing clobbered
+    graft.streaming.StreamingIndexer.appendBatch(spark2, batchDf("b2", 60), base,
+      "standard", segmentsPerBatch = 2, batchId = 2)
+    val s = new Searcher(spark2, base)
+    assert(s.count(MatchAllQ) == 180)
+    val report = CheckIndex.run(spark2, base)
+    assert(report.ok, report.violations.mkString("; "))
+  }
+
   test("re-merging a piece-split segment stitches pieces in docId order") {
     // seg 0 gains multiple pieces per term (hotTermDf = 0); merging it again
     // puts same-segmentId pieces into one group — order must come from
