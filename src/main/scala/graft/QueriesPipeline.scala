@@ -57,6 +57,14 @@ object QueriesPipeline {
       Ann.lshBuckets(emb, "vec_id", "embedding", nBits = 8, dim = 64).orderBy("vec_id")
     }),
 
+    // embedding-cosine near-dup: LSH-bucket candidates verified by exact
+    // cosine (never all-pairs)
+    "q_dedup_embed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.embedDupPairs(emb, "vec_id", "embedding", nBits = 8, dim = 64, minCos = 0.1)
+        .orderBy("ida", "idb")
+    }),
+
     // IVF pruned top-k: probe the 3 nearest of ~25 deterministic cells, brute
     // cosine only inside them — the scale path that turns a full scan into a
     // cell-pruned one
@@ -389,6 +397,33 @@ object QueriesPipeline {
         |  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> 0)
         |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
         |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_dedup_embed" ->
+      """WITH planes AS (
+        |  SELECT a.i, b.j,
+        |    (CAST(('0x' || substr(md5(a.i || '_' || b.j), 1, 8)) AS BIGINT) % 2001 - 1000) / 1000.0 AS c
+        |  FROM unnest(generate_series(0, 63)) AS a(i), unnest(generate_series(0, 7)) AS b(j)),
+        |dots AS (
+        |  SELECT e.vec_id, p.j, sum(CAST(e.embedding[p.i + 1] AS DOUBLE) * p.c) AS dot
+        |  FROM embeddings e CROSS JOIN planes p GROUP BY e.vec_id, p.j),
+        |buckets AS (
+        |  SELECT vec_id,
+        |    CAST(sum(CASE WHEN dot > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS bucket
+        |  FROM dots GROUP BY vec_id),
+        |cand AS (
+        |  SELECT a.vec_id AS ida, b.vec_id AS idb
+        |  FROM buckets a JOIN buckets b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+        |scored AS (
+        |  SELECT c.ida, c.idb,
+        |    list_reduce(list_transform(list_zip(ea.embedding, eb.embedding),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(ea.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(eb.embedding,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cos
+        |  FROM cand c JOIN embeddings ea ON ea.vec_id = c.ida
+        |  JOIN embeddings eb ON eb.vec_id = c.idb)
+        |SELECT ida, idb FROM scored WHERE cos >= 0.1 ORDER BY ida, idb""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

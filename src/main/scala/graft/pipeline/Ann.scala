@@ -120,6 +120,29 @@ object Ann {
     cosineTopK(cand, idCol, embCol, q, k, excludeId)
   }
 
+  /** Embedding-cosine near-duplicate pairs: candidates from shared
+    * hyperplane-LSH buckets (never all-pairs), verified by exact cosine —
+    * the embedding analog of Dedup.nearDupPairs. Returns (ida < idb) with
+    * cosine >= minCos.
+    */
+  def embedDupPairs(emb: DataFrame, idCol: String, embCol: String,
+                    nBits: Int, dim: Int, minCos: Double): DataFrame = {
+    val withBucket = emb.select(col(idCol).as("id"), col(embCol).as("e"))
+      .join(lshBuckets(emb, idCol, embCol, nBits, dim)
+        .select(col(idCol).as("id"), col("bucket")), Seq("id"))
+    val a = withBucket.as("a")
+    val b = withBucket.as("b")
+    val dot = aggregate(
+      zip_with(col("a.e"), col("b.e"), (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0d), (acc, x) => acc + x)
+    def norm(c: Column): Column =
+      sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
+    a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
+      .withColumn("cos", dot / (norm(col("a.e")) * norm(col("b.e"))))
+      .filter(col("cos") >= minCos)
+      .select(col("a.id").as("ida"), col("b.id").as("idb"))
+  }
+
   /** LSH bucket id per vector: bit j = 1 iff dot(v, plane_j) > 0;
     * bucket = sum bit_j * 2^j.
     */
