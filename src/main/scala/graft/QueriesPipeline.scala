@@ -35,6 +35,13 @@ object QueriesPipeline {
       Dedup.simhash48(documents(s, dir), "doc_id", "text")
         .withColumnRenamed("id", "doc_id").orderBy("doc_id")),
 
+    // SimHash near-dup pairs: 16-bit-band candidates (pigeonhole: any pair
+    // within hamming 2 shares a band; wider radii are best-effort within the
+    // banded candidate set) verified by exact popcount hamming
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 16)
+        .orderBy("ida", "idb")),
+
     // THE scale-path dedup API: LSH candidates (band-bucket capped) verified
     // by pair-scoped Jaccard — all-pairs never runs
     // maxBucket uncapped here because the DuckDB twin enumerates ALL band
@@ -303,6 +310,41 @@ object QueriesPipeline {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
          |ORDER BY ida, idb""".stripMargin,
+
+    "q_dedup_simhash" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tfq AS (SELECT doc_id AS id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |tb AS (
+        |  SELECT term,
+        |    CAST(('0x' || substr(md5(term), 1, 8)) AS BIGINT) AS h1,
+        |    CAST(('0x' || substr(md5(term), 9, 8)) AS BIGINT) AS h2
+        |  FROM (SELECT DISTINCT term FROM tfq)),
+        |bits AS (
+        |  SELECT term, j,
+        |    CASE WHEN j < 24 THEN (h1 // CAST(pow(2, j) AS BIGINT)) % 2
+        |         ELSE (h2 // CAST(pow(2, j - 24) AS BIGINT)) % 2 END AS bit
+        |  FROM tb, unnest(generate_series(0, 47)) AS g(j)),
+        |w AS (
+        |  SELECT id, j, sum(tf * (bit * 2 - 1)) AS w
+        |  FROM tfq JOIN bits USING (term) GROUP BY id, j),
+        |fp AS (
+        |  SELECT id,
+        |    CAST(sum((CASE WHEN w > 0 THEN 1 ELSE 0 END) * CAST(pow(2, j) AS BIGINT)) AS BIGINT) AS simhash
+        |  FROM w GROUP BY id),
+        |banded AS (
+        |  SELECT id, simhash, 0 AS band, simhash % 65536 AS v FROM fp
+        |  UNION ALL
+        |  SELECT id, simhash, 1, (simhash // 65536) % 65536 FROM fp
+        |  UNION ALL
+        |  SELECT id, simhash, 2, simhash // 4294967296 FROM fp),
+        |cand AS (
+        |  SELECT DISTINCT a.id AS ida, b.id AS idb, a.simhash AS ha, b.simhash AS hb
+        |  FROM banded a JOIN banded b
+        |    ON a.band = b.band AND a.v = b.v AND a.id < b.id)
+        |SELECT ida, idb, CAST(bit_count(CAST(xor(ha, hb) AS BIGINT)) AS INT) AS hamming
+        |FROM cand WHERE bit_count(CAST(xor(ha, hb) AS BIGINT)) <= 16
+        |ORDER BY ida, idb""".stripMargin,
 
     "q_dedup_pairs" ->
       s"""$SH, coef(i, a, b) AS (VALUES $coefValues),

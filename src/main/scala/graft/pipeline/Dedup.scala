@@ -166,6 +166,34 @@ object Dedup {
       .agg(sum(expr("bitOut * cast(pow(2, j) as bigint)")).cast("long").as("simhash"))
   }
 
+  /** SimHash near-duplicate pairs: candidates share at least one of three
+    * 16-bit bands (pigeonhole: any pair within hamming distance 2 must agree
+    * on >= 1 band), verified by exact popcount hamming <= maxHamming. Never
+    * all-pairs — the banded join is the simhash analog of MinHash-LSH
+    * bucketing.
+    */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int): DataFrame = {
+    val fp = simhash48(df, idCol, textCol) // (id, simhash)
+    val banded = fp.select(col("id"), col("simhash"),
+        explode(array(
+          struct(lit(0).as("band"), expr("simhash % 65536").as("v")),
+          struct(lit(1).as("band"), expr("(simhash div 65536) % 65536").as("v")),
+          struct(lit(2).as("band"), expr("simhash div 4294967296").as("v"))
+        )).as("b"))
+      .select(col("id"), col("simhash"), col("b.band"), col("b.v"))
+    val a = banded.as("a")
+    val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
+        col("a.id") < col("b.id"))
+      .select(col("a.id").as("ida"), col("b.id").as("idb"),
+        col("a.simhash").as("ha"), col("b.simhash").as("hb"))
+      .distinct()
+      .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      .filter(col("ham") <= maxHamming)
+      .select(col("ida"), col("idb"), col("ham").cast("int").as("hamming"))
+  }
+
   private def spark_range_48(): DataFrame = {
     val spark = org.apache.spark.sql.SparkSession.active
     spark.range(0, 48).toDF("j")
