@@ -27,7 +27,7 @@ object Ann {
     * query vector, in double precision.
     */
   def dotCol(embCol: String, q: Array[Float]): Column = {
-    val qArr = array(q.map(v => lit(v)): _*)
+    val qArr = array(q.toIndexedSeq.map(v => lit(v)): _*)
     aggregate(
       zip_with(col(embCol), qArr, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
@@ -107,7 +107,7 @@ object Ann {
               k: Int, every: Int, nprobe: Int, excludeId: Option[Long] = None,
               assignment: Option[DataFrame] = None): DataFrame = {
     import emb.sparkSession.implicits._
-    val qArr = array(q.map(v => lit(v)): _*)
+    val qArr = array(q.toIndexedSeq.map(v => lit(v)): _*)
     val probed: Array[Long] = ivfCentroids(emb, idCol, embCol, every)
       .withColumn("d2", l2sqCol(col("ce"), qArr))
       .orderBy(col("d2").asc, col("cid").asc)
@@ -149,7 +149,7 @@ object Ann {
   def lshBuckets(emb: DataFrame, idCol: String, embCol: String, nBits: Int, dim: Int): DataFrame = {
     val ps = planes(dim, nBits)
     val bucket = (0 until nBits).map { j =>
-      val pArr = array(ps(j).map(v => lit(v)): _*)
+      val pArr = array(ps(j).toIndexedSeq.map(v => lit(v)): _*)
       val dot = aggregate(
         zip_with(col(embCol), pArr, (x, y) => x.cast("double") * y),
         lit(0.0d), (acc, x) => acc + x)
