@@ -30,11 +30,16 @@ class RandomizedQuerySpec extends AnyFunSuite {
   /** Random query tree of bounded depth; weighted towards realistic shapes. */
   private def randQuery(rnd: Random, depth: Int): Query = {
     if (depth == 0 || rnd.nextInt(3) == 0) {
-      rnd.nextInt(6) match {
+      rnd.nextInt(10) match {
         case 0 | 1 | 2 => TermQ(randTerm(rnd))
         case 3 => PhraseQ(List("quick" -> 0, "brown" -> 1))
         case 4 => PrefixQ(randTerm(rnd).take(2 + rnd.nextInt(2)))
         case 5 => TermQ(randTerm(rnd), boost = 1f + rnd.nextInt(3))
+        case 6 => SpanScoreQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")),
+          rnd.nextInt(4), inOrder = rnd.nextBoolean()))
+        case 7 => FuzzyQ(randTerm(rnd), 1)
+        case 8 => FuzzyTopQ(randTerm(rnd), 1, 10)
+        case 9 => FieldQ("text", TermQ(randTerm(rnd))) // default-field binding identity
       }
     } else {
       val n = 2 + rnd.nextInt(3)
