@@ -91,11 +91,14 @@ object StreamingIndexer {
   }
 }
 
-/** SearcherManager analog: hand out a fresh Searcher when the manifest grew
+/** SearcherManager analog: hand out a fresh Searcher when the index CHANGED
   * (Search/SearcherManager.cs MaybeRefresh semantics — cheap when unchanged).
+  * "Changed" covers everything DirectoryReader.OpenIfChanged would see: new
+  * segments (manifest), merges (stats generation + live segment set), and
+  * delete-table updates (the live-docs overlay).
   */
 final class SearcherManager(spark: SparkSession, indexPath: String) {
-  @volatile private var lastSegments: Set[Int] = Set.empty
+  @volatile private var lastSig: String = null
   @volatile private var current: Searcher = _
 
   def acquire(): Searcher = {
@@ -103,16 +106,31 @@ final class SearcherManager(spark: SparkSession, indexPath: String) {
     current
   }
 
+  /** Cheap change signature: manifest segments + stats generation/segment
+    * set + deletes-table file listing (names and sizes). */
+  private def signature(): String = {
+    val segs = IndexBuilder.completedSegments(spark, indexPath).toList.sorted.mkString(",")
+    val statsSig = graft.build.DictTable.segsSignature(spark, indexPath)
+    val gen = IndexBuilder.statsGen(spark, indexPath)
+    val delPath = new org.apache.hadoop.fs.Path(graft.build.Deletes.deletesPath(indexPath))
+    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val delSig =
+      if (!fs.exists(delPath)) ""
+      else fs.listStatus(delPath).map(st => s"${st.getPath.getName}:${st.getLen}")
+        .sorted.mkString(",")
+    s"$segs|$gen|$statsSig|$delSig"
+  }
+
   /** Synchronized check-then-act (the reference SearcherManager is explicitly
-    * thread-safe); `current` is assigned before `lastSegments` so a racing
-    * unsynchronized reader can never observe the new segment set with a stale
+    * thread-safe); `current` is assigned before `lastSig` so a racing
+    * unsynchronized reader can never observe the new signature with a stale
     * or null searcher.
     */
   def maybeRefresh(): Boolean = synchronized {
-    val segs = IndexBuilder.completedSegments(spark, indexPath)
-    if (current == null || segs != lastSegments) {
+    val sig = signature()
+    if (current == null || sig != lastSig) {
       current = new Searcher(spark, indexPath)
-      lastSegments = segs
+      lastSig = sig
       true
     } else false
   }
