@@ -227,6 +227,93 @@ object Leapfrog {
     }
   }
 
+  /** DisjunctionMaxQuery over (field-bound) terms — same per-segment cursor
+    * walk as boolTerms, DisMax score combination (max + tie * (sum - max),
+    * DisjunctionMaxScorer): one exchange of compressed rows, no groupBy.
+    */
+  def disMaxTerms(searcher: Searcher, spark: SparkSession,
+                  clauses: List[(String, TermQ)], tie: Float,
+                  stats: Map[(String, String), (Long, Long)], qn: Double): Dataset[Hit] = {
+    import spark.implicits._
+    val specs: Array[(String, String)] = clauses.map { case (f, tq) => (f, tq.term) }.toArray
+    val scorers: Array[(Double, Int) => Double] = clauses.map { case (f, tq) =>
+      stats.get((f, tq.term)).map { case (df, _) => searcher.makeScorer(f, df, tq.boost, qn) }.orNull
+    }.toArray
+    val present = specs.toSet.filter(stats.contains)
+    if (present.isEmpty) return spark.emptyDataset[Hit]
+    val floatMode = searcher.mode == LuceneFloat
+
+    searcher.postingsRaw
+      .filter(keysPred(present))
+      .select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens", "skips")
+      .as[Wand.WandRow]
+      .repartition(col("segmentId"))
+      .mapPartitions { rows =>
+        val bySeg = rows.toArray.groupBy(_.segmentId)
+        bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
+          val byKey = ps.groupBy(r => (r.field, r.term))
+          val cursors: Array[ClauseCursor] = specs.map { k =>
+            val pieces = byKey.getOrElse(k, Array.empty).map(p =>
+              new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips))
+            if (pieces.isEmpty) null else new ClauseCursor(pieces)
+          }
+          val live = cursors.filter(_ != null)
+          if (live.isEmpty) Iterator.empty
+          else {
+            live.foreach(_.next())
+            new Iterator[Hit] {
+              private var pending: Hit = null
+              private def step(): Unit = {
+                var cand = Int.MaxValue
+                var i = 0
+                while (i < live.length) {
+                  val c = live(i)
+                  if (!c.exhausted && c.doc < cand) cand = c.doc
+                  i += 1
+                }
+                if (cand == Int.MaxValue) return
+                // clause-ordered combination matching the DataFrame plan:
+                // sum chain with 0 for missing; max over matched; then
+                // max + tie * (sum - max), all in the mode's precision
+                var sumF = 0f; var mxF = Float.MinValue
+                var sumD = 0d; var mxD = Float.MinValue.toDouble
+                var k = 0
+                while (k < specs.length) {
+                  val c = cursors(k)
+                  if (scorers(k) != null && c != null && !c.exhausted && c.doc == cand) {
+                    val s = scorers(k)(c.tf.toDouble, c.len)
+                    if (floatMode) {
+                      val sf = s.toFloat
+                      sumF += sf
+                      if (sf > mxF) mxF = sf
+                    } else {
+                      sumD += s
+                      if (s > mxD) mxD = s
+                    }
+                  }
+                  k += 1
+                }
+                pending = Hit(seg, cand,
+                  if (floatMode) (mxF + (tie * (sumF - mxF))).toDouble
+                  else mxD + (tie.toDouble * (sumD - mxD)))
+                var j = 0
+                while (j < live.length) {
+                  val c = live(j)
+                  if (!c.exhausted && c.doc == cand) c.advance(cand + 1)
+                  j += 1
+                }
+              }
+              override def hasNext: Boolean = { if (pending == null) step(); pending != null }
+              override def next(): Hit = {
+                if (!hasNext) throw new NoSuchElementException
+                val h = pending; pending = null; h
+              }
+            }
+          }
+        }
+      }
+  }
+
   // ------------------------------------------------- positional pre-intersect
 
   /** Exact/sloppy phrase and multi-phrase — ExactPhraseScorer semantics

@@ -550,6 +550,12 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   private def compileDisMax(cs: List[Query], tie: Float,
                             stats: FTStats, field: String, qn: Double): Dataset[Hit] = {
+    // disjunction-max of (field-bound) terms: per-segment cursor walk over
+    // compressed rows (DisjunctionMaxScorer analog) — no groupBy shuffle
+    val asTerms = cs.map(asFieldTerm(_, field))
+    if (asTerms.forall(_.isDefined))
+      return Leapfrog.disMaxTerms(this, spark, asTerms.map(_.get), tie, stats, qn)
+
     val streams = cs.zipWithIndex.map { case (cq, i) =>
       compileNode(cq, stats, field, qn).withColumn("clause", lit(i))
     }

@@ -71,10 +71,11 @@ class LeapfrogSpec extends AnyFunSuite {
     assert(!plan.contains("HashAggregate"), s"no groupBy of decoded hits allowed:\n$plan")
   }
 
-  test("phrase and span plans shuffle only compressed posting rows") {
+  test("phrase, span and disMax plans shuffle only compressed posting rows") {
     for (q <- Seq[Query](
       PhraseQ(List("quick" -> 0, "brown" -> 1)),
       MultiPhraseQ(List((Set("quick", "lazy"), 0), (Set("brown"), 1))),
+      DisMaxQ(List(TermQ(freq), TermQ(mid)), 0.5f),
       SpanMatchQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 2, inOrder = true)))) {
       val plan = searcher.compile(q).queryExecution.executedPlan.toString()
       val exchanges = "Exchange".r.findAllIn(plan).length

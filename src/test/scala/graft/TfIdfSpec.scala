@@ -71,6 +71,10 @@ class TfIdfSpec extends AnyFunSuite {
     checkIdentical(SpanScoreQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 3, inOrder = true)))
   }
 
+  test("disMax identical under TFIDF (leapfrog route)") {
+    checkIdentical(DisMaxQ(List(TermQ(freq), TermQ(mid)), 0.3f))
+  }
+
   test("mixed req/opt tree identical") {
     checkIdentical(BoolQ(List(
       Occur.Must -> TermQ(freq),
