@@ -231,6 +231,24 @@ object Queries {
         .toDF("docs", "posting_rows", "violations")
     }),
 
+    // --- grouped SEARCH (GroupingSearch/TwoPass collectors): top-2 docs per
+    //     source group of the query's matches, groups ordered by best score
+    "q_group_search" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val se = searcher(s, dir)
+      val meta = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "source")
+      val hits = se.compile(TermQ("vector"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+        .join(meta, "doc_id")
+      hits.withColumn("rn", row_number().over(
+          Window.partitionBy(col("source"))
+            .orderBy(col("score").desc, col("doc_id").asc)))
+        .filter(col("rn") <= 2)
+        .select(col("source"), col("doc_id"), col("rn"))
+        .orderBy("source", "rn")
+    }),
+
     // --- Sort/SortField (TopFieldCollector): matching docs by field order
     "q_sort_field" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -566,6 +584,15 @@ object Queries {
       s"""$P SELECT (SELECT count(*) FROM documents) AS docs,
          |  (SELECT count(*) FROM dfs) AS posting_rows,
          |  CAST(0 AS BIGINT) AS violations""".stripMargin,
+
+    "q_group_search" ->
+      s"""$P, ${scoreCte("a", "vector")}
+         |SELECT source, doc_id, rn FROM (
+         |  SELECT d.source, s.doc_id,
+         |    CAST(row_number() OVER (
+         |      PARTITION BY d.source ORDER BY s.s DESC, s.doc_id ASC) AS INT) AS rn
+         |  FROM scores_a s JOIN documents d USING (doc_id))
+         |WHERE rn <= 2 ORDER BY source, rn""".stripMargin,
 
     "q_sort_field" ->
       s"""$P SELECT doc_id, CAST(row_number() OVER (ORDER BY n_chars DESC, doc_id) AS INT) AS rank
