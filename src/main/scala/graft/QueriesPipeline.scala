@@ -38,9 +38,11 @@ object QueriesPipeline {
     // SimHash near-dup pairs: 16-bit-band candidates (pigeonhole: any pair
     // within hamming 2 shares a band; wider radii are best-effort within the
     // banded candidate set) verified by exact popcount hamming
+    // maxBand uncapped: the DuckDB twin enumerates all bands (production
+    // callers keep the default boilerplate cap)
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 16)
-        .orderBy("ida", "idb")),
+      Dedup.simhashPairs(documents(s, dir), "doc_id", "text", maxHamming = 16,
+        maxBand = Int.MaxValue).orderBy("ida", "idb")),
 
     // THE scale-path dedup API: LSH candidates (band-bucket capped) verified
     // by pair-scoped Jaccard — all-pairs never runs
@@ -65,11 +67,12 @@ object QueriesPipeline {
     }),
 
     // embedding-cosine near-dup: LSH-bucket candidates verified by exact
-    // cosine (never all-pairs)
+    // cosine (maxBucket uncapped to match the oracle; production callers
+    // keep the default cap)
     "q_dedup_embed" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
-      Ann.embedDupPairs(emb, "vec_id", "embedding", nBits = 8, dim = 64, minCos = 0.1)
-        .orderBy("ida", "idb")
+      Ann.embedDupPairs(emb, "vec_id", "embedding", nBits = 8, dim = 64, minCos = 0.1,
+        maxBucket = Int.MaxValue).orderBy("ida", "idb")
     }),
 
     // IVF pruned top-k: probe the 3 nearest of ~25 deterministic cells, brute

@@ -121,40 +121,50 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs: candidates from shared
-    * hyperplane-LSH buckets (never all-pairs), verified by exact cosine —
-    * the embedding analog of Dedup.nearDupPairs. Returns (ida < idb) with
-    * cosine >= minCos.
+    * hyperplane-LSH buckets, verified by exact cosine — the embedding analog
+    * of Dedup.nearDupPairs. `maxBucket` caps bucket sizes (a dominant-
+    * direction bucket beyond the cap is dropped rather than joined
+    * quadratically). Returns (ida < idb) with cosine >= minCos.
     */
   def embedDupPairs(emb: DataFrame, idCol: String, embCol: String,
-                    nBits: Int, dim: Int, minCos: Double): DataFrame = {
-    val withBucket = emb.select(col(idCol).as("id"), col(embCol).as("e"))
-      .join(lshBuckets(emb, idCol, embCol, nBits, dim)
-        .select(col(idCol).as("id"), col("bucket")), Seq("id"))
+                    nBits: Int, dim: Int, minCos: Double,
+                    maxBucket: Int = 10000): DataFrame = {
+    // bucket computed inline on the same row — no join back to the source
+    val withBucket0 = emb.select(col(idCol).as("id"), col(embCol).as("e"),
+      bucketCol(embCol, nBits, dim).as("bucket"))
+    val withBucket =
+      if (maxBucket == Int.MaxValue) withBucket0
+      else {
+        val ok = withBucket0.groupBy(col("bucket"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
+          .select("bucket")
+        withBucket0.join(ok, Seq("bucket"), "left_semi")
+      }
     val a = withBucket.as("a")
     val b = withBucket.as("b")
     val dot = aggregate(
       zip_with(col("a.e"), col("b.e"), (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0d), (acc, x) => acc + x)
-    def norm(c: Column): Column =
-      sqrt(aggregate(c, lit(0.0d), (acc, x) => acc + x.cast("double") * x.cast("double")))
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", dot / (norm(col("a.e")) * norm(col("b.e"))))
+      .withColumn("cos", dot / (normCol(col("a.e")) * normCol(col("b.e"))))
       .filter(col("cos") >= minCos)
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
   }
 
-  /** LSH bucket id per vector: bit j = 1 iff dot(v, plane_j) > 0;
-    * bucket = sum bit_j * 2^j.
-    */
-  def lshBuckets(emb: DataFrame, idCol: String, embCol: String, nBits: Int, dim: Int): DataFrame = {
+  /** Hyperplane-LSH bucket expression: bit j = 1 iff dot(v, plane_j) > 0;
+    * bucket = sum bit_j * 2^j. */
+  def bucketCol(embCol: String, nBits: Int, dim: Int): Column = {
     val ps = planes(dim, nBits)
-    val bucket = (0 until nBits).map { j =>
+    (0 until nBits).map { j =>
       val pArr = array(ps(j).toIndexedSeq.map(v => lit(v)): _*)
       val dot = aggregate(
         zip_with(col(embCol), pArr, (x, y) => x.cast("double") * y),
         lit(0.0d), (acc, x) => acc + x)
       when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    emb.select(col(idCol), bucket.cast("long").as("bucket"))
+    }.reduce(_ + _).cast("long")
   }
+
+  /** LSH bucket id per vector (the persisted bucket-layout column). */
+  def lshBuckets(emb: DataFrame, idCol: String, embCol: String, nBits: Int, dim: Int): DataFrame =
+    emb.select(col(idCol), bucketCol(embCol, nBits, dim).as("bucket"))
 }

@@ -167,21 +167,32 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs: candidates share at least one of three
-    * 16-bit bands (pigeonhole: any pair within hamming distance 2 must agree
-    * on >= 1 band), verified by exact popcount hamming <= maxHamming. Never
-    * all-pairs — the banded join is the simhash analog of MinHash-LSH
-    * bucketing.
+    * 16-bit bands (pigeonhole-COMPLETE only for hamming <= 2: a pair with
+    * 3+ differing bits spread across all three bands is never a candidate —
+    * larger maxHamming values are best-effort recall within the banded
+    * candidate set), verified by exact popcount hamming <= maxHamming.
+    * `maxBand` caps band-bucket sizes exactly like lshCandidates' maxBucket:
+    * a boilerplate-heavy band value beyond the cap is dropped rather than
+    * joined quadratically.
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
-                   maxHamming: Int): DataFrame = {
+                   maxHamming: Int, maxBand: Int = 10000): DataFrame = {
     val fp = simhash48(df, idCol, textCol) // (id, simhash)
-    val banded = fp.select(col("id"), col("simhash"),
+    val banded0 = fp.select(col("id"), col("simhash"),
         explode(array(
           struct(lit(0).as("band"), expr("simhash % 65536").as("v")),
           struct(lit(1).as("band"), expr("(simhash div 65536) % 65536").as("v")),
           struct(lit(2).as("band"), expr("simhash div 4294967296").as("v"))
         )).as("b"))
       .select(col("id"), col("simhash"), col("b.band"), col("b.v"))
+    val banded =
+      if (maxBand == Int.MaxValue) banded0
+      else {
+        val ok = banded0.groupBy(col("band"), col("v"))
+          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBand)
+          .select("band", "v")
+        banded0.join(ok, Seq("band", "v"), "left_semi")
+      }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.v") === col("b.v") &&

@@ -34,6 +34,33 @@ object Leapfrog {
       col("field") === f && col("term").isInCollection(ks.map(_._2))
     }.reduce(_ || _)
 
+  /** Positions-free posting rows for the query keys, routed to segment
+    * tasks — compressed blocks only cross the wire (shared by the boolean
+    * and disMax walks).
+    */
+  private def slimRows(searcher: Searcher,
+                       keys: Set[(String, String)]): Dataset[Wand.WandRow] = {
+    val spark = searcher.postingsRaw.sparkSession
+    import spark.implicits._
+    searcher.postingsRaw
+      .filter(keysPred(keys))
+      .select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens", "skips")
+      .as[Wand.WandRow]
+      .repartition(col("segmentId"))
+  }
+
+  /** Independent per-CLAUSE cursors over one segment's rows (two clauses on
+    * one key must not share iteration state); null = key absent here. */
+  private def clauseCursors(rows: Array[Wand.WandRow],
+                            keys: Array[(String, String)]): Array[ClauseCursor] = {
+    val byKey = rows.groupBy(r => (r.field, r.term))
+    keys.map { k =>
+      val pieces = byKey.getOrElse(k, Array.empty).map(p =>
+        new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips))
+      if (pieces.isEmpty) null else new ClauseCursor(pieces)
+    }
+  }
+
   /** Compile a Boolean query whose every clause is a (field-bound) TermQ.
     * Caller guarantees `stats` covers all present keys (Searcher.compile does).
     */
@@ -78,11 +105,7 @@ object Leapfrog {
       specs.map(s => (s.field, s.term)).toSet.filter(stats.contains)
     if (present.isEmpty) return spark.emptyDataset[Hit]
 
-    searcher.postingsRaw
-      .filter(keysPred(present))
-      .select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens", "skips")
-      .as[Wand.WandRow]
-      .repartition(col("segmentId"))
+    slimRows(searcher, present)
       .mapPartitions { rows =>
         val bySeg = rows.toArray.groupBy(_.segmentId)
         bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
@@ -95,20 +118,8 @@ object Leapfrog {
   private def segmentHits(seg: Int, rows: Array[Wand.WandRow], specs: Array[ClauseSpec],
                           scorers: Array[(Double, Int) => Double], needed: Int,
                           floatMode: Boolean, coords: Array[Double]): Iterator[Hit] = {
-    val byKey: Map[(String, String), Array[Wand.WandRow]] = rows.groupBy(r => (r.field, r.term))
-
-    // independent cursors per CLAUSE (two clauses over one key must not
-    // share iteration state); pieces with disjoint docId ranges union
-    def cursorFor(field: String, term: String): ClauseCursor = {
-      val pieces = byKey.getOrElse((field, term), Array.empty).map(p =>
-        new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips))
-      if (pieces.isEmpty) null else new ClauseCursor(pieces)
-    }
-
+    val cursors = clauseCursors(rows, specs.map(s => (s.field, s.term)))
     val n = specs.length
-    val cursors = new Array[ClauseCursor](n) // null = key absent in segment
-    var i = 0
-    while (i < n) { cursors(i) = cursorFor(specs(i).field, specs(i).term); i += 1 }
 
     val mustIdx = (0 until n).filter(specs(_).occur == 0).toArray
     val shouldIdx = (0 until n).filter(i => specs(i).occur == 1 && cursors(i) != null).toArray
@@ -243,20 +254,11 @@ object Leapfrog {
     if (present.isEmpty) return spark.emptyDataset[Hit]
     val floatMode = searcher.mode == LuceneFloat
 
-    searcher.postingsRaw
-      .filter(keysPred(present))
-      .select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens", "skips")
-      .as[Wand.WandRow]
-      .repartition(col("segmentId"))
+    slimRows(searcher, present)
       .mapPartitions { rows =>
         val bySeg = rows.toArray.groupBy(_.segmentId)
         bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
-          val byKey = ps.groupBy(r => (r.field, r.term))
-          val cursors: Array[ClauseCursor] = specs.map { k =>
-            val pieces = byKey.getOrElse(k, Array.empty).map(p =>
-              new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips))
-            if (pieces.isEmpty) null else new ClauseCursor(pieces)
-          }
+          val cursors = clauseCursors(ps, specs)
           val live = cursors.filter(_ != null)
           if (live.isEmpty) Iterator.empty
           else {

@@ -106,19 +106,32 @@ final class SearcherManager(spark: SparkSession, indexPath: String) {
     current
   }
 
-  /** Cheap change signature: manifest segments + stats generation/segment
-    * set + deletes-table file listing (names and sizes). */
+  /** CHEAP change signature — pure filesystem listings, zero Spark jobs
+    * (MaybeRefresh must stay cheap when unchanged): manifest dir listing
+    * (appends add files), stats generation + current stats dir listing
+    * (merges flip the generation, appends add files), deletes dir listing
+    * (delete/prune change files). Listings are race-tolerant: a concurrent
+    * swap may raise FileNotFound mid-list, which reads as "changed" and
+    * resolves on the next acquire.
+    */
   private def signature(): String = {
-    val segs = IndexBuilder.completedSegments(spark, indexPath).toList.sorted.mkString(",")
-    val statsSig = graft.build.DictTable.segsSignature(spark, indexPath)
+    val conf = spark.sparkContext.hadoopConfiguration
+    def listing(path: String): String = {
+      val p = new org.apache.hadoop.fs.Path(path)
+      try {
+        val fs = p.getFileSystem(conf)
+        if (!fs.exists(p)) ""
+        else fs.listStatus(p).map(st => s"${st.getPath.getName}:${st.getLen}")
+          .sorted.mkString(",")
+      } catch { case _: java.io.IOException => "?" } // mid-swap: treat as changed
+    }
     val gen = IndexBuilder.statsGen(spark, indexPath)
-    val delPath = new org.apache.hadoop.fs.Path(graft.build.Deletes.deletesPath(indexPath))
-    val fs = delPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val delSig =
-      if (!fs.exists(delPath)) ""
-      else fs.listStatus(delPath).map(st => s"${st.getPath.getName}:${st.getLen}")
-        .sorted.mkString(",")
-    s"$segs|$gen|$statsSig|$delSig"
+    Seq(
+      listing(IndexBuilder.manifestPath(indexPath)),
+      gen.toString,
+      listing(s"$indexPath/${IndexBuilder.statsDirName(gen)}"),
+      listing(graft.build.Deletes.deletesPath(indexPath))
+    ).mkString("|")
   }
 
   /** Synchronized check-then-act (the reference SearcherManager is explicitly
