@@ -249,15 +249,16 @@ object Queries {
         .orderBy("source", "rn")
     }),
 
-    // --- Sort/SortField (TopFieldCollector): matching docs by field order
+    // --- Sort/SortField (TopFieldCollector): matching docs by field order.
+    //     Top-k FIRST (parallel TakeOrderedAndProject — the TopFieldCollector
+    //     bounded heap analog), then the <=k winners rank driver-side: the
+    //     unbounded match set never funnels through one window task.
     "q_sort_field" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val se = searcher(s, dir)
       val meta = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "n_chars")
-      idsOf(se, TermQ("vector")).join(meta, "doc_id")
-        .withColumn("rank", row_number().over(
-          Window.orderBy(col("n_chars").desc, col("doc_id").asc)))
-        .select("doc_id", "rank").orderBy("rank").limit(15)
+      val matches = idsOf(se, TermQ("vector")).join(meta, "doc_id")
+      Ranks.rankTopK(matches, 15, Seq(col("n_chars").desc, col("doc_id").asc))
+        .select("doc_id", "rank").orderBy("rank")
     }),
 
     // --- span near (ordered/unordered proximity, Search/Spans family)

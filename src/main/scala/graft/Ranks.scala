@@ -41,4 +41,27 @@ object Ranks {
       .withColumn(rankCol, (col("off") + col("r")).cast("int"))
       .drop("pid", "off", "r")
   }
+
+  /** Top-k in `order` with a contiguous 1-based `rankCol` appended — for
+    * SMALL k only. The top-k itself is a parallel TakeOrderedAndProject;
+    * the <=k winners are then ranked on the DRIVER (a window over a
+    * foldable/absent partition key is still an unpartitioned physical
+    * window — Catalyst folds `partitionBy(lit(0))` away, so the old trick
+    * kept emitting "No Partition Defined for Window" warnings even though
+    * the data volume was harmless). Output order: rank asc.
+    */
+  def rankTopK(df: DataFrame, k: Int, order: Seq[Column],
+               rankCol: String = "rank"): DataFrame = {
+    val spark = df.sparkSession
+    val top = df.orderBy(order: _*).limit(k)
+    val rows = top.collect() // <=k rows, already in rank order (global sort)
+    val schema = org.apache.spark.sql.types.StructType(
+      top.schema.fields :+ org.apache.spark.sql.types.StructField(
+        rankCol, org.apache.spark.sql.types.IntegerType, nullable = false))
+    val ranked = rows.zipWithIndex.map { case (r, i) =>
+      org.apache.spark.sql.Row.fromSeq(r.toSeq :+ (i + 1))
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(ranked.toIndexedSeq, 1), schema)
+  }
 }

@@ -47,13 +47,8 @@ object Ann {
     val scored = emb
       .filter(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
       .withColumn("cos", dotCol(embCol, q) / (normCol(col(embCol)) * lit(qNorm)))
-      .orderBy(col("cos").desc, col(idCol).asc)
-      .limit(k)
-    // constant partition key: the window only ever sees the k surviving rows
-    // (top-k above is a parallel TakeOrderedAndProject), so no funnel
-    scored.withColumn("rank", row_number().over(
-      org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-        .orderBy(col("cos").desc, col(idCol).asc)))
+    // parallel TakeOrderedAndProject top-k; the <=k winners rank driver-side
+    graft.Ranks.rankTopK(scored, k, Seq(col("cos").desc, col(idCol).asc))
       .select(col(idCol), col("rank"))
   }
 

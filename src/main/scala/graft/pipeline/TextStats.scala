@@ -81,14 +81,10 @@ object TextStats {
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
     val n = df.count()
     val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    tf.filter(col("id") === targetId)
+    val scored = tf.filter(col("id") === targetId)
       .join(dfs, "term")
       .withColumn("s", col("tf") * log(lit(1d) + ((lit(n) - col("df")) + 0.5d) / (col("df") + 0.5d)))
-      .orderBy(col("s").desc, col("term").asc)
-      .limit(k) // parallel top-k first; the window then only sees k rows
-      .withColumn("rank", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy(lit(0))
-          .orderBy(col("s").desc, col("term").asc)))
+    graft.Ranks.rankTopK(scored, k, Seq(col("s").desc, col("term").asc))
       .select(col("term"), col("rank"))
   }
 }

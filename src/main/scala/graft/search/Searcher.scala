@@ -392,25 +392,34 @@ final class Searcher(spark: SparkSession, indexPath: String,
   /** Dictionary expansion for FuzzyTopQ: (term, df, boost) sorted in term
     * order, top-maxExpansions by (boost desc, term asc) — the
     * FuzzyTermsEnum boost (raw-edits: similarity with minSim=0, scale=1) +
-    * TopTermsRewrite PQ selection.
+    * TopTermsRewrite PQ selection (TopTermsRewrite.cs:72-87 bounded PQ).
+    *
+    * The selection runs IN THE PLAN (TakeOrderedAndProject limit before the
+    * collect — the distributed analog of the reference's bounded PQ): only
+    * the <= maxExpansions winners ever reach the driver, so a maxEdits=2
+    * query against a web-scale dictionary cannot collect millions of
+    * candidates. The boost float math stays bit-identical to the reference
+    * (float division, not double-div-then-round) via a tiny non-hot-path
+    * UDF over the already-filtered candidates.
     */
   private def fuzzyExpand(field: String, term: String, maxEdits: Int,
                           maxExpansions: Int): Array[(String, Long, Float)] = {
     val qLen = term.codePointCount(0, term.length)
-    val cands = dictionary(field)
-      .withColumn("ed", levenshtein(col("term"), lit(term)))
-      .filter(col("ed") <= maxEdits)
-      .select("term", "df", "ed").as[(String, Long, Int)].collect()
-    val boosted = cands.flatMap { case (t, df, ed) =>
-      if (ed == 0) Some((t, df, 1f))
+    val boostU = udf((t: String, ed: Int) =>
+      if (ed == 0) 1f
       else {
         val cLen = t.codePointCount(0, t.length)
-        val sim = 1f - ed.toFloat / math.min(cLen, qLen).toFloat
-        if (sim > 0f) Some((t, df, sim)) else None // minSimilarity = 0 bound
-      }
-    }
-    boosted.sortBy { case (t, _, b) => (-b, t) }
-      .take(math.min(maxExpansions, Query.MaxClauseCount))
+        1f - ed.toFloat / math.min(cLen, qLen).toFloat
+      })
+    val cap = math.min(maxExpansions, Query.MaxClauseCount)
+    dictionary(field)
+      .withColumn("ed", levenshtein(col("term"), lit(term)))
+      .filter(col("ed") <= maxEdits)
+      .withColumn("boost", boostU(col("term"), col("ed")))
+      .filter(col("boost") > 0f) // minSimilarity = 0 bound (ed==0 -> 1f)
+      .orderBy(col("boost").desc, col("term").asc)
+      .limit(cap)
+      .select("term", "df", "boost").as[(String, Long, Float)].collect()
       .sortBy(_._1) // final clause assembly is in term order
   }
 
@@ -711,8 +720,12 @@ final class Searcher(spark: SparkSession, indexPath: String,
     case other => Query.fieldTerms(other, field)
   }
 
+  /** Budgeted like constantScoreOver: explain only needs to know whether the
+    * doc under explanation holds ANY expanded term, and the compile path's
+    * own rewrite is capped at the same budget — so the collect is bounded. */
   private def expandDict(field: String, pred: Column): Set[(String, String)] =
-    dictionary(field).filter(pred).select("term").as[String].collect()
+    dictionary(field).filter(pred).select("term")
+      .limit(ConstantScoreTermBudget).as[String].collect()
       .map((field, _)).toSet
 
   private def explainNode(q: Query, stats: FTStats, field: String, qn: Double,

@@ -14,17 +14,13 @@ object Spell {
     * `dictionary` = (term, df, ttf) as produced by Searcher.dictionary().
     */
   def suggest(dictionary: DataFrame, input: String, maxEdits: Int, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    // top-k FIRST (TakeOrderedAndProject — parallel), then rank the <=k rows;
-    // the constant partition key keeps the window off the unpartitioned-
-    // window single-task funnel (it only ever sees k rows)
-    dictionary
+    // parallel TakeOrderedAndProject top-k; the <=k winners rank driver-side
+    // (no window operator at all — Ranks.rankTopK)
+    val cands = dictionary
       .withColumn("dist", levenshtein(col("term"), lit(input)))
       .filter(col("dist") <= maxEdits && col("term") =!= input)
-      .orderBy(col("dist").asc, col("df").desc, col("term").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("dist").asc, col("df").desc, col("term").asc)))
+    graft.Ranks.rankTopK(cands, k,
+        Seq(col("dist").asc, col("df").desc, col("term").asc))
       .select(col("term"), col("rank"))
       .orderBy("rank")
   }
@@ -36,18 +32,15 @@ object Spell {
   */
 object WordBreak {
   def suggest(dictionary: DataFrame, input: String, k: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val spark = dictionary.sparkSession
     import spark.implicits._
     val splits = (1 until input.length)
       .map(i => (input.substring(0, i), input.substring(i))).toDF("left", "right")
     val dl = dictionary.select(col("term").as("left"), col("df").as("df_l"))
     val dr = dictionary.select(col("term").as("right"), col("df").as("df_r"))
-    splits.join(dl, "left").join(dr, "right")
-      .orderBy((col("df_l") + col("df_r")).desc, col("left").asc)
-      .limit(k)
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy((col("df_l") + col("df_r")).desc, col("left").asc)))
+    val joined = splits.join(dl, "left").join(dr, "right")
+    graft.Ranks.rankTopK(joined, k,
+        Seq((col("df_l") + col("df_r")).desc, col("left").asc))
       .select("left", "right", "rank")
       .orderBy("rank")
   }

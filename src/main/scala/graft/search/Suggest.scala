@@ -1,7 +1,6 @@
 package graft.search
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Prefix completion suggester — the AnalyzingSuggester/FST-completion analog
@@ -16,12 +15,35 @@ object Suggest {
 
   /** Top-k completions of `prefix` from a (term, df, ttf) dictionary. */
   def complete(dictionary: DataFrame, prefix: String, k: Int): DataFrame =
-    dictionary
-      .filter(col("term").startsWith(prefix))
-      .orderBy(col("df").desc, col("term").asc)
-      .limit(k) // parallel top-k; the rank window below sees only k rows
-      .withColumn("rank", row_number().over(
-        Window.partitionBy(lit(0)).orderBy(col("df").desc, col("term").asc)))
+    graft.Ranks.rankTopK(dictionary.filter(col("term").startsWith(prefix)), k,
+        Seq(col("df").desc, col("term").asc))
       .select(col("term"), col("df"), col("rank"))
       .orderBy("rank")
+
+  /** AnalyzingInfixSuggester analog (/root/reference/src/Lucene.Net.Suggest/
+    * Suggest/Analyzing/AnalyzingInfixSuggester.cs): completions whose text
+    * CONTAINS the analyzed input anywhere (the reference indexes suggestion
+    * text with edge n-grams and matches any token prefix), ranked by weight
+    * desc then key asc. Here: dictionary terms containing `input` as a
+    * substring, weight = df.
+    */
+  def completeInfix(dictionary: DataFrame, input: String, k: Int): DataFrame =
+    graft.Ranks.rankTopK(dictionary.filter(col("term").contains(input)), k,
+        Seq(col("df").desc, col("term").asc))
+      .select(col("term"), col("df"), col("rank"))
+      .orderBy("rank")
+
+  /** FuzzySuggester analog (/root/reference/src/Lucene.Net.Suggest/Suggest/
+    * Analyzing/FuzzySuggester.cs): completions whose PREFIX of the input's
+    * length is within `maxEdits` Levenshtein of the input (the reference
+    * intersects a Levenshtein automaton of the analyzed input with the
+    * suggestion FST, then completes), ranked by weight desc then key asc.
+    */
+  def completeFuzzy(dictionary: DataFrame, input: String, maxEdits: Int, k: Int): DataFrame = {
+    val cands = dictionary.filter(
+      levenshtein(substring(col("term"), 1, input.length), lit(input)) <= maxEdits)
+    graft.Ranks.rankTopK(cands, k, Seq(col("df").desc, col("term").asc))
+      .select(col("term"), col("df"), col("rank"))
+      .orderBy("rank")
+  }
 }
