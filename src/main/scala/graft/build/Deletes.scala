@@ -15,11 +15,21 @@ import org.apache.spark.sql.functions._
   *    until the deleted docs are merged away (Lucene's NumDocs vs MaxDoc);
   *  - MergeJob purges deleted docs, compacts docIds and recomputes the
   *    merged segment's statistics — after a full merge the index is
-  *    byte-equivalent to one built without the deleted docs' postings.
+  *    byte-equivalent to one built without the deleted docs' postings;
+  *  - deletes only affect docs indexed BEFORE the delete: markers are
+  *    RESOLVED to (segmentId, docId) at delete time (the per-segment
+  *    FixedBitSet live-docs analog), so a later re-add of the same url is
+  *    a fresh, unmasked document — exactly DeleteDocuments(Term) +
+  *    UpdateDocument semantics. (Round 2 keyed markers by url, which
+  *    masked and eventually merge-purged re-added docs — data loss.)
   *
-  * Layout: `deletes/` parquet of deleted urls (the stable doc key). Url-keyed
-  * deletes are the DeleteDocuments(Term) analog on the key field; delete-by-
-  * query resolves the query to urls first (DeleteDocuments(Query)).
+  * Layout: `deletes/` parquet of resolved (segmentId INT, docId INT)
+  * markers, written DISTRIBUTED (a url->doc resolution join; no driver
+  * collect at any delete volume). Query-side consumption is tiered:
+  * readers broadcast the overlay as per-segment sorted arrays only while
+  * it is small (Searcher.deleteBroadcastLimit); above that the scorer
+  * stream takes a distributed anti-join against the marker table — the
+  * 10^10-marker case never touches the driver.
   */
 object Deletes {
 
@@ -48,59 +58,84 @@ object Deletes {
     p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
-  /** Append deleted urls (idempotent at read time — consumers distinct()). */
+  /** DeleteDocuments(Term) analog on the key field: resolve the urls against
+    * the CURRENT doc store to (segmentId, docId) markers and append them.
+    * Resolution at delete time is the delete horizon — docs with the same
+    * url indexed later are unaffected. Fully distributed (join + write).
+    */
   def deleteUrls(spark: SparkSession, indexPath: String, urls: DataFrame): Unit = {
     recoverSwap(spark, indexPath) // never append over an interrupted prune
-    urls.select(col(urls.columns.head).cast("string").as("url"))
+    val docs = spark.read.parquet(IndexBuilder.docsPath(indexPath))
+      .select("segmentId", "docId", "url")
+    val u = urls.select(col(urls.columns.head).cast("string").as("url")).distinct()
+    docs.join(u, Seq("url"), "left_semi")
+      .select("segmentId", "docId")
       .write.mode(SaveMode.Append).parquet(deletesPath(indexPath))
   }
 
-  /** DeleteDocuments(Query) analog: resolve matching docs to urls, append. */
+  /** DeleteDocuments(Query) analog: the query's matches ARE the resolved
+    * (segmentId, docId) markers — no url roundtrip. */
   def deleteByQuery(searcher: graft.search.Searcher, indexPath: String,
                     q: graft.search.Query): Unit = {
     val spark = searcher.docs.sparkSession
-    val urls = searcher.compile(q)
-      .join(searcher.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
-      .select("url").distinct()
-    deleteUrls(spark, indexPath, urls)
+    recoverSwap(spark, indexPath)
+    searcher.compile(q)
+      .select("segmentId", "docId")
+      .write.mode(SaveMode.Append).parquet(deletesPath(indexPath))
   }
 
-  /** Deleted urls (distinct), empty frame when none recorded. */
-  def deletedUrls(spark: SparkSession, indexPath: String): DataFrame =
+  /** Distinct resolved markers as a DataFrame (segmentId, docId) — the
+    * distributed consumption path (anti-joins); empty frame when none. */
+  def deletedDf(spark: SparkSession, indexPath: String): DataFrame =
     if (!exists(spark, indexPath)) {
       import spark.implicits._
-      Seq.empty[String].toDF("url")
-    } else spark.read.parquet(deletesPath(indexPath)).select("url").distinct()
+      Seq.empty[(Int, Int)].toDF("segmentId", "docId")
+    } else spark.read.parquet(deletesPath(indexPath))
+      .select(col("segmentId").cast("int").as("segmentId"),
+        col("docId").cast("int").as("docId"))
+      .distinct()
+
+  /** Number of distinct markers — one tiny aggregate; readers use it to pick
+    * broadcast-overlay vs anti-join consumption. */
+  def count(spark: SparkSession, indexPath: String): Long =
+    if (!exists(spark, indexPath)) 0L else deletedDf(spark, indexPath).count()
 
   /** Per-segment sorted deleted docIds (the FixedBitSet live-docs analog,
-    * inverted) — collected to the driver and broadcast into scorers. Bounded
-    * by merge cadence: merges purge, then [[pruneApplied]] drops the urls.
+    * inverted), collected to the driver — for BOUNDED contexts only:
+    *  - merge, restricted via `segments` to its (<= maxMergeAtOnce) sources,
+    *    so the collect is bounded by the merge fan-in, not the index;
+    *  - the searcher's small-overlay fast path, gated by [[count]] against
+    *    Searcher.deleteBroadcastLimit before calling this.
     */
-  def deletedDocIds(spark: SparkSession, indexPath: String): Map[Int, Array[Int]] = {
+  def deletedDocIds(spark: SparkSession, indexPath: String,
+                    segments: Option[Set[Int]] = None): Map[Int, Array[Int]] = {
     import spark.implicits._
     if (!exists(spark, indexPath)) return Map.empty
-    val docs = spark.read.parquet(IndexBuilder.docsPath(indexPath))
-    deletedUrls(spark, indexPath)
-      .join(docs.select("segmentId", "docId", "url"), Seq("url"))
-      .select("segmentId", "docId").as[(Int, Int)].collect()
+    val base = deletedDf(spark, indexPath)
+    val scoped = segments match {
+      case Some(s) => base.filter(col("segmentId").isInCollection(s))
+      case None => base
+    }
+    scoped.as[(Int, Int)].collect()
       .groupBy(_._1).map { case (s, arr) => s -> arr.map(_._2).sorted }
   }
 
-  /** Drop urls that no longer exist in the doc store (purged by a merge).
-    * Crash-safe swap: the new content lands at `deletes_new` FIRST, so the
-    * only crash window (between delete and rename) leaves a state
-    * [[recoverSwap]] completes on the next read — deleted docs never
-    * resurrect.
+  /** Drop markers of segments that are no longer live (their docs were
+    * purged by a merge). Fully distributed (filter + write). Crash-safe
+    * swap: the new content lands at `deletes_new` FIRST, so the only crash
+    * window (between delete and rename) leaves a state [[recoverSwap]]
+    * completes on the next read — deleted docs never resurrect.
     */
   def pruneApplied(spark: SparkSession, indexPath: String): Unit = {
-    if (!exists(spark, indexPath)) return
-    val docs = spark.read.parquet(IndexBuilder.docsPath(indexPath)).select("url")
-    val remaining = deletedUrls(spark, indexPath)
-      .join(docs, Seq("url"), "left_semi").collect().map(_.getString(0))
-    val staged = s"$indexPath/.staging/deletes_next"
     import spark.implicits._
-    spark.createDataset(remaining.toSeq).toDF("url")
-      .write.mode(SaveMode.Overwrite).parquet(staged)
+    if (!exists(spark, indexPath)) return
+    val live: Set[Int] = spark.read
+      .parquet(IndexBuilder.statsPath(spark, indexPath))
+      .select("segmentId").distinct().as[Int].collect().toSet
+    val remaining = deletedDf(spark, indexPath)
+      .filter(col("segmentId").isInCollection(live))
+    val staged = s"$indexPath/.staging/deletes_next"
+    remaining.write.mode(SaveMode.Overwrite).parquet(staged)
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     val fs = new Path(indexPath).getFileSystem(hadoopConf)
     val pending = new Path(deletesNewPath(indexPath))
@@ -111,5 +146,17 @@ object Deletes {
     require(fs.rename(pending, dst), "deletes table swap failed")
     // fs-level rename bypasses the automatic listing-cache refresh
     spark.catalog.refreshByPath(deletesPath(indexPath))
+  }
+
+  /** Append already-resolved markers (merge uses this to carry forward
+    * deletes that raced in against its source segments, remapped to the
+    * merged segment's ids). */
+  def appendMarkers(spark: SparkSession, indexPath: String,
+                    markers: Seq[(Int, Int)]): Unit = {
+    if (markers.isEmpty) return
+    import spark.implicits._
+    recoverSwap(spark, indexPath)
+    markers.toDF("segmentId", "docId")
+      .write.mode(SaveMode.Append).parquet(deletesPath(indexPath))
   }
 }

@@ -71,10 +71,11 @@ object MergeJob {
 
     // deleted docs of the source segments are PURGED here (docIds compact,
     // stats recomputed) — Lucene's merge applies live docs and remaps via
-    // MergeDocIDRemapper, Index/SegmentMerger.cs:89
+    // MergeDocIDRemapper, Index/SegmentMerger.cs:89. The collect is scoped
+    // to the merge's own sources, so it is bounded by the merge fan-in
+    // (maxMergeAtOnce segments), never by the index-wide delete volume.
     val deleted: Map[Int, Array[Int]] =
-      graft.build.Deletes.deletedDocIds(spark, indexPath)
-        .filter { case (s, _) => srcSorted.contains(s) }
+      graft.build.Deletes.deletedDocIds(spark, indexPath, Some(srcSorted.toSet))
     val bases: Map[Int, Int] = {
       var acc = 0
       srcSorted.map { s =>
@@ -250,8 +251,25 @@ object MergeJob {
     spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
     spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
 
+    // deletes that raced in against the source segments AFTER the snapshot
+    // above survived the merge un-purged; remap their markers to the merged
+    // segment's ids so the delete is not lost when the source markers prune
+    // (the snapshot itself is what the merge physically applied)
+    val lateMarkers: Seq[(Int, Int)] =
+      graft.build.Deletes.deletedDocIds(spark, indexPath, Some(srcSorted.toSet))
+        .toSeq.flatMap { case (seg, arr) =>
+          val applied = deleted.getOrElse(seg, Array.empty[Int])
+          arr.filter(d => java.util.Arrays.binarySearch(applied, d) < 0)
+            .flatMap { d =>
+              val nid = remapFn(seg, d)
+              if (nid >= 0) Some((target, nid)) else None
+            }
+        }
+    graft.build.Deletes.appendMarkers(spark, indexPath, lateMarkers)
+
     // drop delete markers whose docs were just purged (liveDocs lifecycle)
-    if (deleted.nonEmpty) graft.build.Deletes.pruneApplied(spark, indexPath)
+    if (deleted.nonEmpty || lateMarkers.nonEmpty)
+      graft.build.Deletes.pruneApplied(spark, indexPath)
 
     // global df/ttf are invariant under merge WHEN nothing was purged: if the
     // dictionary was fresh before, re-stamp it; a purging merge changes df,

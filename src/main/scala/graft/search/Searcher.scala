@@ -33,6 +33,13 @@ sealed trait SimilarityKind extends Serializable
 case object Bm25Sim extends SimilarityKind
 case object TfIdfSim extends SimilarityKind
 
+object Searcher {
+  /** Default overlay-broadcast bound (~8 MB of ints). Merge cadence keeps
+    * real overlays far below this; crossing it flips readers to the
+    * distributed anti-join path instead of OOMing the driver. */
+  val DefaultDeleteBroadcastLimit: Long = 2L * 1024 * 1024
+}
+
 /** Query execution over a built index — the IndexSearcher analog
   * (/root/reference/src/Lucene.Net.Core/Search/IndexSearcher.cs; lifecycle
   * SURVEY.md §3.2). A query compiles to a DataFrame plan:
@@ -55,7 +62,13 @@ case object TfIdfSim extends SimilarityKind
 final class Searcher(spark: SparkSession, indexPath: String,
                      val bm25: Bm25 = Bm25.default,
                      val mode: ScoringMode = LuceneFloat,
-                     val similarity: SimilarityKind = Bm25Sim) extends Serializable {
+                     val similarity: SimilarityKind = Bm25Sim,
+                     /** Delete-overlay size above which the reader stops
+                       * broadcasting per-segment deleted-doc arrays and the
+                       * scorer stream takes a distributed anti-join against
+                       * the marker table instead — bounds driver memory at
+                       * any delete volume. */
+                     val deleteBroadcastLimit: Long = Searcher.DefaultDeleteBroadcastLimit) extends Serializable {
   import spark.implicits._
 
   val cfg: IndexBuilder.BuildConfig = IndexBuilder.readConfig(spark, indexPath)
@@ -127,19 +140,35 @@ final class Searcher(spark: SparkSession, indexPath: String,
     if (sttf <= 0) 1d else sttf.toDouble / maxDoc
   }
 
+  /** Distinct delete markers, resolved once per reader (one tiny count). */
+  @transient lazy val deletedCount: Long =
+    graft.build.Deletes.count(spark, indexPath)
+
+  /** true -> the overlay exceeds [[deleteBroadcastLimit]]: it is NOT
+    * collected to the driver; live-docs filtering runs as a distributed
+    * anti-join and the WAND in-task fast path is bypassed (its per-task
+    * overlay lookup needs the broadcast). */
+  @transient lazy val largeDeletes: Boolean = deletedCount > deleteBroadcastLimit
+
   /** Per-segment deleted docIds (inverted live-docs, Util/FixedBitSet.cs:35
-    * analog): resolved once per reader, broadcast into every scorer path.
-    * Reference semantics: deleted docs vanish from all matches immediately;
-    * collection stats stay un-decremented until a merge purges them.
+    * analog): resolved once per reader, broadcast into every scorer path —
+    * ONLY while the overlay is small (merge cadence keeps it so); the large
+    * overlay never touches the driver. Reference semantics: deleted docs
+    * vanish from all matches immediately; collection stats stay
+    * un-decremented until a merge purges them.
     */
   @transient lazy val deletedDocs: Map[Int, Array[Int]] =
-    graft.build.Deletes.deletedDocIds(spark, indexPath)
+    if (deletedCount == 0 || largeDeletes) Map.empty
+    else graft.build.Deletes.deletedDocIds(spark, indexPath, Some(liveSegments))
 
   @transient private lazy val deletedB =
     spark.sparkContext.broadcast(deletedDocs)
 
   private def applyLiveDocs(ds: Dataset[Hit]): Dataset[Hit] =
-    if (deletedDocs.isEmpty) ds
+    if (deletedCount == 0) ds
+    else if (largeDeletes)
+      ds.join(graft.build.Deletes.deletedDf(spark, indexPath),
+        Seq("segmentId", "docId"), "left_anti").as[Hit]
     else {
       val b = deletedB
       ds.filter { h =>
@@ -149,6 +178,16 @@ final class Searcher(spark: SparkSession, indexPath: String,
         }
       }
     }
+
+  /** Point lookup for explain: broadcast map when small, a pruned marker
+    * scan when large. */
+  private def isDeleted(seg: Int, doc: Int): Boolean =
+    if (deletedCount == 0) false
+    else if (!largeDeletes)
+      deletedDocs.get(seg).exists(a => java.util.Arrays.binarySearch(a, doc) >= 0)
+    else graft.build.Deletes.deletedDf(spark, indexPath)
+      .filter(col("segmentId") === seg && col("docId") === doc)
+      .limit(1).count() > 0
 
   /** Fresh global dictionary (BlockTree/.tip analog, (field, term) keyed)
     * resolved once per reader; None -> per-query postings-scan fallback. NOT
@@ -588,7 +627,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   def search(q: Query, k: Int): DataFrame = {
     (mode, wandOrTerms(q)) match {
-      case (LuceneFloat, Some((f, terms))) => Wand.searchOr(this, spark, indexPath, f, terms, k)
+      case (LuceneFloat, Some((f, terms))) if !largeDeletes =>
+        Wand.searchOr(this, spark, indexPath, f, terms, k)
       case _ => searchPlan(q, k)
     }
   }
@@ -627,13 +667,17 @@ final class Searcher(spark: SparkSession, indexPath: String,
   def termPostings(term: String, field: String = defaultField): DataFrame = {
     val b = deletedB
     val hasDeletes = deletedDocs.nonEmpty
-    val stream = postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
+    val stream0 = postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
       val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
       val del = if (hasDeletes) b.value.getOrElse(p.segmentId, Array.empty[Int]) else Array.empty[Int]
       (0 until docIds.length)
         .filter(i => del.isEmpty || java.util.Arrays.binarySearch(del, docIds(i)) < 0)
         .map(i => (p.segmentId, docIds(i), tfs(i), lens(i)))
     }.toDF("segmentId", "docId", "tf", "fieldLen")
+    val stream =
+      if (!largeDeletes) stream0
+      else stream0.join(graft.build.Deletes.deletedDf(spark, indexPath),
+        Seq("segmentId", "docId"), "left_anti")
     stream.join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
       .select("url", "tf", "fieldLen")
   }
@@ -662,7 +706,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   def searchWand(q: Query, k: Int): DataFrame =
     (mode, wandOrTerms(q)) match {
-      case (LuceneFloat, Some((f, terms))) => Wand.searchOr(this, spark, indexPath, f, terms, k)
+      case (LuceneFloat, Some((f, terms))) if !largeDeletes =>
+        Wand.searchOr(this, spark, indexPath, f, terms, k)
       case _ => searchPlan(q, k)
     }
 
@@ -691,7 +736,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   def explain(q0: Query, segmentId: Int, docId: Int): Explanation = {
     val q = Query.rewrite(q0)
-    if (deletedDocs.get(segmentId).exists(a => java.util.Arrays.binarySearch(a, docId) >= 0))
+    if (isDeleted(segmentId, docId))
       return Explanation.noMatch(s"doc ($segmentId,$docId) is deleted")
     val stats = fieldTermStats(Query.fieldTerms(q, defaultField))
     val qn = queryNorm(q, stats)

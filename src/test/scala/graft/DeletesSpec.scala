@@ -101,6 +101,65 @@ class DeletesSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("delete horizon: re-added url is a fresh doc, unaffected by the old delete") {
+    // the ADVICE r2 data-loss scenario: delete url X, then index X again
+    // (UpdateDocument = delete + add). Markers are resolved to
+    // (segmentId, docId) at delete time, so the NEW doc must match queries
+    // and must SURVIVE the purging merge (url-keyed markers masked it and
+    // merge destroyed it).
+    val path = freshIndex()
+    val s0 = new Searcher(spark, path)
+    val all = urlsOf(s0, TermQ(freq))
+    val victim = all.head
+    import spark.implicits._
+    Deletes.deleteUrls(spark, path, Seq(victim).toDF("url"))
+    assert(!urlsOf(new Searcher(spark, path), TermQ(freq)).contains(victim))
+
+    // re-add the same url as a fresh streaming-band segment
+    val text = spark.createDataFrame(PagesGen.local(N)).toDF("url", "text")
+      .filter(col("url") === victim).collect()(0).getString(1)
+    val readd = Seq((victim, text, 1 << 20)).toDF("url", "text", "segmentId")
+    IndexBuilder.writeSegments(spark, readd, path, "standard",
+      boost = 1f, flushTokens = 8 * 1024 * 1024, group = Set(1 << 20))
+
+    val s1 = new Searcher(spark, path)
+    assert(urlsOf(s1, TermQ(freq)).contains(victim), "re-added doc must match")
+    assert(s1.count(MatchAllQ) == N) // N-1 live + 1 re-added
+
+    // the purging merge keeps the re-added doc and drops only the old one
+    MergeJob.merge(spark, path, List(0, 1, 2, 3, 1 << 20))
+    val merged = new Searcher(spark, path)
+    assert(urlsOf(merged, TermQ(freq)).contains(victim), "merge must not purge the re-add")
+    assert(merged.count(MatchAllQ) == N)
+    assert(merged.maxDoc == N)
+    assert(Deletes.deletedDocIds(spark, path).isEmpty)
+  }
+
+  test("large overlay: anti-join fallback matches the broadcast path, no driver collect") {
+    val path = freshIndex()
+    val s0 = new Searcher(spark, path)
+    val all = urlsOf(s0, TermQ(freq))
+    val victims = all.take(6)
+    import spark.implicits._
+    Deletes.deleteUrls(spark, path, victims.toSeq.toDF("url"))
+
+    val small = new Searcher(spark, path) // default limit: broadcast overlay
+    val large = new Searcher(spark, path, deleteBroadcastLimit = 0) // forced anti-join
+    assert(large.largeDeletes && !small.largeDeletes)
+    assert(large.deletedDocs.isEmpty, "large overlay must not materialize on the driver")
+
+    // identical results through term / bool / matchall / top-k
+    assert(urlsOf(large, TermQ(freq)) == urlsOf(small, TermQ(freq)))
+    assert(large.count(MatchAllQ) == small.count(MatchAllQ))
+    val q = BoolQ(List(Occur.Should -> TermQ(freq), Occur.Should -> TermQ(PagesGen.word(9))))
+    val a = large.search(q, 10).collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    val b = small.search(q, 10).collect().map(r => (r.getString(0), r.getDouble(1))).toList
+    assert(a == b) // WAND dispatch is bypassed under largeDeletes; results identical
+    // explain point-lookup works without the broadcast map
+    val hit = large.search(TermQ(freq), 1).collect()(0)
+    assert(large.explain(TermQ(freq), hit.getInt(2), hit.getInt(3)).matched)
+  }
+
   test("deleteByQuery resolves matches to urls") {
     val path = freshIndex()
     val s0 = new Searcher(spark, path)
