@@ -135,6 +135,27 @@ object Queries {
       ranked(se.search(QueryParser.parse("+vector stream -\"hash join\"", se.analyzer), 10))
     }),
 
+    // --- parsed `^boost` syntax (Classic/QueryParserBase boost production):
+    //     power-of-two boosts keep the float/double algebra bit-exact on
+    //     both sides regardless of association
+    "q_parsed_boost" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      ranked(se.search(QueryParser.parse("vector^2 stream \"hash join\"^4", se.analyzer), 10))
+    }),
+
+    // --- parsed `field:(a b)` grouping: the binding scopes every clause in
+    //     the group (round 2's parser silently dropped it)
+    "q_field_group" -> ((s, dir) => {
+      val se = IndexCache.fieldedSearcher(s, dir)
+      idsOf(se, QueryParser.parse("source:(src3 src4) AND vector", se.analyzer))
+    }),
+
+    // --- parsed `field:"phrase"`: the binding wraps the phrase clause
+    "q_field_phrase" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      idsOf(se, QueryParser.parse("text:\"hash join\"", se.analyzer))
+    }),
+
     // --- multi-phrase (term alternatives per slot, MultiPhraseQuery)
     "q_multiphrase" -> ((s, dir) => idsOf(searcher(s, dir),
       MultiPhraseQ(List((Set("hash", "merge"), 0), (Set("join"), 1))))),
@@ -160,6 +181,11 @@ object Queries {
     // --- TFIDF/DefaultSimilarity (the reference engine default): coord *
     //     queryNorm * sum(sqrt(tf) * idf^2 * norm), per-doc coord factor
     "q_tfidf_topk" -> ((s, dir) => ranked(IndexCache.tfidfSearcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+
+    // --- LM Dirichlet similarity (LMDirichletSimilarity, mu=2000): per-term
+    //     score = ln(1 + tf/(mu*(ttf+1)/(sttf+1))) + ln(mu/(dl+mu)), clip 0
+    "q_lm_topk" -> ((s, dir) => ranked(IndexCache.lmSearcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
 
     // --- deletes (IndexWriter.DeleteDocuments / live-docs overlay): matches
@@ -440,6 +466,48 @@ object Queries {
          |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
          |WHERE a.term IN ('hash', 'merge') AND b.term = 'join' ORDER BY 1""".stripMargin,
 
+    // engine op order: per clause w = ((idf * boost) * (k1+1)); chain =
+    // ((s_vector + s_stream) + s_phrase) in doubles (power-of-two boosts are
+    // exact under any association, but the order is mirrored anyway)
+    "q_parsed_boost" ->
+      s"""$P, bs_a AS (
+         |  SELECT tf.doc_id,
+         |    ((ln(1 + ((c.n - d.df) + 0.5) / (d.df + 0.5)) * 2.0) * (1.2 + 1)) * tf.tf /
+         |    (tf.tf + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n)))) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector'),
+         |${scoreCte("b", "stream")},
+         |pf AS (
+         |  SELECT a.doc_id, count(*) AS freq FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'hash' AND b.term = 'join' GROUP BY a.doc_id),
+         |ps AS (
+         |  SELECT pf.doc_id,
+         |    (((ln(1 + ((c.n - dh.df) + 0.5) / (dh.df + 0.5))
+         |       + ln(1 + ((c.n - dj.df) + 0.5) / (dj.df + 0.5))) * 4.0) * (1.2 + 1)) * pf.freq /
+         |    (pf.freq + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n)))) AS s
+         |  FROM pf JOIN dl USING (doc_id) CROSS JOIN consts c
+         |  JOIN dfs dh ON dh.term = 'hash' JOIN dfs dj ON dj.term = 'join'),
+         |m AS (
+         |  SELECT coalesce(ab.doc_id, p.doc_id) AS doc_id,
+         |         (coalesce(ab.s, 0) + coalesce(p.s, 0)) AS s
+         |  FROM (
+         |    SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |           (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |    FROM bs_a a FULL OUTER JOIN scores_b b ON a.doc_id = b.doc_id) ab
+         |  FULL OUTER JOIN ps p ON ab.doc_id = p.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM m ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_field_group" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf JOIN documents USING (doc_id)
+         |WHERE term = 'vector' AND source IN ('src3', 'src4') ORDER BY doc_id""".stripMargin,
+
+    "q_field_phrase" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'hash' AND b.term = 'join' ORDER BY 1""".stripMargin,
+
     "q_field_term" ->
       """SELECT doc_id FROM documents WHERE source = 'src3' ORDER BY doc_id""",
 
@@ -485,6 +553,28 @@ object Queries {
          |  FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id)
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
          |FROM m ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // engine op order: p = (ttf+1)/(sttf+1); s = 1.0 * (ln(1 + tf/(2000*p))
+    // + ln(2000/(dl+2000))); per-clause clip at 0; clause-ordered sum
+    "q_lm_topk" ->
+      s"""$P, ttfs AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+         |lm_a AS (
+         |  SELECT tf.doc_id, greatest(
+         |    1.0 * (ln(1 + tf.tf / (2000.0 * ((t.ttf + 1.0) / (c.sttf + 1.0))))
+         |           + ln(2000.0 / (dl.dl + 2000.0))), 0) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN ttfs t ON t.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector'),
+         |lm_b AS (
+         |  SELECT tf.doc_id, greatest(
+         |    1.0 * (ln(1 + tf.tf / (2000.0 * ((t.ttf + 1.0) / (c.sttf + 1.0))))
+         |           + ln(2000.0 / (dl.dl + 2000.0))), 0) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN ttfs t ON t.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'stream')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM lm_a a FULL OUTER JOIN lm_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_deleted" ->
       s"""$P SELECT DISTINCT doc_id FROM tf WHERE term = 'data'

@@ -74,6 +74,15 @@ object IndexCache {
   })
   private val tcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** LM-Dirichlet (mu=2000) reader over the main gate index
+    * (Search/Similarities/LMDirichletSimilarity.cs), ExactDouble for the
+    * oracle. */
+  def lmSearcher(spark: SparkSession, sfDir: String): Searcher = lcache.getOrElseUpdate(sfDir, {
+    searcher(spark, sfDir) // ensure the index is built
+    new Searcher(spark, indexPath(sfDir), mode = ExactDouble, similarity = LmDirichletSim())
+  })
+  private val lcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** Index with live deletes applied (urls of source='src1' docs), for the
     * delete-semantics entries: matches vanish, stats stay un-decremented
     * until merge (IndexWriter.DeleteDocuments / FixedBitSet live docs).

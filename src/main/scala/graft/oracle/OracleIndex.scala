@@ -352,6 +352,85 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
     case other => scoreDoc(other, d) // constant-score dictionary queries
   }
 
+  /** LM Dirichlet scoring (Search/Similarities/LMDirichletSimilarity.cs:
+    * 74-78): per-term score = boost * (float)(ln(1 + freq/(mu*p)) +
+    * ln(mu/(docLen+mu))), clipped at 0, with p = (ttf+1)/(sumTotalTermFreq+1)
+    * as float (LMSimilarity.DefaultCollectionModel, LMSimilarity.cs:164-166)
+    * and docLen = the byte315-decoded quantized length
+    * (SimilarityBase.DecodeNormValue). Composites sum one per-term score at
+    * the shared freq, each clipped (MultiSimilarity.MultiSimScorer); coord
+    * and queryNorm are identity (Similarity defaults).
+    */
+  def scoreDocLm(q: Query, d: Doc, mu: Float): Option[Float] = {
+    def lm(freq: Float, ttfs: Seq[Long], boost: Float): Float = {
+      val dl = bm25.normTable(d.normByte & 0xff)
+      var acc = 0f
+      ttfs.foreach { t =>
+        val p = (t + 1f) / (sumTotalTermFreq + 1f)
+        val inner = (math.log((1f + freq / (mu * p)).toDouble) +
+          math.log((mu / (dl + mu)).toDouble)).toFloat
+        val s = boost * inner
+        if (s > 0f) acc += s
+      }
+      acc
+    }
+    q match {
+      case FieldQ(f, inner) =>
+        if (f == graft.build.IndexBuilder.DefaultField) scoreDocLm(inner, d, mu) else None
+      case TermQ(t, boost) =>
+        d.positions.get(t).map(ps => lm(ps.length.toFloat, Seq(totalTermFreq(t)), boost))
+      case BoolQ(clauses, msm) =>
+        val scoring = clauses.filter(_._1 != Occur.MustNot)
+        val musts = clauses.filter(_._1 == Occur.Must)
+        val nots = clauses.filter(_._1 == Occur.MustNot)
+        val shoulds = clauses.filter(_._1 == Occur.Should)
+        if (scoring.isEmpty) None
+        else if (nots.exists(c => scoreDocLm(c._2, d, mu).isDefined)) None
+        else if (musts.exists(c => scoreDocLm(c._2, d, mu).isEmpty)) None
+        else {
+          val shouldMatched = shoulds.count(c => scoreDocLm(c._2, d, mu).isDefined)
+          val needed = math.max(msm, if (musts.isEmpty && shoulds.nonEmpty) 1 else 0)
+          if (shouldMatched < needed) None
+          else {
+            var s = 0.0f
+            scoring.foreach { c => scoreDocLm(c._2, d, mu).foreach(v => s += v) }
+            Some(s)
+          }
+        }
+      case PhraseQ(terms, boost, slop) =>
+        val arrays = terms.map { case (t, off) => (d.positions.get(t), off) }
+        if (arrays.exists(_._1.isEmpty)) None
+        else {
+          val freq: Float =
+            if (slop > 0)
+              graft.search.SloppyMatcher.phraseFreq(
+                arrays.map(_._1.get).toArray, terms.map(_._2).toArray, slop)
+            else {
+              val base = arrays.head._1.get
+              val baseOff = arrays.head._2
+              var f = 0
+              base.foreach { p =>
+                val start = p - baseOff
+                if (arrays.forall { case (ps, off) => ps.get.contains(start + off) }) f += 1
+              }
+              f.toFloat
+            }
+          if (freq == 0f) None
+          else Some(lm(freq, terms.map(t => totalTermFreq(t._1)), boost))
+        }
+      case ConstantScoreQ(inner, boost) => scoreDocLm(inner, d, mu).map(_ => boost)
+      case MatchAllQ => Some(1.0f)
+      case other => scoreDoc(other, d) // constant-score dictionary queries
+    }
+  }
+
+  def searchLm(q: Query, k: Int, mu: Float = 2000f): Vector[Hit] = {
+    val rw = Query.rewrite(q)
+    docs.flatMap(d => scoreDocLm(rw, d, mu).map(s => Hit(d.key, d.segmentId, d.docId, s)))
+      .sortBy(h => (-h.score, h.segmentId, h.docId))
+      .take(k)
+  }
+
   def searchTfIdf(q: Query, k: Int): Vector[Hit] = {
     val rw = Query.rewrite(q)
     val ssw = sswTfIdf(rw)

@@ -93,7 +93,8 @@ object Leapfrog {
     // per-clause scorer, constants folded on the driver (TermWeight analog)
     val scorers: Array[(Double, Int) => Double] = clauses.map { case (o, f, tq) =>
       if (o == Occur.MustNot) null
-      else stats.get((f, tq.term)).map { case (df, _) => searcher.makeScorer(f, df, tq.boost, qn) }.orNull
+      else stats.get((f, tq.term)).map { case (df, ttf) =>
+        searcher.makeScorer(f, df, tq.boost, qn, ttf = ttf) }.orNull
     }.toArray
 
     val floatMode = searcher.mode == LuceneFloat
@@ -248,7 +249,8 @@ object Leapfrog {
     import spark.implicits._
     val specs: Array[(String, String)] = clauses.map { case (f, tq) => (f, tq.term) }.toArray
     val scorers: Array[(Double, Int) => Double] = clauses.map { case (f, tq) =>
-      stats.get((f, tq.term)).map { case (df, _) => searcher.makeScorer(f, df, tq.boost, qn) }.orNull
+      stats.get((f, tq.term)).map { case (df, ttf) =>
+        searcher.makeScorer(f, df, tq.boost, qn, ttf = ttf) }.orNull
     }.toArray
     val present = specs.toSet.filter(stats.contains)
     if (present.isEmpty) return spark.emptyDataset[Hit]
@@ -341,7 +343,9 @@ object Leapfrog {
     def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
     val idfSumF = allTerms.map(t => searcher.idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
     val idfSumD = allTerms.map(t => searcher.idfDouble(dfOf(t))).sum
-    val scorer = searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD))
+    val lmTtfs = Some(allTerms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L)))
+    val scorer = searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
+      lmTtfs = lmTtfs)
 
     val groups: Array[Array[String]] = slots.map(_._1.filter(t => stats.contains((field, t))).toArray).toArray
     val offsets = slots.map(_._2).toArray
@@ -416,7 +420,9 @@ object Leapfrog {
         def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
         val idfSumF = terms.map(t => searcher.idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
         val idfSumD = terms.map(t => searcher.idfDouble(dfOf(t))).sum
-        searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD))
+        val ttfs = terms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L))
+        searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
+          lmTtfs = Some(ttfs))
       }
 
     postingRows(searcher, verifyTerms.toSet.map((t: String) => (field, t))).mapPartitions { rows =>

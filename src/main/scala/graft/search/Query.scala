@@ -132,6 +132,33 @@ object Query {
     BoolQ(clauses)
   }
 
+  /** Apply a `^boost` multiplicatively — the classic parser's boost
+    * production (Classic/QueryParserBase.cs:497-515 and the `^` handling in
+    * QueryParser.cs). Boosting a composite distributes into its scoring
+    * children, which is exactly the reference's Weight normalization: a
+    * parent's boost propagates down as topLevelBoost and multiplies into
+    * every child weight (Search/Weight.cs Normalize(norm, topLevelBoost));
+    * all our combiners (sum, max+tie*(sum-max)) are linear, so the scores
+    * are identical. Constant-score dictionary queries gain a
+    * ConstantScoreQ wrapper (their score IS the boost).
+    */
+  def withBoost(q: Query, b: Float): Query =
+    if (b == 1f) q
+    else q match {
+      case TermQ(t, b0) => TermQ(t, b0 * b)
+      case PhraseQ(ts, b0, s) => PhraseQ(ts, b0 * b, s)
+      case MultiPhraseQ(ss, b0) => MultiPhraseQ(ss, b0 * b)
+      case SpanMatchQ(s, b0) => SpanMatchQ(s, b0 * b)
+      case SpanScoreQ(s, b0) => SpanScoreQ(s, b0 * b)
+      case FuzzyTopQ(t, e, m, b0) => FuzzyTopQ(t, e, m, b0 * b)
+      case ConstantScoreQ(i, b0) => ConstantScoreQ(i, b0 * b)
+      case BoolQ(cs, msm) =>
+        BoolQ(cs.map { case (o, c) => (o, if (o == Occur.MustNot) c else withBoost(c, b)) }, msm)
+      case DisMaxQ(cs, t) => DisMaxQ(cs.map(withBoost(_, b)), t)
+      case FieldQ(f, i) => FieldQ(f, withBoost(i, b))
+      case other => ConstantScoreQ(other, b) // MatchAll / dictionary queries
+    }
+
   /** Wildcard pattern -> regex (anchored), for dictionary scans. */
   def wildcardRegex(pattern: String): String = {
     val sb = new StringBuilder

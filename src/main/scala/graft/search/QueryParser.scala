@@ -6,11 +6,15 @@ import graft.analysis.Analyzer
   * v1 grammar of SURVEY.md §2.7 (reference: JavaCC grammar in
   * /root/reference/src/Lucene.Net.QueryParser/Classic/QueryParser.cs, clause
   * logic QueryParserBase.cs:497-515): terms, "phrases", AND/OR/NOT, +/-,
-  * parentheses, prefix*, wild?card*, fuzzy~N, ranges [a TO b] / {a TO b}.
+  * parentheses, prefix*, wild?card*, fuzzy~N, ranges [a TO b] / {a TO b},
+  * `^boost` on terms/phrases/groups, and field scoping in all three classic
+  * forms — `field:term`, `field:"phrase"`, `field:(a b)`.
   *
   * Query text is run through the SAME analyzer as indexing
   * (QueryParserBase.GetFieldQuery analog) — critical for rank identity.
-  * Default operator is OR; AND promotes its adjacent clauses to MUST.
+  * A field binding selects that field's analyzer for everything in its
+  * scope (PerFieldAnalyzerWrapper semantics). Default operator is OR; AND
+  * promotes its adjacent clauses to MUST.
   */
 object QueryParser {
 
@@ -22,6 +26,12 @@ object QueryParser {
   private case object NotOp extends Tok
   private case object Plus extends Tok
   private case object Minus extends Tok
+  /** `^N` boost suffix — applies to the clause just parsed (QueryParser.cs
+    * Clause() reads the optional <CARAT> <NUMBER> after every clause). */
+  private final case class Caret(boost: Float) extends Tok
+  /** A bare `field:` binding whose operand follows as its own token
+    * (`field:"phrase"`, `field:(...)`, `field: term`). */
+  private final case class FieldBind(field: String) extends Tok
   private final case class Phrase(s: String, slop: Int) extends Tok
   private final case class Range(lo: String, hi: String, incLo: Boolean, incHi: Boolean) extends Tok
   private final case class Word(s: String, fuzzy: Option[Int], field: Option[String]) extends Tok
@@ -37,12 +47,17 @@ object QueryParser {
       else if (c == ')') { out += RParen; i += 1 }
       else if (c == '+') { out += Plus; i += 1 }
       else if (c == '-') { out += Minus; i += 1 }
-      else if (c == '"') {
+      else if (c == '^') {
+        var j = i + 1
+        while (j < n && (Character.isDigit(s.charAt(j)) || s.charAt(j) == '.')) j += 1
+        if (j > i + 1) out += Caret(s.substring(i + 1, j).toFloat)
+        i = j.max(i + 1)
+      } else if (c == '"') {
         val end = s.indexOf('"', i + 1)
         val stop = if (end < 0) n else end
         val body = s.substring(i + 1, stop)
         i = stop + 1
-        // "phrase"~N slop suffix
+        // "phrase"~N slop suffix (the ^boost, if any, lexes as its own token)
         var slop = 0
         if (i < n && s.charAt(i) == '~') {
           var j = i + 1
@@ -65,7 +80,7 @@ object QueryParser {
       } else {
         var j = i
         while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-               "()\"[]{}".indexOf(s.charAt(j)) < 0) j += 1
+               "()\"[]{}^".indexOf(s.charAt(j)) < 0) j += 1
         val raw = s.substring(i, j)
         i = j
         raw match {
@@ -82,13 +97,19 @@ object QueryParser {
                 (Some(w0.substring(0, ci)), w0.substring(ci + 1))
               else (None, w0)
             }
-            val ti = w.indexOf('~')
-            if (ti > 0) {
-              val base = w.substring(0, ti)
-              val editsStr = w.substring(ti + 1)
-              val edits = if (editsStr.isEmpty) 2 else editsStr.toFloat.toInt.min(2)
-              out += Word(base, Some(edits), fieldOpt)
-            } else if (w.nonEmpty) out += Word(w, None, fieldOpt)
+            if (w.isEmpty && fieldOpt.isDefined) {
+              // bare `field:` — the operand follows (`"phrase"`, `(...)` or
+              // a spaced term); round 2 dropped the binding silently here
+              out += FieldBind(fieldOpt.get)
+            } else {
+              val ti = w.indexOf('~')
+              if (ti > 0) {
+                val base = w.substring(0, ti)
+                val editsStr = w.substring(ti + 1)
+                val edits = if (editsStr.isEmpty) 2 else editsStr.toFloat.toInt.min(2)
+                out += Word(base, Some(edits), fieldOpt)
+              } else if (w.nonEmpty) out += Word(w, None, fieldOpt)
+            }
         }
       }
     }
@@ -100,23 +121,33 @@ object QueryParser {
 
   /** Parse with per-field analyzers — the PerFieldAnalyzerWrapper analog
     * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Miscellaneous/
-    * PerFieldAnalyzerWrapper.cs): a `field:`-bound word is analyzed with that
-    * field's analyzer (e.g. keyword StringFields keep the value verbatim),
+    * PerFieldAnalyzerWrapper.cs): a `field:`-bound clause (including every
+    * term inside a `field:(...)` group) is analyzed with that field's
+    * analyzer (e.g. keyword StringFields keep the value verbatim),
     * everything else with the default.
     */
   def parse(query: String, analyzer: Analyzer, perField: Map[String, Analyzer]): Query = {
-    val (q, rest) = parseGroup(lex(query), analyzer, perField)
+    val (q, rest) = parseGroup(lex(query), analyzer, perField, None)
     require(rest.isEmpty || rest == List(RParen), s"dangling tokens in query: $query")
     q
   }
 
-  /** Parse a clause sequence up to EOF or an unmatched ')'. */
+  /** Parse a clause sequence up to EOF or an unmatched ')'. `ctxField` is
+    * the enclosing `field:(...)` binding: it selects the analyzer for
+    * unqualified words inside the group (the FieldQ wrap itself happens at
+    * the binding site).
+    */
   private def parseGroup(toks0: List[Tok], analyzer: Analyzer,
-                         perField: Map[String, Analyzer] = Map.empty): (Query, List[Tok]) = {
+                         perField: Map[String, Analyzer],
+                         ctxField: Option[String]): (Query, List[Tok]) = {
     var toks = toks0
     val clauses = scala.collection.mutable.ListBuffer.empty[(Occur.Value, Query)]
     var pendingConj: Option[Tok] = None
     var pendingOccur: Option[Occur.Value] = None
+    var pendingField: Option[String] = None
+
+    def analyzerFor(fieldOpt: Option[String]): Analyzer =
+      fieldOpt.orElse(ctxField).flatMap(perField.get).getOrElse(analyzer)
 
     def addClause(q: Query): Unit = {
       // QueryParserBase.AddClause analog: AND promotes the previous SHOULD
@@ -128,6 +159,11 @@ object QueryParser {
       clauses += ((occ, q))
       pendingConj = None
       pendingOccur = None
+      pendingField = None
+    }
+
+    def dropPending(): Unit = {
+      pendingConj = None; pendingOccur = None; pendingField = None
     }
 
     while (toks.nonEmpty && toks.head != RParen) {
@@ -135,23 +171,37 @@ object QueryParser {
         case AndOp | OrOp => pendingConj = Some(toks.head); toks = toks.tail
         case NotOp | Minus => pendingOccur = Some(Occur.MustNot); toks = toks.tail
         case Plus => pendingOccur = Some(Occur.Must); toks = toks.tail
+        case FieldBind(f) => pendingField = Some(f); toks = toks.tail
+        case Caret(b) =>
+          // boost the clause just parsed (no-op after a dropped stopword)
+          if (clauses.nonEmpty) {
+            val (occ, q) = clauses.remove(clauses.length - 1)
+            clauses += ((occ, Query.withBoost(q, b)))
+          }
+          toks = toks.tail
         case LParen =>
-          val (inner, rest) = parseGroup(toks.tail, analyzer, perField)
+          val bind = pendingField
+          val (inner, rest) = parseGroup(toks.tail, analyzer, perField, bind.orElse(ctxField))
           toks = rest match {
             case RParen :: t => t
             case t => t
           }
-          addClause(inner)
+          addClause(bind.fold(inner)(f => FieldQ(f, inner)))
         case Phrase(body, slop) =>
-          val ts = analyzer.tokenize(body).map(t => (t.term, t.position)).toList
-          if (ts.nonEmpty) addClause(if (ts.size == 1) TermQ(ts.head._1) else PhraseQ(ts, slop = slop))
-          else { pendingConj = None; pendingOccur = None }
+          val bind = pendingField
+          val ts = analyzerFor(bind).tokenize(body).map(t => (t.term, t.position)).toList
+          if (ts.nonEmpty) {
+            val q = if (ts.size == 1) TermQ(ts.head._1) else PhraseQ(ts, slop = slop)
+            addClause(bind.fold(q: Query)(f => FieldQ(f, q)))
+          } else dropPending()
           toks = toks.tail
         case Range(lo, hi, il, ih) =>
-          addClause(RangeQ(lo, hi, il, ih))
+          val bind = pendingField
+          addClause(bind.fold(RangeQ(lo, hi, il, ih): Query)(f => FieldQ(f, RangeQ(lo, hi, il, ih))))
           toks = toks.tail
         case Word(w, fuzzy, fieldOpt) =>
-          val fieldAnalyzer = fieldOpt.flatMap(perField.get).getOrElse(analyzer)
+          val eff = fieldOpt.orElse(pendingField)
+          val fieldAnalyzer = analyzerFor(eff)
           val q: Option[Query] =
             // `term~N` = the reference's SCORED FuzzyQuery default (top-terms
             // rewrite), not the constant-score filter (FuzzyQuery.cs:106)
@@ -166,8 +216,8 @@ object QueryParser {
               else Some(PhraseQ(ts)) // analyzer split one word into several tokens
             }
           q match {
-            case Some(qq) => addClause(fieldOpt.fold(qq)(f => FieldQ(f, qq)))
-            case None => pendingConj = None; pendingOccur = None // stopword clause dropped
+            case Some(qq) => addClause(eff.fold(qq)(f => FieldQ(f, qq)))
+            case None => dropPending() // stopword clause dropped
           }
           toks = toks.tail
         case RParen => // handled by loop guard

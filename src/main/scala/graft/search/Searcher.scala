@@ -33,6 +33,18 @@ sealed trait SimilarityKind extends Serializable
 case object Bm25Sim extends SimilarityKind
 case object TfIdfSim extends SimilarityKind
 
+/** LM Dirichlet-prior smoothing — the third similarity behind the seam
+  * (/root/reference/src/Lucene.Net.Core/Search/Similarities/
+  * LMDirichletSimilarity.cs): score = boost * (ln(1 + tf/(mu*p(t|C))) +
+  * ln(mu/(dl+mu))), clipped at 0; p(t|C) = (ttf+1)/(sumTotalTermFreq+1)
+  * (LMSimilarity.DefaultCollectionModel, LMSimilarity.cs:164-166); default
+  * mu = 2000. Coord and queryNorm are identity (SimilarityBase inherits
+  * Similarity's 1f defaults). Multi-term composites (phrase/span) sum one
+  * per-term score at the shared freq, each clipped individually —
+  * MultiSimilarity.MultiSimScorer semantics.
+  */
+final case class LmDirichletSim(mu: Float = 2000f) extends SimilarityKind
+
 object Searcher {
   /** Default overlay-broadcast bound (~8 MB of ints). Merge cadence keeps
     * real overlays far below this; crossing it flips readers to the
@@ -228,14 +240,15 @@ final class Searcher(spark: SparkSession, indexPath: String,
     fieldTermStats(terms.map(defaultField -> _)).map { case ((_, t), v) => t -> v }
 
   /** Similarity-appropriate idf (per-term or, via the overrides, a phrase's
-    * summed idf — IdfExplain(TermStatistics[])). */
+    * summed idf — IdfExplain(TermStatistics[])). LM similarities do not use
+    * idf; they get the BM25 formula for explain decoration only. */
   private[search] def idfFloat(df: Long): Float = similarity match {
-    case Bm25Sim => bm25.idf(df, maxDoc)
     case TfIdfSim => (math.log(maxDoc / (df + 1).toDouble) + 1.0).toFloat
+    case _ => bm25.idf(df, maxDoc)
   }
   private[search] def idfDouble(df: Long): Double = similarity match {
-    case Bm25Sim => math.log(1 + (maxDoc - df + 0.5d) / (df + 0.5d))
     case TfIdfSim => math.log(maxDoc / (df + 1).toDouble) + 1.0
+    case _ => math.log(1 + (maxDoc - df + 0.5d) / (df + 0.5d))
   }
 
   /** Per-posting scorer: (freq, fieldLen) => score, constants folded
@@ -245,7 +258,11 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   private[search] def makeScorer(field: String, df: Long, boost: Float, qn: Double = 1d,
                                  idfSumOverride: Option[Float] = None,
-                                 idfSumOverrideD: Option[Double] = None): (Double, Int) => Double =
+                                 idfSumOverrideD: Option[Double] = None,
+                                 /** per-term totalTermFreq (LM collection
+                                   * model); composites pass one per term. */
+                                 ttf: Long = 0L,
+                                 lmTtfs: Option[Seq[Long]] = None): (Double, Int) => Double =
     (similarity, mode) match {
       case (Bm25Sim, LuceneFloat) =>
         val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
@@ -285,6 +302,40 @@ final class Searcher(spark: SparkSession, indexPath: String,
         val value = ((idf * boost) * qn) * idf
         (tf: Double, len: Int) =>
           (math.sqrt(tf) * value) * (1.0 / math.sqrt(len.toDouble))
+      case (LmDirichletSim(mu), LuceneFloat) =>
+        // LMDirichletSimilarity.Score: boost * (float)(ln(1 + freq/(mu*p)) +
+        // ln(mu/(docLen+mu))), per-term clip at 0; docLen is the byte315-
+        // quantized length (SimilarityBase.DecodeNormValue NORM_TABLE)
+        val sttf = fieldSttf.getOrElse(field, 0L)
+        val ps: Seq[Float] = lmTtfs.getOrElse(Seq(ttf)).map(t => (t + 1f) / (sttf + 1f))
+        (tf: Double, len: Int) => {
+          val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
+          val dl = bm25.normTable(nb & 0xff)
+          val tff = tf.toFloat
+          var acc = 0f
+          ps.foreach { p =>
+            val inner = (math.log((1f + tff / (mu * p)).toDouble) +
+              math.log((mu / (dl + mu)).toDouble)).toFloat
+            val s = boost * inner
+            if (s > 0f) acc += s
+          }
+          acc.toDouble
+        }
+      case (LmDirichletSim(mu), ExactDouble) =>
+        // unquantized double twin (docLen = exact len); SQL-replicable:
+        // boost * (ln(1 + tf/(mu*(ttf+1)/(sttf+1))) + ln(mu/(len+mu))), clip 0
+        val sttf = fieldSttf.getOrElse(field, 0L)
+        val mud = mu.toDouble
+        val ps: Seq[Double] = lmTtfs.getOrElse(Seq(ttf)).map(t => (t + 1.0) / (sttf + 1.0))
+        val bd = boost.toDouble
+        (tf: Double, len: Int) => {
+          var acc = 0d
+          ps.foreach { p =>
+            val s = bd * (math.log(1 + tf / (mud * p)) + math.log(mud / (len + mud)))
+            if (s > 0d) acc += s
+          }
+          acc
+        }
     }
 
   /** Query-level normalization (CreateNormalizedWeight, IndexSearcher.cs:
@@ -293,7 +344,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * under BM25.
     */
   private def queryNorm(q: Query, stats: FTStats): Double = similarity match {
-    case Bm25Sim => 1d
+    case Bm25Sim | LmDirichletSim(_) => 1d // Similarity.QueryNorm default 1f
     case TfIdfSim =>
       def phraseIdfF(terms: List[String], field: String): Float =
         terms.map(t => idfFloat(stats.get((field, t)).map(_._1).getOrElse(0L))).foldLeft(0f)(_ + _)
@@ -365,8 +416,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     case TermQ(term, boost) =>
       stats.get((field, term)) match {
         case None => spark.emptyDataset[Hit]
-        case Some((df, _)) =>
-          val scorer = makeScorer(field, df, boost, qn)
+        case Some((df, ttf)) =>
+          val scorer = makeScorer(field, df, boost, qn, ttf = ttf)
           postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
             val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
             val out = new Array[Hit](docIds.length)
@@ -512,11 +563,11 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * identity under BM25 (Similarity.Coord = 1).
     */
   private def coordFactors(maxCoord: Int): Array[Double] = (similarity, mode) match {
-    case (Bm25Sim, _) => Array.fill(maxCoord + 1)(1d)
     case (TfIdfSim, LuceneFloat) =>
       Array.tabulate(maxCoord + 1)(i => (i / maxCoord.toFloat).toDouble)
     case (TfIdfSim, ExactDouble) =>
       Array.tabulate(maxCoord + 1)(i => i.toDouble / maxCoord)
+    case _ => Array.fill(maxCoord + 1)(1d) // BM25 / LM: Similarity.Coord = 1f
   }
 
   private def compileBool(clauses: List[(Occur.Value, Query)], msm: Int,
@@ -780,8 +831,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
     case TermQ(term, boost) =>
       (stats.get((field, term)), dv.get((field, term))) match {
-        case (Some((df, _)), Some((tf, len, _))) =>
-          val s = makeScorer(field, df, boost, qn)(tf.toDouble, len)
+        case (Some((df, ttf)), Some((tf, len, _))) =>
+          val s = makeScorer(field, df, boost, qn, ttf = ttf)(tf.toDouble, len)
           Explanation(s, s"weight($field:$term) [${similarity}], product of:", Seq(
             Explanation(idfDouble(df), s"idf(df=$df, maxDoc=$maxDoc)"),
             Explanation(tf.toDouble, "termFreq"),
@@ -850,13 +901,15 @@ final class Searcher(spark: SparkSession, indexPath: String,
         def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
         val idfSumF = terms.map(t => idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
         val idfSumD = terms.map(t => idfDouble(dfOf(t))).sum
+        val ttfs = terms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L))
         val freq: Double = mode match {
           case LuceneFloat =>
             var f = 0f; spans.foreach { case (s, e) => f += 1f / ((e - s) + 1) }; f.toDouble
           case ExactDouble =>
             var f = 0d; spans.foreach { case (s, e) => f += 1.0 / ((e - s) + 1) }; f
         }
-        val sc = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD))(freq, len)
+        val sc = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
+          lmTtfs = Some(ttfs))(freq, len)
         Explanation(sc, "span weight, product of:", Seq(
           Explanation(idfSumD, "idf, sum over span terms"),
           Explanation(freq, "sloppyFreq, sum over spans"),
@@ -928,6 +981,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
     def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
     val idfSumF = allTerms.map(t => idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
     val idfSumD = allTerms.map(t => idfDouble(dfOf(t))).sum
+    val lmTtfs = Some(allTerms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L)))
     val freq: Double =
       if (slop > 0) SloppyMatcher.phraseFreq(posBySlot, offsets, slop).toDouble
       else {
@@ -949,7 +1003,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
       }
     if (freq == 0d) Explanation.noMatch("phrase positions never align")
     else {
-      val s = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD))(freq, len)
+      val s = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD), lmTtfs = lmTtfs)(freq, len)
       Explanation(s, "phrase weight, product of:", Seq(
         Explanation(idfSumD, "idf, sum over slot terms"),
         Explanation(freq, "phraseFreq"),
