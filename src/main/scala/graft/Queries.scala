@@ -34,9 +34,10 @@ object Queries {
   /** Shared DuckDB prelude: tokenization with positions + BM25 ingredients.
     * Mirrors SimpleAnalyzer + the engine's ExactDouble scorer op-for-op.
     */
-  private val P =
-    """WITH arrs AS (
-      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM documents),
+  private def prelude(cond: String): String =
+    s"""WITH docsrc AS (SELECT * FROM documents WHERE $cond),
+      |arrs AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS arr FROM docsrc),
       |toks AS (
       |  SELECT doc_id, arr[i] AS term, i - 1 AS pos
       |  FROM arrs, unnest(generate_series(1, len(arr))) AS t(i)),
@@ -44,8 +45,13 @@ object Queries {
       |dl AS (SELECT doc_id, count(*) AS dl FROM toks GROUP BY doc_id),
       |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       |consts AS (
-      |  SELECT (SELECT count(*) FROM documents) AS n,
+      |  SELECT (SELECT count(*) FROM docsrc) AS n,
       |         (SELECT coalesce(sum(dl), 0) FROM dl) AS sttf)""".stripMargin
+
+  private val P = prelude("1 = 1")
+
+  /** Prelude over the corpus as a purging merge leaves it (src1 deleted). */
+  private val PDel = prelude("source <> 'src1'")
 
   /** BM25 score of `term` per doc as CTE `scores_<name>` (ExactDouble parity:
     * ((ln(1+((n-df)+0.5)/(df+0.5)) * (1.2+1)) * tf) / (tf + 1.2*((1-0.75)+((0.75*dl)/avgdl)))
@@ -182,6 +188,54 @@ object Queries {
     //     queryNorm * sum(sqrt(tf) * idf^2 * norm), per-doc coord factor
     "q_tfidf_topk" -> ((s, dir) => ranked(IndexCache.tfidfSearcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+
+    // --- multi-segment search (4 url-hash segments): per-segment walks +
+    //     cross-segment top-k; ranked output keyed by (score, doc_id)
+    "q_multiseg_topk" -> ((s, dir) =>
+      IndexCache.rankedByDocId(IndexCache.multisegSearcher(s, dir), TermQ("data"), 10)),
+    "q_multiseg_phrase" -> ((s, dir) => idsOf(IndexCache.multisegSearcher(s, dir),
+      PhraseQ(List("hash" -> 0, "join" -> 1)))),
+
+    // --- the MERGE path through the gate: 4 segments + deletes, then a real
+    //     purging MergeJob.merge — results must equal an index built without
+    //     the purged docs (compacted docIds, decremented stats)
+    "q_merged_docs" -> ((s, dir) => idsOf(IndexCache.mergedSearcher(s, dir), TermQ("data"))),
+    "q_merged_topk" -> ((s, dir) =>
+      IndexCache.rankedByDocId(IndexCache.mergedSearcher(s, dir), TermQ("data"), 10)),
+    "q_merged_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq(IndexCache.mergedSearcher(s, dir).count(MatchAllQ)).toDF("cnt")
+    }),
+    "q_merged_stats" -> ((s, dir) => {
+      import s.implicits._
+      val se = IndexCache.mergedSearcher(s, dir)
+      Seq((se.maxDoc, se.sumTotalTermFreq)).toDF("max_doc", "sum_ttf")
+    }),
+
+    // --- StandardAnalyzer chain through the gate (classic JFlex grammar +
+    //     StandardFilter + LowerCase + StopFilter with skippedPositions —
+    //     Analysis/Standard/StandardTokenizerImpl.jflex, StandardFilter.cs:
+    //     51-80, StopFilter.cs:128-146) over the deterministic fixture.
+    //     The token stream itself, distributed through the analyzer:
+    "q_std_tokens" -> ((s, dir) => {
+      import s.implicits._
+      IndexCache.stdFixturePages(s, dir).filter(col("doc_id") < 10)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+        .flatMap { case (id, text) =>
+          graft.analysis.Analyzers.byName("standard").tokenize(text)
+            .map(t => (id, t.position, t.term))
+        }.toDF("doc_id", "pos", "term").orderBy("doc_id", "pos")
+    }),
+    //     exact phrase ACROSS a stopword gap ("went to school": 'to' dropped,
+    //     'school' two positions later) through the full std index:
+    "q_std_phrase" -> ((s, dir) => idsOf(IndexCache.stdSearcher(s, dir),
+      PhraseQ(List("went" -> 0, "school" -> 2)))),
+    //     HOST rule end-to-end (one token with internal dots):
+    "q_std_host" -> ((s, dir) => idsOf(IndexCache.stdSearcher(s, dir),
+      TermQ("host3.example.com"))),
+    //     ACRONYM (I.B.M. -> ibm) + EMAIL conjunction:
+    "q_std_acr_email" -> ((s, dir) => idsOf(IndexCache.stdSearcher(s, dir),
+      BoolQ(List(Occur.Must -> TermQ("ibm"), Occur.Must -> TermQ("admin@site2.org"))))),
 
     // --- LM Dirichlet similarity (LMDirichletSimilarity, mu=2000): per-term
     //     score = ln(1 + tf/(mu*(ttf+1)/(sttf+1))) + ln(mu/(dl+mu)), clip 0
@@ -553,6 +607,58 @@ object Queries {
          |  FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id)
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
          |FROM m ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_multiseg_topk" ->
+      s"""$P, ${scoreCte("a", "data")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM scores_a ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_multiseg_phrase" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'hash' AND b.term = 'join' ORDER BY 1""".stripMargin,
+
+    "q_merged_docs" ->
+      s"""$PDel SELECT DISTINCT doc_id FROM tf WHERE term = 'data' ORDER BY doc_id""",
+
+    "q_merged_topk" ->
+      s"""$PDel, ${scoreCte("a", "data")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM scores_a ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_merged_count" ->
+      """SELECT count(*) AS cnt FROM documents WHERE source <> 'src1'""",
+
+    "q_merged_stats" ->
+      s"""$PDel SELECT c.n AS max_doc, CAST(c.sttf AS BIGINT) AS sum_ttf FROM consts c""",
+
+    // analytic twin of the classic-grammar token stream on the fixture
+    "q_std_tokens" ->
+      """WITH f AS (SELECT doc_id, doc_id % 7 AS k, doc_id % 5 AS m,
+        |            CASE WHEN doc_id % 2 = 0 THEN 'school' ELSE 'market' END AS w
+        |           FROM documents WHERE doc_id < 10)
+        |SELECT doc_id, CAST(u.pos AS INT) AS pos, u.term AS term FROM f, unnest([
+        |  {'pos': 1, 'term': 'smith'},
+        |  {'pos': 2, 'term': 'ibm'},
+        |  {'pos': 3, 'term': 'server'},
+        |  {'pos': 4, 'term': 'host' || k || '.example.com'},
+        |  {'pos': 5, 'term': 'went'},
+        |  {'pos': 7, 'term': w},
+        |  {'pos': 9, 'term': 'admin@site' || m || '.org'},
+        |  {'pos': 10, 'term': 'about'},
+        |  {'pos': 12, 'term': 'data'},
+        |  {'pos': 13, 'term': 'engine'}
+        |]) AS t(u)
+        |ORDER BY doc_id, u.pos""".stripMargin,
+
+    "q_std_phrase" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    "q_std_host" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 7 = 3 ORDER BY doc_id""",
+
+    "q_std_acr_email" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 5 = 2 ORDER BY doc_id""",
 
     // engine op order: p = (ttf+1)/(sttf+1); s = 1.0 * (ln(1 + tf/(2000*p))
     // + ln(2000/(dl+2000))); per-clause clip at 0; clause-ordered sum

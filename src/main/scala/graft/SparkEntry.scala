@@ -83,6 +83,42 @@ object IndexCache {
   })
   private val lcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Deterministic StandardAnalyzer gate fixture: per-doc synthetic text
+    * exercising the classic JFlex grammar's signature rules — APOSTROPHE
+    * (possessive strip), ACRONYM (dot removal), HOST, EMAIL, and stopword
+    * position gaps — parameterized ONLY by doc_id so a DuckDB twin can
+    * construct the exact expected token stream analytically.
+    *
+    * Standard-chain tokens (fieldLen = 10 for every doc):
+    *   smith@1 ibm@2 server@3 host{id%7}.example.com@4 went@5
+    *   school|market@7 admin@site{id%5}.org@9 about@10 data@12 engine@13
+    * ('The'@0, 'to'@6, 'with'@8, 'the'@11 are stopwords — dropped with
+    * their positions preserved as gaps.)
+    */
+  def stdFixturePages(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select(
+      col("doc_id"),
+      format_string("doc%09d", col("doc_id")).as("url"),
+      concat(lit("The Smith's I.B.M. server host"),
+        (col("doc_id") % 7).cast("string"),
+        lit(".example.com went to "),
+        when(col("doc_id") % 2 === 0, "school").otherwise("market"),
+        lit(" with admin@site"), (col("doc_id") % 5).cast("string"),
+        lit(".org about the data engine")).as("text"))
+
+  /** Single-segment STANDARD-analyzer index over the fixture — the gate
+    * coverage for the classic tokenizer grammar + StandardFilter + StopFilter
+    * that the SimpleAnalyzer gate indexes never exercise (VERDICT r2 #2). */
+  def stdSearcher(spark: SparkSession, sfDir: String): Searcher = scache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_std"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      IndexBuilder.build(spark, stdFixturePages(spark, sfDir).drop("doc_id"), path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "standard"))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val scache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** Index with live deletes applied (urls of source='src1' docs), for the
     * delete-semantics entries: matches vanish, stats stay un-decremented
     * until merge (IndexWriter.DeleteDocuments / FixedBitSet live docs).
@@ -103,6 +139,56 @@ object IndexCache {
     new Searcher(spark, path, mode = ExactDouble)
   })
   private val dcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** Multi-SEGMENT index (4 segments, url-hash routed, no deletes): gate
+    * coverage for cross-segment search — per-segment walks + TopDocs-merge
+    * tie-breaks (Search/TopDocs.cs:111-135) — which the single-segment gate
+    * indexes never exercise. Ranked outputs order by (score, doc_id) via
+    * the url key so the oracle is segment-layout independent. */
+  def multisegSearcher(spark: SparkSession, sfDir: String): Searcher = m2cache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_multi"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      IndexBuilder.build(spark, pagesFromDocuments(spark, sfDir), path,
+        IndexBuilder.BuildConfig(numSegments = 4, analyzerName = "simple", groupSize = 4))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val m2cache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** Merged index: 4 segments built, src1 docs deleted, then a REAL purging
+    * MergeJob.merge of all four — the gate coverage for the merge path
+    * (SegmentMerger/MergeDocIDRemapper semantics: compacted docIds,
+    * decremented stats, pruned markers). The DuckDB twin recomputes over
+    * `documents WHERE source <> 'src1'`, i.e. an index built without the
+    * purged docs — which a correct merge must equal exactly. */
+  def mergedSearcher(spark: SparkSession, sfDir: String): Searcher = mcache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_merged"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      IndexBuilder.build(spark, pagesFromDocuments(spark, sfDir), path,
+        IndexBuilder.BuildConfig(numSegments = 4, analyzerName = "simple", groupSize = 4))
+    }
+    if (IndexBuilder.statsGen(spark, path) == 0) { // merge not committed yet
+      val urls = spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("source") === "src1")
+        .select(format_string("doc%09d", col("doc_id")).as("url"))
+      graft.build.Deletes.deleteUrls(spark, path, urls)
+      graft.merge.MergeJob.merge(spark, path, List(0, 1, 2, 3))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val mcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** (hits, k) -> (doc_id, rank) by (score desc, doc_id asc) — the
+    * segment-layout-INDEPENDENT ranked shape for multi-segment/merged gate
+    * indexes, where engine docId order no longer equals doc_id order. */
+  def rankedByDocId(se: Searcher, q: graft.search.Query, k: Int): DataFrame = {
+    val hits = se.compile(q)
+      .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+      .select("doc_id", "score")
+    Ranks.rankTopK(hits, k, Seq(col("score").desc, col("doc_id").asc))
+      .select("doc_id", "rank").orderBy("rank")
+  }
 
   /** Multi-field index (text + keyword-indexed source/lang StringFields) for
     * the field-qualified query entries (Index/Term.cs (field, term) keys).
