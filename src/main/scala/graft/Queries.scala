@@ -272,6 +272,16 @@ object Queries {
     "q_suggest" -> ((s, dir) =>
       Suggest.complete(searcher(s, dir).dictionary(), "st", 5)),
 
+    // --- infix suggester (AnalyzingInfixSuggester analog: substring match,
+    //     weight-ranked)
+    "q_suggest_infix" -> ((s, dir) =>
+      Suggest.completeInfix(searcher(s, dir).dictionary(), "ata", 5)),
+
+    // --- fuzzy suggester (FuzzySuggester analog: input-length prefix within
+    //     maxEdits, weight-ranked completions)
+    "q_suggest_fuzzy" -> ((s, dir) =>
+      Suggest.completeFuzzy(searcher(s, dir).dictionary(), "strem", 1, 5)),
+
     // --- spell suggestion (DirectSpellChecker analog over the dictionary)
     "q_spell" -> ((s, dir) =>
       Spell.suggest(searcher(s, dir).dictionary(), "strema", 2, 5)),
@@ -724,6 +734,20 @@ object Queries {
     "q_suggest" ->
       s"""$P SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
          |FROM dfs WHERE term LIKE 'st%' ORDER BY rank LIMIT 5""".stripMargin,
+
+    "q_suggest_infix" ->
+      s"""$P, top AS (
+         |  SELECT term, df FROM dfs WHERE term LIKE '%ata%'
+         |  ORDER BY df DESC, term ASC LIMIT 5)
+         |SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
+         |FROM top ORDER BY rank""".stripMargin,
+
+    "q_suggest_fuzzy" ->
+      s"""$P, top AS (
+         |  SELECT term, df FROM dfs WHERE levenshtein(substr(term, 1, 5), 'strem') <= 1
+         |  ORDER BY df DESC, term ASC LIMIT 5)
+         |SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
+         |FROM top ORDER BY rank""".stripMargin,
 
     "q_spell" ->
       s"""$P, d AS (SELECT term, count(*) AS df FROM tf GROUP BY term)

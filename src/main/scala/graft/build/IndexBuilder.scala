@@ -248,8 +248,25 @@ object IndexBuilder {
 
     val numDocs = stats.filter(_.field == DefaultField).map(_.maxDoc).sum
 
+    // append to the CURRENT stats generation, then re-check it: if a merge
+    // committed a new generation while this append was in flight, the rows
+    // landed in a superseded dir and the new segments would silently drop
+    // out of the live set — re-append to the fresh generation (merge's
+    // commit-time re-read covers the mirror-image race; duplicate rows are
+    // deduped by every reader via dropDuplicates). Single-writer per index
+    // is still the supported discipline for concurrent MERGES.
+    var appendedGen = statsGen(spark, indexPath)
     spark.createDataset(stats.toSeq).write.mode(SaveMode.Append)
-      .parquet(statsPath(spark, indexPath)) // current generation (post-merge appends included)
+      .parquet(s"$indexPath/${statsDirName(appendedGen)}")
+    var tries = 0
+    var cur = statsGen(spark, indexPath)
+    while (cur != appendedGen && tries < 5) {
+      appendedGen = cur
+      spark.createDataset(stats.toSeq).write.mode(SaveMode.Append)
+        .parquet(s"$indexPath/${statsDirName(appendedGen)}")
+      tries += 1
+      cur = statsGen(spark, indexPath)
+    }
 
     // manifest LAST — the commit point: a segment is only "done" once its
     // docs+postings+stats are all on disk (resume reads this).
@@ -282,6 +299,14 @@ object IndexBuilder {
   }
 
   private def writeConfig(spark: SparkSession, indexPath: String, cfg: BuildConfig): Unit = {
+    // the config round-trip packs extraFields as `f:a,f2:a2` — reject names
+    // that would corrupt it on readback (and brick every later readConfig)
+    (cfg.fieldList :+ (cfg.analyzerName -> cfg.analyzerName)).foreach { case (f, a) =>
+      Seq(f, a).foreach { n =>
+        require(!n.exists(c => c == ':' || c == ',' || c == '"'),
+          s"field/analyzer name '$n' must not contain ':', ',' or '\"'")
+      }
+    }
     val extra = cfg.extraFields.map { case (f, a) => s"$f:$a" }.mkString(",")
     val json = s"""{"numSegments":${cfg.numSegments},"analyzer":"${cfg.analyzerName}",""" +
       s""""boost":${cfg.boost},"extraFields":"$extra"}"""

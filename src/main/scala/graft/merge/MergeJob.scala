@@ -56,6 +56,11 @@ object MergeJob {
     require(sources.size >= 2)
     val srcSorted = sources.sorted
 
+    // grace window (IndexDeletionPolicy keep-last-commit analog): data made
+    // unreachable by the PREVIOUS merge is physically deleted only now, so
+    // readers that resolved the previous generation finish their lazy reads
+    purgeTombstones(spark, indexPath)
+
     val dictWasValid = graft.build.DictTable.isValid(spark, indexPath)
     val statsAll = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
       .dropDuplicates("segmentId", "field")
@@ -223,7 +228,14 @@ object MergeJob {
         if (f == IndexBuilder.DefaultField) mergedDefaultSttf else sttf,
         rows)
     }
-    val newStats = statsAll.filterNot(s => srcSorted.contains(s.segmentId)) ++ mergedStats
+    // RE-READ the live stats at commit time (not the snapshot from merge
+    // start): segments appended concurrently by writeSegments carry forward
+    // into the new generation instead of silently dropping out of the live
+    // set (writeSegments has the matching re-append check on its side).
+    val statsNow = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
+      .dropDuplicates("segmentId", "field")
+      .as[SegmentStats].collect()
+    val newStats = statsNow.filterNot(s => srcSorted.contains(s.segmentId)) ++ mergedStats
 
     // ---- THE COMMIT: one atomic rename flips in the next stats generation
     // (segments_N analog); everything before this is invisible, everything
@@ -236,18 +248,18 @@ object MergeJob {
     require(fs.rename(new Path(statsTmp), statsDst), "stats generation flip failed")
     spark.catalog.refreshByPath(statsDst.toString)
 
-    // ---- cleanup (idempotent; a crash here leaves only invisible orphans):
-    // source segment dirs + superseded stats generations
-    srcSorted.foreach { s =>
-      Seq(IndexBuilder.docsPath(indexPath), IndexBuilder.postingsPath(indexPath)).foreach { base =>
-        val p = new Path(s"$base/segmentId=$s")
-        if (fs.exists(p)) fs.delete(p, true)
-      }
-    }
-    (0L until newGen).foreach { g =>
-      val p = new Path(s"$indexPath/${IndexBuilder.statsDirName(g)}")
-      if (fs.exists(p)) fs.delete(p, true)
-    }
+    // ---- cleanup, DEFERRED one commit (the reference keeps old commits
+    // alive via IndexDeletionPolicy until readers release them): the source
+    // segment dirs and superseded stats generations are unreachable through
+    // the new commit but still readable by a Searcher opened against the
+    // previous one — record them as tombstones; the NEXT merge (or an
+    // explicit purgeTombstones) physically deletes them.
+    val doomed =
+      srcSorted.flatMap { s =>
+        Seq(s"${IndexBuilder.docsPath(indexPath)}/segmentId=$s",
+          s"${IndexBuilder.postingsPath(indexPath)}/segmentId=$s")
+      } ++ (0L until newGen).map(g => s"$indexPath/${IndexBuilder.statsDirName(g)}")
+    writeTombstone(fs, indexPath, newGen, doomed)
     spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
     spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
 
@@ -283,6 +295,40 @@ object MergeJob {
     }
 
     target
+  }
+
+  private def tombstonesDir(indexPath: String) = s"$indexPath/.tombstones"
+
+  private def writeTombstone(fs: org.apache.hadoop.fs.FileSystem, indexPath: String,
+                             gen: Long, paths: Seq[String]): Unit = {
+    val dir = new Path(tombstonesDir(indexPath))
+    fs.mkdirs(dir)
+    val out = fs.create(new Path(dir, s"gen_$gen"), true)
+    out.write(paths.mkString("\n").getBytes("UTF-8"))
+    out.close()
+  }
+
+  /** Physically delete everything tombstoned by earlier merges (idempotent;
+    * safe to call any time no reader older than the previous commit is
+    * live). Runs automatically at the start of every merge — the one-commit
+    * grace window of the keep-last-commit deletion policy.
+    */
+  def purgeTombstones(spark: SparkSession, indexPath: String): Unit = {
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dir = new Path(tombstonesDir(indexPath))
+    if (!fs.exists(dir)) return
+    fs.listStatus(dir).foreach { st =>
+      val in = fs.open(st.getPath)
+      val paths = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+      in.close()
+      paths.filter(_.nonEmpty).foreach { p =>
+        val pp = new Path(p)
+        if (fs.exists(pp)) fs.delete(pp, true)
+      }
+      fs.delete(st.getPath, false)
+    }
+    spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
+    spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
   }
 
   private def reencode(df: Int, docDeltas: Array[Byte], tfs: Array[Byte],

@@ -78,7 +78,9 @@ class DeletesSpec extends AnyFunSuite {
     assert(urlsOf(merged, TermQ(freq)) == liveBefore)
     assert(merged.maxDoc == N - 7)
     assert(merged.termStats(Set(freq))(freq)._1 == dfBefore - 7)
-    // doc store no longer contains the victims; docIds dense (CheckIndex)
+    // after the one-commit reader grace elapses (tombstone purge), the doc
+    // store physically no longer contains the victims; docIds dense
+    MergeJob.purgeTombstones(spark, path)
     val urls = spark.read.parquet(s"$path/docs").select("url")
       .collect().map(_.getString(0)).toSet
     assert(victims.forall(v => !urls.contains(v)))
