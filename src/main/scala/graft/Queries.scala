@@ -23,6 +23,16 @@ object Queries {
   /** Engine hits -> (doc_id, rank), the SQL-stable ranked output shape. */
   private def ranked(df: DataFrame): DataFrame = IndexCache.rankedIds(df)
 
+  /** Payload-scored hits -> (doc_id, pay) ordered — int cast for min/max
+    * (exact), double for avg (exact: integer sum / count). */
+  private def payloadIds(s: Searcher, q: Query, intScore: Boolean): DataFrame = {
+    val hits = s.compile(q)
+      .join(s.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+    val pay = if (intScore) col("score").cast("int") else col("score")
+    hits.select(col("doc_id"), pay.as("pay")).orderBy("doc_id")
+  }
+
   /** Engine hits -> sorted doc_id set. */
   private def idsOf(s: Searcher, q: Query): DataFrame = {
     val hits = s.compile(q)
@@ -236,6 +246,15 @@ object Queries {
     //     ACRONYM (I.B.M. -> ibm) + EMAIL conjunction:
     "q_std_acr_email" -> ((s, dir) => idsOf(IndexCache.stdSearcher(s, dir),
       BoolQ(List(Occur.Must -> TermQ("ibm"), Occur.Must -> TermQ("admin@site2.org"))))),
+
+    // --- payload scoring (PayloadTermQuery + Min/Max/AveragePayloadFunction)
+    //     over the payload-stream fixture index
+    "q_payload_max" -> ((s, dir) => payloadIds(IndexCache.payloadSearcher(s, dir),
+      PayloadScoreQ("alpha", "max"), intScore = true)),
+    "q_payload_min" -> ((s, dir) => payloadIds(IndexCache.payloadSearcher(s, dir),
+      PayloadScoreQ("alpha", "min"), intScore = true)),
+    "q_payload_avg" -> ((s, dir) => payloadIds(IndexCache.payloadSearcher(s, dir),
+      PayloadScoreQ("alpha", "avg"), intScore = false)),
 
     // --- LM Dirichlet similarity (LMDirichletSimilarity, mu=2000): per-term
     //     score = ln(1 + tf/(mu*(ttf+1)/(sttf+1))) + ln(mu/(dl+mu)), clip 0
@@ -641,6 +660,18 @@ object Queries {
 
     "q_merged_stats" ->
       s"""$PDel SELECT c.n AS max_doc, CAST(c.sttf AS BIGINT) AS sum_ttf FROM consts c""",
+
+    "q_payload_max" ->
+      """SELECT doc_id, CAST(greatest(doc_id % 7, (doc_id + 3) % 7) AS INT) AS pay
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_payload_min" ->
+      """SELECT doc_id, CAST(least(doc_id % 7, (doc_id + 3) % 7) AS INT) AS pay
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_payload_avg" ->
+      """SELECT doc_id, CAST((doc_id % 7) + ((doc_id + 3) % 7) AS DOUBLE) / 2 AS pay
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // analytic twin of the classic-grammar token stream on the fixture
     "q_std_tokens" ->

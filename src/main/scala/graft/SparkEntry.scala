@@ -119,6 +119,25 @@ object IndexCache {
   })
   private val scache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Payload gate fixture: each doc holds "alpha|{id%7} beta|{id%13}
+    * alpha|{(id+3)%7}" indexed through the DelimitedPayloadTokenFilter
+    * analog (4-byte-int payloads in the postings payload stream), so a
+    * DuckDB twin recomputes min/max/avg analytically from doc_id. */
+  def payloadSearcher(spark: SparkSession, sfDir: String): Searcher = pcache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_payload"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        format_string("doc%09d", col("doc_id")).as("url"),
+        concat(lit("alpha|"), (col("doc_id") % 7).cast("string"),
+          lit(" beta|"), (col("doc_id") % 13).cast("string"),
+          lit(" alpha|"), ((col("doc_id") + 3) % 7).cast("string")).as("text"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "delimited_payload"))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val pcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** Index with live deletes applied (urls of source='src1' docs), for the
     * delete-semantics entries: matches vanish, stats stay un-decremented
     * until merge (IndexWriter.DeleteDocuments / FixedBitSet live docs).

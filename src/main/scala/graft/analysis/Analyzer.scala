@@ -235,6 +235,37 @@ object StopAnalyzer extends Analyzer {
   }
 }
 
+/** Whitespace tokens with a `term|N` payload suffix — the
+  * DelimitedPayloadTokenFilter + IntegerEncoder chain
+  * (/root/reference/src/Lucene.Net.Analysis.Common/Analysis/Payloads/
+  * DelimitedPayloadTokenFilter.cs, IntegerEncoder.cs, PayloadHelper.cs
+  * EncodeInt = 4-byte big-endian): "alpha|5" emits term "alpha" (lowercased,
+  * LowerCaseFilter placement before the payload filter) carrying payload
+  * bytes [0,0,0,5]; a token without the delimiter carries no payload.
+  */
+object DelimitedPayloadAnalyzer extends Analyzer {
+  val Delimiter = '|'
+
+  def encodeInt(v: Int): Array[Byte] =
+    Array(((v >> 24) & 0xff).toByte, ((v >> 16) & 0xff).toByte,
+      ((v >> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+  def decodeInt(b: Array[Byte], off: Int): Int =
+    ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+      ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+  override def tokenize(text: String): Iterator[Token] =
+    WhitespaceAnalyzer.tokenize(text).map { t =>
+      val di = t.term.indexOf(Delimiter)
+      if (di < 0) t.copy(term = t.term.toLowerCase)
+      else {
+        val word = t.term.substring(0, di).toLowerCase
+        val num = try t.term.substring(di + 1).toInt catch { case _: NumberFormatException => 0 }
+        t.copy(term = word, payload = encodeInt(num))
+      }
+    }
+}
+
 object Analyzers {
   /** Stable names for config/serialization across executors. */
   def byName(name: String): Analyzer = name match {
@@ -244,6 +275,7 @@ object Analyzers {
     case "keyword" => KeywordAnalyzer
     case "stop" => StopAnalyzer
     case "english" => EnglishAnalyzer // standard chain + Porter stemming
+    case "delimited_payload" => DelimitedPayloadAnalyzer
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }

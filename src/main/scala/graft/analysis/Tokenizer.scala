@@ -10,7 +10,12 @@ package graft.analysis
   * increments - 1, so the first token with posIncr=1 sits at position 0),
   * matching the accounting in Index/DocInverterPerField.cs:136-158.
   */
-final case class Token(term: String, position: Int, startOffset: Int, endOffset: Int, tokenType: Int)
+final case class Token(term: String, position: Int, startOffset: Int, endOffset: Int, tokenType: Int,
+                       /** Per-position payload bytes (PayloadAttribute analog,
+                         * /root/reference/src/Lucene.Net.Core/Analysis/Tokenattributes/
+                         * PayloadAttribute.cs); null = none. Attached by payload
+                         * token filters, stored in the postings payload stream. */
+                       payload: Array[Byte] = null)
 
 /** Token types of the classic grammar
   * (/root/reference/src/Lucene.Net.Core/Analysis/Standard/StandardTokenizerImpl.jflex).

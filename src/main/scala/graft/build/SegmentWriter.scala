@@ -31,6 +31,9 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
     var n = 0
     var positions = new Array[Int](8) // flat, per-doc runs
     var posN = 0
+    /** Per-position payloads aligned with `positions`; allocated lazily on
+      * the first payload-carrying token (PayloadAttribute analog). */
+    var pays: Array[Array[Byte]] = null
 
     def addDoc(docId: Int): Unit = {
       if (n == docs.length) {
@@ -41,8 +44,15 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
       n += 1
     }
 
-    def addPos(p: Int): Unit = {
-      if (posN == positions.length) positions = java.util.Arrays.copyOf(positions, posN * 2)
+    def addPos(p: Int): Unit = addPos(p, null)
+
+    def addPos(p: Int, payload: Array[Byte]): Unit = {
+      if (posN == positions.length) {
+        positions = java.util.Arrays.copyOf(positions, posN * 2)
+        if (pays != null) pays = java.util.Arrays.copyOf(pays, posN * 2)
+      }
+      if (payload != null && pays == null) pays = new Array[Array[Byte]](positions.length)
+      if (pays != null) pays(posN) = payload
       positions(posN) = p
       posN += 1
       tfs(n - 1) += 1
@@ -78,7 +88,7 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
         var buf = fieldTerms.get(t.term)
         if (buf == null) { buf = new PostBuf; fieldTerms.put(t.term, buf) }
         if (buf.n == 0 || buf.docs(buf.n - 1) != docId) buf.addDoc(docId)
-        buf.addPos(t.position)
+        buf.addPos(t.position, t.payload)
         bufferedTokens += 1
       }
       docLens(f).append(fieldLen)
@@ -113,14 +123,17 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
           while (i < buf.n) {
             val tf = buf.tfs(i)
             val ps = java.util.Arrays.copyOfRange(buf.positions, posOff, posOff + tf)
-            enc.add(buf.docs(i), tf, ps, lens(buf.docs(i) - firstDocId))
+            val pl = if (buf.pays == null) null
+              else java.util.Arrays.copyOfRange(buf.pays, posOff, posOff + tf)
+            enc.add(buf.docs(i), tf, ps, lens(buf.docs(i) - firstDocId), pl)
             posOff += tf
             i += 1
           }
           val e = enc.finish()
           out += PostingRow(segmentId, fields(f)._1, term, e.df, e.ttf,
             e.docDeltas, e.tfs, e.positions, e.lens,
-            e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
+            e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)),
+            e.payloads)
         }
         fieldTerms.clear()
       }

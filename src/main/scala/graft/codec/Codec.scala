@@ -64,6 +64,10 @@ final class ByteBuf(initial: Int = 64) {
     arr(len) = b
     len += 1
   }
+  def write(bs: Array[Byte]): Unit = {
+    var i = 0
+    while (i < bs.length) { append(bs(i)); i += 1 }
+  }
   def size: Int = len
   def toArray: Array[Byte] = java.util.Arrays.copyOf(arr, len)
 }

@@ -25,7 +25,12 @@ final case class SkipEntry(lastDoc: Int, docOff: Int, tfOff: Int, posOff: Int,
 final case class EncodedPostings(
     df: Int, ttf: Long,
     docDeltas: Array[Byte], tfs: Array[Byte], positions: Array[Byte],
-    lens: Array[Byte], skips: Array[SkipEntry])
+    lens: Array[Byte], skips: Array[SkipEntry],
+    /** Optional per-position payload stream (the .pay file analog,
+      * Lucene41PostingsWriter.cs:497-566 payload variants): one
+      * vByte(len)+bytes frame per position, in position-stream order;
+      * null when the field carries no payloads. */
+    payloads: Array[Byte] = null)
 
 /** Posting-list block codec, semantics-equivalent to the reference's
   * Lucene41PostingsWriter/Reader
@@ -52,13 +57,22 @@ object PostingsCodec {
     private val posOut = new ByteBuf(256)
     private val lenOut = new ByteBuf(128)
     private val skips = scala.collection.mutable.ArrayBuffer.empty[SkipEntry]
+    private var payOut: ByteBuf = null // created lazily on first payload
     private var blockMaxTf = 0
     private var blockMinLen = Int.MaxValue
     private var blockDocOff = 0
     private var blockTfOff = 0
     private var blockPosOff = 0
 
-    def add(docId: Int, tf: Int, positions: Array[Int], fieldLen: Int): Unit = {
+    def add(docId: Int, tf: Int, positions: Array[Int], fieldLen: Int): Unit =
+      add(docId, tf, positions, fieldLen, null)
+
+    /** Payload-carrying variant: `payloads(i)` aligns with `positions(i)`
+      * (null entry = no payload at that position). Once any doc of the list
+      * carries payloads, every position is framed (len 0 when absent) so
+      * the stream stays aligned. */
+    def add(docId: Int, tf: Int, positions: Array[Int], fieldLen: Int,
+            payloads: Array[Array[Byte]]): Unit = {
       require(df == 0 || docId > lastDocId, s"docIds must be strictly increasing: $docId after $lastDocId")
       if (inBlock == 0) {
         blockDocOff = docOut.size; blockTfOff = tfOut.size; blockPosOff = posOut.size
@@ -80,6 +94,21 @@ object PostingsCodec {
         VByte.writeInt(posOut, positions(i) - prev)
         prev = positions(i)
         i += 1
+      }
+      if (payloads != null && payOut == null && payloads.exists(_ != null)) {
+        // first payload seen: back-fill empty frames for all prior positions
+        payOut = new ByteBuf(256)
+        var k = 0L
+        while (k < ttf - tf) { VByte.writeInt(payOut, 0); k += 1 }
+      }
+      if (payOut != null) {
+        var j = 0
+        while (j < positions.length) {
+          val pl = if (payloads == null) null else payloads(j)
+          if (pl == null) VByte.writeInt(payOut, 0)
+          else { VByte.writeInt(payOut, pl.length); payOut.write(pl) }
+          j += 1
+        }
       }
       if (inBlock == BlockSize) flushBlock()
     }
@@ -103,7 +132,8 @@ object PostingsCodec {
         i += 1
       }
       EncodedPostings(df, ttf, docOut.toArray, tfOut.toArray, posOut.toArray,
-        lenOut.toArray, skips.toArray)
+        lenOut.toArray, skips.toArray,
+        if (payOut == null) null else payOut.toArray)
     }
   }
 
@@ -183,5 +213,45 @@ object PostingsCodec {
       i += 1
     }
     DecodedPostings(docIds, tfs, posFlat, posStart, lens)
+  }
+
+  /** Decode a payload stream into per-position byte slices aligned with the
+    * positions stream: returns (payStart, payLen, flatBytes) where position
+    * k's payload is flatBytes[payStart(k) until payStart(k)+payLen(k))
+    * (payLen 0 = none). `totalPositions` = sum of tfs = posStart(df).
+    */
+  def decodePayloads(totalPositions: Int, payloads: Array[Byte]): (Array[Int], Array[Int], Array[Byte]) = {
+    val starts = new Array[Int](totalPositions)
+    val lens = new Array[Int](totalPositions)
+    val c = new Cursor(0)
+    var k = 0
+    while (k < totalPositions) {
+      val len = VByte.readInt(payloads, c)
+      starts(k) = c.pos
+      lens(k) = len
+      c.pos += len
+      k += 1
+    }
+    (starts, lens, payloads)
+  }
+
+  /** Per-doc byte ranges of the payload stream (frame-walk by tf), for
+    * merge-time purge/rebase: doc i's frames span bytes
+    * [ranges(i), ranges(i+1)). */
+  def payloadDocRanges(tfs: Array[Int], payloads: Array[Byte]): Array[Int] = {
+    val ranges = new Array[Int](tfs.length + 1)
+    val c = new Cursor(0)
+    var i = 0
+    while (i < tfs.length) {
+      var j = 0
+      while (j < tfs(i)) {
+        val len = VByte.readInt(payloads, c)
+        c.pos += len
+        j += 1
+      }
+      i += 1
+      ranges(i) = c.pos
+    }
+    ranges
   }
 }

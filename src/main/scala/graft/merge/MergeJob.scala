@@ -41,7 +41,7 @@ object MergeJob {
                             df: Int, ttf: Long,
                             docDeltas: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], lens: Array[Byte],
-                            skips: Array[SkipRow])
+                            skips: Array[SkipRow], payloads: Array[Byte])
 
   /** Merge `sources` into a FRESH segment id (max live id + 1) — fully
     * disjoint from every source, so staged data renames IN before anything
@@ -120,16 +120,17 @@ object MergeJob {
     val pieces: Dataset[PieceRow] = spark.read
       .parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(srcSorted))
-      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
       .as[PostingRow]
       .flatMap { p =>
         val seg = p.segmentId
         val (e, firstDoc) = reencode(p.df, p.docDeltas, p.tfs, p.positions, p.lens,
-          (d: Int) => remapFn(seg, d))
+          p.payloads, (d: Int) => remapFn(seg, d))
         if (e.df == 0) None // every doc of this piece was deleted
         else Some(PieceRow(p.field, p.term, p.segmentId, firstDoc, e.df, e.ttf,
           e.docDeltas, e.tfs, e.positions, e.lens,
-          e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen))))
+          e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)),
+          e.payloads))
       }
 
     // ---- phase 2: shuffle compressed pieces by (field, term), stitch per key
@@ -159,22 +160,26 @@ object MergeJob {
                 // disjoint docId ranges — already rebased and skip-indexed
                 group.foreach { g =>
                   out += PostingRow(0, field, term, g.df, g.ttf, g.docDeltas, g.tfs,
-                    g.positions, g.lens, g.skips)
+                    g.positions, g.lens, g.skips, g.payloads)
                 }
               } else {
                 val enc = new PostingsCodec.Encoder
                 group.foreach { g =>
                   val d = PostingsCodec.decode(g.df, g.docDeltas, g.tfs, g.positions, g.lens)
+                  val pays = payloadSlices(d.tfs, d.posStart, g.payloads)
                   var i = 0
                   while (i < d.docIds.length) {
                     val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
-                    enc.add(d.docIds(i), d.tfs(i), ps, d.lens(i))
+                    val pl = if (pays == null) null
+                      else java.util.Arrays.copyOfRange(pays, d.posStart(i), d.posStart(i + 1))
+                    enc.add(d.docIds(i), d.tfs(i), ps, d.lens(i), pl)
                     i += 1
                   }
                 }
                 val e = enc.finish()
                 out += PostingRow(0, field, term, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
-                  e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)))
+                  e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)),
+                  e.payloads)
               }
             }
           }
@@ -333,8 +338,10 @@ object MergeJob {
 
   private def reencode(df: Int, docDeltas: Array[Byte], tfs: Array[Byte],
                        positions: Array[Byte], lens: Array[Byte],
+                       payloads: Array[Byte],
                        remap: Int => Int): (graft.codec.EncodedPostings, Int) = {
     val d = PostingsCodec.decode(df, docDeltas, tfs, positions, lens)
+    val pays = payloadSlices(d.tfs, d.posStart, payloads)
     val enc = new PostingsCodec.Encoder
     var first = -1
     var i = 0
@@ -342,12 +349,28 @@ object MergeJob {
       val nid = remap(d.docIds(i))
       if (nid >= 0) { // deleted docs (-1) purge here
         val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
-        enc.add(nid, d.tfs(i), ps, d.lens(i))
+        val pl = if (pays == null) null
+          else java.util.Arrays.copyOfRange(pays, d.posStart(i), d.posStart(i + 1))
+        enc.add(nid, d.tfs(i), ps, d.lens(i), pl)
         if (first < 0) first = nid
       }
       i += 1
     }
     (enc.finish(), math.max(first, 0))
+  }
+
+  /** Per-position payload byte slices aligned with posFlat (null when the
+    * list has no payload stream) — merge re-encodes payloads through the
+    * same add() path as positions so purge/rebase keep them aligned. */
+  private def payloadSlices(tfs: Array[Int], posStart: Array[Int],
+                            payloads: Array[Byte]): Array[Array[Byte]] = {
+    if (payloads == null) return null
+    val total = posStart(tfs.length)
+    val (starts, lens, flat) = PostingsCodec.decodePayloads(total, payloads)
+    Array.tabulate(total) { k =>
+      if (lens(k) == 0) null
+      else java.util.Arrays.copyOfRange(flat, starts(k), starts(k) + lens(k))
+    }
   }
 
   /** Run tiered merge rounds until the policy is satisfied. Returns the

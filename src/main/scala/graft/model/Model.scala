@@ -22,7 +22,11 @@ final case class SkipRow(lastDoc: Int, docOff: Int, tfOff: Int, posOff: Int,
 final case class PostingRow(segmentId: Int, field: String, term: String, df: Int, ttf: Long,
                             docDeltas: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], lens: Array[Byte],
-                            skips: Array[SkipRow])
+                            skips: Array[SkipRow],
+                            /** Optional per-position payload stream (the .pay
+                              * file analog, vByte(len)+bytes per position);
+                              * null for fields without payloads. */
+                            payloads: Array[Byte] = null)
 
 /** Scoring-only posting projection (no positions column read). */
 final case class PostingSlim(segmentId: Int, field: String, term: String, df: Int,

@@ -474,7 +474,7 @@ object Leapfrog {
     import spark.implicits._
     searcher.postingsRaw
       .filter(keysPred(keys))
-      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
       .as[PostingRow]
       .repartition(col("segmentId"))
   }

@@ -67,6 +67,16 @@ final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query
   */
 final case class FuzzyTopQ(term: String, maxEdits: Int = 2, maxExpansions: Int = 50,
                            boost: Float = 1f) extends Query
+/** Payload-driven scoring of one term's matches — the PayloadTermQuery
+  * (includeSpanScore = false) analog (/root/reference/src/Lucene.Net.Core/
+  * Search/Payloads/PayloadTermQuery.cs with MinPayloadFunction /
+  * MaxPayloadFunction / AveragePayloadFunction): score = fn over the
+  * 4-byte-int payloads attached to the term's positions in the doc
+  * (payload-less matches score the 1.0 default, PayloadFunction default).
+  * `fn` is one of "min" | "max" | "avg".
+  */
+final case class PayloadScoreQ(term: String, fn: String = "avg", boost: Float = 1f) extends Query
+
 case object MatchAllQ extends Query
 final case class ConstantScoreQ(inner: Query, boost: Float = 1f) extends Query
 /** score = max + tieBreaker * (sum - max), DisjunctionMaxQuery.cs:46,113. */
@@ -110,6 +120,7 @@ object Query {
     case MultiPhraseQ(ss, _) => ss.flatMap(_._1).map(field -> _).toSet
     case SpanMatchQ(sp, _) => SpanMatcher.termsOf(sp).map(field -> _)
     case SpanScoreQ(sp, _) => SpanMatcher.termsOf(sp).map(field -> _)
+    case PayloadScoreQ(t, _, _) => Set(field -> t)
     case DisMaxQ(cs, _) => cs.flatMap(fieldTerms(_, field)).toSet
     case ConstantScoreQ(inner, _) => fieldTerms(inner, field)
     case FieldQ(f, inner) => fieldTerms(inner, f)
@@ -151,6 +162,7 @@ object Query {
       case SpanMatchQ(s, b0) => SpanMatchQ(s, b0 * b)
       case SpanScoreQ(s, b0) => SpanScoreQ(s, b0 * b)
       case FuzzyTopQ(t, e, m, b0) => FuzzyTopQ(t, e, m, b0 * b)
+      case PayloadScoreQ(t, f, b0) => PayloadScoreQ(t, f, b0 * b)
       case ConstantScoreQ(i, b0) => ConstantScoreQ(i, b0 * b)
       case BoolQ(cs, msm) =>
         BoolQ(cs.map { case (o, c) => (o, if (o == Occur.MustNot) c else withBoost(c, b)) }, msm)

@@ -103,7 +103,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   @transient lazy val postings: Dataset[PostingRow] =
     postingsRaw
-      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
       .as[PostingRow]
 
   /** Scoring-only projection: Parquet never reads the positions column. */
@@ -462,6 +462,37 @@ final class Searcher(spark: SparkSession, indexPath: String,
     case WildcardQ(pat) => constantScoreOver(col("term").rlike("^" + Query.wildcardRegex(pat) + "$"), field)
     case RegexpQ(re) => constantScoreOver(col("term").rlike("^" + re + "$"), field)
     case FuzzyQ(t, maxEdits) => constantScoreOver(levenshtein(col("term"), lit(t)) <= maxEdits, field)
+
+    case PayloadScoreQ(term, fn, boost) =>
+      // PayloadTermQuery (includeSpanScore=false): decode the term's payload
+      // stream alongside positions; per doc score = fn over the 4-byte-int
+      // payloads (default 1.0 when the doc carries none)
+      val bd = boost.toDouble
+      postings.filter(col("field") === field && col("term") === term).flatMap { p =>
+        val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+        if (p.payloads == null) d.docIds.map(id => Hit(p.segmentId, id, bd))
+        else {
+          val (starts, lens, flat) =
+            PostingsCodec.decodePayloads(d.posStart(d.tfs.length), p.payloads)
+          (0 until d.docIds.length).map { i =>
+            var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue; var n = 0
+            var k = d.posStart(i)
+            while (k < d.posStart(i + 1)) {
+              if (lens(k) == 4) {
+                val v = graft.analysis.DelimitedPayloadAnalyzer.decodeInt(flat, starts(k))
+                sum += v; if (v < mn) mn = v; if (v > mx) mx = v; n += 1
+              }
+              k += 1
+            }
+            val s = if (n == 0) 1.0 else fn match {
+              case "min" => mn.toDouble
+              case "max" => mx.toDouble
+              case _ => sum.toDouble / n
+            }
+            Hit(p.segmentId, d.docIds(i), bd * s)
+          }
+        }
+      }
 
     case FuzzyTopQ(t, maxEdits, maxExpansions, boost) =>
       val expanded = fuzzyExpand(field, t, maxEdits, maxExpansions)
@@ -949,6 +980,13 @@ final class Searcher(spark: SparkSession, indexPath: String,
       }.toList
       if (clauses.isEmpty) Explanation.noMatch(s"fuzzy($t~$me): no expansions")
       else explainNode(BoolQ(clauses), stats ++ expStats, field, qn, dv, seg, doc)
+
+    case pq @ PayloadScoreQ(_, fn, _) =>
+      // point evaluation through the same decode path as compile()
+      val hits = compileNode(pq, stats, field, qn)
+        .filter(col("segmentId") === seg && col("docId") === doc).collect()
+      if (hits.isEmpty) Explanation.noMatch("term absent in this doc")
+      else Explanation(hits(0).score, s"payload $fn function over term positions")
 
     case mtq @ (PrefixQ(_) | RangeQ(_, _, _, _) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _)) =>
       // constant-score dictionary queries: matched iff the doc holds any of
