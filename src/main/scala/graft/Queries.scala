@@ -145,6 +145,13 @@ object Queries {
       Seq(searcher(s, dir).count(MatchAllQ)).toDF("cnt")
     }),
 
+    // --- MultiCollector analog (Search/MultiCollector.cs): several
+    //     collectors fed by ONE scorer pass — here TotalHitCount + max-score
+    //     as a single aggregation over the compiled hit stream
+    "q_multi_collect" -> ((s, dir) =>
+      searcher(s, dir).compile(TermQ("data"))
+        .agg(count(lit(1)).as("cnt"), max(col("score")).as("max_s"))),
+
     // --- parsed query end-to-end (QueryParser §3.3)
     "q_parsed_topk" -> ((s, dir) => {
       val se = searcher(s, dir)
@@ -261,6 +268,10 @@ object Queries {
     "q_lm_topk" -> ((s, dir) => ranked(IndexCache.lmSearcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
 
+    // --- LM Jelinek-Mercer (lambda=0.5): s = ln(1 + ((1-l)*tf/dl)/(l*p))
+    "q_lmjm_topk" -> ((s, dir) => ranked(IndexCache.lmJmSearcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+
     // --- deletes (IndexWriter.DeleteDocuments / live-docs overlay): matches
     //     vanish immediately; BM25 stats stay un-decremented until merge
     "q_deleted" -> ((s, dir) => idsOf(IndexCache.deletedSearcher(s, dir), TermQ("data"))),
@@ -300,6 +311,11 @@ object Queries {
     //     maxEdits, weight-ranked completions)
     "q_suggest_fuzzy" -> ((s, dir) =>
       Suggest.completeFuzzy(searcher(s, dir).dictionary(), "strem", 1, 5)),
+
+    // --- free-text suggester (FreeTextSuggester analog: bigram-LM next-word
+    //     continuations of a context word)
+    "q_suggest_freetext" -> ((s, dir) =>
+      Suggest.freeText(s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text", "data", 5)),
 
     // --- spell suggestion (DirectSpellChecker analog over the dictionary)
     "q_spell" -> ((s, dir) =>
@@ -533,6 +549,10 @@ object Queries {
     "q_matchall_count" ->
       """SELECT count(*) AS cnt FROM documents""",
 
+    "q_multi_collect" ->
+      s"""$P, ${scoreCte("a", "data")}
+         |SELECT count(*) AS cnt, max(s) AS max_s FROM scores_a""".stripMargin,
+
     "q_parsed_topk" ->
       s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")},
          |ph AS (SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
@@ -723,6 +743,28 @@ object Queries {
          |  FROM lm_a a FULL OUTER JOIN lm_b b ON a.doc_id = b.doc_id)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
+    // engine op order: bd * ln(1 + (((1-0.5)*tf)/dl) / (0.5*p)), no clip;
+    // 0.5 is exact in binary so the float param and the SQL double agree
+    "q_lmjm_topk" ->
+      s"""$P, ttfs AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+         |jm_a AS (
+         |  SELECT tf.doc_id,
+         |    1.0 * ln(1 + (((1 - 0.5) * tf.tf) / dl.dl)
+         |                 / (0.5 * ((t.ttf + 1.0) / (c.sttf + 1.0)))) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN ttfs t ON t.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector'),
+         |jm_b AS (
+         |  SELECT tf.doc_id,
+         |    1.0 * ln(1 + (((1 - 0.5) * tf.tf) / dl.dl)
+         |                 / (0.5 * ((t.ttf + 1.0) / (c.sttf + 1.0)))) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN ttfs t ON t.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'stream')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM jm_a a FULL OUTER JOIN jm_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
     "q_deleted" ->
       s"""$P SELECT DISTINCT doc_id FROM tf WHERE term = 'data'
          |AND doc_id NOT IN (SELECT doc_id FROM documents WHERE source = 'src1')
@@ -765,6 +807,15 @@ object Queries {
     "q_suggest" ->
       s"""$P SELECT term, df, CAST(row_number() OVER (ORDER BY df DESC, term ASC) AS INT) AS rank
          |FROM dfs WHERE term LIKE 'st%' ORDER BY rank LIMIT 5""".stripMargin,
+
+    "q_suggest_freetext" ->
+      s"""$P, bg AS (
+         |  SELECT b.term AS term, count(*) AS cnt FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |  WHERE a.term = 'data' GROUP BY b.term),
+         |top AS (SELECT term, cnt FROM bg ORDER BY cnt DESC, term ASC LIMIT 5)
+         |SELECT term, cnt, CAST(row_number() OVER (ORDER BY cnt DESC, term ASC) AS INT) AS rank
+         |FROM top ORDER BY rank""".stripMargin,
 
     "q_suggest_infix" ->
       s"""$P, top AS (

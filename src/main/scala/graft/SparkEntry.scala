@@ -83,6 +83,14 @@ object IndexCache {
   })
   private val lcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** LM Jelinek-Mercer (lambda=0.5) reader over the main gate index. */
+  def lmJmSearcher(spark: SparkSession, sfDir: String): Searcher = jcache.getOrElseUpdate(sfDir, {
+    searcher(spark, sfDir) // ensure the index is built
+    new Searcher(spark, indexPath(sfDir), mode = ExactDouble,
+      similarity = LmJelinekMercerSim(0.5f))
+  })
+  private val jcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** Deterministic StandardAnalyzer gate fixture: per-doc synthetic text
     * exercising the classic JFlex grammar's signature rules — APOSTROPHE
     * (possessive strip), ACRONYM (dot removal), HOST, EMAIL, and stopword

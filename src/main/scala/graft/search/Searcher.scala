@@ -45,6 +45,15 @@ case object TfIdfSim extends SimilarityKind
   */
 final case class LmDirichletSim(mu: Float = 2000f) extends SimilarityKind
 
+/** LM Jelinek-Mercer smoothing (Search/Similarities/
+  * LMJelinekMercerSimilarity.cs:56-58): score = boost * (float)ln(1 +
+  * ((1-lambda)*tf/dl) / (lambda*p(t|C))) — always positive, no clip; same
+  * collection model, coord/queryNorm identity, MultiSimScorer sum for
+  * composites. lambda defaults to 0.5 (exact in binary, so float and
+  * double twins agree on the constant).
+  */
+final case class LmJelinekMercerSim(lambda: Float = 0.5f) extends SimilarityKind
+
 object Searcher {
   /** Default overlay-broadcast bound (~8 MB of ints). Merge cadence keeps
     * real overlays far below this; crossing it flips readers to the
@@ -321,6 +330,36 @@ final class Searcher(spark: SparkSession, indexPath: String,
           }
           acc.toDouble
         }
+      case (LmJelinekMercerSim(lam), LuceneFloat) =>
+        // LMJelinekMercerSimilarity.Score: boost * (float)ln(1 +
+        // ((1-lam)*freq/docLen) / (lam*p)); inner arithmetic in float
+        val sttf = fieldSttf.getOrElse(field, 0L)
+        val ps: Seq[Float] = lmTtfs.getOrElse(Seq(ttf)).map(t => (t + 1f) / (sttf + 1f))
+        (tf: Double, len: Int) => {
+          val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
+          val dl = bm25.normTable(nb & 0xff)
+          val tff = tf.toFloat
+          var acc = 0f
+          ps.foreach { p =>
+            val inner = 1 + ((1 - lam) * tff / dl) / (lam * p)
+            acc += boost * math.log(inner.toDouble).toFloat
+          }
+          acc.toDouble
+        }
+      case (LmJelinekMercerSim(lam), ExactDouble) =>
+        // double twin (docLen = exact len); SQL-replicable with lam exact
+        // in binary (default 0.5)
+        val sttf = fieldSttf.getOrElse(field, 0L)
+        val lamD = lam.toDouble
+        val ps: Seq[Double] = lmTtfs.getOrElse(Seq(ttf)).map(t => (t + 1.0) / (sttf + 1.0))
+        val bd = boost.toDouble
+        (tf: Double, len: Int) => {
+          var acc = 0d
+          ps.foreach { p =>
+            acc += bd * math.log(1 + ((1 - lamD) * tf / len) / (lamD * p))
+          }
+          acc
+        }
       case (LmDirichletSim(mu), ExactDouble) =>
         // unquantized double twin (docLen = exact len); SQL-replicable:
         // boost * (ln(1 + tf/(mu*(ttf+1)/(sttf+1))) + ln(mu/(len+mu))), clip 0
@@ -344,7 +383,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * under BM25.
     */
   private def queryNorm(q: Query, stats: FTStats): Double = similarity match {
-    case Bm25Sim | LmDirichletSim(_) => 1d // Similarity.QueryNorm default 1f
+    case Bm25Sim | LmDirichletSim(_) | LmJelinekMercerSim(_) =>
+      1d // Similarity.QueryNorm default 1f
     case TfIdfSim =>
       def phraseIdfF(terms: List[String], field: String): Float =
         terms.map(t => idfFloat(stats.get((field, t)).map(_._1).getOrElse(0L))).foldLeft(0f)(_ + _)

@@ -33,6 +33,27 @@ object Suggest {
       .select(col("term"), col("df"), col("rank"))
       .orderBy("rank")
 
+  /** FreeTextSuggester analog (/root/reference/src/Lucene.Net.Suggest/
+    * Suggest/Analyzing/FreeTextSuggester.cs): an n-gram language model over
+    * the corpus token stream, queried for next-word continuations of a
+    * context word. The reference walks a weighted n-gram FST; relationally
+    * the bigram model is one positional self-join of the token table —
+    * continuations ranked by bigram count desc, word asc.
+    */
+  def freeText(docs: DataFrame, idCol: String, textCol: String,
+               context: String, k: Int): DataFrame = {
+    val toks = docs.select(col(idCol).as("id"),
+        posexplode(expr(s"regexp_extract_all(lower($textCol), '[a-z0-9]+', 0)"))
+          .as(Seq("pos", "term")))
+    val next = toks.filter(col("term") === context).select(col("id"), col("pos"))
+      .join(toks.select(col("id"), (col("pos") - 1).as("pos"), col("term").as("nxt")),
+        Seq("id", "pos"))
+      .groupBy("nxt").agg(count(lit(1)).as("cnt"))
+    graft.Ranks.rankTopK(next, k, Seq(col("cnt").desc, col("nxt").asc))
+      .select(col("nxt").as("term"), col("cnt"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** FuzzySuggester analog (/root/reference/src/Lucene.Net.Suggest/Suggest/
     * Analyzing/FuzzySuggester.cs): completions whose PREFIX of the input's
     * length is within `maxEdits` Levenshtein of the input (the reference

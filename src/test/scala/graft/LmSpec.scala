@@ -69,6 +69,24 @@ class LmSpec extends AnyFunSuite {
     }
   }
 
+  test("Jelinek-Mercer float scores match direct computation") {
+    val lam = 0.5f
+    val jm = new Searcher(spark, idx, similarity = LmJelinekMercerSim(lam))
+    Seq(freq, mid, rare).foreach { t =>
+      val got = jm.search(TermQ(t), 1000).collect()
+        .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+      val p = (oracle.totalTermFreq(t) + 1f) / (oracle.sumTotalTermFreq + 1f)
+      val expected = oracle.docs.flatMap { d =>
+        d.positions.get(t).map { ps =>
+          val dl = Bm25.default.normTable(d.normByte & 0xff)
+          val inner = 1 + ((1 - lam) * ps.length / dl) / (lam * p)
+          d.key -> (1f * math.log(inner.toDouble).toFloat)
+        }
+      }.toMap
+      assert(got == expected, s"JM mismatch for term $t")
+    }
+  }
+
   test("LM and BM25 share the match set") {
     val q = BoolQ(List(Occur.Should -> TermQ(freq), Occur.Should -> TermQ(mid)))
     val a = lm.compile(q).collect().map(h => (h.segmentId, h.docId)).toSet
