@@ -152,6 +152,18 @@ object Queries {
       searcher(s, dir).compile(TermQ("data"))
         .agg(count(lit(1)).as("cnt"), max(col("score")).as("max_s"))),
 
+    // --- term vectors (TermVectorsConsumer / .tvd analog): one doc's
+    //     doc-major (term, tf, positions) fetched without a postings scan
+    "q_termvector" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      se.termVectors
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .filter(expr("cast(substring(url, 4) as bigint)") === 7)
+        .select(col("term"), col("tf").cast("long").as("tf"),
+          expr("array_join(positions, ',')").as("pos_list"))
+        .orderBy("term")
+    }),
+
     // --- parsed query end-to-end (QueryParser §3.3)
     "q_parsed_topk" -> ((s, dir) => {
       val se = searcher(s, dir)
@@ -552,6 +564,11 @@ object Queries {
     "q_multi_collect" ->
       s"""$P, ${scoreCte("a", "data")}
          |SELECT count(*) AS cnt, max(s) AS max_s FROM scores_a""".stripMargin,
+
+    "q_termvector" ->
+      s"""$P SELECT term, count(*) AS tf,
+         |string_agg(CAST(pos AS VARCHAR), ',' ORDER BY pos) AS pos_list
+         |FROM toks WHERE doc_id = 7 GROUP BY term ORDER BY term""".stripMargin,
 
     "q_parsed_topk" ->
       s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")},

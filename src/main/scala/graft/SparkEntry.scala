@@ -43,7 +43,7 @@ object IndexCache {
 
   /** Bump when the on-disk postings layout changes — stale caches from a
     * previous engine version must not be reused across driver runs. */
-  val FormatVersion = 5
+  val FormatVersion = 6
 
   def indexPath(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -59,7 +59,8 @@ object IndexCache {
     val done = IndexBuilder.completedSegments(spark, path)
     if (done.isEmpty) {
       IndexBuilder.build(spark, pagesFromDocuments(spark, sfDir), path,
-        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "simple"))
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "simple",
+          termVectors = true))
     }
     // ExactDouble scoring: the mode an ANSI-SQL oracle can replicate exactly
     new Searcher(spark, path, mode = ExactDouble)

@@ -52,7 +52,11 @@ object IndexBuilder {
         * analyzer name); each must exist as a string column on the pages
         * input (FieldInfos analog — per-field analyzer is a build-time
         * invariant persisted in the config). */
-      extraFields: Seq[(String, String)] = Nil) {
+      extraFields: Seq[(String, String)] = Nil,
+      /** Write per-doc term vectors (positions + character offsets) next to
+        * docs/postings — the TermVectorsConsumer analog (TermVectors.scala).
+        * Opt-in: one extra tokenize pass over the build shuffle. */
+      termVectors: Boolean = false) {
     /** Full field list, default field first. */
     def fieldList: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
   }
@@ -124,7 +128,7 @@ object IndexBuilder {
       .withColumn("segmentId", segOf(col("url")))
       .filter(col("segmentId").isInCollection(group -- alreadyDone))
     writeSegments(spark, inGroup, indexPath, cfg.analyzerName, cfg.boost, cfg.flushTokens,
-      group, cfg.extraFields)
+      group, cfg.extraFields, cfg.termVectors)
   }
 
   /** Write one group of segments from a pages DataFrame that already carries
@@ -133,7 +137,8 @@ object IndexBuilder {
     */
   def writeSegments(spark: SparkSession, inGroup: DataFrame, indexPath: String,
                     analyzerName: String, boost: Float, flushTokens: Int,
-                    group: Set[Int], extraFields: Seq[(String, String)] = Nil): Long = {
+                    group: Set[Int], extraFields: Seq[(String, String)] = Nil,
+                    termVectors: Boolean = false): Long = {
     import spark.implicits._
     val tg0 = System.nanoTime()
     val fieldSpecs: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
@@ -220,8 +225,27 @@ object IndexBuilder {
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("segmentId").parquet(docsPath(indexPath))
     }
+
+    // term vectors (opt-in): doc-major (term, tf, positions, offsets) — a
+    // third concurrent pass over the same shuffle, same docId assignment
+    val vectorsJob = if (!termVectors) Future.successful(()) else Future {
+      val vecDf = sortedPages.mapPartitions { rows =>
+        val fields = fieldSpecs.map { case (n, a) => n -> Analyzers.byName(a) }
+        var curSeg = -1
+        var docId = -1
+        rows.flatMap { case (_, vals, seg) =>
+          if (seg != curSeg) { curSeg = seg; docId = -1 }
+          docId += 1
+          TermVectors.vectorize(fields, vals, seg, docId)
+        }
+      }
+      vecDf.write.mode(SaveMode.Overwrite)
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("segmentId").parquet(TermVectors.vectorsPath(indexPath))
+    }
     Await.result(postingsJob, Duration.Inf)
     Await.result(docsJob, Duration.Inf)
+    Await.result(vectorsJob, Duration.Inf)
 
     // per-segment, per-field stats (CollectionStatistics analog,
     // Search/CollectionStatistics.cs:32-37): maxDoc is segment-wide; the
@@ -309,7 +333,7 @@ object IndexBuilder {
     }
     val extra = cfg.extraFields.map { case (f, a) => s"$f:$a" }.mkString(",")
     val json = s"""{"numSegments":${cfg.numSegments},"analyzer":"${cfg.analyzerName}",""" +
-      s""""boost":${cfg.boost},"extraFields":"$extra"}"""
+      s""""boost":${cfg.boost},"extraFields":"$extra","termVectors":${cfg.termVectors}}"""
     val path = new org.apache.hadoop.fs.Path(configPath(indexPath))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
@@ -331,6 +355,7 @@ object IndexBuilder {
       val Array(f, a) = kv.split(':')
       (f, a)
     }
-    BuildConfig(num, an, boost = boost, extraFields = extraFields)
+    val vecs = json.contains(""""termVectors":true""")
+    BuildConfig(num, an, boost = boost, extraFields = extraFields, termVectors = vecs)
   }
 }

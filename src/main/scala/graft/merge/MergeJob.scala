@@ -116,6 +116,23 @@ object MergeJob {
       .toDF("docId", "url", "fieldLen", "normByte")
       .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
 
+    // ---- term vectors (when present): same narrow rebase as the doc store
+    // — purged docs drop, surviving docIds compact (Lucene40TermVectorsWriter
+    // merge path rides the same MergeDocIDRemapper as stored fields)
+    val hasVectors = graft.build.TermVectors.enabled(spark, indexPath)
+    if (hasVectors) {
+      spark.read.parquet(graft.build.TermVectors.vectorsPath(indexPath))
+        .filter(col("segmentId").isInCollection(srcSorted))
+        .as[graft.model.VectorRow]
+        .flatMap { v =>
+          val nid = remapFn(v.segmentId, v.docId)
+          if (nid < 0) None
+          else Some((nid, v.field, v.term, v.tf, v.positions, v.starts, v.ends))
+        }
+        .toDF("docId", "field", "term", "tf", "positions", "starts", "ends")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+    }
+
     // ---- postings phase 1: narrow rebase (+ purge) + piece tagging
     val pieces: Dataset[PieceRow] = spark.read
       .parquet(IndexBuilder.postingsPath(indexPath))
@@ -207,10 +224,14 @@ object MergeJob {
     }
     renameIn(IndexBuilder.docsPath(indexPath), s"$staging/docs")
     renameIn(IndexBuilder.postingsPath(indexPath), s"$staging/postings")
+    if (hasVectors)
+      renameIn(graft.build.TermVectors.vectorsPath(indexPath), s"$staging/vectors")
     // fs-level renames bypass DataFrameWriter's automatic cache refresh:
     // evict stale file listings for the swapped paths
     spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
     spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
+    if (hasVectors)
+      spark.catalog.refreshByPath(graft.build.TermVectors.vectorsPath(indexPath))
 
     // ---- merged stats, recomputed from the merged segment's own data so
     // purged deletes decrement maxDoc/sumTotalTermFreq exactly like a
@@ -262,7 +283,10 @@ object MergeJob {
     val doomed =
       srcSorted.flatMap { s =>
         Seq(s"${IndexBuilder.docsPath(indexPath)}/segmentId=$s",
-          s"${IndexBuilder.postingsPath(indexPath)}/segmentId=$s")
+          s"${IndexBuilder.postingsPath(indexPath)}/segmentId=$s") ++
+          (if (hasVectors)
+            Seq(s"${graft.build.TermVectors.vectorsPath(indexPath)}/segmentId=$s")
+          else Nil)
       } ++ (0L until newGen).map(g => s"$indexPath/${IndexBuilder.statsDirName(g)}")
     writeTombstone(fs, indexPath, newGen, doomed)
     spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))

@@ -38,6 +38,14 @@ final case class SegmentStats(segmentId: Int, field: String, maxDoc: Long,
 final case class ManifestRow(segmentId: Int, status: String, numDocs: Long, numTerms: Long,
                              docsPerSec: Double, attempt: Int, startedAtMs: Long, finishedAtMs: Long)
 
+/** Per-doc term vector (the .tvd/.tvf analog, Index/TermVectorsConsumer.cs:
+  * doc-major (term, tf, positions, offsets) written at index time so a
+  * single doc's vector is retrievable without a term-major postings scan).
+  * starts/ends are character offsets into the original field text, aligned
+  * index-for-index with positions. */
+final case class VectorRow(segmentId: Int, docId: Int, field: String, term: String,
+                           tf: Int, positions: Seq[Int], starts: Seq[Int], ends: Seq[Int])
+
 /** A scored hit; global doc order (tie-break) = (segmentId asc, docId asc). */
 final case class Hit(segmentId: Int, docId: Int, score: Double)
 

@@ -124,6 +124,22 @@ final class Searcher(spark: SparkSession, indexPath: String,
     spark.read.parquet(IndexBuilder.docsPath(indexPath))
       .filter(col("segmentId").isInCollection(liveSegments))
 
+  /** Term-vector table (TermVectors.scala — the .tvd/.tvf analog), live
+    * segments only. Throws if the index was built without vectors, like
+    * IndexReader.GetTermVector returning null for unvectored fields. */
+  @transient lazy val termVectors: DataFrame = {
+    require(graft.build.TermVectors.enabled(spark, indexPath),
+      s"index at $indexPath was built without termVectors")
+    spark.read.parquet(graft.build.TermVectors.vectorsPath(indexPath))
+      .filter(col("segmentId").isInCollection(liveSegments))
+  }
+
+  /** One doc's term vector — partition-pruned on segmentId, docId predicate
+    * pushed to the parquet scan (O(doc), never a term-major postings read:
+    * Index/TermVectorsConsumer.cs is doc-major for exactly this). */
+  def termVector(segmentId: Int, docId: Int): DataFrame =
+    termVectors.filter(col("segmentId") === segmentId && col("docId") === docId)
+
   /** Global collection stats: maxDoc is segment-wide (every field row of a
     * segment carries it); sumTotalTermFreq is per field (CollectionStatistics
     * is per field in the reference too — Search/CollectionStatistics.cs:32).

@@ -124,4 +124,43 @@ object Highlighter {
       .withColumn("snippet", array_join(slice(col("arr"), col("start") + 1, lit(window)), " "))
       .select(col("id").as(idCol), col("snippet"))
   }
+
+  /** FastVectorHighlighter analog (/root/reference/src/Lucene.Net.Highlighter/
+    * Vectorhighlight/FastVectorHighlighter.cs, FieldTermStack.cs:69-113):
+    * fragments come from the INDEX-TIME term vectors' character offsets —
+    * the original text is never re-analyzed at highlight time. Candidate
+    * fragments are `width`-char windows anchored at each query-term
+    * startOffset; the best per doc maximizes (distinct matching terms,
+    * total matches, earliest anchor), then the snippet is a raw substring
+    * of the stored text at those offsets.
+    *
+    * `pages` is the doc store (urlCol, textCol); vectors join to it through
+    * the searcher's docs table, so the whole path is one partitioned join
+    * chain — no driver collect, no re-tokenization.
+    */
+  def vectorSnippet(se: Searcher, pages: DataFrame, urlCol: String, textCol: String,
+                    terms: Seq[String], width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val m = se.termVectors
+      .filter(col("field") === se.defaultField && col("term").isInCollection(terms))
+      .select(col("segmentId"), col("docId"), col("term"),
+        explode(col("starts")).as("start"))
+    val cand = m.select(col("segmentId").as("cseg"), col("docId").as("cdoc"),
+      col("start").as("anchor"))
+    val scored = cand.join(m,
+        col("segmentId") === col("cseg") && col("docId") === col("cdoc") &&
+          col("start") >= col("anchor") && col("start") < col("anchor") + width)
+      .groupBy(col("cseg").as("segmentId"), col("cdoc").as("docId"), col("anchor"))
+      .agg(countDistinct(col("term")).as("nterm"), count(lit(1)).as("nmatch"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("segmentId"), col("docId"))
+          .orderBy(col("nterm").desc, col("nmatch").desc, col("anchor").asc)))
+      .filter(col("rn") === 1)
+      .select(col("segmentId"), col("docId"), col("anchor"))
+    best.join(se.docs.select(col("segmentId"), col("docId"), col("url")),
+        Seq("segmentId", "docId"))
+      .join(pages.select(col(urlCol).as("url"), col(textCol).as("vs_text")), Seq("url"))
+      .withColumn("snippet", expr(s"substring(vs_text, anchor + 1, $width)"))
+      .select(col("url").as(urlCol), col("snippet"))
+  }
 }

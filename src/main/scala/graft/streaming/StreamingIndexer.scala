@@ -41,16 +41,18 @@ object StreamingIndexer {
     // streaming ids must stay below the merge band (IndexBuilder id bands)
     require(base.toLong + nSeg <= IndexBuilder.MergeIdOffset,
       s"streaming segment ids exhausted their band: $base + $nSeg")
-    val extraFields =
-      try IndexBuilder.readConfig(spark, indexPath).extraFields
-      catch { case _: Exception => Nil }
+    val idxCfg =
+      try Some(IndexBuilder.readConfig(spark, indexPath))
+      catch { case _: Exception => None }
+    val extraFields = idxCfg.map(_.extraFields).getOrElse(Nil)
     val segOf = udf((key: String) => base + Addressing.segmentOf(key, nSeg))
     val cols = (Seq("url", "text") ++ extraFields.map(_._1)).map(col)
     val withSeg = batch.select(cols: _*)
       .withColumn("segmentId", segOf(col("url")))
     IndexBuilder.writeSegments(spark, withSeg, indexPath, analyzerName,
       boost = 1f, flushTokens = 8 * 1024 * 1024,
-      group = (base until base + nSeg).toSet, extraFields = extraFields)
+      group = (base until base + nSeg).toSet, extraFields = extraFields,
+      termVectors = idxCfg.exists(_.termVectors))
   }
 
   /** Start the incremental indexer over a parquet file-source directory.

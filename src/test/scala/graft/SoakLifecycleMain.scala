@@ -79,8 +79,50 @@ object SoakLifecycle {
     val e = s3.explain(q, h.segmentId, h.docId)
     require(e.matched && e.value == h.score, s"explain != score post-lifecycle\n$e")
 
+    // 6. serving-path soak on the merged, delete-carrying index: the fox
+    //    sentence co-occurs as one exact phrase in ~n/3 docs and its words
+    //    appear nowhere else (vocab words are w-prefixed), so term / AND /
+    //    phrase / ordered-span counts must all be EQUAL — one chain checks
+    //    leapfrog conjunction, doc-first phrase intersection, and span
+    //    matching against each other at scale.
+    val (qk, br, fx) = (TermQ("quick"), TermQ("brown"), TermQ("fox"))
+    val nQuick = s3.count(qk)
+    require(nQuick > n / 4, s"fox-sentence fixture too small: $nQuick")
+    val nAnd = s3.count(BoolQ(List(Occur.Must -> qk, Occur.Must -> br, Occur.Must -> fx)))
+    val nPhrase = s3.count(PhraseQ(List("quick" -> 0, "brown" -> 1, "fox" -> 2)))
+    val nSpan = s3.count(SpanMatchQ(SpanNearS(
+      List(SpanTermS("quick"), SpanTermS("fox")), slop = 1, inOrder = true)))
+    require(nAnd == nQuick && nPhrase == nQuick && nSpan == nQuick,
+      s"serving-path counts diverge: quick=$nQuick and=$nAnd phrase=$nPhrase span=$nSpan")
+
+    // minShouldMatch(2 of 2 shoulds) == conjunction; dismax == disjunction
+    val mid = TermQ(PagesGen.word(200))
+    val nMinSm = s3.count(BoolQ(List(Occur.Should -> qk, Occur.Should -> mid), minShouldMatch = 2))
+    val nAnd2 = s3.count(BoolQ(List(Occur.Must -> qk, Occur.Must -> mid)))
+    require(nMinSm == nAnd2, s"minSM(2)=$nMinSm != AND=$nAnd2")
+    val nDismax = s3.count(DisMaxQ(List(qk, mid)))
+    val nOr = s3.count(BoolQ(List(Occur.Should -> qk, Occur.Should -> mid)))
+    require(nDismax == nOr, s"dismax=$nDismax != OR=$nOr")
+
+    // WAND top-k must equal the exhaustive plan top-k (same docs, same order)
+    val orQ = BoolQ(List(Occur.Should -> mid, Occur.Should -> TermQ(PagesGen.word(500))))
+    val planTop = s3.search(orQ, 10).collect().map(_.getString(0)).toSeq
+    val wandTop = s3.searchWand(orQ, 10).collect().map(_.getString(0)).toSeq
+    require(planTop == wandTop, s"WAND != plan top-k:\n$planTop\n$wandTop")
+
+    // scored fuzzy rewrite stays bounded and matches at least the exact term
+    val nFuzzy = s3.count(FuzzyQ("quik", 1))
+    require(nFuzzy >= nQuick, s"fuzzy(quik,1)=$nFuzzy < quick=$nQuick")
+
+    // LM-Dirichlet reader over the same index: non-empty + Explain≡Score
+    val lm = new Searcher(spark, base, similarity = LmDirichletSim())
+    val lmHit = lm.compile(orQ).collect().maxBy(_.score)
+    val lmE = lm.explain(orQ, lmHit.segmentId, lmHit.docId)
+    require(lmE.matched && lmE.value == lmHit.score, s"LM explain != score\n$lmE")
+
     println(s"LIFECYCLE ok: n=$n streamed=1000 deleted=$rareCount merges=$merges " +
-      s"segs=${report.segments} docs=${report.docs} explain==score")
+      s"segs=${report.segments} docs=${report.docs} explain==score " +
+      s"serving[quick=$nQuick and=$nAnd phrase=$nPhrase span=$nSpan wand==plan fuzzy=$nFuzzy lm==explain]")
     spark.stop()
   }
 }
