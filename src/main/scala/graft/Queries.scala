@@ -164,6 +164,22 @@ object Queries {
         .orderBy("term")
     }),
 
+    // --- early-terminating sorted collection over an index-SORTED,
+    //     multi-segment index (EarlyTerminatingSortingCollector +
+    //     Sorter.cs): per-segment heads only, merged on the sort key
+    "q_sorted_limit" -> ((s, dir) =>
+      Ranks.rankTopK(
+        IndexCache.sortedSearcher(s, dir).sortedTopK(10)
+          .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"),
+            col("sortKey").cast("long").as("n_chars")),
+        10, Seq(col("n_chars").asc, col("doc_id").asc))),
+    "q_sorted_early" -> ((s, dir) =>
+      Ranks.rankTopK(
+        IndexCache.sortedSearcher(s, dir).searchSortedEarly(TermQ("data"), 10)
+          .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"),
+            col("sortKey").cast("long").as("n_chars")),
+        10, Seq(col("n_chars").asc, col("doc_id").asc))),
+
     // --- parsed query end-to-end (QueryParser §3.3)
     "q_parsed_topk" -> ((s, dir) => {
       val se = searcher(s, dir)
@@ -564,6 +580,18 @@ object Queries {
     "q_multi_collect" ->
       s"""$P, ${scoreCte("a", "data")}
          |SELECT count(*) AS cnt, max(s) AS max_s FROM scores_a""".stripMargin,
+
+    "q_sorted_limit" ->
+      s"""SELECT doc_id, n_chars,
+         |CAST(row_number() OVER (ORDER BY n_chars, doc_id) AS INT) AS rank
+         |FROM documents ORDER BY n_chars, doc_id LIMIT 10""".stripMargin,
+
+    "q_sorted_early" ->
+      s"""$P, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+         |SELECT d.doc_id, d.n_chars,
+         |CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS INT) AS rank
+         |FROM documents d JOIN m ON m.doc_id = d.doc_id
+         |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
 
     "q_termvector" ->
       s"""$P SELECT term, count(*) AS tf,

@@ -84,6 +84,27 @@ object IndexCache {
   })
   private val lcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Index-SORTED gate fixture: 4 segments over documents with
+    * indexSort=n_chars, so each segment's docId order is (n_chars, url)
+    * order — the early-terminating sorted collector's precondition
+    * (Lucene.Net.Misc/Index/Sorter/EarlyTerminatingSortingCollector.cs).
+    * Multi-segment on purpose: the gate then proves per-segment heads merge
+    * to the exact global top-k. */
+  def sortedSearcher(spark: SparkSession, sfDir: String): Searcher = sortCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_sorted"
+    val done = IndexBuilder.completedSegments(spark, path)
+    if (done.isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%09d", col("doc_id")).as("url"),
+          col("text"), col("n_chars"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 4, analyzerName = "simple",
+          indexSort = Some("n_chars")))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val sortCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** LM Jelinek-Mercer (lambda=0.5) reader over the main gate index. */
   def lmJmSearcher(spark: SparkSession, sfDir: String): Searcher = jcache.getOrElseUpdate(sfDir, {
     searcher(spark, sfDir) // ensure the index is built

@@ -101,6 +101,25 @@ object CheckIndex {
       }
     }
 
+    // index-sorted segments: docId order must equal (sortKey, url) order
+    // (Lucene.Net.Misc/Index/Sorter/Sorter.cs contract; the early-terminating
+    // collector silently returns wrong top-k if this is violated)
+    val sorted =
+      try IndexBuilder.readConfig(spark, indexPath).indexSort.isDefined
+      catch { case _: Exception => false }
+    if (sorted) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("segmentId").orderBy("docId")
+      val bad = docs
+        .withColumn("prevKey", lag(col("sortKey"), 1).over(w))
+        .filter(col("prevKey").isNotNull && col("prevKey") > col("sortKey"))
+        .limit(5).select("segmentId", "docId")
+        .as[(Int, Int)].collect()
+      bad.foreach { case (seg, d) =>
+        violations += s"seg=$seg: docId $d violates index-sort order"
+      }
+    }
+
     Report(segMaxDoc.size, docs.count(), postings.count(), violations.toSeq)
   }
 }

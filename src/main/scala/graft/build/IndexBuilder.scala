@@ -56,7 +56,14 @@ object IndexBuilder {
       /** Write per-doc term vectors (positions + character offsets) next to
         * docs/postings — the TermVectorsConsumer analog (TermVectors.scala).
         * Opt-in: one extra tokenize pass over the build shuffle. */
-      termVectors: Boolean = false) {
+      termVectors: Boolean = false,
+      /** Index sort (Lucene.Net.Misc/Index/Sorter/Sorter.cs + IndexWriterConfig.SetIndexSort
+        * analog): name of a NUMERIC column on the pages input; each segment
+        * assigns docIds in (column ASC, url ASC) order and stores the key in
+        * the doc store, enabling early-terminating sorted collection
+        * (Searcher.searchSortedEarly). Merging sorted segments needs the
+        * reference's SortingMergePolicy re-sort and is rejected. */
+      indexSort: Option[String] = None) {
     /** Full field list, default field first. */
     def fieldList: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
   }
@@ -128,7 +135,7 @@ object IndexBuilder {
       .withColumn("segmentId", segOf(col("url")))
       .filter(col("segmentId").isInCollection(group -- alreadyDone))
     writeSegments(spark, inGroup, indexPath, cfg.analyzerName, cfg.boost, cfg.flushTokens,
-      group, cfg.extraFields, cfg.termVectors)
+      group, cfg.extraFields, cfg.termVectors, cfg.indexSort)
   }
 
   /** Write one group of segments from a pages DataFrame that already carries
@@ -138,7 +145,8 @@ object IndexBuilder {
   def writeSegments(spark: SparkSession, inGroup: DataFrame, indexPath: String,
                     analyzerName: String, boost: Float, flushTokens: Int,
                     group: Set[Int], extraFields: Seq[(String, String)] = Nil,
-                    termVectors: Boolean = false): Long = {
+                    termVectors: Boolean = false,
+                    indexSort: Option[String] = None): Long = {
     import spark.implicits._
     val tg0 = System.nanoTime()
     val fieldSpecs: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
@@ -147,13 +155,17 @@ object IndexBuilder {
     // One partition can hold several whole segments (hash on segmentId);
     // within a partition, (segmentId, url) order assigns deterministic docIds.
     val parts = math.min(group.size, spark.sparkContext.defaultParallelism * 2).max(1)
+    // index sort (Sorter.cs analog): docIds follow (sortKey ASC, url ASC)
+    // inside each segment instead of plain url order, making per-segment
+    // docId order == sort order — the precondition for early termination
+    val sortKeyExpr = indexSort.map(c => col(c).cast("double")).getOrElse(lit(0d))
     val sortedPages = inGroup
       .select(col("url"),
         array(fieldNames.map(f => col(f).cast("string")): _*).as("vals"),
-        col("segmentId"))
+        col("segmentId"), sortKeyExpr.as("sortKey"))
       .repartition(parts, col("segmentId"))
-      .sortWithinPartitions(col("segmentId"), col("url"))
-      .as[(String, Seq[String], Int)]
+      .sortWithinPartitions(col("segmentId"), col("sortKey"), col("url"))
+      .as[(String, Seq[String], Int, Double)]
 
     // postings: per-partition in-memory segment build (SegmentWriter - the
     // DWPT/TermsHash analog): tokens go straight into primitive buffers,
@@ -170,7 +182,7 @@ object IndexBuilder {
         private def refill(): Unit = {
           while (!queue.hasNext && (input.hasNext || curSeg != -2)) {
             if (input.hasNext) {
-              val (url, vals, seg) = input.next()
+              val (url, vals, seg, _) = input.next()
               if (seg != curSeg && curSeg >= 0) {
                 writer.flush(curSeg)
                 queue = writer.drain().iterator
@@ -212,16 +224,25 @@ object IndexBuilder {
       val bm25 = Bm25.default
       var curSeg = -1
       var docId = -1
-      rows.map { case (url, vals, seg) =>
+      rows.map { case (url, vals, seg, key) =>
         if (seg != curSeg) { curSeg = seg; docId = -1 }
         docId += 1
         val text = vals.head
         val len = analyzer.tokenCount(if (text == null) "" else text)
-        DocRow(seg, docId, url, len, bm25.encodeNormValue(boost, len))
+        (DocRow(seg, docId, url, len, bm25.encodeNormValue(boost, len)), key)
       }
     }
     val docsJob = Future {
-      docsDf.write.mode(SaveMode.Overwrite)
+      // sorted indexes persist the key as a docs column (the .nvd-like
+      // per-doc numeric the sorted collector merges on); unsorted indexes
+      // keep the legacy schema
+      val out =
+        if (indexSort.isDefined)
+          docsDf.select(col("_1.segmentId").as("segmentId"), col("_1.docId").as("docId"),
+            col("_1.url").as("url"), col("_1.fieldLen").as("fieldLen"),
+            col("_1.normByte").as("normByte"), col("_2").as("sortKey"))
+        else docsDf.select(col("_1.*"))
+      out.write.mode(SaveMode.Overwrite)
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("segmentId").parquet(docsPath(indexPath))
     }
@@ -233,7 +254,7 @@ object IndexBuilder {
         val fields = fieldSpecs.map { case (n, a) => n -> Analyzers.byName(a) }
         var curSeg = -1
         var docId = -1
-        rows.flatMap { case (_, vals, seg) =>
+        rows.flatMap { case (_, vals, seg, _) =>
           if (seg != curSeg) { curSeg = seg; docId = -1 }
           docId += 1
           TermVectors.vectorize(fields, vals, seg, docId)
@@ -332,8 +353,11 @@ object IndexBuilder {
       }
     }
     val extra = cfg.extraFields.map { case (f, a) => s"$f:$a" }.mkString(",")
+    cfg.indexSort.foreach(c => require(!c.exists(ch => ch == ':' || ch == ',' || ch == '"'),
+      s"indexSort column '$c' must not contain ':', ',' or '\"'"))
     val json = s"""{"numSegments":${cfg.numSegments},"analyzer":"${cfg.analyzerName}",""" +
-      s""""boost":${cfg.boost},"extraFields":"$extra","termVectors":${cfg.termVectors}}"""
+      s""""boost":${cfg.boost},"extraFields":"$extra","termVectors":${cfg.termVectors}""" +
+      cfg.indexSort.map(c => s""","indexSort":"$c"""").getOrElse("") + "}"
     val path = new org.apache.hadoop.fs.Path(configPath(indexPath))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(path, true)
@@ -356,6 +380,8 @@ object IndexBuilder {
       (f, a)
     }
     val vecs = json.contains(""""termVectors":true""")
-    BuildConfig(num, an, boost = boost, extraFields = extraFields, termVectors = vecs)
+    val isort = """"indexSort":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
+    BuildConfig(num, an, boost = boost, extraFields = extraFields, termVectors = vecs,
+      indexSort = isort)
   }
 }

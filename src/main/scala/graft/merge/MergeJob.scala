@@ -54,6 +54,14 @@ object MergeJob {
             hotTermDf: Int = 5000000): Int = {
     import spark.implicits._
     require(sources.size >= 2)
+    // merging index-sorted segments would break per-segment docId==sort
+    // order (needs the reference's SortingMergePolicy re-sort,
+    // Lucene.Net.Misc/Index/Sorter/SortingMergePolicy.cs) — reject rather than silently
+    // produce a segment the early-terminating collector would misread
+    require(
+      (try IndexBuilder.readConfig(spark, indexPath).indexSort
+       catch { case _: Exception => None }).isEmpty,
+      "merge of an index-sorted index is not supported (SortingMergePolicy analog absent)")
     val srcSorted = sources.sorted
 
     // grace window (IndexDeletionPolicy keep-last-commit analog): data made

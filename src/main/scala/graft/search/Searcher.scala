@@ -140,6 +140,47 @@ final class Searcher(spark: SparkSession, indexPath: String,
   def termVector(segmentId: Int, docId: Int): DataFrame =
     termVectors.filter(col("segmentId") === segmentId && col("docId") === docId)
 
+  /** Index-sort column this index was built with, if any (IndexWriterConfig
+    * .SetIndexSort analog, persisted in config.json). */
+  @transient lazy val indexSortCol: Option[String] =
+    try IndexBuilder.readConfig(spark, indexPath).indexSort
+    catch { case _: Exception => None }
+
+  /** Early-terminating sorted top-k with NO query — the degenerate
+    * EarlyTerminatingSortingCollector case (Lucene.Net.Misc/Index/Sorter/
+    * EarlyTerminatingSortingCollector.cs:123): per-segment docId order IS
+    * sort order, so only docIds < k are read per segment (the predicate
+    * reaches the parquet scan) and the global answer merges the per-segment
+    * heads — numSegments*k rows, never a full-corpus sort. */
+  def sortedTopK(k: Int): DataFrame = {
+    require(indexSortCol.isDefined, "index was not built with an index sort")
+    docs.filter(col("docId") < k)
+      .select(col("url"), col("sortKey"))
+      .orderBy(col("sortKey").asc, col("url").asc)
+      .limit(k)
+  }
+
+  /** Early-terminating sorted top-k of a QUERY's matches: each segment
+    * contributes its first k matches in docId (== sort) order — the
+    * collector's per-segment CollectionTerminatedException analog — then
+    * the heads merge on the sort key. The per-segment cap is a PARTITIONED
+    * window (segment-bounded), so no single-task funnel at any scale. */
+  def searchSortedEarly(q: Query, k: Int): DataFrame = {
+    require(indexSortCol.isDefined, "index was not built with an index sort")
+    import org.apache.spark.sql.expressions.Window
+    val headPerSeg = compile(q)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("segmentId")).orderBy(col("docId").asc)))
+      .filter(col("rn") <= k)
+      .select(col("segmentId"), col("docId"))
+    headPerSeg
+      .join(docs.select(col("segmentId"), col("docId"), col("url"), col("sortKey")),
+        Seq("segmentId", "docId"))
+      .orderBy(col("sortKey").asc, col("url").asc)
+      .limit(k)
+      .select(col("url"), col("sortKey"))
+  }
+
   /** Global collection stats: maxDoc is segment-wide (every field row of a
     * segment carries it); sumTotalTermFreq is per field (CollectionStatistics
     * is per field in the reference too — Search/CollectionStatistics.cs:32).

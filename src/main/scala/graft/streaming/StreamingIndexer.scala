@@ -46,13 +46,16 @@ object StreamingIndexer {
       catch { case _: Exception => None }
     val extraFields = idxCfg.map(_.extraFields).getOrElse(Nil)
     val segOf = udf((key: String) => base + Addressing.segmentOf(key, nSeg))
-    val cols = (Seq("url", "text") ++ extraFields.map(_._1)).map(col)
+    val indexSort = idxCfg.flatMap(_.indexSort)
+    val cols = (Seq("url", "text") ++ extraFields.map(_._1) ++ indexSort.toSeq)
+      .distinct.map(col)
     val withSeg = batch.select(cols: _*)
       .withColumn("segmentId", segOf(col("url")))
     IndexBuilder.writeSegments(spark, withSeg, indexPath, analyzerName,
       boost = 1f, flushTokens = 8 * 1024 * 1024,
       group = (base until base + nSeg).toSet, extraFields = extraFields,
-      termVectors = idxCfg.exists(_.termVectors))
+      termVectors = idxCfg.exists(_.termVectors),
+      indexSort = indexSort)
   }
 
   /** Start the incremental indexer over a parquet file-source directory.
