@@ -180,6 +180,33 @@ object Queries {
             col("sortKey").cast("long").as("n_chars")),
         10, Seq(col("n_chars").asc, col("doc_id").asc))),
 
+    // --- time-limited collection (TimeLimitingCollector tick-clock analog):
+    //     unlimited budget == plain top-k; budget 1 == first doc collected
+    //     before the clock fires, with the partial-result flag surfaced
+    "q_timelimit_topk" -> ((s, dir) =>
+      ranked(searcher(s, dir).searchTimeLimited(TermQ("data"), 10, Long.MaxValue)._1)),
+    "q_timelimit_partial" -> ((s, dir) => {
+      val (df, timedOut) = searcher(s, dir).searchTimeLimited(TermQ("data"), 10, 1)
+      df.select(expr("cast(substring(url, 4) as bigint)").as("doc_id"))
+        .withColumn("timed_out", lit(timedOut))
+    }),
+
+    // --- caching collector (CachingCollector.cs): ONE scored pass, two
+    //     replayed collectors (total count + top-k) off the pinned stream
+    "q_cached_replay" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val c = se.cacheHits(TermQ("vector"))
+      val total = c.replay(_.count())
+      val top = c.replay(ds =>
+        ds.orderBy(col("score").desc, col("segmentId").asc, col("docId").asc).limit(10))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .select(col("url"), col("score"), col("segmentId"), col("docId"))
+      val out = ranked(top).withColumn("total", lit(total))
+      out.collect() // materialize before releasing the pinned stream
+      c.release()
+      out
+    }),
+
     // --- parsed query end-to-end (QueryParser §3.3)
     "q_parsed_topk" -> ((s, dir) => {
       val se = searcher(s, dir)
@@ -592,6 +619,25 @@ object Queries {
          |CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS INT) AS rank
          |FROM documents d JOIN m ON m.doc_id = d.doc_id
          |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
+
+    "q_timelimit_topk" ->
+      s"""$P, ${scoreCte("a", "data")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM scores_a ORDER BY rank LIMIT 10""".stripMargin,
+
+    // single-segment gate index: docId order == doc_id order, so a tick
+    // budget of 1 collects exactly the smallest matching doc_id; the term
+    // matches >1 doc, so the collector reports partial results
+    "q_timelimit_partial" ->
+      s"""$P SELECT doc_id, TRUE AS timed_out FROM
+         |(SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+         |ORDER BY doc_id LIMIT 1""".stripMargin,
+
+    "q_cached_replay" ->
+      s"""$P, ${scoreCte("a", "vector")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank,
+         |(SELECT count(*) FROM scores_a) AS total
+         |FROM scores_a ORDER BY rank LIMIT 10""".stripMargin,
 
     "q_termvector" ->
       s"""$P SELECT term, count(*) AS tf,

@@ -54,6 +54,17 @@ final case class LmDirichletSim(mu: Float = 2000f) extends SimilarityKind
   */
 final case class LmJelinekMercerSim(lambda: Float = 0.5f) extends SimilarityKind
 
+/** Replayable cached hit stream — Search/CachingCollector.cs analog (see
+  * Searcher.cacheHits). `replay` hands the pinned Dataset to a downstream
+  * collector function; `release` unpins it.
+  */
+final class CachedHits private[search] (cached: org.apache.spark.sql.Dataset[graft.model.Hit]) {
+  def replay[T](collector: org.apache.spark.sql.Dataset[graft.model.Hit] => T): T =
+    collector(cached)
+  def hits: org.apache.spark.sql.Dataset[graft.model.Hit] = cached
+  def release(): Unit = { cached.unpersist(); () }
+}
+
 object Searcher {
   /** Default overlay-broadcast bound (~8 MB of ints). Merge cadence keeps
     * real overlays far below this; crossing it flips readers to the
@@ -840,6 +851,44 @@ final class Searcher(spark: SparkSession, indexPath: String,
   }
 
   def count(q: Query): Long = compile(q).count()
+
+  /** Time-limited collection (Search/TimeLimitingCollector.cs:39,165-178) —
+    * the reference aborts collection when an external clock passes a budget
+    * and surfaces the partial result via TimeExceededException. The
+    * deterministic distributed analog meters WORK, not wall-clock: each
+    * segment may score at most `tickBudget` docs (one collected doc = one
+    * clock tick), truncation happens per segment in docId order exactly
+    * where the reference's sequential collect() would stop, and `timedOut`
+    * reports whether any segment hit its budget. A wall-clock budget would
+    * make results nondeterministic under load — this keeps the greedy-
+    * collector contract (collect up to the tick, report partiality)
+    * reproducible and oracle-checkable.
+    */
+  def searchTimeLimited(q: Query, k: Int, tickBudget: Long): (DataFrame, Boolean) = {
+    import org.apache.spark.sql.expressions.Window
+    val ranked = compile(q).withColumn("rn",
+      row_number().over(Window.partitionBy(col("segmentId")).orderBy(col("docId").asc)))
+    val kept = ranked.filter(col("rn") <= tickBudget).drop("rn")
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+      .limit(k)
+    val timedOut = !ranked.filter(col("rn") > tickBudget).isEmpty
+    val top = broadcast(kept)
+      .join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .select(col("url"), col("score"), col("segmentId"), col("docId"))
+      .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
+    (top, timedOut)
+  }
+
+  /** Caching collector (Search/CachingCollector.cs:125-143,199-201): the
+    * scored hit stream is computed ONCE, pinned, and replayed to any number
+    * of downstream collectors (count, top-k, facets) without re-running the
+    * query. The reference bounds the cache by maxRAMMB and refuses replay
+    * past it; Spark's MEMORY_AND_DISK persist spills instead of failing, so
+    * the bound is implicit. Call `release()` when done (the collector is
+    * single-use in the reference; here it is reusable until released).
+    */
+  def cacheHits(q: Query): CachedHits =
+    new CachedHits(compile(q).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Decoded postings of one term joined to doc keys: (url, tf, fieldLen);
     * deleted docs excluded (TermDocs honors liveDocs). */
