@@ -207,6 +207,31 @@ object Queries {
       out
     }),
 
+    // --- percolation (MemoryIndex.cs: one single-doc index per incoming
+    //     doc, matched against broadcast stored queries)
+    "q_percolate" -> ((s, dir) =>
+      graft.pipeline.Percolator.percolate(
+        s.read.parquet(s"$dir/documents.parquet"), "doc_id", "text",
+        Seq(
+          "p_term" -> TermQ("data"),
+          "p_and" -> BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))),
+          "p_phrase" -> PhraseQ(List("hash" -> 0, "join" -> 1)),
+          "p_prefix" -> PrefixQ("st")),
+        "simple")
+        .orderBy("doc_id", "query_id")),
+
+    // --- classification (Lucene.Net.Classification): NB class ranking and
+    //     KNN majority vote over the labeled documents table
+    "q_classify_nb" -> ((s, dir) =>
+      graft.pipeline.Classify.naiveBayes(
+        s.read.parquet(s"$dir/documents.parquet"), "text", "lang",
+        "data stream engine")),
+    "q_classify_knn" -> ((s, dir) => {
+      val labels = s.read.parquet(s"$dir/documents.parquet")
+        .select(format_string("doc%09d", col("doc_id")).as("url"), col("lang").as("cls"))
+      graft.pipeline.Classify.knn(searcher(s, dir), labels, "data stream engine", 25)
+    }),
+
     // --- parsed query end-to-end (QueryParser §3.3)
     "q_parsed_topk" -> ((s, dir) => {
       val se = searcher(s, dir)
@@ -619,6 +644,56 @@ object Queries {
          |CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS INT) AS rank
          |FROM documents d JOIN m ON m.doc_id = d.doc_id
          |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
+
+    "q_percolate" ->
+      s"""$P, m AS (
+         |  SELECT doc_id, 'p_term' AS query_id FROM tf WHERE term = 'data'
+         |  UNION ALL
+         |  SELECT a.doc_id, 'p_and' FROM tf a JOIN tf b USING (doc_id)
+         |    WHERE a.term = 'vector' AND b.term = 'stream'
+         |  UNION ALL
+         |  SELECT DISTINCT a.doc_id, 'p_phrase' FROM toks a JOIN toks b
+         |    ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |    WHERE a.term = 'hash' AND b.term = 'join'
+         |  UNION ALL
+         |  SELECT DISTINCT doc_id, 'p_prefix' FROM tf WHERE term LIKE 'st%')
+         |SELECT doc_id, query_id FROM m ORDER BY doc_id, query_id""".stripMargin,
+
+    // NB twin replicates SimpleNaiveBayesClassifier op-for-op: prior
+    // ln(nc)-ln(n); per input word ln((df(w,c)+1)/(avgUnique*nc+n)) with
+    // word multiplicity; output is the class RANKING (rank-stable even if
+    // ln differs in the last ulp)
+    "q_classify_nb" ->
+      s"""$P, words(term, mult) AS (VALUES ('data', 1), ('stream', 1), ('engine', 1)),
+         |cls AS (SELECT lang AS cls, count(*) AS nc FROM documents GROUP BY lang),
+         |tot AS (SELECT (SELECT count(*) FROM tf) AS pairs, (SELECT count(*) FROM documents) AS n),
+         |dfc AS (SELECT d.lang AS cls, t.term, count(*) AS df
+         |  FROM tf t JOIN documents d USING (doc_id)
+         |  WHERE t.term IN (SELECT term FROM words) GROUP BY 1, 2),
+         |scored AS (
+         |  SELECT c.cls,
+         |    ln(CAST(c.nc AS DOUBLE)) - ln(CAST(t.n AS DOUBLE)) +
+         |    sum(w.mult * ln((coalesce(d.df, 0) + 1.0) /
+         |        ((CAST(t.pairs AS DOUBLE) / t.n) * c.nc + t.n))) AS score
+         |  FROM cls c CROSS JOIN words w CROSS JOIN tot t
+         |  LEFT JOIN dfc d ON d.cls = c.cls AND d.term = w.term
+         |  GROUP BY c.cls, c.nc, t.n, t.pairs)
+         |SELECT cls, CAST(row_number() OVER (ORDER BY score DESC, cls ASC) AS INT) AS rank
+         |FROM scored ORDER BY rank""".stripMargin,
+
+    "q_classify_knn" ->
+      s"""$P, ${scoreCte("a", "data")}, ${scoreCte("b", "stream")}, ${scoreCte("c", "engine")},
+         |ab AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |       FROM scores_a a FULL OUTER JOIN scores_b b ON a.doc_id = b.doc_id),
+         |abc AS (SELECT coalesce(ab.doc_id, c.doc_id) AS doc_id,
+         |          (coalesce(ab.s, 0) + coalesce(c.s, 0)) AS s
+         |        FROM ab FULL OUTER JOIN scores_c c ON ab.doc_id = c.doc_id),
+         |top AS (SELECT doc_id FROM abc ORDER BY s DESC, doc_id LIMIT 25),
+         |votes AS (SELECT d.lang AS cls, count(*) AS votes
+         |  FROM top JOIN documents d USING (doc_id) GROUP BY d.lang)
+         |SELECT cls, votes, CAST(row_number() OVER (ORDER BY votes DESC, cls ASC) AS INT) AS rank
+         |FROM votes ORDER BY rank""".stripMargin,
 
     "q_timelimit_topk" ->
       s"""$P, ${scoreCte("a", "data")}
