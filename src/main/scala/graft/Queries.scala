@@ -352,6 +352,12 @@ object Queries {
     "q_lmjm_topk" -> ((s, dir) => ranked(IndexCache.lmJmSearcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
 
+    // --- DFR I(n)L2 and IB LL-DF-H2 (SimilarityBase family)
+    "q_dfr_topk" -> ((s, dir) => ranked(IndexCache.dfrSearcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+    "q_ib_topk" -> ((s, dir) => ranked(IndexCache.ibSearcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+
     // --- deletes (IndexWriter.DeleteDocuments / live-docs overlay): matches
     //     vanish immediately; BM25 stats stay un-decremented until merge
     "q_deleted" -> ((s, dir) => idsOf(IndexCache.deletedSearcher(s, dir), TermQ("data"))),
@@ -929,6 +935,53 @@ object Queries {
          |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
          |  FROM jm_a a FULL OUTER JOIN jm_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // DFR I(n)L2 double twin, engine op order:
+    //   tfn = tf * (ln(1 + (c*avg)/dl)/ln(2)), avg = sttf/n
+    //   s = bd * (tfn * (ln((n+1)/(df+0.5))/ln(2))) * (1/(tfn+1))
+    "q_dfr_topk" ->
+      s"""$P, dfr_a AS (
+         |  SELECT tf.doc_id,
+         |    (1.0 * ((tf.tf * (ln(1 + (1.0 * (CAST(c.sttf AS DOUBLE) / c.n)) / dl.dl) / ln(2.0)))
+         |            * (ln((c.n + 1) / (d.df + 0.5)) / ln(2.0))))
+         |      * (1.0 / ((tf.tf * (ln(1 + (1.0 * (CAST(c.sttf AS DOUBLE) / c.n)) / dl.dl) / ln(2.0))) + 1.0)) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector'),
+         |dfr_b AS (
+         |  SELECT tf.doc_id,
+         |    (1.0 * ((tf.tf * (ln(1 + (1.0 * (CAST(c.sttf AS DOUBLE) / c.n)) / dl.dl) / ln(2.0)))
+         |            * (ln((c.n + 1) / (d.df + 0.5)) / ln(2.0))))
+         |      * (1.0 / ((tf.tf * (ln(1 + (1.0 * (CAST(c.sttf AS DOUBLE) / c.n)) / dl.dl) / ln(2.0))) + 1.0)) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'stream')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM dfr_a a FULL OUTER JOIN dfr_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // IB LL-DF-H2 double twin: lambda = (df+1)/(n+1);
+    //   s = bd * (-ln(lambda/(tfn+lambda)))
+    "q_ib_topk" ->
+      s"""$P, ib_a AS (
+         |  SELECT tf.doc_id,
+         |    1.0 * (-ln(((d.df + 1.0) / (c.n + 1.0)) /
+         |      ((tf.tf * (ln(1 + (1.0 * (CAST(c.sttf AS DOUBLE) / c.n)) / dl.dl) / ln(2.0)))
+         |       + ((d.df + 1.0) / (c.n + 1.0))))) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector'),
+         |ib_b AS (
+         |  SELECT tf.doc_id,
+         |    1.0 * (-ln(((d.df + 1.0) / (c.n + 1.0)) /
+         |      ((tf.tf * (ln(1 + (1.0 * (CAST(c.sttf AS DOUBLE) / c.n)) / dl.dl) / ln(2.0)))
+         |       + ((d.df + 1.0) / (c.n + 1.0))))) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'stream')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM ib_a a FULL OUTER JOIN ib_b b ON a.doc_id = b.doc_id)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_deleted" ->

@@ -113,6 +113,20 @@ object IndexCache {
   })
   private val jcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** DFR I(n)L2 (c=1) reader over the main gate index. */
+  def dfrSearcher(spark: SparkSession, sfDir: String): Searcher = dfrCache.getOrElseUpdate(sfDir, {
+    searcher(spark, sfDir)
+    new Searcher(spark, indexPath(sfDir), mode = ExactDouble, similarity = DfrInL2Sim())
+  })
+  private val dfrCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** IB LL-DF-H2 (c=1) reader over the main gate index. */
+  def ibSearcher(spark: SparkSession, sfDir: String): Searcher = ibCache.getOrElseUpdate(sfDir, {
+    searcher(spark, sfDir)
+    new Searcher(spark, indexPath(sfDir), mode = ExactDouble, similarity = IbLlSim())
+  })
+  private val ibCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** Deterministic StandardAnalyzer gate fixture: per-doc synthetic text
     * exercising the classic JFlex grammar's signature rules — APOSTROPHE
     * (possessive strip), ACRONYM (dot removal), HOST, EMAIL, and stopword

@@ -54,6 +54,18 @@ final case class LmDirichletSim(mu: Float = 2000f) extends SimilarityKind
   */
 final case class LmJelinekMercerSim(lambda: Float = 0.5f) extends SimilarityKind
 
+/** DFR (divergence from randomness) similarity, the I(n)L2 member:
+  * BasicModelIn + AfterEffectL + NormalizationH2(c)
+  * (Search/Similarities/DFRSimilarity.cs:107-111, BasicModelIn.cs,
+  * AfterEffectL.cs:34, NormalizationH2.cs:53). Same byte315 norm table as
+  * every SimilarityBase subclass (SimilarityBase.cs:232-239). */
+final case class DfrInL2Sim(c: Float = 1f) extends SimilarityKind
+
+/** Information-based similarity, the LL-DF-H2 member: DistributionLL +
+  * LambdaDF + NormalizationH2(c) (Search/Similarities/IBSimilarity.cs:
+  * 97-100, DistributionLL.cs:39, LambdaDF.cs:34). */
+final case class IbLlSim(c: Float = 1f) extends SimilarityKind
+
 /** Replayable cached hit stream — Search/CachingCollector.cs analog (see
   * Searcher.cacheHits). `replay` hands the pinned Dataset to a downstream
   * collector function; `release` unpins it.
@@ -428,6 +440,64 @@ final class Searcher(spark: SparkSession, indexPath: String,
           }
           acc
         }
+      case (DfrInL2Sim(c), LuceneFloat) =>
+        // DFRSimilarity.Score (Search/Similarities/DFRSimilarity.cs:107-111)
+        // with BasicModelIn + AfterEffectL + NormalizationH2:
+        //   tfn   = (float)(tf * Log2(1 + c*avg/dl))     NormalizationH2.cs:53
+        //   basic = tfn * (float)Log2((N+1)/(df+0.5))    BasicModelIn.cs
+        //   ae    = 1/(tfn+1)                            AfterEffectL.cs:34
+        //   score = boost * basic * ae (floats); dl from the shared byte315
+        //   NORM_TABLE (SimilarityBase.cs:232-239 == Bm25.normTable)
+        val sttf = fieldSttf.getOrElse(field, 0L)
+        val avg: Float = if (sttf <= 0) 1f else sttf.toFloat / maxDoc
+        val basicIdf: Float = (math.log((maxDoc + 1) / (df + 0.5)) / math.log(2d)).toFloat
+        (tf: Double, len: Int) => {
+          val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
+          val dl = bm25.normTable(nb & 0xff)
+          // 1 + c*avg/dl happens in FLOAT in the reference (int+float)
+          val tfn = (tf.toFloat * (math.log((1f + c * avg / dl).toDouble) / math.log(2d))).toFloat
+          (boost * (tfn * basicIdf) * (1f / (tfn + 1f))).toDouble
+        }
+      case (DfrInL2Sim(c), ExactDouble) =>
+        // double twin, exact len — SQL: boost * (tfn*ln((N+1)/(df+0.5))/ln(2))
+        // * (1/(tfn+1)) with tfn = tf*ln(1 + c*avg/len)/ln(2)
+        val sttf = fieldSttf.getOrElse(field, 0L)
+        val avg: Double = if (sttf <= 0) 1d else sttf.toDouble / maxDoc
+        val cD = c.toDouble
+        val ln2 = math.log(2d)
+        val basicIdf = math.log((maxDoc + 1) / (df + 0.5)) / ln2
+        val bd = boost.toDouble
+        (tf: Double, len: Int) => {
+          val tfn = tf * (math.log(1d + cD * avg / len) / ln2)
+          bd * (tfn * basicIdf) * (1d / (tfn + 1d))
+        }
+      case (IbLlSim(c), LuceneFloat) =>
+        // IBSimilarity.Score (Search/Similarities/IBSimilarity.cs:97-100)
+        // with DistributionLL + LambdaDF + NormalizationH2:
+        //   lambda = (df+1)/(N+1)                        LambdaDF.cs:34
+        //   score  = boost * (float)-ln(lambda/(tfn+lambda))  DistributionLL.cs:39
+        val sttf = fieldSttf.getOrElse(field, 0L)
+        val avg: Float = if (sttf <= 0) 1f else sttf.toFloat / maxDoc
+        val lambda: Float = (df + 1f) / (maxDoc + 1f)
+        (tf: Double, len: Int) => {
+          val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
+          val dl = bm25.normTable(nb & 0xff)
+          // 1 + c*avg/dl happens in FLOAT in the reference (int+float)
+          val tfn = (tf.toFloat * (math.log((1f + c * avg / dl).toDouble) / math.log(2d))).toFloat
+          (boost * (-math.log((lambda / (tfn + lambda)).toDouble)).toFloat).toDouble
+        }
+      case (IbLlSim(c), ExactDouble) =>
+        // double twin — SQL: boost * -ln(lambda/(tfn+lambda))
+        val sttf = fieldSttf.getOrElse(field, 0L)
+        val avg: Double = if (sttf <= 0) 1d else sttf.toDouble / maxDoc
+        val cD = c.toDouble
+        val ln2 = math.log(2d)
+        val lambda = (df + 1d) / (maxDoc + 1d)
+        val bd = boost.toDouble
+        (tf: Double, len: Int) => {
+          val tfn = tf * (math.log(1d + cD * avg / len) / ln2)
+          bd * -math.log(lambda / (tfn + lambda))
+        }
       case (LmDirichletSim(mu), ExactDouble) =>
         // unquantized double twin (docLen = exact len); SQL-replicable:
         // boost * (ln(1 + tf/(mu*(ttf+1)/(sttf+1))) + ln(mu/(len+mu))), clip 0
@@ -451,8 +521,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * under BM25.
     */
   private def queryNorm(q: Query, stats: FTStats): Double = similarity match {
-    case Bm25Sim | LmDirichletSim(_) | LmJelinekMercerSim(_) =>
-      1d // Similarity.QueryNorm default 1f
+    case Bm25Sim | LmDirichletSim(_) | LmJelinekMercerSim(_) | DfrInL2Sim(_) | IbLlSim(_) =>
+      1d // Similarity.QueryNorm default 1f (SimilarityBase likewise)
     case TfIdfSim =>
       def phraseIdfF(terms: List[String], field: String): Float =
         terms.map(t => idfFloat(stats.get((field, t)).map(_._1).getOrElse(0L))).foldLeft(0f)(_ + _)

@@ -1,0 +1,100 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis.StandardAnalyzer
+import graft.build.{IndexBuilder, PagesGen}
+import graft.oracle.OracleIndex
+import graft.search._
+import java.nio.file.Files
+
+/** DFR I(n)L2 and IB LL-DF-H2 similarities (Search/Similarities/
+  * DFRSimilarity.cs, IBSimilarity.cs) behind the similarity seam:
+  * float-exact identity of every hit against a direct scalar computation of
+  * the reference's formula chain (byte315-quantized docLen, float op order,
+  * H2 inner 1+c*avg/dl in float), plus Explain≡Score.
+  */
+class DfrIbSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private val N = 400
+  private lazy val pages = PagesGen.local(N)
+  private lazy val oracle = new OracleIndex(pages, 4, StandardAnalyzer)
+
+  private lazy val idx = {
+    val base = Files.createTempDirectory("graftdfr").toString
+    val df = spark.createDataFrame(pages).toDF("url", "text")
+    IndexBuilder.build(spark, df, base, IndexBuilder.BuildConfig(4, "standard", groupSize = 4))
+    base
+  }
+  private lazy val dfr = new Searcher(spark, idx, similarity = DfrInL2Sim())
+  private lazy val ib = new Searcher(spark, idx, similarity = IbLlSim())
+
+  private val ln2 = math.log(2d)
+  private def tfnOf(tf: Float, dl: Float, avg: Float, c: Float): Float =
+    (tf * (math.log((1f + c * avg / dl).toDouble) / ln2)).toFloat
+
+  private def directScores(term: String, sim: String): Map[String, Float] = {
+    val n = oracle.maxDoc
+    val sttf = oracle.sumTotalTermFreq
+    val avg: Float = if (sttf <= 0) 1f else sttf.toFloat / n
+    val df = oracle.docFreq(term)
+    oracle.docs.flatMap { d =>
+      d.positions.get(term).map { ps =>
+        val dl = Bm25.default.normTable(d.normByte & 0xff)
+        val tfn = tfnOf(ps.length.toFloat, dl, avg, 1f)
+        val s = sim match {
+          case "dfr" =>
+            val bi = (math.log((n + 1) / (df + 0.5)) / ln2).toFloat
+            1f * (tfn * bi) * (1f / (tfn + 1f))
+          case "ib" =>
+            val lambda = (df + 1f) / (n + 1f)
+            1f * (-math.log((lambda / (tfn + lambda)).toDouble)).toFloat
+        }
+        d.key -> s
+      }
+    }.toMap
+  }
+
+  private val terms = Seq(PagesGen.word(2), PagesGen.word(50), PagesGen.word(800))
+
+  test("DFR I(n)L2 float scores match the reference formula chain") {
+    terms.foreach { t =>
+      val got = dfr.search(TermQ(t), 1000).collect()
+        .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+      assert(got == directScores(t, "dfr"), s"DFR mismatch for $t")
+    }
+  }
+
+  test("IB LL-DF-H2 float scores match the reference formula chain") {
+    terms.foreach { t =>
+      val got = ib.search(TermQ(t), 1000).collect()
+        .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+      assert(got == directScores(t, "ib"), s"IB mismatch for $t")
+    }
+  }
+
+  test("composite queries sum per-term scores in clause order") {
+    val q = BoolQ(List(Occur.Should -> TermQ(terms(0)), Occur.Should -> TermQ(terms(1))))
+    Seq(dfr, ib).zip(Seq("dfr", "ib")).foreach { case (se, name) =>
+      val a = directScores(terms(0), name)
+      val b = directScores(terms(1), name)
+      val want = (a.keySet ++ b.keySet).map { k =>
+        k -> (a.getOrElse(k, 0f) + b.getOrElse(k, 0f))
+      }.toMap
+      val got = se.search(q, 1000).collect()
+        .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+      assert(got == want, s"$name composite mismatch")
+    }
+  }
+
+  test("explain equals score for both similarities") {
+    Seq(dfr, ib).foreach { se =>
+      val hits = se.search(TermQ(terms(1)), 5).collect()
+      hits.foreach { r =>
+        val e = se.explain(TermQ(terms(1)), r.getInt(2), r.getInt(3))
+        assert(e.matched && e.value == r.getDouble(1),
+          s"explain ${e.value} != score ${r.getDouble(1)}")
+      }
+    }
+  }
+}
