@@ -17,6 +17,10 @@ import graft.oracle.OracleIndex
 final class MemoryIndex(text: String, analyzer: Analyzer) {
   private val idx = new OracleIndex(Seq(("doc", text)), 1, analyzer)
 
+  /** The document's distinct terms (the in-RAM dictionary). */
+  def terms: Set[String] =
+    idx.docs.headOption.map(_.positions.keySet).getOrElse(Set.empty)
+
   /** MemoryIndex.Search > 0.0f in the reference's percolation example. */
   def matches(q: Query): Boolean = idx.count(q) > 0
 

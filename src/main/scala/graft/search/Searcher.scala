@@ -712,6 +712,12 @@ final class Searcher(spark: SparkSession, indexPath: String,
       })
     val cap = math.min(maxExpansions, Query.MaxClauseCount)
     dictionary(field)
+      // length-band prune BEFORE the levenshtein evaluation: |len(t)-len(q)|
+      // <= maxEdits is a necessary condition, is cheap, and reaches the scan
+      // — the poor man's slice of the reference's Levenshtein-automaton
+      // intersection (Util/Automaton/LevenshteinAutomata.cs), which prunes
+      // the dictionary walk itself
+      .filter(abs(length(col("term")) - lit(qLen)) <= maxEdits)
       .withColumn("ed", levenshtein(col("term"), lit(term)))
       .filter(col("ed") <= maxEdits)
       .withColumn("boost", boostU(col("term"), col("ed")))

@@ -46,6 +46,33 @@ class ClassifySpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("guard pre-filter never drops a match (vs direct per-doc evaluation)") {
+    import spark.implicits._
+    val texts = (0 until 40).map(i =>
+      (i.toLong, graft.build.PagesGen.textOf(i.toLong)))
+    val docs = texts.toDF("id", "text")
+    val queries: Seq[(String, Query)] = Seq(
+      "g_term" -> TermQ("quick"),
+      "g_must" -> BoolQ(List(Occur.Must -> TermQ("quick"), Occur.Must -> TermQ("fox"))),
+      "g_should" -> BoolQ(List(Occur.Should -> TermQ("brown"), Occur.Should -> TermQ("guide"))),
+      "g_not" -> BoolQ(List(Occur.Must -> TermQ("fox"), Occur.MustNot -> TermQ("guide"))),
+      "g_phrase" -> PhraseQ(List("quick" -> 0, "brown" -> 1)),
+      "g_span" -> SpanMatchQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")), 1, inOrder = true)),
+      "u_prefix" -> PrefixQ("qui"),
+      "u_dismax" -> DisMaxQ(List(TermQ("quick"), PrefixQ("gui"))))
+    val guarded = Percolator.percolate(docs, "id", "text", queries, "simple")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val direct = {
+      val analyzer = Analyzers.byName("simple")
+      texts.flatMap { case (id, text) =>
+        val mi = new MemoryIndex(text, analyzer)
+        queries.collect { case (n, q) if mi.matches(q) => (id, n) }
+      }.toSet
+    }
+    assert(guarded == direct)
+    assert(direct.exists(_._2 == "g_term"), "fixture must produce matches")
+  }
+
   test("naive Bayes ranks the class whose docs share the input's words first") {
     import spark.implicits._
     val docs = Seq(
