@@ -61,8 +61,9 @@ object IndexBuilder {
         * analog): name of a NUMERIC column on the pages input; each segment
         * assigns docIds in (column ASC, url ASC) order and stores the key in
         * the doc store, enabling early-terminating sorted collection
-        * (Searcher.searchSortedEarly). Merging sorted segments needs the
-        * reference's SortingMergePolicy re-sort and is rejected. */
+        * (Searcher.searchSortedEarly). Merges RE-SORT via a budget-bounded
+        * permutation (MergeJob.SortedMergeMaxDocs), the SortingMergePolicy
+        * analog. */
       indexSort: Option[String] = None) {
     /** Full field list, default field first. */
     def fieldList: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields

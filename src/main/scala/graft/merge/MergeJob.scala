@@ -50,18 +50,24 @@ object MergeJob {
     * analog); source-dir deletion afterwards is mere cleanup that readers
     * can no longer observe. Returns the new segment id.
     */
+  /** Permutation budget for SORTED merges: the (sortKey, url)-ordered docId
+    * permutation is collected to the driver (like the reference's Sorter,
+    * which builds the full old->new docId map in RAM —
+    * Lucene.Net.Misc/Index/Sorter/Sorter.cs); merges whose live doc count
+    * exceeds this are rejected rather than risking driver OOM. ~4M docs
+    * ≈ 16 MB of permutation ints. */
+  val SortedMergeMaxDocs: Int = 1 << 22
+
   def merge(spark: SparkSession, indexPath: String, sources: List[Int],
             hotTermDf: Int = 5000000): Int = {
     import spark.implicits._
     require(sources.size >= 2)
-    // merging index-sorted segments would break per-segment docId==sort
-    // order (needs the reference's SortingMergePolicy re-sort,
-    // Lucene.Net.Misc/Index/Sorter/SortingMergePolicy.cs) — reject rather than silently
-    // produce a segment the early-terminating collector would misread
-    require(
+    // index-sorted index: the merge must RE-SORT (SortingMergePolicy.cs) —
+    // docIds of the merged segment are assigned in (sortKey, url) order via
+    // a driver-built permutation, budget-bounded by SortedMergeMaxDocs
+    val sortedMerge: Boolean =
       (try IndexBuilder.readConfig(spark, indexPath).indexSort
-       catch { case _: Exception => None }).isEmpty,
-      "merge of an index-sorted index is not supported (SortingMergePolicy analog absent)")
+       catch { case _: Exception => None }).isDefined
     val srcSorted = sources.sorted
 
     // grace window (IndexDeletionPolicy keep-last-commit analog): data made
@@ -100,29 +106,71 @@ object MergeJob {
     val basesB = spark.sparkContext.broadcast(bases)
     val deletedB = spark.sparkContext.broadcast(deleted)
 
-    // live docId -> compacted merged docId; -1 for deleted
-    val remapFn: (Int, Int) => Int = (seg: Int, docId: Int) => {
-      val del = deletedB.value.getOrElse(seg, Array.empty[Int])
-      if (del.isEmpty) basesB.value(seg) + docId
-      else {
-        val idx = java.util.Arrays.binarySearch(del, docId)
-        if (idx >= 0) -1
-        else basesB.value(seg) + docId - (-idx - 1) // minus #deleted below
+    // live docId -> merged docId; -1 for deleted.
+    //  - unsorted: compaction by segment base (append order, narrow math)
+    //  - sorted: the Sorter.cs permutation — live docs ordered globally by
+    //    (sortKey, url), ids assigned by rank, broadcast as per-seg arrays
+    val remapFn: (Int, Int) => Int =
+      if (!sortedMerge) (seg: Int, docId: Int) => {
+        val del = deletedB.value.getOrElse(seg, Array.empty[Int])
+        if (del.isEmpty) basesB.value(seg) + docId
+        else {
+          val idx = java.util.Arrays.binarySearch(del, docId)
+          if (idx >= 0) -1
+          else basesB.value(seg) + docId - (-idx - 1) // minus #deleted below
+        }
+      } else {
+        val ordered: Array[(Int, Int)] = spark.read
+          .parquet(IndexBuilder.docsPath(indexPath))
+          .filter(col("segmentId").isInCollection(srcSorted))
+          .select(col("segmentId"), col("docId"), col("sortKey"), col("url"))
+          .orderBy(col("sortKey").asc, col("url").asc)
+          .as[(Int, Int, Double, String)]
+          .map(r => (r._1, r._2))
+          .collect()
+        require(ordered.length <= SortedMergeMaxDocs,
+          s"sorted merge over ${ordered.length} docs exceeds SortedMergeMaxDocs=$SortedMergeMaxDocs")
+        val perm: Map[Int, Array[Int]] =
+          srcSorted.map(s => s -> Array.fill(stats(s).maxDoc.toInt)(-1)).toMap
+        var rank = 0
+        ordered.foreach { case (s, d) =>
+          if (deleted.get(s).forall(del => java.util.Arrays.binarySearch(del, d) < 0)) {
+            perm(s)(d) = rank
+            rank += 1
+          }
+        }
+        val permB = spark.sparkContext.broadcast(perm)
+        (seg: Int, docId: Int) => permB.value(seg)(docId)
       }
-    }
 
     val staging = s"$indexPath/.staging/merge_$target"
 
-    // ---- docs: narrow rebase of the doc store (MergeDocIDRemapper analog)
-    spark.read.parquet(IndexBuilder.docsPath(indexPath))
-      .filter(col("segmentId").isInCollection(srcSorted))
-      .as[DocRow]
-      .flatMap { d =>
-        val nid = remapFn(d.segmentId, d.docId)
-        if (nid < 0) None else Some((nid, d.url, d.fieldLen, d.normByte))
-      }
-      .toDF("docId", "url", "fieldLen", "normByte")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
+    // ---- docs: narrow rebase of the doc store (MergeDocIDRemapper analog);
+    // sorted indexes carry the sortKey column through so the merged segment
+    // stays early-termination-servable
+    if (!sortedMerge) {
+      spark.read.parquet(IndexBuilder.docsPath(indexPath))
+        .filter(col("segmentId").isInCollection(srcSorted))
+        .as[DocRow]
+        .flatMap { d =>
+          val nid = remapFn(d.segmentId, d.docId)
+          if (nid < 0) None else Some((nid, d.url, d.fieldLen, d.normByte))
+        }
+        .toDF("docId", "url", "fieldLen", "normByte")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
+    } else {
+      spark.read.parquet(IndexBuilder.docsPath(indexPath))
+        .filter(col("segmentId").isInCollection(srcSorted))
+        .select(col("segmentId"), col("docId"), col("url"),
+          col("fieldLen"), col("normByte"), col("sortKey"))
+        .as[(Int, Int, String, Int, Byte, Double)]
+        .flatMap { case (seg, d, url, len, nb, key) =>
+          val nid = remapFn(seg, d)
+          if (nid < 0) None else Some((nid, url, len, nb, key))
+        }
+        .toDF("docId", "url", "fieldLen", "normByte", "sortKey")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
+    }
 
     // ---- term vectors (when present): same narrow rebase as the doc store
     // — purged docs drop, surviving docIds compact (Lucene40TermVectorsWriter
@@ -162,11 +210,13 @@ object MergeJob {
     // sort key includes firstDoc: a source segment may hold several pieces
     // per key (builder RAM flushes / prior merges share one segmentId), and
     // stitching must follow docId order, not source order alone
+    val sortedMergeFlag = sortedMerge // plain boolean for the task closure
     val merged: Dataset[PostingRow] = pieces
       .repartition(col("field"), col("term"))
       .sortWithinPartitions(col("field"), col("term"), col("firstDoc"))
       .mapPartitions { rows =>
         val hot = hotTermDf
+        val isSorted = sortedMergeFlag
         new Iterator[PostingRow] {
           private var pending: PieceRow = if (rows.hasNext) rows.next() else null
           private val out = scala.collection.mutable.Queue.empty[PostingRow]
@@ -180,15 +230,21 @@ object MergeJob {
                 pending = if (rows.hasNext) rows.next() else null
               }
               val totalDf = group.map(_.df.toLong).sum
-              if (totalDf > hot || group.size == 1) {
+              // a SORTED merge's pieces interleave in the new docId space
+              // (the permutation shuffles ranks across sources), so the
+              // disjoint-range hot-term shortcut is only sound unsorted
+              if (group.size == 1 || (!isSorted && totalDf > hot)) {
                 // hot term (or single piece): pieces stay separate rows with
-                // disjoint docId ranges — already rebased and skip-indexed
+                // disjoint (or piece-internal sorted) docId ranges
                 group.foreach { g =>
                   out += PostingRow(0, field, term, g.df, g.ttf, g.docDeltas, g.tfs,
                     g.positions, g.lens, g.skips, g.payloads)
                 }
               } else {
-                val enc = new PostingsCodec.Encoder
+                // gather every surviving entry, restore global docId order
+                // if pieces interleave, then encode one stitched row
+                val entries = scala.collection.mutable.ArrayBuffer
+                  .empty[(Int, Int, Array[Int], Int, Array[Array[Byte]])]
                 group.foreach { g =>
                   val d = PostingsCodec.decode(g.df, g.docDeltas, g.tfs, g.positions, g.lens)
                   val pays = payloadSlices(d.tfs, d.posStart, g.payloads)
@@ -197,9 +253,14 @@ object MergeJob {
                     val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
                     val pl = if (pays == null) null
                       else java.util.Arrays.copyOfRange(pays, d.posStart(i), d.posStart(i + 1))
-                    enc.add(d.docIds(i), d.tfs(i), ps, d.lens(i), pl)
+                    entries += ((d.docIds(i), d.tfs(i), ps, d.lens(i), pl))
                     i += 1
                   }
+                }
+                val orderedEntries = if (isSorted) entries.sortBy(_._1) else entries
+                val enc = new PostingsCodec.Encoder
+                orderedEntries.foreach { case (id, tf, ps, len, pl) =>
+                  enc.add(id, tf, ps, len, pl)
                 }
                 val e = enc.finish()
                 out += PostingRow(0, field, term, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
@@ -374,21 +435,31 @@ object MergeJob {
                        remap: Int => Int): (graft.codec.EncodedPostings, Int) = {
     val d = PostingsCodec.decode(df, docDeltas, tfs, positions, lens)
     val pays = payloadSlices(d.tfs, d.posStart, payloads)
-    val enc = new PostingsCodec.Encoder
-    var first = -1
+    // a sorted-merge permutation is NOT monotonic within a segment, so the
+    // surviving entries are gathered and re-sorted by their new docId before
+    // encoding (Sorter.cs's SortingLeafReader view does the same reorder)
+    val entries = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)] // (nid, idx)
+    var monotonic = true
+    var prev = -1
     var i = 0
     while (i < d.docIds.length) {
       val nid = remap(d.docIds(i))
       if (nid >= 0) { // deleted docs (-1) purge here
-        val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
-        val pl = if (pays == null) null
-          else java.util.Arrays.copyOfRange(pays, d.posStart(i), d.posStart(i + 1))
-        enc.add(nid, d.tfs(i), ps, d.lens(i), pl)
-        if (first < 0) first = nid
+        if (nid <= prev) monotonic = false
+        prev = nid
+        entries += ((nid, i))
       }
       i += 1
     }
-    (enc.finish(), math.max(first, 0))
+    val ordered = if (monotonic) entries else entries.sortBy(_._1)
+    val enc = new PostingsCodec.Encoder
+    ordered.foreach { case (nid, j) =>
+      val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(j), d.posStart(j + 1))
+      val pl = if (pays == null) null
+        else java.util.Arrays.copyOfRange(pays, d.posStart(j), d.posStart(j + 1))
+      enc.add(nid, d.tfs(j), ps, d.lens(j), pl)
+    }
+    (enc.finish(), ordered.headOption.map(_._1).getOrElse(0))
   }
 
   /** Per-position payload byte slices aligned with posFlat (null when the

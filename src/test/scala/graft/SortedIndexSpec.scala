@@ -68,9 +68,34 @@ class SortedIndexSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](s.sortedTopK(5))
   }
 
-  test("merge refuses an index-sorted index (SortingMergePolicy absent)") {
-    val ex = intercept[IllegalArgumentException](
-      MergeJob.merge(spark, base, List(0, 1)))
-    assert(ex.getMessage.contains("index-sorted"))
+  test("sorted merge re-sorts: merged segment keeps docId==sort order, purges deletes") {
+    val b = Files.createTempDirectory("graftsortmerge").toString
+    val df = spark.createDataFrame(PagesGen.local(N)).toDF("url", "text")
+      .withColumn("nlen", length(col("text")).cast("long"))
+    IndexBuilder.build(spark, df, b,
+      IndexBuilder.BuildConfig(4, "simple", groupSize = 4, indexSort = Some("nlen")))
+    import spark.implicits._
+    val victim = PagesGen.urlOf(23)
+    graft.build.Deletes.deleteUrls(spark, b, Seq(victim).toDF("url"))
+    val merges = MergeJob.mergeToPolicy(spark, b,
+      new graft.merge.TieredMergePolicy(segsPerTier = 2.0, maxMergeAtOnce = 4, floorSegmentDocs = 5))
+    assert(merges >= 1)
+    val report = CheckIndex.run(spark, b) // includes the sort-order invariant
+    assert(report.ok, report.violations.mkString("; "))
+    val s1 = new Searcher(spark, b)
+    val got = s1.sortedTopK(20).collect().map(r => (r.getString(0), r.getDouble(1)))
+    val want = df.filter(col("url") =!= victim)
+      .select(col("url"), col("nlen").cast("double"))
+      .orderBy(col("nlen").asc, col("url").asc).limit(20)
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == want.toSeq, "sorted top-k diverges after a purging sorted merge")
+    // query results survive the permutation (scores invariant under merge)
+    val q = TermQ("quick")
+    val early = s1.searchSortedEarly(q, 10).collect().map(_.getString(0)).toSeq
+    val full = s1.compile(q)
+      .join(s1.docs.select("segmentId", "docId", "url", "sortKey"), Seq("segmentId", "docId"))
+      .orderBy(col("sortKey").asc, col("url").asc).limit(10)
+      .collect().map(_.getAs[String]("url")).toSeq
+    assert(early == full)
   }
 }
