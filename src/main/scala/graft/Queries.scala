@@ -281,6 +281,12 @@ object Queries {
       idsOf(se, QueryParser.parse("source:src3 AND stream", se.analyzer))
     }),
 
+    // --- PerFieldSimilarityWrapper: lang field scores TFIDF, text stays
+    //     BM25, queryNorm = coord = 1 (the wrapper's sealed non-overrides)
+    "q_perfield_topk" -> ((s, dir) => ranked(IndexCache.perFieldSearcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"),
+        Occur.Should -> FieldQ("lang", TermQ("en")))), 10))),
+
     // --- TFIDF/DefaultSimilarity (the reference engine default): coord *
     //     queryNorm * sum(sqrt(tf) * idf^2 * norm), per-doc coord factor
     "q_tfidf_topk" -> ((s, dir) => ranked(IndexCache.tfidfSearcher(s, dir).search(
@@ -789,6 +795,22 @@ object Queries {
     "q_field_bool" ->
       s"""$P SELECT DISTINCT doc_id FROM tf JOIN documents USING (doc_id)
          |WHERE term = 'vector' AND source = 'src3' ORDER BY doc_id""".stripMargin,
+
+    // lang leaf = TFIDF double twin with qn=1 on a keyword field (tf=1,
+    // len=1): score = idf*idf, idf = ln(n/(dfl+1)) + 1; text leaf = BM25
+    "q_perfield_topk" ->
+      s"""$P, ${scoreCte("a", "vector")},
+         |lconst AS (SELECT count(*) AS dfl FROM documents WHERE lang = 'en'),
+         |scores_l AS (
+         |  SELECT d.doc_id,
+         |    ((ln(c.n / (lc.dfl + 1.0)) + 1) * (ln(c.n / (lc.dfl + 1.0)) + 1)) AS s
+         |  FROM documents d CROSS JOIN consts c CROSS JOIN lconst lc
+         |  WHERE d.lang = 'en')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, l.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(l.s, 0)) AS s
+         |  FROM scores_a a FULL OUTER JOIN scores_l l ON a.doc_id = l.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_field_topk" ->
       s"""$P, ${scoreCte("a", "vector")},

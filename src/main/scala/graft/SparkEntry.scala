@@ -270,6 +270,16 @@ object IndexCache {
     new Searcher(spark, path, mode = ExactDouble)
   })
 
+  /** PerFieldSimilarityWrapper reader over the fielded gate index: the lang
+    * keyword field scores TFIDF while text stays BM25 (queryNorm = coord = 1
+    * per the reference wrapper's sealed non-overrides). */
+  def perFieldSearcher(spark: SparkSession, sfDir: String): Searcher = pfCache.getOrElseUpdate(sfDir, {
+    fieldedSearcher(spark, sfDir) // ensure the index is built
+    new Searcher(spark, indexPath(sfDir) + "_fielded", mode = ExactDouble,
+      perFieldSimilarity = Map("lang" -> TfIdfSim))
+  })
+  private val pfCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** (url, score, segmentId, docId) -> (doc_id, rank) for SQL-stable output.
     * Rank is computed distributed (Ranks.appendRank) — no unpartitioned
     * window funnel even for unbounded result sets (q_filtered-shaped).

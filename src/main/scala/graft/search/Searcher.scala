@@ -112,7 +112,14 @@ final class Searcher(spark: SparkSession, indexPath: String,
                        * scorer stream takes a distributed anti-join against
                        * the marker table instead — bounds driver memory at
                        * any delete volume. */
-                     val deleteBroadcastLimit: Long = Searcher.DefaultDeleteBroadcastLimit) extends Serializable {
+                     val deleteBroadcastLimit: Long = Searcher.DefaultDeleteBroadcastLimit,
+                     /** PerFieldSimilarityWrapper analog (Search/Similarities/
+                       * PerFieldSimilarityWrapper.cs:41-63): field -> scoring
+                       * similarity; unlisted fields use [[similarity]]. Like
+                       * the reference wrapper (which seals ComputeWeight per
+                       * field but never overrides Coord/QueryNorm), a
+                       * non-empty map forces queryNorm = coord = 1. */
+                     val perFieldSimilarity: Map[String, SimilarityKind] = Map.empty) extends Serializable {
   import spark.implicits._
 
   val cfg: IndexBuilder.BuildConfig = IndexBuilder.readConfig(spark, indexPath)
@@ -352,7 +359,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
                                    * model); composites pass one per term. */
                                  ttf: Long = 0L,
                                  lmTtfs: Option[Seq[Long]] = None): (Double, Int) => Double =
-    (similarity, mode) match {
+    (perFieldSimilarity.getOrElse(field, similarity), mode) match {
       case (Bm25Sim, LuceneFloat) =>
         val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
         val w = idf * boost * (bm25.k1 + 1)
@@ -377,7 +384,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
       case (TfIdfSim, LuceneFloat) =>
         // queryWeight = (idf*boost)*queryNorm; value = queryWeight*idf;
         // score = tf(freq)*value*decodeNorm (TFIDFSimilarity.cs:707-711,753-769)
-        val idf = idfSumOverride.getOrElse(idfFloat(df))
+        // idf inlined (not via idfFloat) so a per-field TFIDF delegate
+        // scores correctly under a non-TFIDF top-level similarity
+        val idf = idfSumOverride.getOrElse((math.log(maxDoc / (df + 1).toDouble) + 1.0).toFloat)
         val qw = idf * boost * qn.toFloat
         val value = qw * idf
         (tf: Double, len: Int) => {
@@ -387,7 +396,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
         }
       case (TfIdfSim, ExactDouble) =>
         // unquantized double twin (norm = 1/sqrt(len)); SQL-replicable
-        val idf = idfSumOverrideD.getOrElse(idfDouble(df))
+        val idf = idfSumOverrideD.getOrElse(math.log(maxDoc / (df + 1).toDouble) + 1.0)
         val value = ((idf * boost) * qn) * idf
         (tf: Double, len: Int) =>
           (math.sqrt(tf) * value) * (1.0 / math.sqrt(len.toDouble))
@@ -521,6 +530,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * under BM25.
     */
   private def queryNorm(q: Query, stats: FTStats): Double = similarity match {
+    case _ if perFieldSimilarity.nonEmpty =>
+      1d // PerFieldSimilarityWrapper never overrides QueryNorm (base 1f)
     case Bm25Sim | LmDirichletSim(_) | LmJelinekMercerSim(_) | DfrInL2Sim(_) | IbLlSim(_) =>
       1d // Similarity.QueryNorm default 1f (SimilarityBase likewise)
     case TfIdfSim =>
@@ -778,6 +789,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * identity under BM25 (Similarity.Coord = 1).
     */
   private def coordFactors(maxCoord: Int): Array[Double] = (similarity, mode) match {
+    case _ if perFieldSimilarity.nonEmpty =>
+      Array.fill(maxCoord + 1)(1d) // wrapper never overrides Coord (base 1f)
     case (TfIdfSim, LuceneFloat) =>
       Array.tabulate(maxCoord + 1)(i => (i / maxCoord.toFloat).toDouble)
     case (TfIdfSim, ExactDouble) =>
@@ -1276,7 +1289,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
   /** Single-field pure disjunction of unboosted terms -> WAND-eligible
     * (BM25 only: the block-max bounds are BM25 score bounds). */
   private def wandOrTerms(q0: Query): Option[(String, List[String])] = {
-    if (similarity != Bm25Sim) return None
+    // WAND's upper bounds are BM25-specific; a per-field wrapper may route
+    // any field to another similarity, so take the plan path instead
+    if (similarity != Bm25Sim || perFieldSimilarity.nonEmpty) return None
     def go(q: Query, f: String): Option[(String, List[String])] = q match {
       case FieldQ(f2, inner) => go(inner, f2)
       case TermQ(t, b) if b == 1f => Some((f, List(t)))

@@ -55,6 +55,28 @@ class MultiFieldSpec extends AnyFunSuite {
     assert(searcher.maxDoc == N)
   }
 
+  test("PerFieldSimilarityWrapper: field delegates score with their own similarity") {
+    val wrapper = new Searcher(spark, idxPath,
+      perFieldSimilarity = Map("site" -> TfIdfSim))
+    // text leaves still score BM25 (coord/queryNorm are base 1 for both)
+    val t = TermQ(PagesGen.word(2))
+    val plain = searcher.search(t, 10).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaWrapper = wrapper.search(t, 10).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(plain == viaWrapper)
+    // site leaves score TFIDF with queryNorm = 1 (the wrapper's sealed
+    // non-override): keyword field tf = 1, len = 1 => score = idf^2 exactly
+    val df = searcher.fieldTermStats(Set(("site", "site3")))(("site", "site3"))._1
+    val idf = (math.log(N / (df + 1).toDouble) + 1.0).toFloat
+    val want = (idf * 1f * 1f) * idf // queryWeight * idf, float op order
+    val hits = wrapper.search(FieldQ("site", TermQ("site3")), 1000).collect()
+    assert(hits.nonEmpty)
+    hits.foreach(r => assert(r.getDouble(1).toFloat == want,
+      s"per-field TFIDF score ${r.getDouble(1)} != $want"))
+    // and the same query under plain BM25 scores differently
+    val bm = searcher.search(FieldQ("site", TermQ("site3")), 1).collect().head.getDouble(1)
+    assert(bm.toFloat != want)
+  }
+
   test("cross-field conjunction through the leapfrog path") {
     val freq = PagesGen.word(2)
     val q = BoolQ(List(Occur.Must -> FieldQ("site", TermQ("site1")),
