@@ -30,6 +30,31 @@ class StreamingSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getDouble(1).toFloat)).toList
       .sortBy { case (u, sc) => (-sc, u) }
 
+  test("percolation runs as a streaming transform (stored queries x doc stream)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val base = Files.createTempDirectory("graftpercstream").toString
+    writePages(s"$base/in", 0 until 60)
+    val schema = spark.read.parquet(s"$base/in").schema
+    val stream = spark.readStream.schema(schema).parquet(s"$base/in")
+      .withColumn("id", expr("cast(regexp_extract(url, '/p/([0-9]+)$', 1) as long)"))
+    val queries: Seq[(String, Query)] = Seq(
+      "alert_fox" -> PhraseQ(List("quick" -> 0, "brown" -> 1)),
+      "alert_and" -> BoolQ(List(Occur.Must -> TermQ("quick"), Occur.Must -> TermQ("fox"))))
+    val out = graft.pipeline.Percolator.percolate(stream, "id", "text", queries, "simple")
+    val query = out.writeStream.format("memory").queryName("perc_out")
+      .trigger(Trigger.AvailableNow()).start()
+    query.awaitTermination()
+    val got = spark.table("perc_out").collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    // batch percolate over the same rows must agree exactly
+    val batchIn = spark.read.parquet(s"$base/in")
+      .withColumn("id", expr("cast(regexp_extract(url, '/p/([0-9]+)$', 1) as long)"))
+    val want = graft.pipeline.Percolator.percolate(batchIn, "id", "text", queries, "simple")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == want)
+    assert(got.nonEmpty, "fixture must produce streaming percolation matches")
+  }
+
   test("streamed index matches batch index; refresh sees new batches") {
     val base = Files.createTempDirectory("graftstream").toString
     val inDir = s"$base/in"

@@ -114,6 +114,24 @@ class TermVectorsSpec extends AnyFunSuite {
       s"docId predicate not pushed:\n$plan")
   }
 
+  test("streaming appends inherit the termVectors config") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graftvecstream").toString
+    val df = spark.createDataFrame(PagesGen.local(30)).toDF("url", "text")
+    IndexBuilder.build(spark, df, b,
+      IndexBuilder.BuildConfig(2, "simple", groupSize = 2, termVectors = true))
+    val batch = Seq(("s0/u1", "the quick brown fox"), ("s0/u2", "lazy dog sleeps"))
+      .toDF("url", "text")
+    graft.streaming.StreamingIndexer.appendBatch(spark, batch, b, "simple", 1, 0)
+    val s = new Searcher(spark, b)
+    val streamedVecs = s.termVectors
+      .join(s.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .filter(col("url").startsWith("s0/"))
+      .select("url", "term").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(streamedVecs.contains(("s0/u1", "quick")) && streamedVecs.contains(("s0/u2", "dog")),
+      s"streamed docs missing vectors: $streamedVecs")
+  }
+
   test("unvectored index refuses termVectors") {
     val b = Files.createTempDirectory("graftnovec").toString
     val df = spark.createDataFrame(PagesGen.local(10)).toDF("url", "text")
