@@ -101,6 +101,25 @@ object CheckIndex {
       }
     }
 
+    // term vectors (when present): every vector doc must exist in the doc
+    // store, and the default field's per-doc tf sum must equal fieldLen —
+    // the .tvd-vs-.fdx cross-check of CheckIndex.TestTermVectors
+    if (TermVectors.enabled(spark, indexPath)) {
+      val vecLens = spark.read.parquet(TermVectors.vectorsPath(indexPath))
+        .filter(col("segmentId").isInCollection(live) &&
+          col("field") === IndexBuilder.DefaultField)
+        .groupBy("segmentId", "docId").agg(sum("tf").as("vlen"))
+      val badVecs = vecLens
+        .join(docs.select(col("segmentId"), col("docId"), col("fieldLen")),
+          Seq("segmentId", "docId"), "left_outer")
+        .filter(col("fieldLen").isNull || col("fieldLen") =!= col("vlen"))
+        .limit(5).select("segmentId", "docId")
+        .as[(Int, Int)].collect()
+      badVecs.foreach { case (seg, d) =>
+        violations += s"seg=$seg doc=$d: term vector misaligned with doc store"
+      }
+    }
+
     // index-sorted segments: docId order must equal (sortKey, url) order
     // (Lucene.Net.Misc/Index/Sorter/Sorter.cs contract; the early-terminating
     // collector silently returns wrong top-k if this is violated)

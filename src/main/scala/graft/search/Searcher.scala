@@ -203,7 +203,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
         Window.partitionBy(col("segmentId")).orderBy(col("docId").asc)))
       .filter(col("rn") <= k)
       .select(col("segmentId"), col("docId"))
-    headPerSeg
+    // <= numSegments*k head rows: broadcast them against the doc store
+    broadcast(headPerSeg)
       .join(docs.select(col("segmentId"), col("docId"), col("url"), col("sortKey")),
         Seq("segmentId", "docId"))
       .orderBy(col("sortKey").asc, col("url").asc)

@@ -157,6 +157,8 @@ object Highlighter {
           .orderBy(col("nterm").desc, col("nmatch").desc, col("anchor").asc)))
       .filter(col("rn") === 1)
       .select(col("segmentId"), col("docId"), col("anchor"))
+    // one row per highlighted doc — unbounded, so the join strategy is left
+    // to Catalyst/AQE (callers highlight a top-k page in practice)
     best.join(se.docs.select(col("segmentId"), col("docId"), col("url")),
         Seq("segmentId", "docId"))
       .join(pages.select(col(urlCol).as("url"), col(textCol).as("vs_text")), Seq("url"))
