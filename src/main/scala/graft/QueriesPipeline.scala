@@ -101,6 +101,16 @@ object QueriesPipeline {
     "q_mlt" -> ((s, dir) =>
       TextStats.topTfIdfTerms(documents(s, dir), "doc_id", "text", 0L, 5)),
 
+    // MLT from the stored term vector (no re-analysis of the doc)
+    "q_mlt_vector" -> ((s, dir) => {
+      val se = IndexCache.searcher(s, dir)
+      val Array(seg, doc) = se.docs
+        .filter(col("url") === "doc000000000")
+        .select("segmentId", "docId").collect().head
+        .toSeq.map(_.asInstanceOf[Int]).toArray
+      TextStats.mltFromVector(se, seg, doc, 5)
+    }),
+
     // ---- multimodal plumbing (binary column + batch decode stub)
     "q_media_meta" -> ((s, dir) => {
       val media = documents(s, dir)
@@ -554,6 +564,18 @@ object QueriesPipeline {
       """SELECT doc_id,
         |  md5(array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ')) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_mlt_vector" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+        |tfq AS (SELECT doc_id, term, count(*) AS tf FROM toks GROUP BY 1, 2),
+        |dfs AS (SELECT term, count(*) AS df FROM tfq GROUP BY term),
+        |n AS (SELECT count(*) AS n FROM documents)
+        |SELECT term, CAST(row_number() OVER (ORDER BY s DESC, term) AS INT) AS rank FROM (
+        |  SELECT t.term, t.tf * ln(1 + ((n.n - d.df) + 0.5) / (d.df + 0.5)) AS s
+        |  FROM tfq t JOIN dfs d ON d.term = t.term CROSS JOIN n
+        |  WHERE t.doc_id = 0)
+        |ORDER BY s DESC, term LIMIT 5""".stripMargin,
 
     "q_mlt" ->
       """WITH toks AS (

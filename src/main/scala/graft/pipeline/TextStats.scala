@@ -87,4 +87,22 @@ object TextStats {
     graft.Ranks.rankTopK(scored, k, Seq(col("s").desc, col("term").asc))
       .select(col("term"), col("rank"))
   }
+
+  /** MoreLikeThis over INDEX-TIME term vectors — the reference's preferred
+    * path (Queries/Mlt/MoreLikeThis.cs:736 RetrieveTerms uses
+    * reader.GetTermVector when vectors were stored): the doc is never
+    * re-analyzed; its tf comes from the vector row (O(doc) fetch), df from
+    * the term dictionary. Same tf·idf ranking as [[topTfIdfTerms]].
+    */
+  def mltFromVector(se: graft.search.Searcher, segmentId: Int, docId: Int,
+                    k: Int): DataFrame = {
+    val vec = se.termVector(segmentId, docId)
+      .filter(col("field") === se.defaultField)
+      .select(col("term"), col("tf"))
+    val n = se.maxDoc
+    val scored = vec.join(se.dictionary(), "term")
+      .withColumn("s", col("tf") * log(lit(1d) + ((lit(n) - col("df")) + 0.5d) / (col("df") + 0.5d)))
+    graft.Ranks.rankTopK(scored, k, Seq(col("s").desc, col("term").asc))
+      .select(col("term"), col("rank"))
+  }
 }
