@@ -207,6 +207,17 @@ object Queries {
       out
     }),
 
+    // --- per-language analyzers (Analysis/De, Analysis/Fr): German light
+    //     stemming + stop gaps; French elision + minimal stemming
+    "q_lang_de" -> ((s, dir) =>
+      idsOf(IndexCache.deSearcher(s, dir), TermQ("feld"))),
+    "q_lang_de_phrase" -> ((s, dir) =>
+      // haus@1 .. gart@3: the gap over the stopped "und" must be exact
+      idsOf(IndexCache.deSearcher(s, dir), PhraseQ(List("haus" -> 0, "gart" -> 2)))),
+    "q_lang_fr" -> ((s, dir) =>
+      idsOf(IndexCache.frSearcher(s, dir),
+        BoolQ(List(Occur.Must -> TermQ("histoir"), Occur.Must -> TermQ("cheval"))))),
+
     // --- percolation (MemoryIndex.cs: one single-doc index per incoming
     //     doc, matched against broadcast stored queries)
     "q_percolate" -> ((s, dir) =>
@@ -656,6 +667,16 @@ object Queries {
          |CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS INT) AS rank
          |FROM documents d JOIN m ON m.doc_id = d.doc_id
          |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
+
+    // analytic twins: the language fixtures are pure functions of doc_id
+    "q_lang_de" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    "q_lang_de_phrase" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+
+    "q_lang_fr" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
 
     "q_percolate" ->
       s"""$P, m AS (

@@ -270,6 +270,43 @@ object IndexCache {
     new Searcher(spark, path, mode = ExactDouble)
   })
 
+  /** German-analyzer gate fixture: per-doc text whose GermanAnalyzer chain
+    * (lowercase -> German stops -> German2 normalization -> Savoy light
+    * stem) is analytically derivable from doc_id —
+    *   "Die Häuser und Gärten zeigen {Felder|Wälder} Bildern"
+    * => haus@1 gart@3 zeig@4 {feld|wald}@5 bild@6 (Die@0, und@2 stops). */
+  def deSearcher(spark: SparkSession, sfDir: String): Searcher = deCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_de"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        format_string("doc%09d", col("doc_id")).as("url"),
+        concat(lit("Die Häuser und Gärten zeigen "),
+          when(col("doc_id") % 2 === 0, "Felder").otherwise("Wälder"),
+          lit(" Bildern")).as("text"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "german"))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val deCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** French-analyzer gate fixture (elision + stops + minimal stem):
+    *   "Les auteurs de l'histoire donnent des {chevaux|journaux}"
+    * => auteu@1 histoir@3 donnent@4 {cheval|journal}@6. */
+  def frSearcher(spark: SparkSession, sfDir: String): Searcher = frCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_fr"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        format_string("doc%09d", col("doc_id")).as("url"),
+        concat(lit("Les auteurs de l'histoire donnent des "),
+          when(col("doc_id") % 3 === 0, "chevaux").otherwise("journaux")).as("text"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "french"))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val frCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** PerFieldSimilarityWrapper reader over the fielded gate index: the lang
     * keyword field scores TFIDF while text stays BM25 (queryNorm = coord = 1
     * per the reference wrapper's sealed non-overrides). */

@@ -275,6 +275,8 @@ object Analyzers {
     case "keyword" => KeywordAnalyzer
     case "stop" => StopAnalyzer
     case "english" => EnglishAnalyzer // standard chain + Porter stemming
+    case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
+    case "french" => FrenchAnalyzer // classic -> elision -> French stops -> minimal stem
     case "delimited_payload" => DelimitedPayloadAnalyzer
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }

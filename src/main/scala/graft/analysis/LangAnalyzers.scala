@@ -1,0 +1,209 @@
+package graft.analysis
+
+/** Per-language analyzer catalog — the Lucene.Net.Analysis.Common language
+  * packages re-expressed as token-iterator combinators over the classic
+  * grammar. Implemented members (each stemmer is a fresh implementation of
+  * Jacques Savoy's published UniNE light/minimal stemming algorithms, the
+  * same sources the reference cites):
+  *
+  *  - GermanAnalyzer (Analysis/De/GermanAnalyzer.cs:165-181 chain):
+  *    classic tokenizer -> lowercase -> German stop set ->
+  *    GermanNormalizationFilter -> GermanLightStemmer.
+  *  - FrenchAnalyzer, minimal-stem variant (Analysis/Fr/FrenchAnalyzer.cs
+  *    chain with FrenchMinimalStemmer in place of the default light
+  *    stemmer — documented subset): classic tokenizer -> elision ->
+  *    lowercase -> French stop set -> FrenchMinimalStemmer.
+  *
+  * Tokens carry ABSOLUTE positions, so dropping a stopword intrinsically
+  * preserves its position gap (the StopFilter skippedPositions contract).
+  */
+object LangAnalyzers {
+
+  /** Classic grammar + StandardFilter + LowerCase with NO stop filter —
+    * the shared front of every language chain. */
+  private[analysis] object StandardNoStop extends Analyzer {
+    override def tokenize(text: String): Iterator[Token] = new Iterator[Token] {
+      private val raw = ClassicScanner.scan(text)
+      private var pos = -1
+      private var pendingIncr = 0
+      private var nextTok: Token = null
+      advance()
+      private def advance(): Unit = {
+        nextTok = null
+        while (nextTok == null && raw.hasNext) {
+          val r0 = raw.next()
+          if (r0.end - r0.start > StandardAnalyzer.MaxTokenLength) pendingIncr += 1
+          else {
+            val r = StandardAnalyzer.standardFilter(r0)
+            pos += 1 + pendingIncr
+            pendingIncr = 0
+            nextTok = Token(StandardAnalyzer.lowerCase(r.text), pos, r.start, r.end, r.tokenType)
+          }
+        }
+      }
+      override def hasNext: Boolean = nextTok != null
+      override def next(): Token = { val t = nextTok; advance(); t }
+    }
+  }
+
+  /** German stop words (Analysis/De/GermanAnalyzer.cs:69 GERMAN_STOP_WORDS —
+    * replicated constants, required for match identity). */
+  val GermanStopWords: Set[String] = Set(
+    "einer", "eine", "eines", "einem", "einen", "der", "die", "das", "dass",
+    "daß", "du", "er", "sie", "es", "was", "wer", "wie", "wir", "und",
+    "oder", "ohne", "mit", "am", "im", "in", "aus", "auf", "ist", "sein",
+    "war", "wird", "ihr", "ihre", "ihres", "als", "für", "von", "dich",
+    "dir", "mich", "mir", "mein", "kein", "durch", "wegen")
+
+  /** French stop words (Analysis/Fr/FrenchAnalyzer.cs:71 FRENCH_STOP_WORDS —
+    * replicated constants). */
+  val FrenchStopWords: Set[String] = Set(
+    "a", "afin", "ai", "ainsi", "après", "attendu", "au", "aujourd",
+    "auquel", "aussi", "autre", "autres", "aux", "auxquelles", "auxquels",
+    "avait", "avant", "avec", "avoir", "c", "car", "ce", "ceci", "cela",
+    "celle", "celles", "celui", "cependant", "certain", "certaine",
+    "certaines", "certains", "ces", "cet", "cette", "ceux", "chez", "ci",
+    "combien", "comme", "comment", "concernant", "contre", "d", "dans",
+    "de", "debout", "dedans", "dehors", "delà", "depuis", "derrière",
+    "des", "désormais", "desquelles", "desquels", "dessous", "dessus",
+    "devant", "devers", "devra", "divers", "diverse", "diverses", "doit",
+    "donc", "dont", "du", "duquel", "durant", "dès", "elle", "elles", "en",
+    "entre", "environ", "est", "et", "etc", "etre", "eu", "eux", "excepté",
+    "hormis", "hors", "hélas", "hui", "il", "ils", "j", "je", "jusqu",
+    "jusque", "l", "la", "laquelle", "le", "lequel", "les", "lesquelles",
+    "lesquels", "leur", "leurs", "lorsque", "lui", "là", "ma", "mais",
+    "malgré", "me", "merci", "mes", "mien", "mienne", "miennes", "miens",
+    "moi", "moins", "mon", "moyennant", "même", "mêmes", "n", "ne", "ni",
+    "non", "nos", "notre", "nous", "néanmoins", "nôtre", "nôtres", "on",
+    "ont", "ou", "outre", "où", "par", "parmi", "partant", "pas", "passé",
+    "pendant", "plein", "plus", "plusieurs", "pour", "pourquoi", "proche",
+    "près", "puisque", "qu", "quand", "que", "quel", "quelle", "quelles",
+    "quels", "qui", "quoi", "quoique", "revoici", "revoilà", "s", "sa",
+    "sans", "sauf", "se", "selon", "seront", "ses", "si", "sien", "sienne",
+    "siennes", "siens", "sinon", "soi", "soit", "son", "sont", "sous",
+    "suivant", "sur", "ta", "te", "tes", "tien", "tienne", "tiennes",
+    "tiens", "toi", "ton", "tous", "tout", "toute", "toutes", "tu", "un",
+    "une", "va", "vers", "voici", "voilà", "vos", "votre", "vous", "vu",
+    "vôtre", "vôtres", "y", "à", "ça", "ès", "été", "être", "ô")
+
+  /** Elision articles (FrenchAnalyzer.cs:79 DEFAULT_ARTICLES). */
+  val FrenchArticles: Set[String] = Set(
+    "l", "m", "t", "qu", "n", "s", "j", "d", "c",
+    "jusqu", "quoiqu", "lorsqu", "puisqu")
+
+  /** GermanNormalizationFilter (Analysis/De/GermanNormalizationFilter.cs:
+    * 47-116): the German2 snowball normalization — fold umlauts to their
+    * base vowel, ß -> ss, and delete 'e' of 'ue'/'ae'/'oe' digraphs when in
+    * the umlaut state (a/o always arm it; 'u' arms it only from the
+    * ordinary state; i/q/y and folded umlauts suppress it). */
+  def germanNormalize(term: String): String = {
+    val N = 0; val V = 1; val U = 2
+    val sb = new StringBuilder
+    var state = N
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      c match {
+        case 'a' | 'o' => sb.append(c); state = U
+        case 'u' => sb.append(c); state = if (state == N) U else V
+        case 'e' =>
+          if (state == U) () // delete the 'e' of the digraph
+          else sb.append(c)
+          state = V
+        case 'i' | 'q' | 'y' => sb.append(c); state = V
+        case 'ä' => sb.append('a'); state = V
+        case 'ö' => sb.append('o'); state = V
+        case 'ü' => sb.append('u'); state = V
+        case 'ß' => sb.append('s').append('s'); state = N
+        case other => sb.append(other); state = N
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  /** GermanLightStemmer (Analysis/De/GermanLightStemmer.cs:66-175; Savoy's
+    * UniNE light German algorithm): fold accented vowels, then two suffix
+    * steps. */
+  def germanLightStem(term0: String): String = {
+    val folded = term0.map {
+      case 'ä' | 'à' | 'á' | 'â' => 'a'
+      case 'ö' | 'ò' | 'ó' | 'ô' => 'o'
+      case 'ï' | 'ì' | 'í' | 'î' => 'i'
+      case 'ü' | 'ù' | 'ú' | 'û' => 'u'
+      case c => c
+    }
+    def stEnding(ch: Char): Boolean = "bdfghklmnt".indexOf(ch) >= 0
+    def step1(s: String): String = {
+      val len = s.length
+      if (len > 5 && s.endsWith("ern")) s.dropRight(3)
+      else if (len > 4 && len >= 2 && s.charAt(len - 2) == 'e' &&
+               "mnrs".indexOf(s.charAt(len - 1)) >= 0) s.dropRight(2)
+      else if (len > 3 && s.charAt(len - 1) == 'e') s.dropRight(1)
+      else if (len > 3 && s.charAt(len - 1) == 's' && stEnding(s.charAt(len - 2)))
+        s.dropRight(1)
+      else s
+    }
+    def step2(s: String): String = {
+      val len = s.length
+      if (len > 5 && s.endsWith("est")) s.dropRight(3)
+      else if (len > 4 && s.charAt(len - 2) == 'e' &&
+               (s.charAt(len - 1) == 'r' || s.charAt(len - 1) == 'n')) s.dropRight(2)
+      else if (len > 4 && s.endsWith("st") && stEnding(s.charAt(len - 3))) s.dropRight(2)
+      else s
+    }
+    step2(step1(folded))
+  }
+
+  /** FrenchMinimalStemmer (Analysis/Fr/FrenchMinimalStemmer.cs:68-108;
+    * Savoy's minimal French algorithm): aux -> al, then strip final
+    * s / r / e / é and a doubled final letter, words of length >= 6 only. */
+  def frenchMinimalStem(term: String): String = {
+    if (term.length < 6) return term
+    val buf = term.toCharArray
+    var len = buf.length
+    if (buf(len - 1) == 'x') {
+      if (buf(len - 3) == 'a' && buf(len - 2) == 'u') buf(len - 2) = 'l'
+      len -= 1
+      return new String(buf, 0, len)
+    }
+    if (buf(len - 1) == 's') len -= 1
+    if (buf(len - 1) == 'r') len -= 1
+    if (buf(len - 1) == 'e') len -= 1
+    if (buf(len - 1) == 'é') len -= 1
+    if (len >= 2 && buf(len - 1) == buf(len - 2)) len -= 1
+    new String(buf, 0, len)
+  }
+
+  /** ElisionFilter (Analysis/Util/ElisionFilter.cs + FrenchAnalyzer
+    * DEFAULT_ARTICLES): strip a leading article + apostrophe
+    * (l'histoire -> histoire). */
+  def elide(term: String): String = {
+    val i = term.indexOf('\'')
+    if (i > 0 && FrenchArticles.contains(term.substring(0, i)))
+      term.substring(i + 1)
+    else term
+  }
+}
+
+/** German chain: classic grammar -> lowercase -> German stops ->
+  * normalization -> light stem (GermanAnalyzer.cs:165-181). */
+object GermanAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => GermanStopWords.contains(t.term))
+      .map(t => t.copy(term = germanLightStem(germanNormalize(t.term))))
+}
+
+/** French chain (minimal-stem variant): classic grammar -> elision ->
+  * lowercase -> French stops -> minimal stem (FrenchAnalyzer.cs chain;
+  * FrenchMinimalStemFilter in place of the default light stemmer). */
+object FrenchAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .map(t => t.copy(term = elide(t.term)))
+      .filterNot(t => FrenchStopWords.contains(t.term))
+      .map(t => t.copy(term = frenchMinimalStem(t.term)))
+}
