@@ -369,6 +369,10 @@ object Queries {
     "q_lmjm_topk" -> ((s, dir) => ranked(IndexCache.lmJmSearcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
 
+    // --- SweetSpotSimilarity: TFIDF with a plateau lengthNorm
+    "q_sweet_topk" -> ((s, dir) => ranked(IndexCache.sweetSearcher(s, dir).search(
+      BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+
     // --- DFR I(n)L2 and IB LL-DF-H2 (SimilarityBase family)
     "q_dfr_topk" -> ((s, dir) => ranked(IndexCache.dfrSearcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
@@ -851,6 +855,52 @@ object Queries {
     "q_field_parsed" ->
       s"""$P SELECT DISTINCT doc_id FROM tf JOIN documents USING (doc_id)
          |WHERE term = 'stream' AND source = 'src3' ORDER BY doc_id""".stripMargin,
+
+    // sweet-spot twin: TFIDF chain with lnorm = 1/sqrt(0.5*(|dl-20|+|dl-40|-20)+1)
+    "q_sweet_topk" ->
+      s"""$P, iv AS (SELECT ln(c.n / CAST(d.df + 1 AS DOUBLE)) + 1.0 AS idf
+         |  FROM dfs d CROSS JOIN consts c WHERE d.term = 'vector'),
+         |iw AS (SELECT ln(c.n / CAST(d.df + 1 AS DOUBLE)) + 1.0 AS idf
+         |  FROM dfs d CROSS JOIN consts c WHERE d.term = 'stream'),
+         |qn AS (SELECT 1.0 / sqrt(iv.idf * iv.idf + iw.idf * iw.idf) AS v FROM iv, iw),
+         |sa AS (SELECT tf.doc_id,
+         |    (sqrt(tf.tf) * (((iv.idf * 1.0) * qn.v) * iv.idf)) *
+         |    (1.0 / sqrt(0.5 * (abs(dl.dl - 20) + abs(dl.dl - 40) - 20) + 1.0)) AS s
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN iv CROSS JOIN qn WHERE tf.term = 'vector'),
+         |sb AS (SELECT tf.doc_id,
+         |    (sqrt(tf.tf) * (((iw.idf * 1.0) * qn.v) * iw.idf)) *
+         |    (1.0 / sqrt(0.5 * (abs(dl.dl - 20) + abs(dl.dl - 40) - 20) + 1.0)) AS s
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN iw CROSS JOIN qn WHERE tf.term = 'stream'),
+         |m AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    (coalesce(a.s, 0) + coalesce(b.s, 0)) *
+         |    (CAST((CASE WHEN a.s IS NOT NULL THEN 1 ELSE 0 END +
+         |           CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 2) AS s
+         |  FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM m ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // sweet-spot twin: TFIDF chain with lnorm = 1/sqrt(0.5*(|dl-20|+|dl-40|-20)+1)
+    "q_sweet_topk" ->
+      s"""$P, iv AS (SELECT ln(c.n / CAST(d.df + 1 AS DOUBLE)) + 1.0 AS idf
+         |  FROM dfs d CROSS JOIN consts c WHERE d.term = 'vector'),
+         |iw AS (SELECT ln(c.n / CAST(d.df + 1 AS DOUBLE)) + 1.0 AS idf
+         |  FROM dfs d CROSS JOIN consts c WHERE d.term = 'stream'),
+         |qn AS (SELECT 1.0 / sqrt(iv.idf * iv.idf + iw.idf * iw.idf) AS v FROM iv, iw),
+         |sa AS (SELECT tf.doc_id,
+         |    (sqrt(tf.tf) * (((iv.idf * 1.0) * qn.v) * iv.idf)) *
+         |    (1.0 / sqrt(0.5 * (abs(dl.dl - 20) + abs(dl.dl - 40) - 20) + 1.0)) AS s
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN iv CROSS JOIN qn WHERE tf.term = 'vector'),
+         |sb AS (SELECT tf.doc_id,
+         |    (sqrt(tf.tf) * (((iw.idf * 1.0) * qn.v) * iw.idf)) *
+         |    (1.0 / sqrt(0.5 * (abs(dl.dl - 20) + abs(dl.dl - 40) - 20) + 1.0)) AS s
+         |  FROM tf JOIN dl USING (doc_id) CROSS JOIN iw CROSS JOIN qn WHERE tf.term = 'stream'),
+         |m AS (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |    (coalesce(a.s, 0) + coalesce(b.s, 0)) *
+         |    (CAST((CASE WHEN a.s IS NOT NULL THEN 1 ELSE 0 END +
+         |           CASE WHEN b.s IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / 2) AS s
+         |  FROM sa a FULL OUTER JOIN sb b ON a.doc_id = b.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM m ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_tfidf_topk" ->
       s"""$P, iv AS (SELECT ln(c.n / CAST(d.df + 1 AS DOUBLE)) + 1.0 AS idf

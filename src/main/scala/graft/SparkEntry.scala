@@ -113,6 +113,15 @@ object IndexCache {
   })
   private val jcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** SweetSpotSimilarity reader (plateau lengthNorm 20..40, steep 0.5)
+    * over the main gate index, ExactDouble for the oracle. */
+  def sweetSearcher(spark: SparkSession, sfDir: String): Searcher = swCache.getOrElseUpdate(sfDir, {
+    searcher(spark, sfDir)
+    new Searcher(spark, indexPath(sfDir), mode = ExactDouble,
+      similarity = SweetSpotSim(lnMin = 20, lnMax = 40, steep = 0.5f))
+  })
+  private val swCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** DFR I(n)L2 (c=1) reader over the main gate index. */
   def dfrSearcher(spark: SparkSession, sfDir: String): Searcher = dfrCache.getOrElseUpdate(sfDir, {
     searcher(spark, sfDir)

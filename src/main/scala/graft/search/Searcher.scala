@@ -54,6 +54,16 @@ final case class LmDirichletSim(mu: Float = 2000f) extends SimilarityKind
   */
 final case class LmJelinekMercerSim(lambda: Float = 0.5f) extends SimilarityKind
 
+/** SweetSpotSimilarity (Lucene.Net.Misc/Misc/SweetSpotSimilarity.cs:
+  * 95-175): DefaultSimilarity with a plateau lengthNorm —
+  * 1/sqrt(steep*(|len-min| + |len-max| - (max-min)) + 1) — and the
+  * baselineTf tf function ((x<=min) ? base : sqrt(x + base^2 - min), 0 at
+  * 0). Defaults degrade to TFIDF exactly (min=max=1, steep=0.5, tf 0/0).
+  * Inherits TFIDF's idf, coord and queryNorm (it extends
+  * DefaultSimilarity). */
+final case class SweetSpotSim(lnMin: Int = 1, lnMax: Int = 1, steep: Float = 0.5f,
+                              tfBase: Float = 0f, tfMin: Float = 0f) extends SimilarityKind
+
 /** DFR (divergence from randomness) similarity, the I(n)L2 member:
   * BasicModelIn + AfterEffectL + NormalizationH2(c)
   * (Search/Similarities/DFRSimilarity.cs:107-111, BasicModelIn.cs,
@@ -340,11 +350,13 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * summed idf — IdfExplain(TermStatistics[])). LM similarities do not use
     * idf; they get the BM25 formula for explain decoration only. */
   private[search] def idfFloat(df: Long): Float = similarity match {
-    case TfIdfSim => (math.log(maxDoc / (df + 1).toDouble) + 1.0).toFloat
+    case TfIdfSim | SweetSpotSim(_, _, _, _, _) =>
+      (math.log(maxDoc / (df + 1).toDouble) + 1.0).toFloat
     case _ => bm25.idf(df, maxDoc)
   }
   private[search] def idfDouble(df: Long): Double = similarity match {
-    case TfIdfSim => math.log(maxDoc / (df + 1).toDouble) + 1.0
+    case TfIdfSim | SweetSpotSim(_, _, _, _, _) =>
+      math.log(maxDoc / (df + 1).toDouble) + 1.0
     case _ => math.log(1 + (maxDoc - df + 0.5d) / (df + 0.5d))
   }
 
@@ -450,6 +462,39 @@ final class Searcher(spark: SparkSession, indexPath: String,
           }
           acc
         }
+      case (SweetSpotSim(lnMin, lnMax, steep, tfBase, tfMin), LuceneFloat) =>
+        // DefaultSimilarity score chain with SweetSpot's tf and the plateau
+        // lengthNorm quantized through the same byte315 norm byte the
+        // reference encodes at index time (SweetSpotSimilarity.cs:108-157)
+        val idf = idfSumOverride.getOrElse((math.log(maxDoc / (df + 1).toDouble) + 1.0).toFloat)
+        val qw = idf * boost * qn.toFloat
+        val value = qw * idf
+        (tf: Double, len: Int) => {
+          val x = tf.toFloat
+          val tff =
+            if (x == 0f) 0f
+            else if (x <= tfMin) tfBase
+            else math.sqrt((x + tfBase * tfBase - tfMin).toDouble).toFloat
+          val lnorm = (1.0f / math.sqrt(
+            (steep * (math.abs(len - lnMin) + math.abs(len - lnMax) - (lnMax - lnMin)).toFloat
+              + 1.0f).toDouble)).toFloat
+          val nb = SmallFloat.floatToByte315(lnorm)
+          (tff * value * SmallFloat.byte315ToFloat(nb)).toDouble
+        }
+      case (SweetSpotSim(lnMin, lnMax, steep, tfBase, tfMin), ExactDouble) =>
+        // unquantized double twin, SQL-replicable
+        val idf = idfSumOverrideD.getOrElse(math.log(maxDoc / (df + 1).toDouble) + 1.0)
+        val value = ((idf * boost) * qn) * idf
+        val sD = steep.toDouble; val bD = tfBase.toDouble; val mD = tfMin.toDouble
+        (tf: Double, len: Int) => {
+          val tff =
+            if (tf == 0d) 0d
+            else if (tf <= mD) bD
+            else math.sqrt(tf + bD * bD - mD)
+          val lnorm = 1.0 / math.sqrt(
+            sD * (math.abs(len - lnMin) + math.abs(len - lnMax) - (lnMax - lnMin)) + 1.0)
+          (tff * value) * lnorm
+        }
       case (DfrInL2Sim(c), LuceneFloat) =>
         // DFRSimilarity.Score (Search/Similarities/DFRSimilarity.cs:107-111)
         // with BasicModelIn + AfterEffectL + NormalizationH2:
@@ -535,7 +580,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
       1d // PerFieldSimilarityWrapper never overrides QueryNorm (base 1f)
     case Bm25Sim | LmDirichletSim(_) | LmJelinekMercerSim(_) | DfrInL2Sim(_) | IbLlSim(_) =>
       1d // Similarity.QueryNorm default 1f (SimilarityBase likewise)
-    case TfIdfSim =>
+    case TfIdfSim | SweetSpotSim(_, _, _, _, _) =>
       def phraseIdfF(terms: List[String], field: String): Float =
         terms.map(t => idfFloat(stats.get((field, t)).map(_._1).getOrElse(0L))).foldLeft(0f)(_ + _)
       def phraseIdfD(terms: List[String], field: String): Double =
@@ -792,9 +837,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
   private def coordFactors(maxCoord: Int): Array[Double] = (similarity, mode) match {
     case _ if perFieldSimilarity.nonEmpty =>
       Array.fill(maxCoord + 1)(1d) // wrapper never overrides Coord (base 1f)
-    case (TfIdfSim, LuceneFloat) =>
+    case (TfIdfSim | SweetSpotSim(_, _, _, _, _), LuceneFloat) =>
       Array.tabulate(maxCoord + 1)(i => (i / maxCoord.toFloat).toDouble)
-    case (TfIdfSim, ExactDouble) =>
+    case (TfIdfSim | SweetSpotSim(_, _, _, _, _), ExactDouble) =>
       Array.tabulate(maxCoord + 1)(i => i.toDouble / maxCoord)
     case _ => Array.fill(maxCoord + 1)(1d) // BM25 / LM: Similarity.Coord = 1f
   }

@@ -42,6 +42,39 @@ class TfIdfSpec extends AnyFunSuite {
   private val mid = PagesGen.word(50)
   private val rare = PagesGen.word(800)
 
+  test("SweetSpot with default factors degrades to TFIDF exactly") {
+    // min=max=1, steep=0.5 => lengthNorm = 1/sqrt(len); tf 0/0 => sqrt(freq)
+    // (SweetSpotSimilarity.cs:137-139 doc note)
+    val sweet = new Searcher(spark, idx, similarity = SweetSpotSim())
+    val q = BoolQ(List(Occur.Should -> TermQ(PagesGen.word(2)),
+      Occur.Should -> TermQ(PagesGen.word(50))))
+    val a = tfidf.search(q, 50).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val b = sweet.search(q, 50).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(a == b)
+    assert(a.nonEmpty)
+  }
+
+  test("SweetSpot plateau: lengths inside [min,max] norm to 1") {
+    val sweet = new Searcher(spark, idx, mode = ExactDouble,
+      similarity = SweetSpotSim(lnMin = 1, lnMax = 10000, steep = 0.5f))
+    val plain = new Searcher(spark, idx, mode = ExactDouble, similarity = TfIdfSim)
+    val t = TermQ(PagesGen.word(2))
+    // every doc length falls inside the plateau => scores are the TFIDF
+    // scores with the lengthNorm factor forced to exactly 1
+    val got = sweet.search(t, 20).collect().map(r => (r.getString(0), r.getDouble(1))).toMap
+    val base = plain.compile(t)
+      .join(plain.docs.select(org.apache.spark.sql.functions.col("segmentId"),
+        org.apache.spark.sql.functions.col("docId"),
+        org.apache.spark.sql.functions.col("url"),
+        org.apache.spark.sql.functions.col("fieldLen")), Seq("segmentId", "docId"))
+      .collect().map(r => (r.getAs[String]("url"),
+        r.getAs[Double]("score") * math.sqrt(r.getAs[Int]("fieldLen").toDouble))).toMap
+    got.foreach { case (u, s) =>
+      assert(math.abs(s - base(u)) < 1e-9 * math.abs(s), s"plateau norm wrong for $u")
+    }
+    assert(got.nonEmpty)
+  }
+
   test("term query identical to oracle") {
     checkIdentical(TermQ(freq))
     checkIdentical(TermQ(rare))
