@@ -276,7 +276,8 @@ object Analyzers {
     case "stop" => StopAnalyzer
     case "english" => EnglishAnalyzer // standard chain + Porter stemming
     case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
-    case "french" => FrenchAnalyzer // classic -> elision -> French stops -> minimal stem
+    case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
+    case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant
     case "delimited_payload" => DelimitedPayloadAnalyzer
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }

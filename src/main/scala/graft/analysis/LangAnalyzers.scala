@@ -175,6 +175,96 @@ object LangAnalyzers {
     new String(buf, 0, len)
   }
 
+  /** FrenchLightStemmer (Analysis/Fr/FrenchLightStemmer.cs:66-300; Savoy's
+    * UniNE light French algorithm, the FrenchAnalyzer default): plural /
+    * derivational suffix rewrites (x, s, issement->ir, ateur->er,
+    * trice->teur, ique, euse, ive->if, ...) followed by `norm` — accent
+    * folding, adjacent-duplicate collapse, -ie strip and final r/e/e/dup
+    * trimming, all gated on length > 4. */
+  def frenchLightStem(term: String): String = {
+    var s = term.toCharArray
+    var len = s.length
+    def endsWith(suf: String): Boolean =
+      len >= suf.length && (0 until suf.length).forall(i => s(len - suf.length + i) == suf(i))
+    def norm(): String = {
+      if (len > 4) {
+        var i = 0
+        while (i < len) {
+          s(i) match {
+            case 'à' | 'á' | 'â' => s(i) = 'a'
+            case 'ô' => s(i) = 'o'
+            case 'è' | 'é' | 'ê' => s(i) = 'e'
+            case 'ù' | 'û' => s(i) = 'u'
+            case 'î' => s(i) = 'i'
+            case 'ç' => s(i) = 'c'
+            case _ =>
+          }
+          i += 1
+        }
+        // collapse runs of a repeated letter to one occurrence
+        var ch = s(0)
+        i = 1
+        while (i < len) {
+          if (s(i) == ch && Character.isLetter(ch)) {
+            System.arraycopy(s, i + 1, s, i, len - i - 1)
+            len -= 1
+          } else { ch = s(i); i += 1 }
+        }
+      }
+      if (len > 4 && endsWith("ie")) len -= 2
+      if (len > 4) {
+        if (s(len - 1) == 'r') len -= 1
+        if (s(len - 1) == 'e') len -= 1
+        if (s(len - 1) == 'e') len -= 1
+        if (s(len - 1) == s(len - 2) && Character.isLetter(s(len - 1))) len -= 1
+      }
+      new String(s, 0, len)
+    }
+
+    if (len > 5 && s(len - 1) == 'x') {
+      if (s(len - 3) == 'a' && s(len - 2) == 'u' && s(len - 4) != 'e') s(len - 2) = 'l'
+      len -= 1
+    }
+    if (len > 3 && s(len - 1) == 'x') len -= 1
+    if (len > 3 && s(len - 1) == 's') len -= 1
+    if (len > 9 && endsWith("issement")) { len -= 6; s(len - 1) = 'r'; return norm() }
+    if (len > 8 && endsWith("issant")) { len -= 4; s(len - 1) = 'r'; return norm() }
+    if (len > 6 && endsWith("ement")) {
+      len -= 4
+      if (len > 3 && endsWith("ive")) { len -= 1; s(len - 1) = 'f' }
+      return norm()
+    }
+    if (len > 11 && endsWith("ficatrice")) { len -= 5; s(len - 2) = 'e'; s(len - 1) = 'r'; return norm() }
+    if (len > 10 && endsWith("ficateur")) { len -= 4; s(len - 2) = 'e'; s(len - 1) = 'r'; return norm() }
+    if (len > 9 && endsWith("catrice")) { len -= 3; s(len - 4) = 'q'; s(len - 3) = 'u'; s(len - 2) = 'e'; return norm() }
+    if (len > 8 && endsWith("cateur")) { len -= 2; s(len - 4) = 'q'; s(len - 3) = 'u'; s(len - 2) = 'e'; s(len - 1) = 'r'; return norm() }
+    if (len > 8 && endsWith("atrice")) { len -= 4; s(len - 2) = 'e'; s(len - 1) = 'r'; return norm() }
+    if (len > 7 && endsWith("ateur")) { len -= 3; s(len - 2) = 'e'; s(len - 1) = 'r'; return norm() }
+    if (len > 6 && endsWith("trice")) { len -= 1; s(len - 3) = 'e'; s(len - 2) = 'u'; s(len - 1) = 'r' }
+    if (len > 5 && endsWith("ième")) { len -= 4; return norm() }
+    if (len > 7 && endsWith("teuse")) { len -= 2; s(len - 1) = 'r'; return norm() }
+    if (len > 6 && endsWith("teur")) { len -= 1; s(len - 1) = 'r'; return norm() }
+    if (len > 5 && endsWith("euse")) { len -= 2; return norm() }
+    if (len > 8 && endsWith("ère")) { len -= 1; s(len - 2) = 'e'; return norm() }
+    if (len > 7 && endsWith("ive")) { len -= 1; s(len - 1) = 'f'; return norm() }
+    if (len > 4 && (endsWith("folle") || endsWith("molle"))) { len -= 2; s(len - 1) = 'u'; return norm() }
+    if (len > 9 && endsWith("nnelle")) { len -= 5; return norm() }
+    if (len > 9 && endsWith("nnel")) { len -= 3; return norm() }
+    if (len > 4 && endsWith("ète")) { len -= 1; s(len - 2) = 'e' }
+    if (len > 8 && endsWith("ique")) len -= 4
+    if (len > 8 && endsWith("esse")) { len -= 3; return norm() }
+    if (len > 7 && endsWith("inage")) { len -= 3; return norm() }
+    if (len > 9 && endsWith("isation")) {
+      len -= 7
+      if (len > 5 && endsWith("ual")) s(len - 2) = 'e'
+      return norm()
+    }
+    if (len > 9 && endsWith("isateur")) { len -= 7; return norm() }
+    if (len > 8 && endsWith("ation")) { len -= 5; return norm() }
+    if (len > 8 && endsWith("ition")) { len -= 5; return norm() }
+    norm()
+  }
+
   /** ElisionFilter (Analysis/Util/ElisionFilter.cs + FrenchAnalyzer
     * DEFAULT_ARTICLES): strip a leading article + apostrophe
     * (l'histoire -> histoire). */
@@ -196,10 +286,19 @@ object GermanAnalyzer extends Analyzer {
       .map(t => t.copy(term = germanLightStem(germanNormalize(t.term))))
 }
 
-/** French chain (minimal-stem variant): classic grammar -> elision ->
-  * lowercase -> French stops -> minimal stem (FrenchAnalyzer.cs chain;
-  * FrenchMinimalStemFilter in place of the default light stemmer). */
+/** French chain: classic grammar -> elision -> lowercase -> French stops ->
+  * LIGHT stem (FrenchAnalyzer.cs default chain with FrenchLightStemFilter). */
 object FrenchAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .map(t => t.copy(term = elide(t.term)))
+      .filterNot(t => FrenchStopWords.contains(t.term))
+      .map(t => t.copy(term = frenchLightStem(t.term)))
+}
+
+/** French minimal-stem variant (FrenchMinimalStemFilter catalog entry). */
+object FrenchMinimalAnalyzer extends Analyzer {
   import LangAnalyzers._
   override def tokenize(text: String): Iterator[Token] =
     StandardNoStop.tokenize(text)

@@ -35,12 +35,21 @@ class LangAnalyzersSpec extends AnyFunSuite {
     assert(LangAnalyzers.germanLightStem("haus") == "haus") // -s only after stEnding; 'u' is not
   }
 
-  test("French chain: elision, stops, minimal stemming, aux -> al") {
+  test("French chain: elision, stops, light stemming, aux -> al") {
+    // light stem: "donnent" collapses its nn run in norm()
     assert(toks(FrenchAnalyzer, "Les auteurs de l'histoire donnent des chevaux") ==
-      List("auteu" -> 1, "histoir" -> 3, "donnent" -> 4, "cheval" -> 6))
+      List("auteu" -> 1, "histoir" -> 3, "donent" -> 4, "cheval" -> 6))
     assert(LangAnalyzers.frenchMinimalStem("journaux") == "journal")
     assert(LangAnalyzers.frenchMinimalStem("belles") == "bel") // -s, -e, then doubled l
     assert(LangAnalyzers.frenchMinimalStem("cinq") == "cinq") // < 6 chars untouched
+  }
+
+  test("French light stemmer goldens (suffix rewrites + norm)") {
+    assert(LangAnalyzers.frenchLightStem("chevaux") == "cheval")
+    assert(LangAnalyzers.frenchLightStem("actrice") == "acteu") // trice->teur, then norm -r
+    assert(LangAnalyzers.frenchLightStem("acteurs") == "acteu") // convergent with actrice
+    assert(LangAnalyzers.frenchLightStem("heureusement") == "heureus") // -ement, norm -e
+    assert(LangAnalyzers.frenchLightStem("nationalisation") == "national")
   }
 
   test("analyzer catalog registers the language chains") {
