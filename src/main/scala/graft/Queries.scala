@@ -207,6 +207,50 @@ object Queries {
       out
     }),
 
+    // --- JoinUtil with a ScoreMode (Join/JoinUtil.cs:18-67 CreateJoinQuery):
+    //     from-side BM25 scores aggregate (Max mode) onto to-side docs
+    //     through the join field — the scored query-time join
+    "q_join_score" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val docsTbl = s.read.parquet(s"$dir/documents.parquet")
+      val fromScores = se.compile(TermQ("vector"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+        .join(docsTbl.select("doc_id", "source"), "doc_id")
+        .groupBy("source").agg(max("score").as("js"))
+      val to = docsTbl.select(col("doc_id"), col("source"))
+        .join(broadcast(fromScores), "source")
+      Ranks.rankTopK(to.select(col("doc_id"), col("js")), 15,
+          Seq(col("js").desc, col("doc_id").asc))
+        .select("doc_id", "rank")
+    }),
+
+    // --- AllGroupsCollector (Grouping/AbstractAllGroupsCollector.cs):
+    //     the number of distinct groups among a query's matches
+    "q_group_all" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val docsTbl = s.read.parquet(s"$dir/documents.parquet")
+      se.compile(TermQ("vector"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+        .join(docsTbl.select("doc_id", "source"), "doc_id")
+        .agg(countDistinct("source").as("groups"))
+    }),
+
+    // --- DistinctValuesCollector (Grouping/Term/TermDistinctValuesCollector
+    //     .cs): per group, the count of distinct values of a second field
+    //     among the matches
+    "q_group_distinct" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val docsTbl = s.read.parquet(s"$dir/documents.parquet")
+      se.compile(TermQ("vector"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+        .join(docsTbl.select("doc_id", "source", "lang"), "doc_id")
+        .groupBy("source").agg(countDistinct("lang").as("nlang"))
+        .orderBy("source")
+    }),
+
     // --- per-language analyzers (Analysis/De, Analysis/Fr): German light
     //     stemming + stop gaps; French elision + minimal stemming
     "q_lang_de" -> ((s, dir) =>
@@ -671,6 +715,26 @@ object Queries {
          |CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS INT) AS rank
          |FROM documents d JOIN m ON m.doc_id = d.doc_id
          |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
+
+    "q_join_score" ->
+      s"""$P, ${scoreCte("a", "vector")},
+         |m AS (SELECT d.source, max(sc.s) AS js
+         |  FROM scores_a sc JOIN documents d USING (doc_id) GROUP BY d.source)
+         |SELECT d.doc_id,
+         |  CAST(row_number() OVER (ORDER BY m.js DESC, d.doc_id) AS INT) AS rank
+         |FROM documents d JOIN m USING (source)
+         |ORDER BY m.js DESC, d.doc_id LIMIT 15""".stripMargin,
+
+    "q_group_all" ->
+      s"""$P SELECT count(DISTINCT d.source) AS groups
+         |FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') q
+         |JOIN documents d USING (doc_id)""".stripMargin,
+
+    "q_group_distinct" ->
+      s"""$P SELECT d.source, count(DISTINCT d.lang) AS nlang
+         |FROM (SELECT DISTINCT doc_id FROM tf WHERE term = 'vector') q
+         |JOIN documents d USING (doc_id)
+         |GROUP BY d.source ORDER BY d.source""".stripMargin,
 
     // analytic twins: the language fixtures are pure functions of doc_id
     "q_lang_de" ->
