@@ -114,6 +114,11 @@ object Queries {
     "q_phrase_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
       PhraseQ(List("hash" -> 0, "join" -> 1)), 10))),
 
+    // --- sloppy phrase through the gate (SloppyPhraseScorer: 2-term match
+    //     iff |posB - posA - 1| <= slop; transposed order costs 2)
+    "q_phrase_sloppy" -> ((s, dir) => idsOf(searcher(s, dir),
+      PhraseQ(List("hash" -> 0, "join" -> 1), slop = 2))),
+
     // --- dictionary expansion (Prefix/Range/Wildcard/Fuzzy, MultiTermQuery)
     "q_prefix" -> ((s, dir) => idsOf(searcher(s, dir), PrefixQ("sp"))),
     "q_range" -> ((s, dir) => idsOf(searcher(s, dir),
@@ -547,6 +552,35 @@ object Queries {
       SpanMatchQ(SpanNearS(List(SpanTermS("vector"), SpanTermS("stream")), 1, inOrder = false)))),
 
     // --- FilteredQuery analog: search restricted by a metadata predicate
+    // --- BoostingQuery (Queries/BoostingQuery.cs): full scores for the
+    //     match query, demoted (x boost) where the context query also hits
+    "q_boosting" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val ctx = se.compile(TermQ("stream")).select(col("segmentId"), col("docId"))
+        .withColumn("inctx", lit(1))
+      val hits = se.compile(TermQ("vector"))
+        .join(broadcast(ctx), Seq("segmentId", "docId"), "left_outer")
+        .withColumn("score",
+          when(col("inctx").isNotNull, col("score") * 0.5d).otherwise(col("score")))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      IndexCache.rankedIds(hits.select("url", "score", "segmentId", "docId"))
+    }),
+
+    // --- ChainedFilter (Queries/ChainedFilter.cs AND/OR/ANDNOT chains):
+    //     (source=src1 OR source=src3) ANDNOT lang='en', over a term query
+    "q_chained_filter" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val meta = s.read.parquet(s"$dir/documents.parquet")
+        .filter((col("source") === "src1" || col("source") === "src3") &&
+          col("lang") =!= "en")
+        .select(format_string("doc%09d", col("doc_id")).as("url"))
+      se.compile(TermQ("vector"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .join(meta, Seq("url"), "left_semi")
+        .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     "q_filtered" -> ((s, dir) => {
       val se = searcher(s, dir)
       val allowed = s.read.parquet(s"$dir/documents.parquet")
@@ -629,6 +663,12 @@ object Queries {
     "q_phrase" ->
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
          |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'hash' AND b.term = 'join' ORDER BY 1""".stripMargin,
+
+    // 2-term sloppy predicate: |posB - posA - 1| <= slop (transposition = 2)
+    "q_phrase_sloppy" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND abs(b.pos - a.pos - 1) <= 2
          |WHERE a.term = 'hash' AND b.term = 'join' ORDER BY 1""".stripMargin,
 
     "q_phrase_topk" ->
@@ -1311,6 +1351,20 @@ object Queries {
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
          |FROM scores_a JOIN documents USING (doc_id)
          |WHERE source = 'src3' ORDER BY rank""".stripMargin,
+
+    "q_boosting" ->
+      s"""$P, ${scoreCte("a", "vector")},
+         |ctx AS (SELECT DISTINCT doc_id FROM tf WHERE term = 'stream'),
+         |b AS (SELECT sc.doc_id,
+         |    CASE WHEN c.doc_id IS NOT NULL THEN sc.s * 0.5 ELSE sc.s END AS s
+         |  FROM scores_a sc LEFT JOIN ctx c ON c.doc_id = sc.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM b ORDER BY rank""".stripMargin,
+
+    "q_chained_filter" ->
+      s"""$P SELECT DISTINCT t.doc_id FROM tf t JOIN documents d USING (doc_id)
+         |WHERE t.term = 'vector' AND (d.source = 'src1' OR d.source = 'src3')
+         |  AND d.lang <> 'en' ORDER BY 1""".stripMargin,
 
     "q_custom_score" ->
       s"""$P, ${scoreCte("a", "vector")}
