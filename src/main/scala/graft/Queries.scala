@@ -212,6 +212,15 @@ object Queries {
       out
     }),
 
+    // --- streaming appends through the gate (StreamingIndexer band ids +
+    //     cross-band reads): batch + streamed halves answer as one index
+    "q_streamed_docs" -> ((s, dir) =>
+      idsOf(IndexCache.streamedSearcher(s, dir), TermQ("data"))),
+    "q_streamed_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq(IndexCache.streamedSearcher(s, dir).count(MatchAllQ)).toDF("cnt")
+    }),
+
     // --- JoinUtil with a ScoreMode (Join/JoinUtil.cs:18-67 CreateJoinQuery):
     //     from-side BM25 scores aggregate (Max mode) onto to-side docs
     //     through the join field — the scored query-time join
@@ -755,6 +764,12 @@ object Queries {
          |CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS INT) AS rank
          |FROM documents d JOIN m ON m.doc_id = d.doc_id
          |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
+
+    "q_streamed_docs" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf WHERE term = 'data' ORDER BY doc_id""",
+
+    "q_streamed_count" ->
+      """SELECT count(*) AS cnt FROM documents""",
 
     "q_join_score" ->
       s"""$P, ${scoreCte("a", "vector")},

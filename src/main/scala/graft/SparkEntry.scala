@@ -316,6 +316,26 @@ object IndexCache {
   })
   private val frCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs
+    * < 50 appended through StreamingIndexer.appendBatch into the streaming
+    * id band (2^20..) — the gate then queries across both bands, putting
+    * the incremental-indexing path under the DuckDB oracle. */
+  def streamedSearcher(spark: SparkSession, sfDir: String): Searcher = stCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_streamed"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val all = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(format_string("doc%09d", col("doc_id")).as("url"), col("text"),
+          col("doc_id"))
+      IndexBuilder.build(spark, all.filter(col("doc_id") >= 50).drop("doc_id"), path,
+        IndexBuilder.BuildConfig(numSegments = 2, analyzerName = "simple"))
+      graft.streaming.StreamingIndexer.appendBatch(spark,
+        all.filter(col("doc_id") < 50).drop("doc_id"), path,
+        "simple", segmentsPerBatch = 2, batchId = 0L)
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val stCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** PerFieldSimilarityWrapper reader over the fielded gate index: the lang
     * keyword field scores TFIDF while text stays BM25 (queryNorm = coord = 1
     * per the reference wrapper's sealed non-overrides). */
