@@ -244,7 +244,12 @@ object IndexCache {
         .filter(col("source") === "src1")
         .select(format_string("doc%09d", col("doc_id")).as("url"))
       graft.build.Deletes.deleteUrls(spark, path, urls)
-      graft.merge.MergeJob.merge(spark, path, List(0, 1, 2, 3))
+      // through the SCHEDULER (mergeToPolicy), not a hand-picked merge —
+      // the gate then covers TieredMergePolicy selection + merge rounds
+      val merges = graft.merge.MergeJob.mergeToPolicy(spark, path,
+        new graft.merge.TieredMergePolicy(segsPerTier = 2.0, maxMergeAtOnce = 4,
+          floorSegmentDocs = 5))
+      require(merges >= 1, "merged gate fixture expected at least one merge")
     }
     new Searcher(spark, path, mode = ExactDouble)
   })
