@@ -91,6 +91,33 @@ object Bench {
       graft.pipeline.Ann.ivfTopK(emb, "vec_id", "embedding", qv, 10,
         every = 20, nprobe = 3, excludeId = Some(0L), assignment = Some(ivfAssigned)).collect()
     }
+    // 4. round-3 operators: early-terminating sorted collection over an
+    //    index-SORTED build, and guarded percolation over the doc stream
+    val sortedPath = java.nio.file.Files.createTempDirectory("graftbenchsorted").toString
+    val sortedPages = docs.select(
+      org.apache.spark.sql.functions.format_string("doc%09d",
+        org.apache.spark.sql.functions.col("doc_id")).as("url"),
+      org.apache.spark.sql.functions.col("text"),
+      org.apache.spark.sql.functions.col("n_chars"))
+    results("sorted_build") = time {
+      IndexBuilder.build(spark, sortedPages, sortedPath,
+        IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "simple", groupSize = 8,
+          indexSort = Some("n_chars")))
+    }
+    val sortedSe = new Searcher(spark, sortedPath)
+    sortedSe.maxDoc
+    results("q_sorted_early") = timeMedian(trials) {
+      sortedSe.searchSortedEarly(TermQ("data"), 10).collect()
+    }
+    results("percolate") = time {
+      graft.pipeline.Percolator.percolate(docs, "doc_id", "text",
+        Seq("data", "vector", "stream", "model", "query", "join", "hash",
+          "sort", "window", "filter", "group", "row", "spark", "batch",
+          "merge", "scan").map(t => s"p_$t" -> (TermQ(t): Query)) ++ Seq(
+          "pp" -> (PhraseQ(List("hash" -> 0, "join" -> 1)): Query)),
+        "simple").count()
+    }
+
     results("q1_agg") = time {
       Queries.all("q1_agg")(spark, sfDir).collect()
     }
