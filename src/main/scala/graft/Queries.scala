@@ -212,6 +212,15 @@ object Queries {
       out
     }),
 
+    // --- MultiFieldQueryParser (Classic/MultiFieldQueryParser.cs): unscoped
+    //     words search ALL fields, each copy analyzed per field
+    "q_multifield_parsed" -> ((s, dir) => {
+      val q = MultiFieldQueryParser.parse("en data",
+        Seq("text" -> graft.analysis.Analyzers.byName("simple"),
+          "lang" -> graft.analysis.Analyzers.byName("keyword")))
+      ranked(IndexCache.fieldedSearcher(s, dir).search(q, 10))
+    }),
+
     // --- streaming appends through the gate (StreamingIndexer band ids +
     //     cross-band reads): batch + streamed halves answer as one index
     "q_streamed_docs" -> ((s, dir) =>
@@ -764,6 +773,23 @@ object Queries {
          |CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS INT) AS rank
          |FROM documents d JOIN m ON m.doc_id = d.doc_id
          |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
+
+    // 'en' is never a text token and 'data' never a lang value, so the
+    // four expanded leaves reduce to lang-BM25('en') + text-BM25('data')
+    "q_multifield_parsed" ->
+      s"""$P, ${scoreCte("a", "data")},
+         |lconst AS (SELECT count(*) AS dfl FROM documents WHERE lang = 'en'),
+         |scores_l AS (
+         |  SELECT doc_id,
+         |    (ln(1 + ((c.n - lc.dfl) + 0.5) / (lc.dfl + 0.5)) * (1.2 + 1)) * 1 /
+         |    (1 + 1.2 * ((1 - 0.75) + ((0.75 * 1) / 1.0))) AS s
+         |  FROM documents CROSS JOIN consts c CROSS JOIN lconst lc
+         |  WHERE lang = 'en')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, l.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(l.s, 0)) AS s
+         |  FROM scores_a a FULL OUTER JOIN scores_l l ON a.doc_id = l.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_streamed_docs" ->
       s"""$P SELECT DISTINCT doc_id FROM tf WHERE term = 'data' ORDER BY doc_id""",

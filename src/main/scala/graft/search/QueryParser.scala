@@ -236,3 +236,57 @@ object QueryParser {
     */
   private def lowerRaw(s: String): String = s.toLowerCase
 }
+
+/** MultiFieldQueryParser analog (/root/reference/src/Lucene.Net.QueryParser/
+  * Classic/MultiFieldQueryParser.cs:75-160): every clause WITHOUT an
+  * explicit `field:` prefix searches ALL the configured fields as a SHOULD
+  * disjunction, each field's copy analyzed with that field's analyzer
+  * (GetFieldQuery is invoked once per field in the reference); explicitly
+  * scoped clauses pass through untouched.
+  *
+  * Mechanically: the query is parsed once per field with that field's
+  * analyzer, producing structurally identical trees (same grammar, same
+  * token boundaries); unscoped leaves then zip across the per-field trees
+  * into `BoolQ(SHOULD FieldQ(f1, leaf1), SHOULD FieldQ(f2, leaf2), ...)`.
+  */
+object MultiFieldQueryParser {
+
+  def parse(query: String, fields: Seq[(String, graft.analysis.Analyzer)],
+            perField: Map[String, graft.analysis.Analyzer] = Map.empty): Query = {
+    require(fields.nonEmpty, "MultiFieldQueryParser needs at least one field")
+    // field-scoped clauses analyze with their own field's analyzer in EVERY
+    // per-field tree (so the trees agree on pass-through clauses)
+    val pf = perField ++ fields.toMap
+    val trees = fields.map { case (f, a) =>
+      f -> QueryParser.parse(query, a, pf)
+    }
+    combine(trees.map { case (f, t) => (f, t) })
+  }
+
+  private def combine(trees: Seq[(String, Query)]): Query = {
+    val shapes = trees.map(_._2)
+    shapes.head match {
+      case FieldQ(f, inner) => FieldQ(f, inner) // explicitly scoped: pass through
+      case BoolQ(clauses, msm) =>
+        val all = trees.map { case (f, q) => f -> q.asInstanceOf[BoolQ].clauses }
+        require(all.forall(_._2.length == clauses.length),
+          "per-field parses diverged structurally")
+        BoolQ(clauses.indices.toList.map { i =>
+          val occ = clauses(i)._1
+          occ -> combine(trees.map { case (f, q) =>
+            f -> q.asInstanceOf[BoolQ].clauses(i)._2
+          })
+        }, msm)
+      case DisMaxQ(cs, tie) =>
+        DisMaxQ(cs.indices.toList.map(i => combine(trees.map { case (f, q) =>
+          f -> q.asInstanceOf[DisMaxQ].clauses(i)
+        })), tie)
+      case ConstantScoreQ(_, b) =>
+        ConstantScoreQ(combine(trees.map { case (f, q) =>
+          f -> q.asInstanceOf[ConstantScoreQ].inner
+        }), b)
+      case _ => // unscoped leaf: expand across the fields
+        BoolQ(trees.toList.map { case (f, leaf) => Occur.Should -> (FieldQ(f, leaf): Query) })
+    }
+  }
+}

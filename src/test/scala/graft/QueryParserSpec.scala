@@ -72,4 +72,31 @@ class QueryParserSpec extends AnyFunSuite {
         Occur.Should -> TermQ("stream"),
         Occur.MustNot -> PhraseQ(List("hash" -> 0, "join" -> 1)))))
   }
+
+  test("MultiFieldQueryParser expands unscoped clauses across fields") {
+    import graft.analysis.Analyzers
+    val fields = Seq("text" -> Analyzers.byName("simple"),
+      "lang" -> Analyzers.byName("keyword"))
+    assert(MultiFieldQueryParser.parse("data", fields) ==
+      BoolQ(List(
+        Occur.Should -> FieldQ("text", TermQ("data")),
+        Occur.Should -> FieldQ("lang", TermQ("data")))))
+    // occurs survive; each clause expands independently
+    assert(MultiFieldQueryParser.parse("+data -stream", fields) ==
+      BoolQ(List(
+        Occur.Must -> BoolQ(List(
+          Occur.Should -> FieldQ("text", TermQ("data")),
+          Occur.Should -> FieldQ("lang", TermQ("data")))),
+        Occur.MustNot -> BoolQ(List(
+          Occur.Should -> FieldQ("text", TermQ("stream")),
+          Occur.Should -> FieldQ("lang", TermQ("stream")))))))
+    // explicitly scoped clauses pass through
+    assert(MultiFieldQueryParser.parse("lang:EN", fields) ==
+      FieldQ("lang", TermQ("EN")))
+    // per-field ANALYSIS: the keyword copy keeps case, simple lowercases
+    assert(MultiFieldQueryParser.parse("Mixed", fields) ==
+      BoolQ(List(
+        Occur.Should -> FieldQ("text", TermQ("mixed")),
+        Occur.Should -> FieldQ("lang", TermQ("Mixed")))))
+  }
 }
