@@ -87,6 +87,53 @@ class DfrIbSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized boolean trees: clause-ordered float chains match direct computation") {
+    val rnd = new scala.util.Random(20260817)
+    val vocab = Vector(PagesGen.word(2), PagesGen.word(10), PagesGen.word(50),
+      PagesGen.word(200), PagesGen.word(800), "quick", "fox")
+    val simsByName = Map("dfr" -> dfr, "ib" -> ib)
+    (0 until 30).foreach { i =>
+      val n = 2 + rnd.nextInt(3)
+      val clauses = List.fill(n) {
+        val occ = rnd.nextInt(8) match {
+          case 0 | 1 => Occur.Must
+          case 2 => Occur.MustNot
+          case _ => Occur.Should
+        }
+        occ -> TermQ(vocab(rnd.nextInt(vocab.size)))
+      }
+      val shoulds = clauses.count(_._1 == Occur.Should)
+      val msm = if (shoulds > 1 && rnd.nextInt(3) == 0) 1 + rnd.nextInt(shoulds) else 0
+      val q = BoolQ(clauses, msm)
+      val name = if (rnd.nextBoolean()) "dfr" else "ib"
+      val se = simsByName(name)
+      val perTerm: Map[String, Map[String, Float]] =
+        clauses.map(_._2.term).distinct.map(t => t -> directScores(t, name)).toMap
+      // BS2 semantics: all MUSTs hold, no MustNot, >= max(msm,1|shoulds) shoulds
+      val expected: Map[String, Float] = oracle.docs.flatMap { d =>
+        val has = (t: String) => d.positions.contains(t)
+        val musts = clauses.collect { case (Occur.Must, tq) => tq.term }
+        val nots = clauses.collect { case (Occur.MustNot, tq) => tq.term }
+        val shouldTerms = clauses.collect { case (Occur.Should, tq) => tq.term }
+        val matchedShoulds = shouldTerms.count(has)
+        val ok = musts.forall(has) && !nots.exists(has) &&
+          matchedShoulds >= math.max(msm, if (musts.isEmpty) 1 else 0)
+        if (!ok) None
+        else {
+          var acc = 0f
+          clauses.foreach {
+            case (Occur.MustNot, _) =>
+            case (_, tq) => perTerm(tq.term).get(d.key).foreach(s => acc += s)
+          }
+          Some(d.key -> acc)
+        }
+      }.toMap
+      val got = se.search(q, 10000).collect()
+        .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+      assert(got == expected, s"fuzz #$i ($name) mismatch for $q")
+    }
+  }
+
   test("explain equals score for both similarities") {
     Seq(dfr, ib).foreach { se =>
       val hits = se.search(TermQ(terms(1)), 5).collect()
