@@ -10,13 +10,16 @@ import graft.streaming.StreamingIndexer
   * "runs via spark-submit on multi-executor clusters" contract; in local dev
   * use `sbt "runMain graft.IndexCli <cmd> ..."`).
   *
-  *   build   <pagesParquet> <indexPath> [numSegments] [analyzer]
+  *   build   <pagesParquet> <indexPath> [numSegments] [analyzer] [vectors] [sort=<col>]
   *   stream  <pagesDir> <indexPath> <checkpointDir> [analyzer]
   *   merge   <indexPath>                      # tiered merge to policy
   *   check   <indexPath>                      # CheckIndex invariants
   *   search  <indexPath> <k> <query...>       # classic query syntax
   *   delete  <indexPath> <query...>           # DeleteDocuments(Query)
   *   explain <indexPath> <segmentId> <docId> <query...>
+  *   termvector <indexPath> <segmentId> <docId>
+  *   sorted  <indexPath> <k> [query...]       # early-terminating sorted top-k
+  *   percolate <pagesParquet> <queriesTsv> <analyzer>
   *
   * No .master() is set — spark-submit (or SPARK_MASTER) decides; a local
   * default applies only when launched outside spark-submit.
@@ -40,9 +43,14 @@ object IndexCli {
         val numSegments = rest.headOption.map(_.toInt)
           .getOrElse(math.max(spark.sparkContext.defaultParallelism * 4, 16))
         val analyzer = rest.lift(1).getOrElse("standard")
-        val pages = spark.read.parquet(pagesPath).select("url", "text")
+        // optional flags after the positional args: vectors | sort=<column>
+        val vectors = rest.contains("vectors")
+        val sortCol = rest.collectFirst { case f if f.startsWith("sort=") => f.drop(5) }
+        val baseCols = Seq("url", "text") ++ sortCol.toSeq
+        val pages = spark.read.parquet(pagesPath).selectExpr(baseCols: _*)
         val report = IndexBuilder.build(spark, pages, indexPath,
-          IndexBuilder.BuildConfig(numSegments, analyzer))
+          IndexBuilder.BuildConfig(numSegments, analyzer,
+            termVectors = vectors, indexSort = sortCol))
         println(s"""{"docs":${report.numDocs},"segments":${report.numSegments},""" +
           s""""sec":${report.elapsedSec},"docsPerSec":${report.docsPerSec.toLong}}""")
 
@@ -87,6 +95,37 @@ object IndexCli {
         val s = new Searcher(spark, indexPath)
         val q = QueryParser.parse(qrest.mkString(" "), s.analyzer)
         print(s.explain(q, seg.toInt, doc.toInt).toString)
+
+      case "termvector" =>
+        val Array(_, indexPath, seg, doc) = args: @unchecked
+        new Searcher(spark, indexPath).termVector(seg.toInt, doc.toInt)
+          .select("term", "tf", "positions").orderBy("term")
+          .collect().foreach { r =>
+            println(s"${r.getString(0)}\ttf=${r.getInt(1)}\tpos=${r.getSeq[Int](2).mkString(",")}")
+          }
+
+      case "sorted" => // early-terminating sorted top-k (optional query)
+        val Array(_, indexPath, k, qrest @ _*) = args: @unchecked
+        val s = new Searcher(spark, indexPath)
+        val rows =
+          if (qrest.isEmpty) s.sortedTopK(k.toInt)
+          else s.searchSortedEarly(QueryParser.parse(qrest.mkString(" "), s.analyzer), k.toInt)
+        rows.collect().foreach(r => println(f"${r.getDouble(1)}%12.1f  ${r.getString(0)}"))
+
+      case "percolate" => // stored queries from a text file, one per line "name<TAB>query"
+        val Array(_, pagesPath, queriesPath, analyzer) = args: @unchecked
+        val a = graft.analysis.Analyzers.byName(analyzer)
+        val stored = scala.io.Source.fromFile(queriesPath).getLines().filter(_.nonEmpty)
+          .map { line =>
+            val Array(name, qtext) = line.split("\t", 2)
+            name -> QueryParser.parse(qtext, a)
+          }.toSeq
+        val docs = spark.read.parquet(pagesPath)
+          .withColumn("id", org.apache.spark.sql.functions
+            .monotonically_increasing_id())
+        graft.pipeline.Percolator.percolate(docs, "id", "text", stored, analyzer)
+          .groupBy("query_id").count().orderBy("query_id")
+          .collect().foreach(r => println(s"${r.getString(0)}\t${r.getLong(1)}"))
 
       case other => throw new IllegalArgumentException(s"unknown command: $other")
     }
