@@ -39,13 +39,14 @@ object IndexCli {
 
     args(0) match {
       case "build" =>
-        val Array(_, pagesPath, indexPath, rest @ _*) = args: @unchecked
+        val Array(_, pagesPath, indexPath, rest0 @ _*) = args: @unchecked
+        // flags may appear anywhere after the positionals: vectors | sort=<col>
+        val vectors = rest0.contains("vectors")
+        val sortCol = rest0.collectFirst { case f if f.startsWith("sort=") => f.drop(5) }
+        val rest = rest0.filterNot(f => f == "vectors" || f.startsWith("sort="))
         val numSegments = rest.headOption.map(_.toInt)
           .getOrElse(math.max(spark.sparkContext.defaultParallelism * 4, 16))
         val analyzer = rest.lift(1).getOrElse("standard")
-        // optional flags after the positional args: vectors | sort=<column>
-        val vectors = rest.contains("vectors")
-        val sortCol = rest.collectFirst { case f if f.startsWith("sort=") => f.drop(5) }
         val baseCols = Seq("url", "text") ++ sortCol.toSeq
         val pages = spark.read.parquet(pagesPath).selectExpr(baseCols: _*)
         val report = IndexBuilder.build(spark, pages, indexPath,
@@ -99,9 +100,10 @@ object IndexCli {
       case "termvector" =>
         val Array(_, indexPath, seg, doc) = args: @unchecked
         new Searcher(spark, indexPath).termVector(seg.toInt, doc.toInt)
-          .select("term", "tf", "positions").orderBy("term")
+          .select("field", "term", "tf", "positions").orderBy("field", "term")
           .collect().foreach { r =>
-            println(s"${r.getString(0)}\ttf=${r.getInt(1)}\tpos=${r.getSeq[Int](2).mkString(",")}")
+            println(s"${r.getString(0)}:${r.getString(1)}\ttf=${r.getInt(2)}" +
+              s"\tpos=${r.getSeq[Int](3).mkString(",")}")
           }
 
       case "sorted" => // early-terminating sorted top-k (optional query)
@@ -115,11 +117,14 @@ object IndexCli {
       case "percolate" => // stored queries from a text file, one per line "name<TAB>query"
         val Array(_, pagesPath, queriesPath, analyzer) = args: @unchecked
         val a = graft.analysis.Analyzers.byName(analyzer)
-        val stored = scala.io.Source.fromFile(queriesPath).getLines().filter(_.nonEmpty)
-          .map { line =>
-            val Array(name, qtext) = line.split("\t", 2)
-            name -> QueryParser.parse(qtext, a)
-          }.toSeq
+        val src = scala.io.Source.fromFile(queriesPath)
+        val stored = try {
+          src.getLines().filter(_.nonEmpty).map { line =>
+            val parts = line.split("\t", 2)
+            require(parts.length == 2, s"queries file line needs 'name<TAB>query': $line")
+            parts(0) -> QueryParser.parse(parts(1), a)
+          }.toList
+        } finally src.close()
         val docs = spark.read.parquet(pagesPath)
           .withColumn("id", org.apache.spark.sql.functions
             .monotonically_increasing_id())

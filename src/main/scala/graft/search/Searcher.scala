@@ -194,8 +194,20 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * heads — numSegments*k rows, never a full-corpus sort. */
   def sortedTopK(k: Int): DataFrame = {
     require(indexSortCol.isDefined, "index was not built with an index sort")
-    docs.filter(col("docId") < k)
-      .select(col("url"), col("sortKey"))
+    val head =
+      if (deletedCount == 0) docs.filter(col("docId") < k) // pushdown fast path
+      else {
+        // deletes punch holes in the docId prefix: rank the LIVE docs per
+        // segment instead (the collector skips deleted docs and keeps
+        // collecting until k — a partitioned, segment-bounded window)
+        import org.apache.spark.sql.expressions.Window
+        docs.join(graft.build.Deletes.deletedDf(spark, indexPath),
+            Seq("segmentId", "docId"), "left_anti")
+          .withColumn("rn", row_number().over(
+            Window.partitionBy(col("segmentId")).orderBy(col("docId").asc)))
+          .filter(col("rn") <= k)
+      }
+    head.select(col("url"), col("sortKey"))
       .orderBy(col("sortKey").asc, col("url").asc)
       .limit(k)
   }

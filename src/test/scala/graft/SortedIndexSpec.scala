@@ -60,6 +60,27 @@ class SortedIndexSpec extends AnyFunSuite {
     assert(got.nonEmpty)
   }
 
+  test("sortedTopK honors the live-docs overlay (deleted docs never surface)") {
+    val b = Files.createTempDirectory("graftsorteddel").toString
+    val df = spark.createDataFrame(PagesGen.local(60)).toDF("url", "text")
+      .withColumn("nlen", length(col("text")).cast("long"))
+    IndexBuilder.build(spark, df, b,
+      IndexBuilder.BuildConfig(2, "simple", groupSize = 2, indexSort = Some("nlen")))
+    val s0 = new Searcher(spark, b)
+    // delete the current sorted head so the hole lands in the docId prefix
+    val head = s0.sortedTopK(1).collect().head.getString(0)
+    import spark.implicits._
+    graft.build.Deletes.deleteUrls(spark, b, Seq(head).toDF("url"))
+    val s1 = new Searcher(spark, b)
+    val got = s1.sortedTopK(10).collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(!got.exists(_._1 == head), "deleted doc surfaced in sortedTopK")
+    val want = df.filter(col("url") =!= head)
+      .select(col("url"), col("nlen").cast("double"))
+      .orderBy(col("nlen").asc, col("url").asc).limit(10)
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(got == want)
+  }
+
   test("unsorted index rejects sorted collection") {
     val b = Files.createTempDirectory("graftunsorted").toString
     val df = spark.createDataFrame(PagesGen.local(20)).toDF("url", "text")
