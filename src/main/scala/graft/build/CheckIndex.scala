@@ -33,6 +33,7 @@ object CheckIndex {
       .filter(col("segmentId").isInCollection(live))
     val postings = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(live))
+      .transform(IndexBuilder.withPayloadsCol)
       .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
       .as[PostingRow]
     val segMaxDocB = spark.sparkContext.broadcast(segMaxDoc)

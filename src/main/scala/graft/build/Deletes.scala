@@ -132,8 +132,21 @@ object Deletes {
     val live: Set[Int] = spark.read
       .parquet(IndexBuilder.statsPath(spark, indexPath))
       .select("segmentId").distinct().as[Int].collect().toSet
+    // keep markers for segments whose data dirs are still on disk even if
+    // no longer live: grace-window readers (previous stats generation) are
+    // still scanning those dirs and must keep seeing their deletes — the
+    // markers fall out on the prune AFTER the tombstoned dirs are purged
+    val hadoopConf0 = spark.sparkContext.hadoopConfiguration
+    val docsDir = new Path(IndexBuilder.docsPath(indexPath))
+    val fs0 = docsDir.getFileSystem(hadoopConf0)
+    val onDisk: Set[Int] =
+      if (!fs0.exists(docsDir)) Set.empty
+      else fs0.listStatus(docsDir).map(_.getPath.getName).collect {
+        case n if n.startsWith("segmentId=") => n.drop("segmentId=".length).toInt
+      }.toSet
+    val keep = live ++ onDisk
     val remaining = deletedDf(spark, indexPath)
-      .filter(col("segmentId").isInCollection(live))
+      .filter(col("segmentId").isInCollection(keep))
     val staged = s"$indexPath/.staging/deletes_next"
     remaining.write.mode(SaveMode.Overwrite).parquet(staged)
     val hadoopConf = spark.sparkContext.hadoopConfiguration

@@ -71,6 +71,14 @@ object IndexBuilder {
 
   final case class BuildReport(numDocs: Long, numSegments: Int, elapsedSec: Double, docsPerSec: Double)
 
+  /** Back-compat read shim: indexes written before the payload stream lack
+    * the `payloads` postings column — surface it as a null binary column so
+    * readers/mergers/CheckIndex open old indexes instead of failing with
+    * UNRESOLVED_COLUMN. */
+  def withPayloadsCol(df: DataFrame): DataFrame =
+    if (df.columns.contains("payloads")) df
+    else df.withColumn("payloads", lit(null).cast("binary"))
+
   def docsPath(base: String) = s"$base/docs"
   def postingsPath(base: String) = s"$base/postings"
   def manifestPath(base: String) = s"$base/manifest"

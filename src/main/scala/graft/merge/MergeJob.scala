@@ -193,6 +193,7 @@ object MergeJob {
     val pieces: Dataset[PieceRow] = spark.read
       .parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(srcSorted))
+      .transform(IndexBuilder.withPayloadsCol)
       .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
       .as[PostingRow]
       .flatMap { p =>
@@ -415,18 +416,24 @@ object MergeJob {
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dir = new Path(tombstonesDir(indexPath))
     if (!fs.exists(dir)) return
+    var purged = false
     fs.listStatus(dir).foreach { st =>
       val in = fs.open(st.getPath)
       val paths = scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
       in.close()
       paths.filter(_.nonEmpty).foreach { p =>
         val pp = new Path(p)
-        if (fs.exists(pp)) fs.delete(pp, true)
+        if (fs.exists(pp)) { fs.delete(pp, true); purged = true }
       }
       fs.delete(st.getPath, false)
     }
     spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
     spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
+    // the purged segments' delete markers were retained through the grace
+    // window (readers on the previous commit still needed them); with the
+    // dirs gone they can drop too
+    if (purged && graft.build.Deletes.exists(spark, indexPath))
+      graft.build.Deletes.pruneApplied(spark, indexPath)
   }
 
   private def reencode(df: Int, docDeltas: Array[Byte], tfs: Array[Byte],

@@ -62,6 +62,12 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
     case TermQ(t, boost) =>
       d.positions.get(t).map { ps => weight(t, boost).score(ps.length.toFloat, d.normByte) }
 
+    // PayloadTermQuery MATCHES exactly like TermQuery (payloads only shape
+    // the score); the oracle stores no payload streams, so its score stands
+    // in with the BM25 term score — match/count semantics are what
+    // MemoryIndex/Percolator consume from this path.
+    case PayloadScoreQ(t, _, boost) => scoreDoc(TermQ(t, boost), d)
+
     case BoolQ(clauses, msm) =>
       val scoring = clauses.filter(_._1 != Occur.MustNot)
       val musts = clauses.filter(_._1 == Occur.Must)

@@ -24,6 +24,7 @@ object Percolator {
     */
   private[pipeline] def guardTerms(q: Query): Option[Set[String]] = q match {
     case TermQ(t, _) => Some(Set(t))
+    case PayloadScoreQ(t, _, _) => Some(Set(t)) // matches iff the term matches
     case PhraseQ(terms, _, _) => Some(terms.map(_._1).toSet)
     case MultiPhraseQ(slots, _) => Some(slots.flatMap(_._1).toSet)
     case FieldQ(_, inner) => guardTerms(inner)
@@ -34,8 +35,12 @@ object Percolator {
       val gs = clauses.map(guardTerms)
       if (gs.exists(_.isEmpty)) None else Some(gs.flatMap(_.get).toSet)
     case BoolQ(clauses, _) =>
-      val must = clauses.filter(_._1 == Occur.Must).flatMap(c => guardTerms(c._2))
-      if (must.nonEmpty) Some(must.minBy(_.size)) // cheapest necessary clause
+      val mustClauses = clauses.filter(_._1 == Occur.Must)
+      val mustGuards = mustClauses.flatMap(c => guardTerms(c._2))
+      if (mustGuards.nonEmpty) Some(mustGuards.minBy(_.size)) // cheapest necessary clause
+      else if (mustClauses.nonEmpty) None // MUSTs exist but are unguardable:
+      // SHOULD clauses are then OPTIONAL (needed = 0), so their union is NOT
+      // a necessary condition — the query must be evaluated everywhere
       else {
         val should = clauses.filter(_._1 == Occur.Should).map(c => guardTerms(c._2))
         if (should.isEmpty || should.exists(_.isEmpty)) None

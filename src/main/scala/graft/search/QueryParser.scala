@@ -149,6 +149,10 @@ object QueryParser {
     def analyzerFor(fieldOpt: Option[String]): Analyzer =
       fieldOpt.orElse(ctxField).flatMap(perField.get).getOrElse(analyzer)
 
+    // a clause that analyzed to zero tokens (pure stopwords) was DROPPED:
+    // a following ^boost must not leak onto the previous, unrelated clause
+    var lastClauseDropped = false
+
     def addClause(q: Query): Unit = {
       // QueryParserBase.AddClause analog: AND promotes the previous SHOULD
       if (pendingConj.contains(AndOp) && clauses.nonEmpty && clauses.last._1 == Occur.Should) {
@@ -160,10 +164,12 @@ object QueryParser {
       pendingConj = None
       pendingOccur = None
       pendingField = None
+      lastClauseDropped = false
     }
 
     def dropPending(): Unit = {
       pendingConj = None; pendingOccur = None; pendingField = None
+      lastClauseDropped = true
     }
 
     while (toks.nonEmpty && toks.head != RParen) {
@@ -173,8 +179,9 @@ object QueryParser {
         case Plus => pendingOccur = Some(Occur.Must); toks = toks.tail
         case FieldBind(f) => pendingField = Some(f); toks = toks.tail
         case Caret(b) =>
-          // boost the clause just parsed (no-op after a dropped stopword)
-          if (clauses.nonEmpty) {
+          // boost the clause just parsed; after a DROPPED clause (stopword
+          // analyzed away) the boost vanishes with it, like the reference
+          if (clauses.nonEmpty && !lastClauseDropped) {
             val (occ, q) = clauses.remove(clauses.length - 1)
             clauses += ((occ, Query.withBoost(q, b)))
           }
@@ -260,7 +267,14 @@ object MultiFieldQueryParser {
     val trees = fields.map { case (f, a) =>
       f -> QueryParser.parse(query, a, pf)
     }
-    combine(trees.map { case (f, t) => (f, t) })
+    // analyzers can disagree structurally (a stopword clause dropped for one
+    // field but kept for another): fall back to a per-field whole-tree
+    // disjunction — each field still searched with its own analysis
+    try combine(trees.map { case (f, t) => (f, t) })
+    catch {
+      case _: ClassCastException | _: IllegalArgumentException =>
+        BoolQ(trees.toList.map { case (f, t) => Occur.Should -> (FieldQ(f, t): Query) })
+    }
   }
 
   private def combine(trees: Seq[(String, Query)]): Query = {

@@ -152,6 +152,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
 
   @transient lazy val postings: Dataset[PostingRow] =
     postingsRaw
+      .transform(IndexBuilder.withPayloadsCol)
       .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
       .as[PostingRow]
 
@@ -1013,12 +1014,18 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   def searchTimeLimited(q: Query, k: Int, tickBudget: Long): (DataFrame, Boolean) = {
     import org.apache.spark.sql.expressions.Window
-    val ranked = compile(q).withColumn("rn",
-      row_number().over(Window.partitionBy(col("segmentId")).orderBy(col("docId").asc)))
-    val kept = ranked.filter(col("rn") <= tickBudget).drop("rn")
+    // ONE scoring pass: keep budget+1 rows per segment (the extra row is the
+    // overflow sentinel), pin the tiny result, then derive both the partial
+    // top-k and the timed-out flag from it
+    val cap = if (tickBudget >= Long.MaxValue - 1) tickBudget else tickBudget + 1
+    val head = compile(q).withColumn("rn",
+        row_number().over(Window.partitionBy(col("segmentId")).orderBy(col("docId").asc)))
+      .filter(col("rn") <= cap)
+      .localCheckpoint(true)
+    val timedOut = cap > tickBudget && !head.filter(col("rn") > tickBudget).isEmpty
+    val kept = head.filter(col("rn") <= tickBudget).drop("rn")
       .orderBy(col("score").desc, col("segmentId").asc, col("docId").asc)
       .limit(k)
-    val timedOut = !ranked.filter(col("rn") > tickBudget).isEmpty
     val top = broadcast(kept)
       .join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
       .select(col("url"), col("score"), col("segmentId"), col("docId"))

@@ -38,11 +38,16 @@ class ClassifySpec extends AnyFunSuite {
       "qa" -> (TermQ("alpha"): Query),
       "qp" -> (PhraseQ(List("alpha" -> 0, "beta" -> 1)): Query),
       "qn" -> (BoolQ(List(Occur.Must -> TermQ("gamma"),
-        Occur.MustNot -> TermQ("delta"))): Query))
+        Occur.MustNot -> TermQ("delta"))): Query),
+      // unguardable MUST (prefix) + optional SHOULD: the SHOULD guard must
+      // NOT be used (it would wrongly skip docs without 'alpha')
+      "qu" -> (BoolQ(List(Occur.Must -> PrefixQ("del"),
+        Occur.Should -> TermQ("alpha"))): Query))
     val got = Percolator.percolate(docs, "id", "text", queries, "simple")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSet
     val want = Set(0L -> "qa", 2L -> "qa", 3L -> "qa",
-      0L -> "qp", 3L -> "qp", 0L -> "qn", 3L -> "qn")
+      0L -> "qp", 3L -> "qp", 0L -> "qn", 3L -> "qn",
+      1L -> "qu", 2L -> "qu")
     assert(got == want)
   }
 

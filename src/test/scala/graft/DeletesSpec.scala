@@ -87,7 +87,9 @@ class DeletesSpec extends AnyFunSuite {
     val report = CheckIndex.run(spark, path)
     assert(report.ok, report.violations.mkString("; "))
     assert(report.docs == N - 7)
-    // delete markers pruned once applied
+    // delete markers pruned once the grace window closed (dirs purged);
+    // DURING the grace they are retained so previous-commit readers keep
+    // seeing their deletes
     assert(Deletes.deletedDocIds(spark, path).isEmpty)
     // scores now reflect the purged statistics exactly: equal to an index
     // built without the victims
@@ -134,6 +136,8 @@ class DeletesSpec extends AnyFunSuite {
     assert(urlsOf(merged, TermQ(freq)).contains(victim), "merge must not purge the re-add")
     assert(merged.count(MatchAllQ) == N)
     assert(merged.maxDoc == N)
+    // markers survive the reader grace window, then drop with the dirs
+    MergeJob.purgeTombstones(spark, path)
     assert(Deletes.deletedDocIds(spark, path).isEmpty)
   }
 

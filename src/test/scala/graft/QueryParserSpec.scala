@@ -73,6 +73,25 @@ class QueryParserSpec extends AnyFunSuite {
         Occur.MustNot -> PhraseQ(List("hash" -> 0, "join" -> 1)))))
   }
 
+  test("boost after a dropped stopword clause vanishes with it") {
+    import graft.analysis.StandardAnalyzer
+    assert(QueryParser.parse("vector the^2", StandardAnalyzer) == TermQ("vector"))
+    assert(QueryParser.parse("vector^2 the", StandardAnalyzer) == TermQ("vector", 2f))
+  }
+
+  test("MultiFieldQueryParser falls back per-field when analyzers diverge structurally") {
+    import graft.analysis.Analyzers
+    val fields = Seq("lang" -> Analyzers.byName("keyword"),
+      "text" -> Analyzers.byName("standard"))
+    // keyword keeps "the" (2 clauses); standard drops it (bare term) — the
+    // combiner degrades to a whole-tree disjunction, each field its own parse
+    val q = MultiFieldQueryParser.parse("the data", fields)
+    assert(q == BoolQ(List(
+      Occur.Should -> FieldQ("lang", BoolQ(List(
+        Occur.Should -> TermQ("the"), Occur.Should -> TermQ("data")))),
+      Occur.Should -> FieldQ("text", TermQ("data")))))
+  }
+
   test("MultiFieldQueryParser expands unscoped clauses across fields") {
     import graft.analysis.Analyzers
     val fields = Seq("text" -> Analyzers.byName("simple"),
