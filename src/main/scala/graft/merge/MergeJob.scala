@@ -50,16 +50,27 @@ object MergeJob {
     * analog); source-dir deletion afterwards is mere cleanup that readers
     * can no longer observe. Returns the new segment id.
     */
-  /** Permutation budget for SORTED merges: the (sortKey, url)-ordered docId
-    * permutation is collected to the driver (like the reference's Sorter,
-    * which builds the full old->new docId map in RAM —
-    * Lucene.Net.Misc/Index/Sorter/Sorter.cs); merges whose live doc count
-    * exceeds this are rejected rather than risking driver OOM. ~4M docs
-    * ≈ 16 MB of permutation ints. */
+  /** Broadcast budget for SORTED merges: up to this many source docs the
+    * (sortKey, url)-ordered docId permutation is collected to the driver and
+    * broadcast as per-segment arrays (like the reference's Sorter, which
+    * builds the full old->new docId map in RAM —
+    * Lucene.Net.Misc/Index/Sorter/Sorter.cs; ~4M docs ≈ 16 MB of ints).
+    * Above it the merge switches to the fully distributed remap: the
+    * permutation becomes a TABLE (two-pass rank, no driver collect), the doc
+    * store/vectors rebase by join, and postings rebuild via explode → join →
+    * (field, term) shuffle → streaming re-encode with bounded piece rows —
+    * no single buffer anywhere scales with the merge size. */
   val SortedMergeMaxDocs: Int = 1 << 22
 
+  /** Max posting entries per encoded piece row on the distributed sorted
+    * path: a stopword-scale term becomes many rows with disjoint increasing
+    * docId ranges (the query path already serves split rows) instead of one
+    * reducer-sized buffer. */
+  val SortedMergePieceEntries: Int = 1 << 20
+
   def merge(spark: SparkSession, indexPath: String, sources: List[Int],
-            hotTermDf: Int = 5000000): Int = {
+            hotTermDf: Int = 5000000,
+            sortedPermBroadcastMax: Int = SortedMergeMaxDocs): Int = {
     import spark.implicits._
     require(sources.size >= 2)
     // index-sorted index: the merge must RE-SORT (SortingMergePolicy.cs) —
@@ -87,6 +98,14 @@ object MergeJob {
     // segment-wide maxDoc from the default field's rows (present per segment)
     val stats = statsAll.filter(_.field == IndexBuilder.DefaultField)
       .map(s => s.segmentId -> s).toMap
+
+    // sorted merges above the broadcast budget take the fully distributed
+    // remap path — gated on source maxDoc (bounds BOTH the driver collect
+    // and the per-segment permutation arrays, independent of delete volume)
+    val totalMaxDoc: Long = srcSorted.map(s => stats(s).maxDoc).sum
+    if (sortedMerge && totalMaxDoc > sortedPermBroadcastMax)
+      return mergeSortedDistributed(spark, indexPath, srcSorted, target,
+        statsAll, dictWasValid)
 
     // deleted docs of the source segments are PURGED here (docIds compact,
     // stats recomputed) — Lucene's merge applies live docs and remaps via
@@ -128,8 +147,7 @@ object MergeJob {
           .as[(Int, Int, Double, String)]
           .map(r => (r._1, r._2))
           .collect()
-        require(ordered.length <= SortedMergeMaxDocs,
-          s"sorted merge over ${ordered.length} docs exceeds SortedMergeMaxDocs=$SortedMergeMaxDocs")
+        // <= totalMaxDoc <= sortedPermBroadcastMax by the gate above
         val perm: Map[Int, Array[Int]] =
           srcSorted.map(s => s -> Array.fill(stats(s).maxDoc.toInt)(-1)).toMap
         var rank = 0
@@ -280,6 +298,32 @@ object MergeJob {
 
     // ---- bring the staged merged data in under the FRESH id: nothing is
     // deleted yet, and readers ignore it (not in the committed stats)
+    renameStaged(spark, indexPath, staging, target, hasVectors)
+
+    // deletes that raced in against the source segments AFTER the snapshot
+    // above survived the merge un-purged; remap their markers to the merged
+    // segment's ids so the delete is not lost when the source markers prune
+    // (the snapshot itself is what the merge physically applied)
+    def lateMarkers(): Seq[(Int, Int)] =
+      graft.build.Deletes.deletedDocIds(spark, indexPath, Some(srcSorted.toSet))
+        .toSeq.flatMap { case (seg, arr) =>
+          val applied = deleted.getOrElse(seg, Array.empty[Int])
+          arr.filter(d => java.util.Arrays.binarySearch(applied, d) < 0)
+            .flatMap { d =>
+              val nid = remapFn(seg, d)
+              if (nid >= 0) Some((target, nid)) else None
+            }
+        }
+
+    commitMerged(spark, indexPath, srcSorted, target, statsAll, hasVectors,
+      dictWasValid, anyPurged = deleted.nonEmpty, lateMarkers = lateMarkers _)
+    target
+  }
+
+  /** Rename the staged merged data in under the target segment id (readers
+    * still ignore it — not in the committed stats generation). */
+  private def renameStaged(spark: SparkSession, indexPath: String,
+                           staging: String, target: Int, hasVectors: Boolean): Unit = {
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     def renameIn(base: String, staged: String): Unit = {
       val fs = new Path(base).getFileSystem(hadoopConf)
@@ -302,7 +346,18 @@ object MergeJob {
     spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
     if (hasVectors)
       spark.catalog.refreshByPath(graft.build.TermVectors.vectorsPath(indexPath))
+  }
 
+  /** Shared commit tail of both merge paths: recompute the merged segment's
+    * stats, flip the stats generation (THE commit), tombstone the superseded
+    * data, carry raced-in deletes forward, refresh the dictionary. */
+  private def commitMerged(spark: SparkSession, indexPath: String,
+                           srcSorted: List[Int], target: Int,
+                           statsAll: Array[SegmentStats], hasVectors: Boolean,
+                           dictWasValid: Boolean, anyPurged: Boolean,
+                           lateMarkers: () => Seq[(Int, Int)]): Unit = {
+    import spark.implicits._
+    val hadoopConf = spark.sparkContext.hadoopConfiguration
     // ---- merged stats, recomputed from the merged segment's own data so
     // purged deletes decrement maxDoc/sumTotalTermFreq exactly like a
     // reference merge
@@ -362,38 +417,200 @@ object MergeJob {
     spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
     spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))
 
-    // deletes that raced in against the source segments AFTER the snapshot
-    // above survived the merge un-purged; remap their markers to the merged
-    // segment's ids so the delete is not lost when the source markers prune
-    // (the snapshot itself is what the merge physically applied)
-    val lateMarkers: Seq[(Int, Int)] =
-      graft.build.Deletes.deletedDocIds(spark, indexPath, Some(srcSorted.toSet))
-        .toSeq.flatMap { case (seg, arr) =>
-          val applied = deleted.getOrElse(seg, Array.empty[Int])
-          arr.filter(d => java.util.Arrays.binarySearch(applied, d) < 0)
-            .flatMap { d =>
-              val nid = remapFn(seg, d)
-              if (nid >= 0) Some((target, nid)) else None
-            }
-        }
-    graft.build.Deletes.appendMarkers(spark, indexPath, lateMarkers)
+    val late = lateMarkers()
+    graft.build.Deletes.appendMarkers(spark, indexPath, late)
 
     // drop delete markers whose docs were just purged (liveDocs lifecycle)
-    if (deleted.nonEmpty || lateMarkers.nonEmpty)
+    if (anyPurged || late.nonEmpty)
       graft.build.Deletes.pruneApplied(spark, indexPath)
 
     // global df/ttf are invariant under merge WHEN nothing was purged: if the
     // dictionary was fresh before, re-stamp it; a purging merge changes df,
     // so the dictionary goes stale and readers fall back to postings scans
     // until the next refresh
-    if (dictWasValid && deleted.isEmpty) {
+    if (dictWasValid && !anyPurged) {
       graft.build.DictTable.writeMarker(spark, indexPath,
         graft.build.DictTable.segsSignature(spark, indexPath))
-    } else if (deleted.nonEmpty && dictWasValid) {
+    } else if (anyPurged && dictWasValid) {
       graft.build.DictTable.write(spark, indexPath)
     }
+  }
 
+  /** One exploded posting entry on the distributed sorted-merge path.
+    * `payload` is the entry's positions' framed payload bytes (VByte(len) +
+    * bytes per position; null when the source list carries no payloads). */
+  final case class SortedEntryRow(field: String, term: String, segmentId: Int,
+                                  docId: Int, tf: Int, positions: Array[Int],
+                                  fieldLen: Int, payload: Array[Byte])
+
+  /** Fully distributed sorted merge — the scale path above
+    * [[SortedMergeMaxDocs]]. The Sorter.cs permutation becomes a TABLE built
+    * with the two-pass distributed rank (no driver collect, no per-segment
+    * arrays); the doc store and term vectors rebase by join; postings
+    * rebuild via explode → permutation join → (field, term) shuffle →
+    * streaming re-encode that emits a piece row every
+    * [[SortedMergePieceEntries]] entries. Nothing on this path buffers more
+    * than one encoded piece per task, so a 10^9-doc sorted merge is bounded
+    * by cluster disk, not driver or reducer RAM. Costs two extra shuffles
+    * over the posting ENTRIES (vs the compressed-piece shuffle of the
+    * unsorted path) — inherent: a sorted merge is a global reorder, i.e. a
+    * rebuild of the merged segment in permuted order.
+    */
+  private def mergeSortedDistributed(spark: SparkSession, indexPath: String,
+                                     srcSorted: List[Int], target: Int,
+                                     statsAll: Array[SegmentStats],
+                                     dictWasValid: Boolean): Int = {
+    import spark.implicits._
+    val staging = s"$indexPath/.staging/merge_$target"
+    val pieceEntries = SortedMergePieceEntries
+
+    // snapshot the resolved markers this merge will purge (localCheckpoint
+    // pins the snapshot: markers appended during the merge stay out of it
+    // and are carried forward as late markers below)
+    val appliedDf = graft.build.Deletes.deletedDf(spark, indexPath)
+      .filter(col("segmentId").isInCollection(srcSorted))
+      .localCheckpoint(true)
+    val anyPurged = !appliedDf.isEmpty
+
+    val docsSrc = spark.read.parquet(IndexBuilder.docsPath(indexPath))
+      .filter(col("segmentId").isInCollection(srcSorted))
+
+    // ---- the permutation table: live docs ranked by (sortKey, url)
+    graft.Ranks.appendRank(
+        docsSrc.select("segmentId", "docId", "sortKey", "url")
+          .join(appliedDf, Seq("segmentId", "docId"), "left_anti"),
+        "rank", Seq(col("sortKey").asc, col("url").asc))
+      .withColumn("newId", (col("rank") - 1).cast("int"))
+      .select("segmentId", "docId", "newId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/perm")
+    val permDf = spark.read.parquet(s"$staging/perm")
+
+    // ---- doc store: join-rebase; the sortKey column rides through so the
+    // merged segment stays early-termination-servable
+    docsSrc
+      .select(col("segmentId"), col("docId"), col("url"), col("fieldLen"),
+        col("normByte"), col("sortKey"))
+      .join(permDf, Seq("segmentId", "docId"))
+      .select(col("newId").as("docId"), col("url"), col("fieldLen"),
+        col("normByte"), col("sortKey"))
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
+
+    // ---- term vectors (when present): same join-rebase
+    val hasVectors = graft.build.TermVectors.enabled(spark, indexPath)
+    if (hasVectors) {
+      spark.read.parquet(graft.build.TermVectors.vectorsPath(indexPath))
+        .filter(col("segmentId").isInCollection(srcSorted))
+        .join(permDf, Seq("segmentId", "docId"))
+        .select(col("newId").as("docId"), col("field"), col("term"),
+          col("tf"), col("positions"), col("starts"), col("ends"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/vectors")
+    }
+
+    // ---- postings: explode to per-(term, doc) entries (deletes purge in
+    // the inner permutation join), regroup per (field, term) in newId order,
+    // stream-encode bounded pieces
+    val entries = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+      .filter(col("segmentId").isInCollection(srcSorted))
+      .transform(IndexBuilder.withPayloadsCol)
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs",
+        "positions", "lens", "skips", "payloads")
+      .as[PostingRow]
+      .flatMap { p =>
+        val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+        val pays = payloadSlices(d.tfs, d.posStart, p.payloads)
+        Iterator.tabulate(d.docIds.length) { i =>
+          val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
+          val pl = if (pays == null) null
+            else frameEntryPayload(pays, d.posStart(i), d.posStart(i + 1))
+          SortedEntryRow(p.field, p.term, p.segmentId, d.docIds(i), d.tfs(i),
+            ps, d.lens(i), pl)
+        }
+      }
+
+    val merged: Dataset[PostingRow] = entries.toDF()
+      .join(permDf, Seq("segmentId", "docId"))
+      .select(col("field"), col("term"), col("newId"), col("tf"),
+        col("positions"), col("fieldLen"), col("payload"))
+      .repartition(col("field"), col("term"))
+      .sortWithinPartitions(col("field"), col("term"), col("newId"))
+      .as[(String, String, Int, Int, Array[Int], Int, Array[Byte])]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[PostingRow] {
+          private var nextRow: PostingRow = null
+          private def advance(): Unit = {
+            if (nextRow != null || !it.hasNext) return
+            val field = it.head._1
+            val term = it.head._2
+            val enc = new PostingsCodec.Encoder
+            var n = 0
+            while (n < pieceEntries && it.hasNext &&
+              it.head._1 == field && it.head._2 == term) {
+              val e = it.next()
+              enc.add(e._3, e._4, e._5, e._6, unframeEntryPayload(e._4, e._7))
+              n += 1
+            }
+            val enc2 = enc.finish()
+            nextRow = PostingRow(0, field, term, enc2.df, enc2.ttf,
+              enc2.docDeltas, enc2.tfs, enc2.positions, enc2.lens,
+              enc2.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff,
+                s.posOff, s.cumDocs, s.maxTf, s.minLen)),
+              enc2.payloads)
+          }
+          override def hasNext: Boolean = { advance(); nextRow != null }
+          override def next(): PostingRow = {
+            advance(); val r = nextRow; nextRow = null; r
+          }
+        }
+      }
+    merged.toDF().drop("segmentId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+
+    renameStaged(spark, indexPath, staging, target, hasVectors)
+
+    // raced-in deletes = current markers minus the applied snapshot,
+    // remapped through the permutation table (their docs survived the purge)
+    def lateMarkers(): Seq[(Int, Int)] =
+      graft.build.Deletes.deletedDf(spark, indexPath)
+        .filter(col("segmentId").isInCollection(srcSorted))
+        .join(appliedDf, Seq("segmentId", "docId"), "left_anti")
+        .join(permDf, Seq("segmentId", "docId"))
+        .select("newId").as[Int].collect()
+        .toSeq.map(n => (target, n))
+
+    commitMerged(spark, indexPath, srcSorted, target, statsAll, hasVectors,
+      dictWasValid, anyPurged, lateMarkers _)
+
+    // the permutation table was only needed through the commit
+    val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
     target
+  }
+
+  /** Frame positions [from, to)'s payload slices as VByte(len)+bytes each —
+    * the per-entry payload carrier of the distributed sorted merge. */
+  private def frameEntryPayload(pays: Array[Array[Byte]], from: Int, to: Int): Array[Byte] = {
+    val buf = new graft.codec.ByteBuf(16)
+    var k = from
+    while (k < to) {
+      val pl = pays(k)
+      if (pl == null) graft.codec.VByte.writeInt(buf, 0)
+      else { graft.codec.VByte.writeInt(buf, pl.length); buf.write(pl) }
+      k += 1
+    }
+    buf.toArray
+  }
+
+  /** Inverse of [[frameEntryPayload]] for one entry's `tf` positions. */
+  private def unframeEntryPayload(tf: Int, bytes: Array[Byte]): Array[Array[Byte]] = {
+    if (bytes == null) null
+    else {
+      val (starts, lens, flat) = PostingsCodec.decodePayloads(tf, bytes)
+      Array.tabulate(tf) { k =>
+        if (lens(k) == 0) null
+        else java.util.Arrays.copyOfRange(flat, starts(k), starts(k) + lens(k))
+      }
+    }
   }
 
   private def tombstonesDir(indexPath: String) = s"$indexPath/.tombstones"

@@ -119,4 +119,75 @@ class SortedIndexSpec extends AnyFunSuite {
       .collect().map(_.getAs[String]("url")).toSeq
     assert(early == full)
   }
+
+  test("distributed sorted merge (above the broadcast budget) == broadcast path") {
+    import spark.implicits._
+    val df = spark.createDataFrame(PagesGen.local(N)).toDF("url", "text")
+      .withColumn("nlen", length(col("text")).cast("long"))
+    val victims = Seq(PagesGen.urlOf(7), PagesGen.urlOf(101), PagesGen.urlOf(233))
+    def buildOne(): String = {
+      val b = Files.createTempDirectory("graftsortdist").toString
+      IndexBuilder.build(spark, df, b,
+        IndexBuilder.BuildConfig(4, "simple", groupSize = 4, indexSort = Some("nlen")))
+      graft.build.Deletes.deleteUrls(spark, b, victims.toDF("url"))
+      b
+    }
+    val bBroad = buildOne()
+    val bDist = buildOne()
+    MergeJob.merge(spark, bBroad, List(0, 1, 2, 3))
+    // sortedPermBroadcastMax = 0 forces the distributed remap path
+    MergeJob.merge(spark, bDist, List(0, 1, 2, 3), sortedPermBroadcastMax = 0)
+
+    val report = CheckIndex.run(spark, bDist) // includes the sort-order invariant
+    assert(report.ok, report.violations.mkString("; "))
+
+    // both paths committed exactly one live segment with identical docs
+    def docsOf(b: String) = new Searcher(spark, b).docs
+      .select("docId", "url", "fieldLen", "sortKey")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(docsOf(bDist) == docsOf(bBroad), "doc stores diverge across merge paths")
+
+    // postings agree term-by-term (piece chunking may differ; df/ttf must not)
+    def postingStats(b: String) =
+      spark.read.parquet(graft.build.IndexBuilder.postingsPath(b))
+        .groupBy("field", "term")
+        .agg(sum("df").as("df"), sum("ttf").as("ttf"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    assert(postingStats(bDist) == postingStats(bBroad), "postings diverge across merge paths")
+
+    // and the serving paths agree: sorted top-k, early termination, BM25 top-k
+    val sB = new Searcher(spark, bBroad)
+    val sD = new Searcher(spark, bDist)
+    assert(sD.sortedTopK(20).collect().toSeq == sB.sortedTopK(20).collect().toSeq)
+    val q = TermQ("quick")
+    assert(sD.searchSortedEarly(q, 10).collect().toSeq ==
+      sB.searchSortedEarly(q, 10).collect().toSeq)
+    assert(sD.search(q, 10).collect().toSeq == sB.search(q, 10).collect().toSeq)
+  }
+
+  test("distributed sorted merge keeps payloads aligned through the explode") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graftsortpay").toString
+    val pages = (0 until 80).map { i =>
+      (f"u$i%04d", s"alpha|$i beta|${i % 7} alpha|${(i * 5) % 13}", (i * 37 % 50).toLong)
+    }
+    IndexBuilder.build(spark, pages.toDF("url", "text", "nlen"), b,
+      IndexBuilder.BuildConfig(2, "delimited_payload", groupSize = 2, indexSort = Some("nlen")))
+    val s0 = new Searcher(spark, b, mode = ExactDouble)
+    def scores(s: Searcher): Map[String, Double] =
+      s.compile(PayloadScoreQ("alpha", "avg"))
+        .join(s.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .select("url", "score").collect()
+        .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val before = scores(s0)
+    graft.build.Deletes.deleteUrls(spark, b, Seq("u0005", "u0050").toDF("url"))
+    MergeJob.merge(spark, b, List(0, 1), sortedPermBroadcastMax = 0)
+    val s1 = new Searcher(spark, b, mode = ExactDouble)
+    assert(scores(s1) == before -- Seq("u0005", "u0050"),
+      "payload scores diverge after a distributed purging sorted merge")
+    val report = CheckIndex.run(spark, b)
+    assert(report.ok, report.violations.mkString("; "))
+  }
 }
