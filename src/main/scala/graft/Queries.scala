@@ -446,6 +446,19 @@ object Queries {
     "q_ib_topk" -> ((s, dir) => ranked(IndexCache.ibSearcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
 
+    // --- the FULL DFR / IB frameworks (any basicModel × afterEffect ×
+    //     normalization, any distribution × lambda × normalization):
+    //     combos gated so every SQL-expressible component appears at least
+    //     once — G+B+H1, P+L+Z(0.3), Ine+none+H2, SPL+TTF+H3(800)
+    "q_dfr_gb1_topk" -> ((s, dir) => ranked(IndexCache.simSearcher(s, dir,
+      DfrSim("g", "b", "h1")).search(TermQ("vector"), 10))),
+    "q_dfr_pz_topk" -> ((s, dir) => ranked(IndexCache.simSearcher(s, dir,
+      DfrSim("p", "l", "z", 0.3f)).search(TermQ("vector"), 10))),
+    "q_dfr_ine_topk" -> ((s, dir) => ranked(IndexCache.simSearcher(s, dir,
+      DfrSim("ine", "none", "h2")).search(TermQ("vector"), 10))),
+    "q_ib_spl_topk" -> ((s, dir) => ranked(IndexCache.simSearcher(s, dir,
+      IbSim("spl", "ttf", "h3", 800f)).search(TermQ("vector"), 10))),
+
     // --- deletes (IndexWriter.DeleteDocuments / live-docs overlay): matches
     //     vanish immediately; BM25 stats stay un-decremented until merge
     "q_deleted" -> ((s, dir) => idsOf(IndexCache.deletedSearcher(s, dir), TermQ("data"))),
@@ -1220,6 +1233,85 @@ object Queries {
          |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
          |  FROM ib_a a FULL OUTER JOIN ib_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // DFR G + B + H1 double twin:
+    //   tfn = tf*avg/dl; F = ttf+1; lam = F/(n+F)
+    //   basic = ln(lam+1)/ln2 + tfn*(ln((1+lam)/lam)/ln2)
+    //   ae = (ttf+1)/(df*(tfn+1)); s = (basic)*(ae)
+    "q_dfr_gb1_topk" ->
+      s"""$P, ttfs AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+         |g AS (
+         |  SELECT tf.doc_id,
+         |    (tf.tf * (CAST(c.sttf AS DOUBLE) / c.n) / dl.dl) AS tfn,
+         |    ((t.ttf + 1.0) / (c.n + t.ttf + 1.0)) AS lam,
+         |    t.ttf AS ttf, d.df AS df
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term
+         |       JOIN ttfs t ON t.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT doc_id,
+         |    ((ln(lam + 1) / ln(2.0)) + tfn * (ln((1 + lam) / lam) / ln(2.0)))
+         |      * ((ttf + 1.0) / (df * (tfn + 1.0))) AS s
+         |  FROM g)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // DFR P + L + Z(0.3) double twin:
+    //   tfn = tf*pow(avg/dl, 0.3); lambda = (ttf+1)/(n+1)
+    //   basic = tfn*(ln(tfn/lambda)/ln2) + (lambda + 1/(12*tfn) - tfn)
+    //           *(ln(e)/ln2) + 0.5*(ln(2*pi*tfn)/ln2)
+    //   ae = 1/(tfn+1); s = basic*ae
+    "q_dfr_pz_topk" ->
+      s"""$P, ttfs AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+         |g AS (
+         |  SELECT tf.doc_id,
+         |    (tf.tf * pow((CAST(c.sttf AS DOUBLE) / c.n) / dl.dl, 0.30000001192092896)) AS tfn,
+         |    ((t.ttf + 1.0) / (c.n + 1.0)) AS lambda
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term
+         |       JOIN ttfs t ON t.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT doc_id,
+         |    (tfn * (ln(tfn / lambda) / ln(2.0))
+         |     + (lambda + 1.0 / (12.0 * tfn) - tfn) * (ln(2.718281828459045) / ln(2.0))
+         |     + 0.5 * (ln(2 * pi() * tfn) / ln(2.0)))
+         |      * (1.0 / (tfn + 1.0)) AS s
+         |  FROM g)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // DFR Ine + (no after effect) + H2(c=1) double twin:
+    //   tfn = tf*(ln(1 + avg/dl)/ln2); ne = n*(1 - pow((n-1)/n, ttf))
+    //   s = tfn*(ln((n+1)/(ne+0.5))/ln2)
+    "q_dfr_ine_topk" ->
+      s"""$P, ttfs AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+         |g AS (
+         |  SELECT tf.doc_id,
+         |    (tf.tf * (ln(1 + (1.0 * (CAST(c.sttf AS DOUBLE) / c.n)) / dl.dl) / ln(2.0))) AS tfn,
+         |    (c.n * (1 - pow((c.n - 1.0) / c.n, t.ttf))) AS ne,
+         |    c.n AS n
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term
+         |       JOIN ttfs t ON t.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT doc_id, tfn * (ln((n + 1) / (ne + 0.5)) / ln(2.0)) AS s FROM g)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // IB SPL + TTF + H3(mu=800) double twin:
+    //   tfn = (tf + mu*((ttf+1)/(sttf+1)))/(dl+mu)*mu; lambda = (ttf+1)/(n+1)
+    //   s = -ln((pow(lambda, tfn/(tfn+1)) - lambda)/(1 - lambda))
+    "q_ib_spl_topk" ->
+      s"""$P, ttfs AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
+         |g AS (
+         |  SELECT tf.doc_id,
+         |    ((tf.tf + 800.0 * ((t.ttf + 1.0) / (c.sttf + 1.0))) / (dl.dl + 800.0) * 800.0) AS tfn,
+         |    ((t.ttf + 1.0) / (c.n + 1.0)) AS lambda
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term
+         |       JOIN ttfs t ON t.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT doc_id,
+         |    -ln((pow(lambda, tfn / (tfn + 1.0)) - lambda) / (1.0 - lambda)) AS s
+         |  FROM g)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_deleted" ->

@@ -136,6 +136,18 @@ object IndexCache {
   })
   private val ibCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** General-framework similarity readers over the main gate index (the full
+    * DFR basicModel × afterEffect × normalization and IB distribution ×
+    * lambda × normalization catalogs — DFRSimilarity.cs, IBSimilarity.cs).
+    * Combos chosen to cover every SQL-gated component at least once:
+    * G+B+H1, P+L+Z(0.3), Ine+none+H2, SPL+TTF+H3(800). */
+  def simSearcher(spark: SparkSession, sfDir: String, kind: SimilarityKind): Searcher =
+    simCache.getOrElseUpdate((sfDir, kind), {
+      searcher(spark, sfDir)
+      new Searcher(spark, indexPath(sfDir), mode = ExactDouble, similarity = kind)
+    })
+  private val simCache = scala.collection.concurrent.TrieMap.empty[(String, SimilarityKind), Searcher]
+
   /** Deterministic StandardAnalyzer gate fixture: per-doc synthetic text
     * exercising the classic JFlex grammar's signature rules — APOSTROPHE
     * (possessive strip), ACRONYM (dot removal), HOST, EMAIL, and stopword

@@ -345,7 +345,7 @@ object Leapfrog {
     val idfSumD = allTerms.map(t => searcher.idfDouble(dfOf(t))).sum
     val lmTtfs = Some(allTerms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L)))
     val scorer = searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
-      lmTtfs = lmTtfs)
+      lmTtfs = lmTtfs, lmDfs = Some(allTerms.map(dfOf)))
 
     val groups: Array[Array[String]] = slots.map(_._1.filter(t => stats.contains((field, t))).toArray).toArray
     val offsets = slots.map(_._2).toArray
@@ -422,7 +422,7 @@ object Leapfrog {
         val idfSumD = terms.map(t => searcher.idfDouble(dfOf(t))).sum
         val ttfs = terms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L))
         searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
-          lmTtfs = Some(ttfs))
+          lmTtfs = Some(ttfs), lmDfs = Some(terms.map(dfOf)))
       }
 
     postingRows(searcher, verifyTerms.toSet.map((t: String) => (field, t))).mapPartitions { rows =>

@@ -76,6 +76,24 @@ final case class DfrInL2Sim(c: Float = 1f) extends SimilarityKind
   * 97-100, DistributionLL.cs:39, LambdaDF.cs:34). */
 final case class IbLlSim(c: Float = 1f) extends SimilarityKind
 
+/** The FULL DFR framework (Search/Similarities/DFRSimilarity.cs:107-111):
+  * any BasicModel in {be,d,g,if,in,ine,p} × AfterEffect in {none,b,l} ×
+  * Normalization in {none,h1,h2,h3,z}. `c` is the normalization's parameter
+  * (c for h2 default 1; mu for h3, reference default 800; z for z,
+  * reference default 0.3; ignored by none/h1). [[DfrInL2Sim]] ==
+  * DfrSim("in","l","h2"). Composite (phrase/multi-term) weights follow
+  * MultiSimilarity.MultiSimScorer (MultiSimilarity.cs:90-99): one sub-score
+  * per term's (df, ttf), summed in float. */
+final case class DfrSim(basicModel: String, afterEffect: String,
+                        normalization: String, c: Float = 1f) extends SimilarityKind
+
+/** The FULL IB framework (Search/Similarities/IBSimilarity.cs:97-100):
+  * Distribution in {ll,spl} × Lambda in {df,ttf} × Normalization (same
+  * catalog and parameter as [[DfrSim]]). [[IbLlSim]] ==
+  * IbSim("ll","df","h2"). */
+final case class IbSim(distribution: String, lambda: String,
+                       normalization: String, c: Float = 1f) extends SimilarityKind
+
 /** Replayable cached hit stream — Search/CachingCollector.cs analog (see
   * Searcher.cacheHits). `replay` hands the pinned Dataset to a downstream
   * collector function; `release` unpins it.
@@ -384,8 +402,18 @@ final class Searcher(spark: SparkSession, indexPath: String,
                                  /** per-term totalTermFreq (LM collection
                                    * model); composites pass one per term. */
                                  ttf: Long = 0L,
-                                 lmTtfs: Option[Seq[Long]] = None): (Double, Int) => Double =
-    (perFieldSimilarity.getOrElse(field, similarity), mode) match {
+                                 lmTtfs: Option[Seq[Long]] = None,
+                                 /** per-term docFreqs for composites (the
+                                   * MultiSimilarity sub-stats of DFR/IB);
+                                   * aligned with lmTtfs. */
+                                 lmDfs: Option[Seq[Long]] = None): (Double, Int) => Double = {
+    // the r2 fixed-member similarities are members of the general frameworks
+    val simKind = perFieldSimilarity.getOrElse(field, similarity) match {
+      case DfrInL2Sim(c) => DfrSim("in", "l", "h2", c)
+      case IbLlSim(c) => IbSim("ll", "df", "h2", c)
+      case s => s
+    }
+    (simKind, mode) match {
       case (Bm25Sim, LuceneFloat) =>
         val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
         val w = idf * boost * (bm25.k1 + 1)
@@ -508,63 +536,94 @@ final class Searcher(spark: SparkSession, indexPath: String,
             sD * (math.abs(len - lnMin) + math.abs(len - lnMax) - (lnMax - lnMin)) + 1.0)
           (tff * value) * lnorm
         }
-      case (DfrInL2Sim(c), LuceneFloat) =>
-        // DFRSimilarity.Score (Search/Similarities/DFRSimilarity.cs:107-111)
-        // with BasicModelIn + AfterEffectL + NormalizationH2:
-        //   tfn   = (float)(tf * Log2(1 + c*avg/dl))     NormalizationH2.cs:53
-        //   basic = tfn * (float)Log2((N+1)/(df+0.5))    BasicModelIn.cs
-        //   ae    = 1/(tfn+1)                            AfterEffectL.cs:34
-        //   score = boost * basic * ae (floats); dl from the shared byte315
-        //   NORM_TABLE (SimilarityBase.cs:232-239 == Bm25.normTable)
+      case (DfrSim(bm, ae, nz, c), LuceneFloat) =>
+        // DFRSimilarity.Score (Search/Similarities/DFRSimilarity.cs:107-111):
+        //   score = boost * basicModel(tfn) * afterEffect(tfn), floats;
+        // dl from the shared byte315 NORM_TABLE (SimilarityBase.cs:232-239
+        // == Bm25.normTable). Composites (per-term sub-stats) sum in float
+        // like MultiSimilarity.MultiSimScorer (MultiSimilarity.cs:90-99).
         val sttf = fieldSttf.getOrElse(field, 0L)
         val avg: Float = if (sttf <= 0) 1f else sttf.toFloat / maxDoc
-        val basicIdf: Float = (math.log((maxDoc + 1) / (df + 0.5)) / math.log(2d)).toFloat
+        val perTerm: Seq[(Long, Long)] = (lmDfs, lmTtfs) match {
+          case (Some(dfs), Some(ttfs)) => dfs.zip(ttfs)
+          case _ => Seq((df, ttf))
+        }
+        val comps = perTerm.map { case (d, t) =>
+          (DfrIb.tfnF(nz, c, avg, t, sttf), DfrIb.basicF(bm, maxDoc, d, t),
+            DfrIb.afterF(ae, d, t))
+        }
         (tf: Double, len: Int) => {
           val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
           val dl = bm25.normTable(nb & 0xff)
-          // 1 + c*avg/dl happens in FLOAT in the reference (int+float)
-          val tfn = (tf.toFloat * (math.log((1f + c * avg / dl).toDouble) / math.log(2d))).toFloat
-          (boost * (tfn * basicIdf) * (1f / (tfn + 1f))).toDouble
+          var acc = 0f
+          comps.foreach { case (tfnf, bf, af) =>
+            val t = tfnf(tf.toFloat, dl)
+            acc += boost * bf(t) * af(t)
+          }
+          acc.toDouble
         }
-      case (DfrInL2Sim(c), ExactDouble) =>
-        // double twin, exact len — SQL: boost * (tfn*ln((N+1)/(df+0.5))/ln(2))
-        // * (1/(tfn+1)) with tfn = tf*ln(1 + c*avg/len)/ln(2)
+      case (DfrSim(bm, ae, nz, c), ExactDouble) =>
+        // double twin, exact len — SQL-replicable per component
         val sttf = fieldSttf.getOrElse(field, 0L)
         val avg: Double = if (sttf <= 0) 1d else sttf.toDouble / maxDoc
-        val cD = c.toDouble
-        val ln2 = math.log(2d)
-        val basicIdf = math.log((maxDoc + 1) / (df + 0.5)) / ln2
+        val perTerm: Seq[(Long, Long)] = (lmDfs, lmTtfs) match {
+          case (Some(dfs), Some(ttfs)) => dfs.zip(ttfs)
+          case _ => Seq((df, ttf))
+        }
+        val comps = perTerm.map { case (d, t) =>
+          (DfrIb.tfnD(nz, c.toDouble, avg, t, sttf), DfrIb.basicD(bm, maxDoc, d, t),
+            DfrIb.afterD(ae, d, t))
+        }
         val bd = boost.toDouble
         (tf: Double, len: Int) => {
-          val tfn = tf * (math.log(1d + cD * avg / len) / ln2)
-          bd * (tfn * basicIdf) * (1d / (tfn + 1d))
+          var acc = 0d
+          comps.foreach { case (tfnf, bf, af) =>
+            val t = tfnf(tf, len.toDouble)
+            acc += bd * bf(t) * af(t)
+          }
+          acc
         }
-      case (IbLlSim(c), LuceneFloat) =>
-        // IBSimilarity.Score (Search/Similarities/IBSimilarity.cs:97-100)
-        // with DistributionLL + LambdaDF + NormalizationH2:
-        //   lambda = (df+1)/(N+1)                        LambdaDF.cs:34
-        //   score  = boost * (float)-ln(lambda/(tfn+lambda))  DistributionLL.cs:39
+      case (IbSim(dist, lam, nz, c), LuceneFloat) =>
+        // IBSimilarity.Score (Search/Similarities/IBSimilarity.cs:97-100):
+        //   score = boost * distribution(tfn, lambda), floats
         val sttf = fieldSttf.getOrElse(field, 0L)
         val avg: Float = if (sttf <= 0) 1f else sttf.toFloat / maxDoc
-        val lambda: Float = (df + 1f) / (maxDoc + 1f)
+        val perTerm: Seq[(Long, Long)] = (lmDfs, lmTtfs) match {
+          case (Some(dfs), Some(ttfs)) => dfs.zip(ttfs)
+          case _ => Seq((df, ttf))
+        }
+        val score = DfrIb.distF(dist)
+        val comps = perTerm.map { case (d, t) =>
+          (DfrIb.tfnF(nz, c, avg, t, sttf), DfrIb.lambdaF(lam, maxDoc, d, t))
+        }
         (tf: Double, len: Int) => {
           val nb = SmallFloat.floatToByte315(1f / math.sqrt(len.toDouble).toFloat)
           val dl = bm25.normTable(nb & 0xff)
-          // 1 + c*avg/dl happens in FLOAT in the reference (int+float)
-          val tfn = (tf.toFloat * (math.log((1f + c * avg / dl).toDouble) / math.log(2d))).toFloat
-          (boost * (-math.log((lambda / (tfn + lambda)).toDouble)).toFloat).toDouble
+          var acc = 0f
+          comps.foreach { case (tfnf, lambda) =>
+            acc += boost * score(tfnf(tf.toFloat, dl), lambda)
+          }
+          acc.toDouble
         }
-      case (IbLlSim(c), ExactDouble) =>
-        // double twin — SQL: boost * -ln(lambda/(tfn+lambda))
+      case (IbSim(dist, lam, nz, c), ExactDouble) =>
+        // double twin — SQL-replicable per component
         val sttf = fieldSttf.getOrElse(field, 0L)
         val avg: Double = if (sttf <= 0) 1d else sttf.toDouble / maxDoc
-        val cD = c.toDouble
-        val ln2 = math.log(2d)
-        val lambda = (df + 1d) / (maxDoc + 1d)
+        val perTerm: Seq[(Long, Long)] = (lmDfs, lmTtfs) match {
+          case (Some(dfs), Some(ttfs)) => dfs.zip(ttfs)
+          case _ => Seq((df, ttf))
+        }
+        val score = DfrIb.distD(dist)
+        val comps = perTerm.map { case (d, t) =>
+          (DfrIb.tfnD(nz, c.toDouble, avg, t, sttf), DfrIb.lambdaD(lam, maxDoc, d, t))
+        }
         val bd = boost.toDouble
         (tf: Double, len: Int) => {
-          val tfn = tf * (math.log(1d + cD * avg / len) / ln2)
-          bd * -math.log(lambda / (tfn + lambda))
+          var acc = 0d
+          comps.foreach { case (tfnf, lambda) =>
+            acc += bd * score(tfnf(tf, len.toDouble), lambda)
+          }
+          acc
         }
       case (LmDirichletSim(mu), ExactDouble) =>
         // unquantized double twin (docLen = exact len); SQL-replicable:
@@ -581,7 +640,10 @@ final class Searcher(spark: SparkSession, indexPath: String,
           }
           acc
         }
+      case (DfrInL2Sim(_) | IbLlSim(_), _) =>
+        throw new IllegalStateException("normalized to DfrSim/IbSim above")
     }
+  }
 
   /** Query-level normalization (CreateNormalizedWeight, IndexSearcher.cs:
     * 725-737): sum of squared clause weights in clause order, skipping
@@ -591,7 +653,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
   private def queryNorm(q: Query, stats: FTStats): Double = similarity match {
     case _ if perFieldSimilarity.nonEmpty =>
       1d // PerFieldSimilarityWrapper never overrides QueryNorm (base 1f)
-    case Bm25Sim | LmDirichletSim(_) | LmJelinekMercerSim(_) | DfrInL2Sim(_) | IbLlSim(_) =>
+    case Bm25Sim | LmDirichletSim(_) | LmJelinekMercerSim(_) | DfrInL2Sim(_) | IbLlSim(_)
+       | DfrSim(_, _, _, _) | IbSim(_, _, _, _) =>
       1d // Similarity.QueryNorm default 1f (SimilarityBase likewise)
     case TfIdfSim | SweetSpotSim(_, _, _, _, _) =>
       def phraseIdfF(terms: List[String], field: String): Float =
@@ -1240,7 +1303,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
             var f = 0d; spans.foreach { case (s, e) => f += 1.0 / ((e - s) + 1) }; f
         }
         val sc = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
-          lmTtfs = Some(ttfs))(freq, len)
+          lmTtfs = Some(ttfs), lmDfs = Some(terms.map(dfOf)))(freq, len)
         Explanation(sc, "span weight, product of:", Seq(
           Explanation(idfSumD, "idf, sum over span terms"),
           Explanation(freq, "sloppyFreq, sum over spans"),
@@ -1341,7 +1404,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
       }
     if (freq == 0d) Explanation.noMatch("phrase positions never align")
     else {
-      val s = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD), lmTtfs = lmTtfs)(freq, len)
+      val s = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
+        lmTtfs = lmTtfs, lmDfs = Some(allTerms.map(dfOf)))(freq, len)
       Explanation(s, "phrase weight, product of:", Seq(
         Explanation(idfSumD, "idf, sum over slot terms"),
         Explanation(freq, "phraseFreq"),

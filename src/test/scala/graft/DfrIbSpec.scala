@@ -144,4 +144,142 @@ class DfrIbSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ------------------------------------------------------------------
+  // the FULL frameworks: every basicModel × afterEffect × normalization
+  // (DfrSim) and distribution × lambda × normalization (IbSim), distributed
+  // scores vs a direct per-doc scalar computation over the oracle corpus
+  // (pins the plumbing: per-term stats wiring, byte315 docLen decode, float
+  // accumulation; formula fidelity is pinned by the SQL gate twins)
+
+  private def normParam(nz: String): Float = nz match {
+    case "h3" => 800f
+    case "z" => 0.3f
+    case _ => 1f
+  }
+
+  private def directDfr(term: String, bm: String, ae: String, nz: String): Map[String, Float] = {
+    val n = oracle.maxDoc
+    val sttf = oracle.sumTotalTermFreq
+    val avg: Float = if (sttf <= 0) 1f else sttf.toFloat / n
+    val df = oracle.docFreq(term)
+    val ttf = oracle.totalTermFreq.getOrElse(term, 0L)
+    val c = normParam(nz)
+    val tfn = DfrIb.tfnF(nz, c, avg, ttf, sttf)
+    val basic = DfrIb.basicF(bm, n, df, ttf)
+    val after = DfrIb.afterF(ae, df, ttf)
+    oracle.docs.flatMap { d =>
+      d.positions.get(term).map { ps =>
+        val dl = Bm25.default.normTable(d.normByte & 0xff)
+        val t = tfn(ps.length.toFloat, dl)
+        d.key -> 1f * basic(t) * after(t)
+      }
+    }.toMap
+  }
+
+  private def directIb(term: String, dist: String, lam: String, nz: String): Map[String, Float] = {
+    val n = oracle.maxDoc
+    val sttf = oracle.sumTotalTermFreq
+    val avg: Float = if (sttf <= 0) 1f else sttf.toFloat / n
+    val df = oracle.docFreq(term)
+    val ttf = oracle.totalTermFreq.getOrElse(term, 0L)
+    val c = normParam(nz)
+    val tfn = DfrIb.tfnF(nz, c, avg, ttf, sttf)
+    val lambda = DfrIb.lambdaF(lam, n, df, ttf)
+    val score = DfrIb.distF(dist)
+    oracle.docs.flatMap { d =>
+      d.positions.get(term).map { ps =>
+        val dl = Bm25.default.normTable(d.normByte & 0xff)
+        d.key -> 1f * score(tfn(ps.length.toFloat, dl), lambda)
+      }
+    }.toMap
+  }
+
+  test("full DFR matrix (7 basic models × 3 after effects × 5 normalizations)") {
+    val term = PagesGen.word(50)
+    val combos = for {
+      bm <- DfrIb.BasicModels.toSeq.sorted
+      ae <- DfrIb.AfterEffects.toSeq.sorted
+      nz <- DfrIb.Normalizations.toSeq.sorted
+    } yield (bm, ae, nz)
+    combos.foreach { case (bm, ae, nz) =>
+      val se = new Searcher(spark, idx, similarity = DfrSim(bm, ae, nz, normParam(nz)))
+      val got = se.search(TermQ(term), 1000).collect()
+        .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+      assert(got == directDfr(term, bm, ae, nz), s"DFR $bm/$ae/$nz mismatch")
+    }
+  }
+
+  test("full IB matrix (2 distributions × 2 lambdas × 5 normalizations)") {
+    val term = PagesGen.word(50)
+    val combos = for {
+      dist <- DfrIb.Distributions.toSeq.sorted
+      lam <- DfrIb.Lambdas.toSeq.sorted
+      nz <- DfrIb.Normalizations.toSeq.sorted
+    } yield (dist, lam, nz)
+    combos.foreach { case (dist, lam, nz) =>
+      val se = new Searcher(spark, idx, similarity = IbSim(dist, lam, nz, normParam(nz)))
+      val got = se.search(TermQ(term), 1000).collect()
+        .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+      assert(got == directIb(term, dist, lam, nz), s"IB $dist/$lam/$nz mismatch")
+    }
+  }
+
+  test("phrase under DFR/IB follows MultiSimilarity per-term sub-stats") {
+    // two-term exact phrase: one sub-score per term's (df, ttf) at the
+    // phrase's freq, summed in float (MultiSimilarity.cs:90-99)
+    val (w1, w2) = ("quick", "fox")
+    val se = new Searcher(spark, idx, similarity = DfrSim("g", "b", "h2"))
+    val seIb = new Searcher(spark, idx, similarity = IbSim("spl", "ttf", "h2"))
+    val n = oracle.maxDoc
+    val sttf = oracle.sumTotalTermFreq
+    val avg: Float = sttf.toFloat / n
+    def phraseFreq(pos: Map[String, Array[Int]]): Int = {
+      (pos.get(w1), pos.get(w2)) match {
+        case (Some(a), Some(b)) =>
+          val bs = b.toSet
+          a.count(p => bs.contains(p + 1))
+        case _ => 0
+      }
+    }
+    def expected(isIb: Boolean): Map[String, Float] = oracle.docs.flatMap { d =>
+      val freq = phraseFreq(d.positions)
+      if (freq == 0) None
+      else {
+        val dl = Bm25.default.normTable(d.normByte & 0xff)
+        var acc = 0f
+        Seq(w1, w2).foreach { t =>
+          val df = oracle.docFreq(t)
+          val ttf = oracle.totalTermFreq.getOrElse(t, 0L)
+          val tfn = DfrIb.tfnF("h2", 1f, avg, ttf, sttf)(freq.toFloat, dl)
+          val s =
+            if (isIb) 1f * DfrIb.distF("spl")(tfn, DfrIb.lambdaF("ttf", n, df, ttf))
+            else 1f * DfrIb.basicF("g", n, df, ttf)(tfn) * DfrIb.afterF("b", df, ttf)(tfn)
+          acc += s
+        }
+        Some(d.key -> acc)
+      }
+    }.toMap
+    Seq((se, false), (seIb, true)).foreach { case (s, isIb) =>
+      val got = s.search(PhraseQ(List(w1 -> 0, w2 -> 1)), 1000).collect()
+        .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+      assert(got == expected(isIb), s"phrase MultiStats mismatch (isIb=$isIb)")
+    }
+  }
+
+  test("explain equals score across the general frameworks") {
+    val term = PagesGen.word(50)
+    Seq(DfrSim("be", "b", "h1"), DfrSim("d", "l", "z", 0.3f),
+      DfrSim("p", "none", "h3", 800f), IbSim("spl", "ttf", "h3", 800f),
+      IbSim("ll", "ttf", "z", 0.3f)).foreach { kind =>
+      val se = new Searcher(spark, idx, similarity = kind)
+      val hits = se.search(TermQ(term), 5).collect()
+      assert(hits.nonEmpty)
+      hits.foreach { r =>
+        val e = se.explain(TermQ(term), r.getInt(2), r.getInt(3))
+        assert(e.matched && e.value == r.getDouble(1),
+          s"$kind explain ${e.value} != score ${r.getDouble(1)}")
+      }
+    }
+  }
 }
