@@ -316,6 +316,27 @@ object Queries {
       ranked(se.search(QueryParser.parse("+vector stream -\"hash join\"", se.analyzer), 10))
     }),
 
+    // --- SimpleQueryParser dialect (QueryParser/Simple/SimpleQueryParser.cs):
+    //     `+` AND, `|` OR, left-fold tree building — (vector AND stream) OR data
+    "q_simple_parsed" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      idsOf(se, SimpleQueryParser.parse("vector + stream | data", se.analyzer))
+    }),
+
+    // --- ComplexPhraseQueryParser (QueryParser/ComplexPhrase/): a phrase
+    //     with an embedded prefix — span-near(data, or(que*-terms), 0, ordered)
+    "q_complex_phrase" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      idsOf(se, ComplexPhraseParser.parse("\"data que*\"", se.analyzer, se))
+    }),
+
+    // --- surround dialect (QueryParser/Surround/): prefix-form unordered
+    //     distance operator, window 4
+    "q_surround" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      idsOf(se, SurroundParser.parse("4n(data, stream)", se))
+    }),
+
     // --- parsed `^boost` syntax (Classic/QueryParserBase boost production):
     //     power-of-two boosts keep the float/double algebra bit-exact on
     //     both sides regardless of association
@@ -924,6 +945,27 @@ object Queries {
          |  FROM scores_a a LEFT JOIN scores_b b ON a.doc_id = b.doc_id
          |  WHERE a.doc_id NOT IN (SELECT doc_id FROM ph))
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // SimpleQueryParser left-fold: (vector AND stream) OR data
+    "q_simple_parsed" ->
+      s"""$P SELECT DISTINCT doc_id FROM (
+         |  SELECT doc_id FROM tf WHERE term = 'data'
+         |  UNION
+         |  SELECT a.doc_id FROM tf a JOIN tf b USING (doc_id)
+         |  WHERE a.term = 'vector' AND b.term = 'stream')
+         |ORDER BY doc_id""".stripMargin,
+
+    // ComplexPhrase "data que*": data immediately followed by a que%-term
+    "q_complex_phrase" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+         |WHERE a.term = 'data' AND b.term LIKE 'que%' ORDER BY 1""".stripMargin,
+
+    // surround 4n(data, stream): two single-term spans, window - 2 <= 3
+    "q_surround" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 4
+         |WHERE a.term = 'data' AND b.term = 'stream' ORDER BY 1""".stripMargin,
 
     "q_multiphrase" ->
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b

@@ -1213,6 +1213,13 @@ final class Searcher(spark: SparkSession, indexPath: String,
   /** Budgeted like constantScoreOver: explain only needs to know whether the
     * doc under explanation holds ANY expanded term, and the compile path's
     * own rewrite is capped at the same budget — so the collect is bounded. */
+  /** Parser-level multi-term expansion (the SCORING_BOOLEAN_QUERY_REWRITE
+    * analog used by ComplexPhraseQueryParser.Rewrite and the surround
+    * parser's SimpleTerm visitor): the dictionary terms a multi-term query
+    * matches on `field`, deterministic order, budget-capped. */
+  def expandMultiTerm(field: String, q: Query, limit: Int = ConstantScoreTermBudget): Seq[String] =
+    explainKeys(q, field, Map.empty).toSeq.map(_._2).sorted.take(limit)
+
   private def expandDict(field: String, pred: Column): Set[(String, String)] =
     dictionary(field).filter(pred).select("term")
       .limit(ConstantScoreTermBudget).as[String].collect()
