@@ -109,6 +109,14 @@ object Bench {
     results("q_sorted_early") = timeMedian(trials) {
       sortedSe.searchSortedEarly(TermQ("data"), 10).collect()
     }
+    // fully distributed sorted-merge remap (permutation-as-table path,
+    // forced below its size cutover): 8 sorted segments -> 1
+    results("sorted_merge_dist") = time {
+      graft.merge.MergeJob.mergeToPolicy(spark, sortedPath,
+        new graft.merge.TieredMergePolicy(segsPerTier = 1.0, maxMergeAtOnce = 8,
+          floorSegmentDocs = 1000),
+        sortedPermBroadcastMax = 0)
+    }
     results("percolate") = time {
       graft.pipeline.Percolator.percolate(docs, "doc_id", "text",
         Seq("data", "vector", "stream", "model", "query", "join", "hash",

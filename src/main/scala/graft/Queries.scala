@@ -337,6 +337,22 @@ object Queries {
       idsOf(se, SurroundParser.parse("4n(data, stream)", se))
     }),
 
+    // --- XML query syntax (QueryParser/Xml/CoreParser.cs): boolean of
+    //     term clauses with a SpanNear mustNot — ranked
+    "q_xml_parsed" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      ranked(se.search(XmlQueryParser.parse(
+        """<BooleanQuery>
+          |  <Clause occurs="must"><TermQuery>vector</TermQuery></Clause>
+          |  <Clause occurs="should"><TermQuery>stream</TermQuery></Clause>
+          |  <Clause occurs="mustNot">
+          |    <SpanNear slop="2" inOrder="true">
+          |      <SpanTerm>hash</SpanTerm><SpanTerm>join</SpanTerm>
+          |    </SpanNear>
+          |  </Clause>
+          |</BooleanQuery>""".stripMargin, se.analyzer), 10))
+    }),
+
     // --- parsed `^boost` syntax (Classic/QueryParserBase boost production):
     //     power-of-two boosts keep the float/double algebra bit-exact on
     //     both sides regardless of association
@@ -966,6 +982,19 @@ object Queries {
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
          |  ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 4
          |WHERE a.term = 'data' AND b.term = 'stream' ORDER BY 1""".stripMargin,
+
+    // XML boolean: must vector (scored) + should stream (scored),
+    // excluding docs with an ordered hash..join within slop 2
+    "q_xml_parsed" ->
+      s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")},
+         |ph AS (SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id AND b.pos > a.pos AND (b.pos - a.pos - 1) <= 2
+         |  WHERE a.term = 'hash' AND b.term = 'join')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT a.doc_id, (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM scores_a a LEFT JOIN scores_b b ON a.doc_id = b.doc_id
+         |  WHERE a.doc_id NOT IN (SELECT doc_id FROM ph))
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 
     "q_multiphrase" ->
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b

@@ -706,7 +706,8 @@ object MergeJob {
     * becomes the cluster scheduler).
     */
   def mergeToPolicy(spark: SparkSession, indexPath: String,
-                    policy: TieredMergePolicy = new TieredMergePolicy()): Int = {
+                    policy: TieredMergePolicy = new TieredMergePolicy(),
+                    sortedPermBroadcastMax: Int = SortedMergeMaxDocs): Int = {
     import spark.implicits._
     var merges = 0
     var cont = true
@@ -717,7 +718,8 @@ object MergeJob {
         .as[SegmentStats].collect().map(s => s.segmentId -> s.maxDoc).toMap
       policy.findMerges(sizes) match {
         case m :: _ =>
-          merge(spark, indexPath, m.sources)
+          merge(spark, indexPath, m.sources,
+            sortedPermBroadcastMax = sortedPermBroadcastMax)
           merges += 1
         case Nil => cont = false
       }

@@ -110,6 +110,25 @@ object Searcher {
     * real overlays far below this; crossing it flips readers to the
     * distributed anti-join path instead of OOMing the driver. */
   val DefaultDeleteBroadcastLimit: Long = 2L * 1024 * 1024
+
+  /** Pigeonhole substring filter for edit distance (the EDJoin/PassJoin
+    * prune): split `term` into `maxEdits`+1 contiguous pieces — each edit
+    * corrupts at most one piece, so any candidate within `maxEdits` must
+    * CONTAIN at least one piece unchanged. Returns a codegen'd `contains`
+    * disjunction over the `term` column; `lit(true)` when the query is too
+    * short to split (prune vacuous, correctness unaffected). */
+  def pigeonholePred(term: String, maxEdits: Int): Column = {
+    val k = maxEdits + 1
+    if (term.length < k) return lit(true)
+    val base = term.length / k
+    val rem = term.length % k
+    val pieces = (0 until k).map { i =>
+      val start = i * base + math.min(i, rem)
+      val len = base + (if (i < rem) 1 else 0)
+      term.substring(start, start + len)
+    }
+    pieces.map(p => col("term").contains(p)).reduce(_ || _)
+  }
 }
 
 /** Query execution over a built index — the IndexSearcher analog
@@ -772,7 +791,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
       constantScoreOver(pred, field)
     case WildcardQ(pat) => constantScoreOver(col("term").rlike("^" + Query.wildcardRegex(pat) + "$"), field)
     case RegexpQ(re) => constantScoreOver(col("term").rlike("^" + re + "$"), field)
-    case FuzzyQ(t, maxEdits) => constantScoreOver(levenshtein(col("term"), lit(t)) <= maxEdits, field)
+    case FuzzyQ(t, maxEdits) => constantScoreOver(
+      Searcher.pigeonholePred(t, maxEdits) &&
+        levenshtein(col("term"), lit(t)) <= maxEdits, field)
 
     case PayloadScoreQ(term, fn, boost) =>
       // PayloadTermQuery (includeSpanScore=false): decode the term's payload
@@ -851,6 +872,12 @@ final class Searcher(spark: SparkSession, indexPath: String,
       // intersection (Util/Automaton/LevenshteinAutomata.cs), which prunes
       // the dictionary walk itself
       .filter(abs(length(col("term")) - lit(qLen)) <= maxEdits)
+      // pigeonhole substring prune (the EDJoin/PassJoin filter): split the
+      // query into maxEdits+1 contiguous pieces — each edit corrupts at most
+      // one piece, so any true match CONTAINS at least one piece unchanged.
+      // codegen'd contains() over the dictionary, far more selective than
+      // the length band alone at web-scale dictionaries
+      .filter(Searcher.pigeonholePred(term, maxEdits))
       .withColumn("ed", levenshtein(col("term"), lit(term)))
       .filter(col("ed") <= maxEdits)
       .withColumn("boost", boostU(col("term"), col("ed")))
@@ -1204,7 +1231,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
       expandDict(field, pred)
     case WildcardQ(p) => expandDict(field, col("term").rlike("^" + Query.wildcardRegex(p) + "$"))
     case RegexpQ(re) => expandDict(field, col("term").rlike("^" + re + "$"))
-    case FuzzyQ(t, me) => expandDict(field, levenshtein(col("term"), lit(t)) <= me)
+    case FuzzyQ(t, me) => expandDict(field,
+      Searcher.pigeonholePred(t, me) && levenshtein(col("term"), lit(t)) <= me)
     case FuzzyTopQ(t, me, mx, _) =>
       fuzzyExpand(field, t, me, mx).map(e => (field, e._1)).toSet
     case other => Query.fieldTerms(other, field)

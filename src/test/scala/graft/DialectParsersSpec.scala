@@ -211,6 +211,75 @@ class DialectParsersSpec extends AnyFunSuite {
     intercept[SurroundParser.SurroundParseException](SurroundParser.parse("quick w f*", se))
   }
 
+  // ----------------------------------------------------------- xml
+
+  private def xq(xml: String): Query = XmlQueryParser.parse(xml, simple)
+
+  test("xml: TermQuery is raw text with fieldName and boost attributes") {
+    assert(xq("<TermQuery>Quick</TermQuery>") == TermQ("Quick")) // NOT analyzed
+    assert(xq("""<TermQuery boost="2" fieldName="title">fox</TermQuery>""") ==
+      FieldQ("title", TermQ("fox", 2f)))
+  }
+
+  test("xml: TermsQuery analyzes; BooleanQuery reads occurs + minimumNumberShouldMatch") {
+    assert(xq("<TermsQuery>Quick FOX</TermsQuery>") ==
+      BoolQ(List(Occur.Should -> TermQ("quick"), Occur.Should -> TermQ("fox"))))
+    val b = xq(
+      """<BooleanQuery minimumNumberShouldMatch="1">
+        |  <Clause occurs="must"><TermQuery>quick</TermQuery></Clause>
+        |  <Clause occurs="mustNot"><TermQuery>lazy</TermQuery></Clause>
+        |  <Clause occurs="should"><TermQuery>fox</TermQuery></Clause>
+        |</BooleanQuery>""".stripMargin)
+    assert(b == BoolQ(List(
+      Occur.Must -> TermQ("quick"),
+      Occur.MustNot -> TermQ("lazy"),
+      Occur.Should -> TermQ("fox")), 1))
+  }
+
+  test("xml: span elements, DisMax, Range, FilteredQuery, UserQuery") {
+    assert(xq(
+      """<SpanNear slop="2" inOrder="true">
+        |  <SpanTerm>quick</SpanTerm><SpanOrTerms>fox dog</SpanOrTerms>
+        |</SpanNear>""".stripMargin) ==
+      SpanScoreQ(SpanNearS(List(SpanTermS("quick"),
+        SpanOrS(List(SpanTermS("fox"), SpanTermS("dog")))), 2, inOrder = true)))
+    assert(xq(
+      """<SpanNot><Include><SpanTerm>quick</SpanTerm></Include>
+        |<Exclude><SpanTerm>lazy</SpanTerm></Exclude></SpanNot>""".stripMargin) ==
+      SpanScoreQ(SpanNotS(SpanTermS("quick"), SpanTermS("lazy"))))
+    assert(xq("""<SpanFirst end="3"><SpanTerm>the</SpanTerm></SpanFirst>""") ==
+      SpanScoreQ(SpanFirstS(SpanTermS("the"), 3)))
+    assert(xq(
+      """<DisjunctionMaxQuery tieBreaker="0.1">
+        |  <TermQuery>quick</TermQuery><TermQuery>fox</TermQuery>
+        |</DisjunctionMaxQuery>""".stripMargin) ==
+      DisMaxQ(List(TermQ("quick"), TermQ("fox")), 0.1f))
+    assert(xq("""<RangeQuery lowerTerm="apple" upperTerm="fig" includeUpper="false"/>""") ==
+      RangeQ("apple", "fig", includeLo = true, includeHi = false))
+    assert(xq(
+      """<FilteredQuery>
+        |  <Query><TermQuery>quick</TermQuery></Query>
+        |  <Filter><RangeFilter lowerTerm="a" upperTerm="z"/></Filter>
+        |</FilteredQuery>""".stripMargin) ==
+      BoolQ(List(Occur.Must -> TermQ("quick"),
+        Occur.Must -> ConstantScoreQ(RangeQ("a", "z", includeLo = true, includeHi = true), 0f))))
+    assert(xq("<UserQuery>+quick fox</UserQuery>") ==
+      QueryParser.parse("+quick fox", simple))
+    intercept[XmlQueryParser.XmlParseException](xq("<NoSuchQuery>x</NoSuchQuery>"))
+  }
+
+  test("xml: end-to-end equals the hand-built query") {
+    val q = xq(
+      """<BooleanQuery>
+        |  <Clause occurs="must"><TermQuery>quick</TermQuery></Clause>
+        |  <Clause occurs="should"><TermQuery>lazy</TermQuery></Clause>
+        |</BooleanQuery>""".stripMargin)
+    val parsed = se.search(q, 50).collect().toSeq
+    val manual = se.search(BoolQ(List(
+      Occur.Must -> TermQ("quick"), Occur.Should -> TermQ("lazy"))), 50).collect().toSeq
+    assert(parsed == manual && parsed.nonEmpty)
+  }
+
   test("surround: distance results equal the hand-built span query") {
     val got = se.compile(SurroundParser.parse("5n(fox, quick)", se)).collect().toSeq
       .sortBy(h => (h.segmentId, h.docId))
