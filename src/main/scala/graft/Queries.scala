@@ -337,6 +337,34 @@ object Queries {
       idsOf(se, SurroundParser.parse("4n(data, stream)", se))
     }),
 
+    // --- FuzzyLikeThisQuery (contrib/Queries/FuzzyLikeThisQuery.cs):
+    //     "fuzzify" sample text — emit the selected (src, variant, score)
+    //     rewrite table (difference^2 * idf, global top-N); the oracle
+    //     recomputes the same expansion in SQL
+    "q_fuzzy_mlt" -> ((s, dir) => {
+      import s.implicits._
+      val se = searcher(s, dir)
+      val rows = se.fuzzyLikeThisTerms(
+        Seq(se.defaultField -> "vektor strean"), maxNumTerms = 20)
+      s.createDataset(rows).toDF("ord", "src", "term", "score")
+        .select(col("src"), col("term"), col("score"))
+    }),
+
+    // --- DuplicateFilter (contrib/Queries/DuplicateFilter.cs,
+    //     KM_USE_FIRST_OCCURRENCE): among a query's hits, keep only the
+    //     first doc (index order) per key-field value
+    "q_duplicate_filter" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val meta = s.read.parquet(s"$dir/documents.parquet")
+        .select(format_string("doc%09d", col("doc_id")).as("url"), col("source"))
+      se.compile(TermQ("vector"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .join(meta, Seq("url"))
+        .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"), col("source"))
+        .groupBy("source").agg(min("doc_id").as("doc_id"))
+        .select("doc_id").orderBy("doc_id")
+    }),
+
     // --- XML query syntax (QueryParser/Xml/CoreParser.cs): boolean of
     //     term clauses with a SpanNear mustNot — ranked
     "q_xml_parsed" -> ((s, dir) => {
@@ -982,6 +1010,42 @@ object Queries {
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
          |  ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 4
          |WHERE a.term = 'data' AND b.term = 'stream' ORDER BY 1""".stripMargin,
+
+    // FuzzyLikeThis expansion twin: per source term, variants with
+    // sim = 1 - ed/min(len) > 0 within ed<=2, df0 = exact df else integer
+    // avg of variant dfs, idf = ln(n/(df0+1))+1, score = sim^2*idf;
+    // top-50 per term by (sim desc, term), global top-20 by (score desc, term)
+    "q_fuzzy_mlt" ->
+      s"""$P, src(q, ord) AS (VALUES ('vektor', 0), ('strean', 1)),
+         |vars AS (
+         |  SELECT s.q AS src, s.ord, d.term, d.df,
+         |    1.0 - CAST(levenshtein(d.term, s.q) AS DOUBLE)
+         |      / least(length(d.term), length(s.q)) AS sim
+         |  FROM dfs d CROSS JOIN src s
+         |  WHERE levenshtein(d.term, s.q) <= 2
+         |    AND abs(length(d.term) - length(s.q)) <= 2),
+         |vpos AS (SELECT * FROM vars WHERE sim > 0),
+         |stats AS (
+         |  SELECT src, count(*) AS nv, sum(df) AS tot,
+         |    coalesce(sum(CASE WHEN term = src THEN df END), 0) AS srcdf
+         |  FROM vpos GROUP BY src),
+         |idfs AS (
+         |  SELECT src, ln((SELECT n FROM consts) /
+         |    (CASE WHEN srcdf > 0 THEN srcdf ELSE tot // nv END + 1.0)) + 1.0 AS idf
+         |  FROM stats),
+         |topv AS (
+         |  SELECT v.src, v.ord, v.term, (v.sim * v.sim) * i.idf AS score,
+         |    row_number() OVER (PARTITION BY v.src ORDER BY v.sim DESC, v.term) AS r
+         |  FROM vpos v JOIN idfs i USING (src)),
+         |sel AS (
+         |  SELECT src, ord, term, score FROM topv WHERE r <= 50
+         |  ORDER BY score DESC, term LIMIT 20)
+         |SELECT src, term, score FROM sel ORDER BY ord, score, term""".stripMargin,
+
+    // DuplicateFilter KM_USE_FIRST_OCCURRENCE: min doc_id per source value
+    "q_duplicate_filter" ->
+      s"""$P SELECT min(t.doc_id) AS doc_id FROM tf t JOIN documents d USING (doc_id)
+         |WHERE t.term = 'vector' GROUP BY d.source ORDER BY 1""".stripMargin,
 
     // XML boolean: must vector (scored) + should stream (scored),
     // excluding docs with an ordered hash..join within slop 2

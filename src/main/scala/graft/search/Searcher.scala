@@ -842,6 +842,79 @@ final class Searcher(spark: SparkSession, indexPath: String,
       }
   }
 
+  /** FuzzyLikeThisQuery analog (/root/reference/src/contrib/Queries/
+    * FuzzyLikeThisQuery.cs:190-318): "fuzzify" sample text — analyze each
+    * sample, enumerate fuzzy variants per unique token (<= 50 per term,
+    * MAX_VARIANTS_PER_TERM), score each variant
+    * difference^2 * idf(df_src, numDocs) where df_src is the source term's
+    * df (or the INTEGER-DIVISION average of the variants' dfs when the
+    * source is absent, :236-240), keep the global top `maxNumTerms`, and
+    * group variants of one source term into a nested SHOULD.
+    *
+    * Selection rows (srcOrdinal, src, variant, score) — deterministic order:
+    * groups by first appearance, variants by (score asc, term asc), the
+    * min-heap pop order analog. Scores are double (our ExactDouble
+    * discipline; the reference's float chain agrees to rank on realistic
+    * dictionaries). Variant enumeration is the pruned in-plan dictionary
+    * scan (length band + pigeonhole + plan-side top-k) — no unbounded
+    * collect.
+    */
+  def fuzzyLikeThisTerms(samples: Seq[(String, String)], maxNumTerms: Int = 50,
+                         maxEdits: Int = 2,
+                         minSimilarity: Double = 0d): Seq[(Int, String, String, Double)] = {
+    val maxVariantsPerTerm = 50 // MAX_VARIANTS_PER_TERM
+    val all = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Double)]
+    var ord = 0
+    samples.foreach { case (field, sample) =>
+      val seen = scala.collection.mutable.LinkedHashSet.empty[String]
+      analyzer.tokenize(sample).map(_.term).foreach { t =>
+        if (seen.add(t)) {
+          val qLen = t.codePointCount(0, t.length)
+          val base = dictionary(field)
+            .filter(abs(length(col("term")) - lit(qLen)) <= maxEdits)
+            .filter(Searcher.pigeonholePred(t, maxEdits))
+            .withColumn("ed", levenshtein(col("term"), lit(t)))
+            .filter(col("ed") <= maxEdits)
+            .withColumn("sim", lit(1d) - col("ed").cast("double") /
+              least(length(col("term")), lit(qLen)).cast("double"))
+            .filter(col("sim") > minSimilarity)
+          // totalVariantDocFreqs/numVariants over ALL variants (:216-236);
+          // the top-k cut happens in the plan, reference's bounded PQ
+          val (numVariants, totalDf, srcDf) = base
+            .agg(org.apache.spark.sql.functions.count(lit(1)),
+              coalesce(sum("df"), lit(0L)),
+              coalesce(sum(when(col("term") === t, col("df"))), lit(0L)))
+            .as[(Long, Long, Long)].first()
+          if (numVariants > 0) {
+            val df0 = if (srcDf > 0) srcDf else totalDf / numVariants // int division, :236
+            val idf = math.log(maxDoc / (df0 + 1).toDouble) + 1.0 // DefaultSimilarity.Idf
+            base.orderBy(col("sim").desc, col("term").asc).limit(maxVariantsPerTerm)
+              .select("term", "sim").as[(String, Double)].collect()
+              .foreach { case (v, s) => all += ((ord, t, v, (s * s) * idf)) }
+          }
+          ord += 1
+        }
+      }
+    }
+    val selected = all.sortBy { case (_, _, term, score) => (-score, term) }.take(maxNumTerms)
+    selected.sortBy { case (o, _, term, score) => (o, score, term) }.toSeq
+  }
+
+  /** The rewritten FuzzyLikeThis query (Rewrite:257-318): one SHOULD group
+    * per source term; a group with several variants nests them as their own
+    * SHOULD disjunction, each variant a TermQ boosted by its score. */
+  def fuzzyLikeThisQuery(samples: Seq[(String, String)], maxNumTerms: Int = 50,
+                         maxEdits: Int = 2, minSimilarity: Double = 0d): Query = {
+    val rows = fuzzyLikeThisTerms(samples, maxNumTerms, maxEdits, minSimilarity)
+    val groups = rows.groupBy(_._1).toSeq.sortBy(_._1)
+    val clauses = groups.map { case (_, vs) =>
+      val tqs = vs.map { case (_, _, term, score) => TermQ(term, score.toFloat): Query }
+      Occur.Should -> (if (tqs.size == 1) tqs.head
+        else BoolQ(tqs.toList.map(Occur.Should -> _)))
+    }.toList
+    if (clauses.size == 1) clauses.head._2 else BoolQ(clauses)
+  }
+
   /** Dictionary expansion for FuzzyTopQ: (term, df, boost) sorted in term
     * order, top-maxExpansions by (boost desc, term asc) — the
     * FuzzyTermsEnum boost (raw-edits: similarity with minSim=0, scale=1) +
