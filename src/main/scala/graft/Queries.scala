@@ -284,6 +284,20 @@ object Queries {
     "q_lang_fr" -> ((s, dir) =>
       idsOf(IndexCache.frSearcher(s, dir),
         BoolQ(List(Occur.Must -> TermQ("histoir"), Occur.Must -> TermQ("cheval"))))),
+    "q_lang_es" -> ((s, dir) =>
+      idsOf(IndexCache.esSearcher(s, dir), TermQ("camp"))),
+    "q_lang_es_phrase" -> ((s, dir) =>
+      // cas@1 .. jardin@3: the gap over the stopped "y" must be exact
+      idsOf(IndexCache.esSearcher(s, dir), PhraseQ(List("cas" -> 0, "jardin" -> 2)))),
+    "q_lang_it" -> ((s, dir) =>
+      // elided dell'arte -> arte must land at position 5 next to giardin@4
+      idsOf(IndexCache.itSearcher(s, dir),
+        BoolQ(List(Occur.Must -> TermQ("fioritur"),
+          Occur.Must -> SpanMatchQ(SpanNearS(
+            List(SpanTermS("giardin"), SpanTermS("arte")), 0, inOrder = true)))))),
+    "q_lang_pt" -> ((s, dir) =>
+      idsOf(IndexCache.ptSearcher(s, dir),
+        BoolQ(List(Occur.Must -> TermQ("flor"), Occur.Must -> TermQ("jardim"))))),
 
     // --- percolation (MemoryIndex.cs: one single-doc index per incoming
     //     doc, matched against broadcast stored queries)
@@ -904,6 +918,18 @@ object Queries {
 
     "q_lang_fr" ->
       """SELECT doc_id FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""",
+
+    "q_lang_es" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    "q_lang_es_phrase" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+
+    "q_lang_it" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    "q_lang_pt" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     "q_percolate" ->
       s"""$P, m AS (

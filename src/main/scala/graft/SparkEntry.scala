@@ -333,6 +333,59 @@ object IndexCache {
   })
   private val frCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Spanish-analyzer gate fixture (stops + light stem, accent folding):
+    *   "Las casas y jardines económicos muestran {campos|bosques}"
+    * => cas@1 jardin@3 economic@4 muestran@5 {camp|bosque}@6 (las@0, y@2
+    * stopped — the position gaps ride through). */
+  def esSearcher(spark: SparkSession, sfDir: String): Searcher = esCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_es"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        format_string("doc%09d", col("doc_id")).as("url"),
+        concat(lit("Las casas y jardines económicos muestran "),
+          when(col("doc_id") % 2 === 0, "campos").otherwise("bosques")).as("text"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "spanish"))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val esCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** Italian-analyzer gate fixture (elision + stops + light stem):
+    *   "Le case e i giardini dell'arte mostrano {fioriture|boschetti}"
+    * => case@1 giardin@4 arte@5 mostran@6 {fioritur|boschett}@7
+    * (le@0, e@2, i@3 stopped; dell'arte elides to arte). */
+  def itSearcher(spark: SparkSession, sfDir: String): Searcher = itCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_it"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        format_string("doc%09d", col("doc_id")).as("url"),
+        concat(lit("Le case e i giardini dell'arte mostrano "),
+          when(col("doc_id") % 2 === 0, "fioriture").otherwise("boschetti")).as("text"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "italian"))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val itCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** Portuguese-analyzer gate fixture (stops + light stem, -ns -> -m):
+    *   "As casas e os jardins mostram {flores|pedras}"
+    * => casa@1 jardim@4 mostram@5 {flor|pedr}@6 (as@0, e@2, os@3 stopped). */
+  def ptSearcher(spark: SparkSession, sfDir: String): Searcher = ptCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_pt"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        format_string("doc%09d", col("doc_id")).as("url"),
+        concat(lit("As casas e os jardins mostram "),
+          when(col("doc_id") % 2 === 0, "flores").otherwise("pedras")).as("text"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "portuguese"))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val ptCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs
     * < 50 appended through StreamingIndexer.appendBatch into the streaming
     * id band (2^20..) — the gate then queries across both bands, putting

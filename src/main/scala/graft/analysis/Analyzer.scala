@@ -278,6 +278,9 @@ object Analyzers {
     case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant
+    case "spanish" => SpanishAnalyzer // classic -> Spanish stops -> light stem
+    case "italian" => ItalianAnalyzer // classic -> elision -> Italian stops -> light stem
+    case "portuguese" => PortugueseAnalyzer // classic -> Portuguese stops -> light stem
     case "delimited_payload" => DelimitedPayloadAnalyzer
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }

@@ -265,12 +265,214 @@ object LangAnalyzers {
     norm()
   }
 
+  /** Spanish stop words: the function-word core (determiners, pronouns,
+    * prepositions, conjunctions) of the Snowball spanish_stop.txt the
+    * reference loads as an embedded resource
+    * (Analysis/Es/SpanishAnalyzer.cs:55 DEFAULT_STOPWORD_FILE — the file is
+    * absent from this source tree). DOCUMENTED SUBSET: the Snowball list's
+    * long estar/haber/ser/tener conjugation tail is omitted. */
+  val SpanishStopWords: Set[String] = Set(
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
+    "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "esta",
+    "entre", "cuando", "muy", "sin", "sobre", "también", "me", "hasta",
+    "hay", "donde", "quien", "desde", "todo", "nos", "durante", "todos",
+    "uno", "les", "ni", "contra", "otros", "ese", "eso", "ante", "ellos",
+    "e", "esto", "mí", "antes", "algunos", "qué", "unos", "yo", "otro",
+    "otras", "otra", "él", "tanto", "esa", "estos", "mucho", "quienes",
+    "nada", "muchos", "cual", "poco", "ella", "estar", "estas", "algunas",
+    "algo", "nosotros", "mi", "mis", "tú", "te", "ti", "tu", "tus",
+    "ellas", "nosotras", "vosotros", "vosotras", "os", "mío", "mía",
+    "míos", "mías", "tuyo", "tuya", "tuyos", "tuyas", "suyo", "suya",
+    "suyos", "suyas", "nuestro", "nuestra", "nuestros", "nuestras",
+    "vuestro", "vuestra", "vuestros", "vuestras", "esos", "esas")
+
+  /** SpanishLightStemmer (Analysis/Es/SpanishLightStemmer.cs:57-135;
+    * Savoy's UniNE light Spanish algorithm): words >= 5 chars fold accented
+    * vowels, then strip a final o/a/e, or -s after a vowel (with the
+    * -eses -> -es and -ces -> -z special cases). Words < 5 chars return
+    * UNCHANGED (the reference's early return precedes the folding loop). */
+  def spanishLightStem(term: String): String = {
+    if (term.length < 5) return term
+    val s = term.toCharArray
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case 'à' | 'á' | 'â' | 'ä' => s(i) = 'a'
+        case 'ò' | 'ó' | 'ô' | 'ö' => s(i) = 'o'
+        case 'è' | 'é' | 'ê' | 'ë' => s(i) = 'e'
+        case 'ù' | 'ú' | 'û' | 'ü' => s(i) = 'u'
+        case 'ì' | 'í' | 'î' | 'ï' => s(i) = 'i'
+        case _ =>
+      }
+      i += 1
+    }
+    val len = s.length
+    s(len - 1) match {
+      case 'o' | 'a' | 'e' => new String(s, 0, len - 1)
+      case 's' =>
+        if (s(len - 2) == 'e' && s(len - 3) == 's' && s(len - 4) == 'e')
+          new String(s, 0, len - 2)
+        else if (s(len - 2) == 'e' && s(len - 3) == 'c') {
+          s(len - 3) = 'z'
+          new String(s, 0, len - 2)
+        } else if (s(len - 2) == 'o' || s(len - 2) == 'a' || s(len - 2) == 'e')
+          new String(s, 0, len - 2)
+        else new String(s, 0, len)
+      case _ => new String(s, 0, len)
+    }
+  }
+
   /** ElisionFilter (Analysis/Util/ElisionFilter.cs + FrenchAnalyzer
     * DEFAULT_ARTICLES): strip a leading article + apostrophe
     * (l'histoire -> histoire). */
   def elide(term: String): String = {
     val i = term.indexOf('\'')
     if (i > 0 && FrenchArticles.contains(term.substring(0, i)))
+      term.substring(i + 1)
+    else term
+  }
+
+  /** Italian stop words: function-word core of the Snowball
+    * italian_stop.txt (ItalianAnalyzer.cs DEFAULT_STOPWORD_FILE — embedded
+    * resource absent from this tree; the conjugation tail of
+    * essere/avere/stare/fare is omitted, a DOCUMENTED SUBSET). */
+  val ItalianStopWords: Set[String] = Set(
+    "di", "a", "da", "in", "con", "su", "per", "tra", "fra", "il", "lo",
+    "la", "i", "gli", "le", "un", "uno", "una", "e", "ed", "o", "ma", "se",
+    "perché", "che", "chi", "cui", "non", "più", "quale", "quanto",
+    "quanti", "quanta", "quante", "quello", "quelli", "quella", "quelle",
+    "questo", "questi", "questa", "queste", "si", "tutto", "tutti",
+    "anche", "come", "dove", "dal", "dallo", "dalla", "dai", "dagli",
+    "dalle", "del", "dello", "della", "dei", "degli", "delle", "nel",
+    "nello", "nella", "nei", "negli", "nelle", "sul", "sullo", "sulla",
+    "sui", "sugli", "sulle", "al", "allo", "alla", "ai", "agli", "alle",
+    "io", "tu", "lui", "lei", "noi", "voi", "loro", "mio", "mia", "miei",
+    "mie", "tuo", "tua", "tuoi", "tue", "suo", "sua", "suoi", "sue",
+    "nostro", "nostra", "nostri", "nostre", "vostro", "vostra", "vostri",
+    "vostre", "ci", "vi", "ne", "già", "qui", "quindi", "sono", "è")
+
+  /** Italian elision articles (ItalianAnalyzer.cs:60 DEFAULT_ARTICLES). */
+  val ItalianArticles: Set[String] = Set(
+    "c", "l", "all", "dall", "dell", "nell", "sull", "coll", "pell",
+    "gl", "agl", "dagl", "degl", "negl", "sugl", "un", "m", "t", "s",
+    "v", "d")
+
+  /** Portuguese stop words: function-word core of the Snowball
+    * portuguese_stop.txt (PortugueseAnalyzer DEFAULT_STOPWORD_FILE —
+    * embedded resource absent; ser/estar/ter/haver conjugation tail
+    * omitted, a DOCUMENTED SUBSET). */
+  val PortugueseStopWords: Set[String] = Set(
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "é",
+    "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as",
+    "dos", "como", "mas", "foi", "ao", "ele", "das", "tem", "à", "seu",
+    "sua", "ou", "ser", "quando", "muito", "há", "nos", "já", "está",
+    "eu", "também", "só", "pelo", "pela", "até", "isso", "ela", "entre",
+    "era", "depois", "sem", "mesmo", "aos", "ter", "seus", "quem", "nas",
+    "me", "esse", "eles", "estão", "você", "essa", "num", "nem", "suas",
+    "meu", "às", "minha", "numa", "pelos", "elas", "qual", "nós", "lhe",
+    "deles", "essas", "esses", "pelas", "este", "dele", "tu", "te",
+    "vocês", "vos", "lhes", "meus", "minhas", "teu", "tua", "teus",
+    "tuas", "nosso", "nossa", "nossos", "nossas", "dela", "delas",
+    "esta", "estes", "estas", "aquele", "aquela", "aqueles", "aquelas",
+    "isto", "aquilo")
+
+  /** ItalianLightStemmer (Analysis/It/ItalianLightStemmer.cs:57-152;
+    * Savoy's UniNE light Italian algorithm): words >= 6 chars fold
+    * accented vowels, then strip a final vowel — two chars when preceded
+    * by i (or h for e/i endings). Shorter words return unchanged. */
+  def italianLightStem(term: String): String = {
+    if (term.length < 6) return term
+    val s = term.toCharArray
+    var i = 0
+    while (i < s.length) {
+      s(i) match {
+        case 'à' | 'á' | 'â' | 'ä' => s(i) = 'a'
+        case 'ò' | 'ó' | 'ô' | 'ö' => s(i) = 'o'
+        case 'è' | 'é' | 'ê' | 'ë' => s(i) = 'e'
+        case 'ù' | 'ú' | 'û' | 'ü' => s(i) = 'u'
+        case 'ì' | 'í' | 'î' | 'ï' => s(i) = 'i'
+        case _ =>
+      }
+      i += 1
+    }
+    val len = s.length
+    s(len - 1) match {
+      case 'e' =>
+        if (s(len - 2) == 'i' || s(len - 2) == 'h') new String(s, 0, len - 2)
+        else new String(s, 0, len - 1)
+      case 'i' =>
+        if (s(len - 2) == 'h' || s(len - 2) == 'i') new String(s, 0, len - 2)
+        else new String(s, 0, len - 1)
+      case 'a' | 'o' =>
+        if (s(len - 2) == 'i') new String(s, 0, len - 2)
+        else new String(s, 0, len - 1)
+      case _ => new String(s, 0, len)
+    }
+  }
+
+  /** PortugueseLightStemmer (Analysis/Pt/PortugueseLightStemmer.cs:57-250;
+    * Savoy's UniNE light Portuguese algorithm): plural suffix removal
+    * (-es after r/s/l/z, -ns -> -m, -eis/-ais/-óis -> -el/-al/-ol,
+    * -is -> -il, -ões/-ães -> -ão, -mente, bare -s), feminine
+    * normalization on a final 'a' (-inha/-osa/-ica/... -> masculine),
+    * final-vowel strip, then accent folding (ç -> c included). Words < 4
+    * chars return unchanged. */
+  def portugueseLightStem(term: String): String = {
+    if (term.length < 4) return term
+    val s0 = term.toCharArray
+    val s = java.util.Arrays.copyOf(s0, s0.length)
+    var len = s.length
+    def ends(suf: String): Boolean =
+      len >= suf.length && (0 until suf.length).forall(i => s(len - suf.length + i) == suf(i))
+
+    // removeSuffix (:141-196)
+    if (len > 4 && ends("es") && "rslz".indexOf(s(len - 3)) >= 0) len -= 2
+    else if (len > 3 && ends("ns")) { s(len - 2) = 'm'; len -= 1 }
+    else if (len > 4 && (ends("eis") || ends("éis"))) { s(len - 3) = 'e'; s(len - 2) = 'l'; len -= 1 }
+    else if (len > 4 && ends("ais")) { s(len - 2) = 'l'; len -= 1 }
+    else if (len > 4 && ends("óis")) { s(len - 3) = 'o'; s(len - 2) = 'l'; len -= 1 }
+    else if (len > 4 && ends("is")) s(len - 1) = 'l'
+    else if (len > 3 && (ends("ões") || ends("ães"))) { len -= 1; s(len - 2) = 'ã'; s(len - 1) = 'o' }
+    else if (len > 6 && ends("mente")) len -= 5
+    else if (len > 3 && s(len - 1) == 's') len -= 1
+
+    // normFeminine (:197-246), only on a final 'a'
+    if (len > 3 && s(len - 1) == 'a') {
+      if (len > 7 && (ends("inha") || ends("iaca") || ends("eira"))) s(len - 1) = 'o'
+      else if (len > 6) {
+        if (ends("osa") || ends("ica") || ends("ida") || ends("ada") ||
+          ends("iva") || ends("ama")) s(len - 1) = 'o'
+        else if (ends("ona")) { s(len - 3) = 'ã'; s(len - 2) = 'o'; len -= 1 }
+        else if (ends("ora")) len -= 1
+        else if (ends("esa")) { s(len - 3) = 'ê'; len -= 1 }
+        else if (ends("na")) s(len - 1) = 'o'
+      }
+    }
+
+    if (len > 4 && (s(len - 1) == 'e' || s(len - 1) == 'a' || s(len - 1) == 'o')) len -= 1
+
+    var i = 0
+    while (i < len) {
+      s(i) match {
+        case 'à' | 'á' | 'â' | 'ä' | 'ã' => s(i) = 'a'
+        case 'ò' | 'ó' | 'ô' | 'ö' | 'õ' => s(i) = 'o'
+        case 'è' | 'é' | 'ê' | 'ë' => s(i) = 'e'
+        case 'ù' | 'ú' | 'û' | 'ü' => s(i) = 'u'
+        case 'ì' | 'í' | 'î' | 'ï' => s(i) = 'i'
+        case 'ç' => s(i) = 'c'
+        case _ =>
+      }
+      i += 1
+    }
+    new String(s, 0, len)
+  }
+
+  /** Italian elision (ElisionFilter + ItalianAnalyzer.cs:60 articles):
+    * dell'arte -> arte. */
+  def elideItalian(term: String): String = {
+    val i = term.indexOf('\'')
+    if (i > 0 && ItalianArticles.contains(term.substring(0, i)))
       term.substring(i + 1)
     else term
   }
@@ -305,4 +507,38 @@ object FrenchMinimalAnalyzer extends Analyzer {
       .map(t => t.copy(term = elide(t.term)))
       .filterNot(t => FrenchStopWords.contains(t.term))
       .map(t => t.copy(term = frenchMinimalStem(t.term)))
+}
+
+/** Spanish chain: classic grammar -> lowercase -> Spanish stops ->
+  * light stem (Analysis/Es/SpanishAnalyzer.cs:131-146 chain with the
+  * default SpanishLightStemFilter). */
+object SpanishAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => SpanishStopWords.contains(t.term))
+      .map(t => t.copy(term = spanishLightStem(t.term)))
+}
+
+/** Italian chain: classic grammar -> elision (Italian articles) ->
+  * lowercase -> Italian stops -> light stem (Analysis/It/
+  * ItalianAnalyzer.cs createComponents chain). */
+object ItalianAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .map(t => t.copy(term = elideItalian(t.term)))
+      .filterNot(t => ItalianStopWords.contains(t.term))
+      .map(t => t.copy(term = italianLightStem(t.term)))
+}
+
+/** Portuguese chain: classic grammar -> lowercase -> Portuguese stops ->
+  * light stem (Analysis/Pt/PortugueseAnalyzer createComponents chain with
+  * the default PortugueseLightStemFilter). */
+object PortugueseAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => PortugueseStopWords.contains(t.term))
+      .map(t => t.copy(term = portugueseLightStem(t.term)))
 }

@@ -52,8 +52,61 @@ class LangAnalyzersSpec extends AnyFunSuite {
     assert(LangAnalyzers.frenchLightStem("nationalisation") == "national")
   }
 
+  test("Spanish chain: stops, light stemming, accent folding, position gaps") {
+    assert(toks(SpanishAnalyzer, "Las casas y jardines económicos muestran campos") ==
+      List("cas" -> 1, "jardin" -> 3, "economic" -> 4, "muestran" -> 5, "camp" -> 6))
+  }
+
+  test("Spanish light stemmer goldens (SpanishLightStemmer.cs rules)") {
+    assert(LangAnalyzers.spanishLightStem("campos") == "camp") // vowel+s strips both
+    assert(LangAnalyzers.spanishLightStem("casas") == "cas") // -as
+    assert(LangAnalyzers.spanishLightStem("veces") == "vez") // -ces -> -z
+    assert(LangAnalyzers.spanishLightStem("franceses") == "frances") // -eses -> -es
+    assert(LangAnalyzers.spanishLightStem("económico") == "economic") // fold + -o
+    assert(LangAnalyzers.spanishLightStem("jardines") == "jardin") // -es
+    assert(LangAnalyzers.spanishLightStem("azul") == "azul") // < 5 chars untouched
+    assert(LangAnalyzers.spanishLightStem("más") == "más") // < 5: no folding either
+    assert(LangAnalyzers.spanishLightStem("muestran") == "muestran") // consonant end
+  }
+
+  test("Italian chain: elision, stops, light stemming") {
+    assert(toks(ItalianAnalyzer, "Le case e i giardini dell'arte mostrano fioriture") ==
+      List("case" -> 1, "giardin" -> 4, "arte" -> 5, "mostran" -> 6, "fioritur" -> 7))
+  }
+
+  test("Italian light stemmer goldens (ItalianLightStemmer.cs rules)") {
+    assert(LangAnalyzers.italianLightStem("ragazzi") == "ragazz")
+    assert(LangAnalyzers.italianLightStem("ragazza") == "ragazz") // conflates
+    assert(LangAnalyzers.italianLightStem("pensieri") == "pensier")
+    assert(LangAnalyzers.italianLightStem("grandi") == "grand")
+    assert(LangAnalyzers.italianLightStem("vecchie") == "vecch") // -ie double strip
+    assert(LangAnalyzers.italianLightStem("specchi") == "specc") // -hi double strip
+    assert(LangAnalyzers.italianLightStem("occhi") == "occhi") // < 6 untouched
+    assert(LangAnalyzers.italianLightStem("città") == "città") // < 6 untouched
+  }
+
+  test("Portuguese chain: stops, light stemming, ns -> m") {
+    assert(toks(PortugueseAnalyzer, "As casas e os jardins mostram flores") ==
+      List("casa" -> 1, "jardim" -> 4, "mostram" -> 5, "flor" -> 6))
+  }
+
+  test("Portuguese light stemmer goldens (PortugueseLightStemmer.cs rules)") {
+    assert(LangAnalyzers.portugueseLightStem("flores") == "flor") // -es after r
+    assert(LangAnalyzers.portugueseLightStem("jardins") == "jardim") // -ns -> -m
+    assert(LangAnalyzers.portugueseLightStem("meninas") == "menin") // -s then -a
+    assert(LangAnalyzers.portugueseLightStem("corações") == "coraca") // -ões -> -ão, fold
+    assert(LangAnalyzers.portugueseLightStem("chapéus") == "chapeu") // bare -s, fold
+    assert(LangAnalyzers.portugueseLightStem("formosa") == "formos") // -osa -> -oso, then -o
+    assert(LangAnalyzers.portugueseLightStem("formoso") == "formos") // conflates
+    assert(LangAnalyzers.portugueseLightStem("rapidamente") == "rapid") // -mente, then -a
+    assert(LangAnalyzers.portugueseLightStem("mar") == "mar") // < 4 untouched
+  }
+
   test("analyzer catalog registers the language chains") {
     assert(Analyzers.byName("german") eq GermanAnalyzer)
     assert(Analyzers.byName("french") eq FrenchAnalyzer)
+    assert(Analyzers.byName("spanish") eq SpanishAnalyzer)
+    assert(Analyzers.byName("italian") eq ItalianAnalyzer)
+    assert(Analyzers.byName("portuguese") eq PortugueseAnalyzer)
   }
 }
