@@ -1399,7 +1399,8 @@ object Queries {
     // DFR G + B + H1 double twin:
     //   tfn = tf*avg/dl; F = ttf+1; lam = F/(n+F)
     //   basic = ln(lam+1)/ln2 + tfn*(ln((1+lam)/lam)/ln2)
-    //   ae = (ttf+1)/(df*(tfn+1)); s = (basic)*(ae)
+    //   ae = (ttf+2)/((df+1)*(tfn+1))   [AfterEffectB: F=ttf+1, n=df+1]
+    //   s = (basic)*(ae)
     "q_dfr_gb1_topk" ->
       s"""$P, ttfs AS (SELECT term, sum(tf) AS ttf FROM tf GROUP BY term),
          |g AS (
@@ -1413,7 +1414,7 @@ object Queries {
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
          |  SELECT doc_id,
          |    ((ln(lam + 1) / ln(2.0)) + tfn * (ln((1 + lam) / lam) / ln(2.0)))
-         |      * ((ttf + 1.0) / (df * (tfn + 1.0))) AS s
+         |      * ((ttf + 2.0) / ((df + 1.0) * (tfn + 1.0))) AS s
          |  FROM g)
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
 

@@ -94,7 +94,8 @@ object DfrIb {
   def afterF(ae: String, df: Long, ttf: Long): Float => Float = ae match {
     case "none" => _ => 1f
     case "l" => tfn => 1f / (tfn + 1f)
-    case "b" => tfn => (ttf + 1).toFloat / (df.toFloat * (tfn + 1f))
+    // AfterEffectB.cs:32-37: F = ttf+1, n = df+1, score = (F+1)/(n*(tfn+1))
+    case "b" => tfn => (ttf + 2).toFloat / ((df + 1).toFloat * (tfn + 1f))
     case other => throw new IllegalArgumentException(s"unknown after effect: $other")
   }
 
@@ -173,7 +174,8 @@ object DfrIb {
   def afterD(ae: String, df: Long, ttf: Long): Double => Double = ae match {
     case "none" => _ => 1d
     case "l" => tfn => 1d / (tfn + 1d)
-    case "b" => tfn => (ttf + 1d) / (df * (tfn + 1d))
+    // AfterEffectB.cs:32-37: F = ttf+1, n = df+1, score = (F+1)/(n*(tfn+1))
+    case "b" => tfn => (ttf + 2d) / ((df + 1d) * (tfn + 1d))
     case other => throw new IllegalArgumentException(s"unknown after effect: $other")
   }
 

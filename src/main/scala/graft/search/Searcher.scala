@@ -119,13 +119,18 @@ object Searcher {
     * short to split (prune vacuous, correctness unaffected). */
   def pigeonholePred(term: String, maxEdits: Int): Column = {
     val k = maxEdits + 1
-    if (term.length < k) return lit(true)
-    val base = term.length / k
-    val rem = term.length % k
+    // split on CODE POINT boundaries (edits operate on code points; a piece
+    // boundary through a surrogate pair would make that piece unmatchable)
+    val cpCount = term.codePointCount(0, term.length)
+    if (cpCount < k) return lit(true)
+    val base = cpCount / k
+    val rem = cpCount % k
     val pieces = (0 until k).map { i =>
-      val start = i * base + math.min(i, rem)
-      val len = base + (if (i < rem) 1 else 0)
-      term.substring(start, start + len)
+      val startCp = i * base + math.min(i, rem)
+      val lenCp = base + (if (i < rem) 1 else 0)
+      val start = term.offsetByCodePoints(0, startCp)
+      val end = term.offsetByCodePoints(start, lenCp)
+      term.substring(start, end)
     }
     pieces.map(p => col("term").contains(p)).reduce(_ || _)
   }
@@ -870,6 +875,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
       analyzer.tokenize(sample).map(_.term).foreach { t =>
         if (seen.add(t)) {
           val qLen = t.codePointCount(0, t.length)
+          // eager localCheckpoint: the pruned scan (levenshtein included)
+          // runs ONCE and feeds both the stats agg and the top-k collect
           val base = dictionary(field)
             .filter(abs(length(col("term")) - lit(qLen)) <= maxEdits)
             .filter(Searcher.pigeonholePred(t, maxEdits))
@@ -878,6 +885,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
             .withColumn("sim", lit(1d) - col("ed").cast("double") /
               least(length(col("term")), lit(qLen)).cast("double"))
             .filter(col("sim") > minSimilarity)
+            .localCheckpoint(true)
           // totalVariantDocFreqs/numVariants over ALL variants (:216-236);
           // the top-k cut happens in the plan, reference's bounded PQ
           val (numVariants, totalDf, srcDf) = base

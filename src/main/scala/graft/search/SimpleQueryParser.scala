@@ -274,7 +274,7 @@ object SimpleQueryParser {
     val eff = if (fields.isEmpty) Seq((null: String, 1f)) else fields
     val qs = eff.flatMap { case (f, w) =>
       Option(mk(f)).map { q =>
-        val boosted = if (w == 1f) q else applyBoost(q, w)
+        val boosted = Query.withBoost(q, w)
         if (f == null) boosted else FieldQ(f, boosted)
       }
     }
@@ -283,17 +283,6 @@ object SimpleQueryParser {
       case Seq(one) => one
       case many => BoolQ(many.toList.map(Occur.Should -> _))
     }
-  }
-
-  /** Scale leaf boosts by `w` (the reference's Query.SetBoost on the
-    * per-field copy; equivalent under linear score composition). */
-  private def applyBoost(q: Query, w: Float): Query = q match {
-    case TermQ(t, b) => TermQ(t, b * w)
-    case PhraseQ(ts, b, s) => PhraseQ(ts, b * w, s)
-    case FuzzyTopQ(t, me, mx, b) => FuzzyTopQ(t, me, mx, b * w)
-    case ConstantScoreQ(inner, b) => ConstantScoreQ(inner, b * w)
-    case BoolQ(cs, msm) => BoolQ(cs.map { case (o, c) => (o, applyBoost(c, w)) }, msm)
-    case other => ConstantScoreQ(other, w)
   }
 
   private def analyzerFor(field: String, default: Analyzer,

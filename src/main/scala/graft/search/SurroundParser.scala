@@ -236,13 +236,9 @@ object SurroundParser {
     case FieldsN(fs, inner) =>
       val qs = fs.map(f => FieldQ(f, toQuery(inner, Some(f), searcher)): Query)
       if (qs.size == 1) qs.head else BoolQ(qs.map(Occur.Should -> _))
-    case WeightN(inner, w) => applyWeight(toQuery(inner, field, searcher), w)
-  }
-
-  private def applyWeight(q: Query, w: Float): Query = q match {
-    case TermQ(t, b) => TermQ(t, b * w)
-    case SpanScoreQ(sp, b) => SpanScoreQ(sp, b * w)
-    case other => ConstantScoreQ(other, w)
+    // weight multiplies the subquery's real score (OptionalWeights):
+    // Query.withBoost distributes into the scoring leaves
+    case WeightN(inner, w) => Query.withBoost(toQuery(inner, field, searcher), w)
   }
 
   /** Distance-context conversion (DistanceQuery.cs: subqueries must be
