@@ -351,6 +351,20 @@ object Queries {
       idsOf(se, SurroundParser.parse("4n(data, stream)", se))
     }),
 
+    // --- MultiSimilarity (Search/Similarities/MultiSimilarity.cs): score =
+    //     sum of the sub-similarities' scores (BM25 + TFIDF here)
+    "q_multisim_topk" -> ((s, dir) => ranked(IndexCache.simSearcher(s, dir,
+      MultiSim(List(Bm25Sim, TfIdfSim))).search(TermQ("vector"), 10))),
+
+    // --- QueryAutoStopWordAnalyzer (Analysis/Query/
+    //     QueryAutoStopWordAnalyzer.cs): stop words DERIVED from the index —
+    //     terms in more than 40% of docs
+    "q_auto_stopwords" -> ((s, dir) => {
+      import s.implicits._
+      val terms = AutoStopAnalyzer.stopTermsByPercent(searcher(s, dir), 0.4f)
+      s.createDataset(terms).toDF("term")
+    }),
+
     // --- FuzzyLikeThisQuery (contrib/Queries/FuzzyLikeThisQuery.cs):
     //     "fuzzify" sample text — emit the selected (src, variant, score)
     //     rewrite table (difference^2 * idf, global top-N); the oracle
@@ -1036,6 +1050,25 @@ object Queries {
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
          |  ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 4
          |WHERE a.term = 'data' AND b.term = 'stream' ORDER BY 1""".stripMargin,
+
+    // MultiSimilarity twin: bm25_double + tfidf_double (qn = 1, boost = 1;
+    // tfidf value = idf*idf written as a product, not pow, for ulp parity)
+    "q_multisim_topk" ->
+      s"""$P, ms AS (
+         |  SELECT tf.doc_id,
+         |    ((ln(1 + ((c.n - d.df) + 0.5) / (d.df + 0.5)) * (1.2 + 1)) * tf.tf /
+         |     (tf.tf + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n))))
+         |    + (sqrt(tf.tf) * ((ln(c.n / (d.df + 1.0)) + 1.0) * (ln(c.n / (d.df + 1.0)) + 1.0)))
+         |      * (1.0 / sqrt(dl.dl))) AS s
+         |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term CROSS JOIN consts c
+         |  WHERE tf.term = 'vector')
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM ms ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // auto-stopword derivation twin: terms with df > floor(0.4 * n)
+    "q_auto_stopwords" ->
+      s"""$P SELECT term FROM dfs CROSS JOIN consts c
+         |WHERE df > CAST(floor(0.4 * c.n) AS BIGINT) ORDER BY term""".stripMargin,
 
     // FuzzyLikeThis expansion twin: per source term, variants with
     // sim = 1 - ed/min(len) > 0 within ed<=2, df0 = exact df else integer

@@ -94,6 +94,14 @@ final case class DfrSim(basicModel: String, afterEffect: String,
 final case class IbSim(distribution: String, lambda: String,
                        normalization: String, c: Float = 1f) extends SimilarityKind
 
+/** MultiSimilarity (Search/Similarities/MultiSimilarity.cs): score = the
+  * float SUM of the sub-similarities' scores for the same (tf, docLen)
+  * (MultiSimScorer:90-99); queryNorm and coord stay at the base Similarity
+  * defaults (1). Composite (phrase/span) idf overrides use the top-level
+  * formula — a documented divergence from per-sub IdfExplain; term queries
+  * are exact. */
+final case class MultiSim(subs: List[SimilarityKind]) extends SimilarityKind
+
 /** Replayable cached hit stream — Search/CachingCollector.cs analog (see
   * Searcher.cacheHits). `replay` hands the pinned Dataset to a downstream
   * collector function; `release` unpins it.
@@ -117,6 +125,13 @@ object Searcher {
     * CONTAIN at least one piece unchanged. Returns a codegen'd `contains`
     * disjunction over the `term` column; `lit(true)` when the query is too
     * short to split (prune vacuous, correctness unaffected). */
+  /** r2's fixed-member similarities are members of the general frameworks. */
+  private[search] def normalizeSim(k: SimilarityKind): SimilarityKind = k match {
+    case DfrInL2Sim(c) => DfrSim("in", "l", "h2", c)
+    case IbLlSim(c) => IbSim("ll", "df", "h2", c)
+    case s => s
+  }
+
   def pigeonholePred(term: String, maxEdits: Int): Column = {
     val k = maxEdits + 1
     // split on CODE POINT boundaries (edits operate on code points; a piece
@@ -430,14 +445,36 @@ final class Searcher(spark: SparkSession, indexPath: String,
                                  /** per-term docFreqs for composites (the
                                    * MultiSimilarity sub-stats of DFR/IB);
                                    * aligned with lmTtfs. */
-                                 lmDfs: Option[Seq[Long]] = None): (Double, Int) => Double = {
-    // the r2 fixed-member similarities are members of the general frameworks
-    val simKind = perFieldSimilarity.getOrElse(field, similarity) match {
-      case DfrInL2Sim(c) => DfrSim("in", "l", "h2", c)
-      case IbLlSim(c) => IbSim("ll", "df", "h2", c)
-      case s => s
-    }
+                                 lmDfs: Option[Seq[Long]] = None): (Double, Int) => Double =
+    scorerFor(Searcher.normalizeSim(perFieldSimilarity.getOrElse(field, similarity)),
+      field, df, boost, qn, idfSumOverride, idfSumOverrideD, ttf, lmTtfs, lmDfs)
+
+  /** The similarity dispatch itself, recursive so [[MultiSim]] can compose
+    * sub-scorers (MultiSimilarity.cs:90-99 MultiSimScorer: score = float
+    * sum of the sub-similarities' scores). */
+  private def scorerFor(simKind: SimilarityKind, field: String, df: Long,
+                        boost: Float, qn: Double,
+                        idfSumOverride: Option[Float],
+                        idfSumOverrideD: Option[Double],
+                        ttf: Long, lmTtfs: Option[Seq[Long]],
+                        lmDfs: Option[Seq[Long]]): (Double, Int) => Double = {
     (simKind, mode) match {
+      case (MultiSim(subs), LuceneFloat) =>
+        val ss = subs.map(k => scorerFor(Searcher.normalizeSim(k), field, df,
+          boost, qn, idfSumOverride, idfSumOverrideD, ttf, lmTtfs, lmDfs))
+        (tf: Double, len: Int) => {
+          var acc = 0f
+          ss.foreach(s => acc += s(tf, len).toFloat)
+          acc.toDouble
+        }
+      case (MultiSim(subs), ExactDouble) =>
+        val ss = subs.map(k => scorerFor(Searcher.normalizeSim(k), field, df,
+          boost, qn, idfSumOverride, idfSumOverrideD, ttf, lmTtfs, lmDfs))
+        (tf: Double, len: Int) => {
+          var acc = 0d
+          ss.foreach(s => acc += s(tf, len))
+          acc
+        }
       case (Bm25Sim, LuceneFloat) =>
         val idf = idfSumOverride.getOrElse(bm25.idf(df, maxDoc))
         val w = idf * boost * (bm25.k1 + 1)
@@ -678,8 +715,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     case _ if perFieldSimilarity.nonEmpty =>
       1d // PerFieldSimilarityWrapper never overrides QueryNorm (base 1f)
     case Bm25Sim | LmDirichletSim(_) | LmJelinekMercerSim(_) | DfrInL2Sim(_) | IbLlSim(_)
-       | DfrSim(_, _, _, _) | IbSim(_, _, _, _) =>
-      1d // Similarity.QueryNorm default 1f (SimilarityBase likewise)
+       | DfrSim(_, _, _, _) | IbSim(_, _, _, _) | MultiSim(_) =>
+      1d // Similarity.QueryNorm default 1f (SimilarityBase/MultiSimilarity likewise)
     case TfIdfSim | SweetSpotSim(_, _, _, _, _) =>
       def phraseIdfF(terms: List[String], field: String): Float =
         terms.map(t => idfFloat(stats.get((field, t)).map(_._1).getOrElse(0L))).foldLeft(0f)(_ + _)

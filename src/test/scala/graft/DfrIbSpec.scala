@@ -267,6 +267,28 @@ class DfrIbSpec extends AnyFunSuite {
     }
   }
 
+  test("MultiSimilarity sums sub-similarity scores in float") {
+    // MultiSimScorer (MultiSimilarity.cs:90-99): float sum of sub-scores;
+    // queryNorm = 1 (MultiSimilarity never overrides it), so the TFIDF sub
+    // scores at qn = 1
+    val se = new Searcher(spark, idx, similarity = MultiSim(List(Bm25Sim, TfIdfSim)))
+    val t = terms(1)
+    val got = se.search(TermQ(t), 1000).collect()
+      .map(r => (r.getString(0), r.getDouble(1).toFloat)).toMap
+    val want: Map[String, Float] = oracle.docs.flatMap { d =>
+      for {
+        b <- oracle.scoreDoc(TermQ(t), d)
+        ti <- oracle.scoreDocTfIdf(TermQ(t), d, 1f)
+      } yield d.key -> (b + ti)
+    }.toMap
+    assert(got == want, "MultiSim != bm25 + tfidf(qn=1)")
+    // degenerate single-member MultiSim == the member itself
+    val single = new Searcher(spark, idx, similarity = MultiSim(List(Bm25Sim)))
+    val plain = new Searcher(spark, idx)
+    assert(single.search(TermQ(t), 50).collect().toSeq ==
+      plain.search(TermQ(t), 50).collect().toSeq)
+  }
+
   test("explain equals score across the general frameworks") {
     val term = PagesGen.word(50)
     Seq(DfrSim("be", "b", "h1"), DfrSim("d", "l", "z", 0.3f),

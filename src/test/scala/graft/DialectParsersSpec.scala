@@ -280,6 +280,19 @@ class DialectParsersSpec extends AnyFunSuite {
     assert(parsed == manual && parsed.nonEmpty)
   }
 
+  test("auto stopwords derive from the index df and drop with position gaps") {
+    // QueryAutoStopWordAnalyzer.cs: stop terms = df > maxPercentDocs * n
+    val stops = AutoStopAnalyzer.stopTermsByPercent(se, 0.1f)
+    assert(stops.nonEmpty, "fox-corpus has terms above 10% df")
+    val a = AutoStopAnalyzer.fromIndex(simple, se, 0.1f)
+    val sample = "the quick brown fox " + stops.head
+    val toks = a.tokenize(sample).toList
+    assert(!toks.exists(t => stops.contains(t.term)), "derived stop leaked through")
+    // survivors keep their ABSOLUTE delegate positions (StopFilter gaps)
+    val deleg = simple.tokenize(sample).toList.map(t => t.term -> t.position).toMap
+    toks.foreach(t => assert(deleg(t.term) == t.position))
+  }
+
   test("surround: distance results equal the hand-built span query") {
     val got = se.compile(SurroundParser.parse("5n(fox, quick)", se)).collect().toSeq
       .sortBy(h => (h.segmentId, h.docId))
