@@ -351,6 +351,20 @@ object Queries {
       idsOf(se, SurroundParser.parse("4n(data, stream)", se))
     }),
 
+    // --- Expressions module (Lucene.Net.Expressions/ExpressionSortField.cs
+    //     + JS/JavascriptCompiler.cs): a string expression over _score and
+    //     bound doc values ranks the matches — compiled through Catalyst
+    "q_expr_sort" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val bindings = s.read.parquet(s"$dir/documents.parquet")
+        .select(format_string("doc%09d", col("doc_id")).as("url"),
+          col("n_chars").cast("double").as("n_chars"))
+      val ranked = Expressions.sortBy(se, TermQ("vector"),
+        "_score * ln(1.0 + n_chars)", bindings, 10)
+      IndexCache.rankedIds(ranked.select(col("url"),
+        col("expr_score").as("score"), col("segmentId"), col("docId")))
+    }),
+
     // --- MultiSimilarity (Search/Similarities/MultiSimilarity.cs): score =
     //     sum of the sub-similarities' scores (BM25 + TFIDF here)
     "q_multisim_topk" -> ((s, dir) => ranked(IndexCache.simSearcher(s, dir,
@@ -1050,6 +1064,14 @@ object Queries {
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
          |  ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 4
          |WHERE a.term = 'data' AND b.term = 'stream' ORDER BY 1""".stripMargin,
+
+    // Expressions twin: bm25 score * ln(1 + n_chars) ranks the matches
+    "q_expr_sort" ->
+      s"""$P, ${scoreCte("a", "vector")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s2 DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT sa.doc_id, sa.s * ln(1.0 + d.n_chars) AS s2
+         |  FROM scores_a sa JOIN documents d USING (doc_id))
+         |ORDER BY s2 DESC, doc_id LIMIT 10""".stripMargin,
 
     // MultiSimilarity twin: bm25_double + tfidf_double (qn = 1, boost = 1;
     // tfidf value = idf*idf written as a product, not pow, for ulp parity)

@@ -1,0 +1,48 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lucene.Net.Expressions analog (/root/reference/src/Lucene.Net.Expressions/):
+  * the reference compiles a JavaScript-like arithmetic expression over
+  * bindings — `_score` plus numeric doc values — to bytecode
+  * (JS/JavascriptCompiler.cs, SimpleBindings.cs) and uses it as a sort
+  * field (ExpressionSortField.cs) or a rescorer (ExpressionRescorer.cs).
+  *
+  * Spark-first, the expression language IS Catalyst: the string compiles
+  * through `expr()` against the same bindings (the hit's `_score` column
+  * plus any numeric columns of a url-keyed bindings table — the doc-values
+  * analog), executes inside whole-stage codegen, and supports a strict
+  * superset of the reference's JS arithmetic (+ - * / %, comparisons,
+  * ternary via CASE/if, ln/log/sqrt/pow/abs/min/max trig...).
+  */
+object Expressions {
+
+  /** ExpressionSortField: the expression's value ranks the query's matches
+    * (descending, reverse=true analog), ties on url. Returns
+    * (url, expr_score, segmentId, docId) top-k. */
+  def sortBy(se: Searcher, q: Query, expression: String, bindings: DataFrame,
+             k: Int): DataFrame = {
+    val hits = se.compile(q)
+      .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .withColumnRenamed("score", "_score")
+      .join(broadcast(bindings), Seq("url"))
+    hits.withColumn("expr_score", expr(expression))
+      .select("url", "expr_score", "segmentId", "docId")
+      .orderBy(col("expr_score").desc, col("url").asc)
+      .limit(k)
+  }
+
+  /** ExpressionRescorer.Rescore: re-rank only the top-`window` first-pass
+    * hits by the expression (second pass over a bounded candidate set). */
+  def rescoreTopK(se: Searcher, q: Query, window: Int, expression: String,
+                  bindings: DataFrame, k: Int): DataFrame = {
+    val top = se.search(q, window) // (url, score, segmentId, docId), ranked
+      .withColumnRenamed("score", "_score")
+      .join(broadcast(bindings), Seq("url"))
+    top.withColumn("expr_score", expr(expression))
+      .select("url", "expr_score", "segmentId", "docId")
+      .orderBy(col("expr_score").desc, col("url").asc)
+      .limit(k)
+  }
+}

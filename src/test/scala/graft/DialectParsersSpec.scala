@@ -293,6 +293,25 @@ class DialectParsersSpec extends AnyFunSuite {
     toks.foreach(t => assert(deleg(t.term) == t.position))
   }
 
+  test("expressions: catalyst-compiled sort and bounded rescorer") {
+    import org.apache.spark.sql.functions._
+    val bindings = se.docs.select(col("url"), col("fieldLen").cast("double").as("flen"))
+    val sorted = Expressions.sortBy(se, TermQ("quick"), "_score * sqrt(flen)", bindings, 10)
+      .collect()
+    assert(sorted.nonEmpty)
+    val manual = se.compile(TermQ("quick"))
+      .join(se.docs.select("segmentId", "docId", "url", "fieldLen"), Seq("segmentId", "docId"))
+      .withColumn("e", col("score") * sqrt(col("fieldLen").cast("double")))
+      .orderBy(col("e").desc, col("url").asc).limit(10)
+      .select("url").collect().map(_.getString(0)).toSeq
+    assert(sorted.map(_.getString(0)).toSeq == manual)
+    // the rescorer is second-pass only: its results stay inside the window
+    val window = se.search(TermQ("quick"), 5).collect().map(_.getString(0)).toSet
+    val rescored = Expressions.rescoreTopK(se, TermQ("quick"), 5, "_score * sqrt(flen)",
+      bindings, 5).collect()
+    assert(rescored.nonEmpty && rescored.map(_.getString(0)).toSet.subsetOf(window))
+  }
+
   test("surround: distance results equal the hand-built span query") {
     val got = se.compile(SurroundParser.parse("5n(fox, quick)", se)).collect().toSeq
       .sortBy(h => (h.segmentId, h.docId))
