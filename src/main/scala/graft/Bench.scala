@@ -66,6 +66,9 @@ object Bench {
     }
     results("q_phrase_top10") = timeMedian(trials) { lucene.search(PhraseQ(List("hash" -> 0, "join" -> 1)), 10).collect() }
     results("q_prefix") = timeMedian(trials) { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
+    // scored fuzzy top-k through the pruned dictionary expansion
+    // (length band + pigeonhole substring + in-plan top-maxExpansions)
+    results("q_fuzzy") = timeMedian(trials) { lucene.search(FuzzyTopQ("datq", 2), 10).collect() }
 
     // 3. pipeline operators at scale
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

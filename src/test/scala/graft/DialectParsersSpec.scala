@@ -64,6 +64,18 @@ class DialectParsersSpec extends AnyFunSuite {
         Occur.Must -> BoolQ(List(Occur.Should -> TermQ("fox"), Occur.Should -> TermQ("dog"))))))
   }
 
+  test("simple: never throws on random operator soup (property)") {
+    // the reference's contract: ANY input produces a query, never an error
+    val rnd = new scala.util.Random(20260817)
+    val alphabet = "ab c()\"+|-~*\\12 ()\"~"
+    (0 until 500).foreach { i =>
+      val len = rnd.nextInt(24)
+      val s = new String(Array.fill(len)(alphabet(rnd.nextInt(alphabet.length))))
+      val q = SimpleQueryParser.parse(s, simple) // must not throw
+      assert(q != null, s"fuzz #$i: $s")
+    }
+  }
+
   test("simple: malformed input never throws") {
     assert(sp("(unclosed quick") ==
       BoolQ(List(Occur.Should -> TermQ("unclosed"), Occur.Should -> TermQ("quick"))))
