@@ -27,9 +27,13 @@ object AutoStopAnalyzer {
   }
 
   /** Percentage overload (QueryAutoStopWordAnalyzer.cs AddStopWords(reader,
-    * maxPercentDocs)): threshold = (int)(maxPercentDocs * numDocs). */
-  def stopTermsByPercent(se: Searcher, maxPercentDocs: Float, field: String = null): Seq[String] =
-    stopTerms(se, (maxPercentDocs * se.maxDoc).toInt, field)
+    * maxPercentDocs)): threshold = (int)(maxPercentDocs * numDocs) with
+    * numDocs = LIVE docs (maxDoc minus delete markers — the reference's
+    * IndexReader.NumDocs, not MaxDoc). The product truncates in double (the
+    * reference's float product differs by ulps only; double keeps the SQL
+    * oracle twin exact). */
+  def stopTermsByPercent(se: Searcher, maxPercentDocs: Double, field: String = null): Seq[String] =
+    stopTerms(se, (maxPercentDocs * (se.maxDoc - se.deletedCount)).toLong, field)
 
   /** The wrapping analyzer: delegate chain, then drop the derived stops. */
   def apply(delegate: Analyzer, stops: Set[String]): Analyzer = new Analyzer {
@@ -37,7 +41,7 @@ object AutoStopAnalyzer {
       delegate.tokenize(text).filterNot(t => stops.contains(t.term))
   }
 
-  def fromIndex(delegate: Analyzer, se: Searcher, maxPercentDocs: Float,
+  def fromIndex(delegate: Analyzer, se: Searcher, maxPercentDocs: Double,
                 field: String = null): Analyzer =
     apply(delegate, stopTermsByPercent(se, maxPercentDocs, field).toSet)
 }

@@ -145,5 +145,5 @@ object ComplexPhraseParser {
   }
 
   /** The reference's "Dummy clause because no terms found" span (:304). */
-  private def noMatchSpan: SpanQ = SpanTermS("\u0000-no-match-\u0000")
+  private def noMatchSpan: SpanQ = SpanTermS(SpanMatcher.NoMatchTerm)
 }

@@ -15,34 +15,42 @@ import org.apache.spark.sql.functions._
   * analog), executes inside whole-stage codegen, and supports a strict
   * superset of the reference's JS arithmetic (+ - * / %, comparisons,
   * ternary via CASE/if, ln/log/sqrt/pow/abs/min/max trig...).
+  *
+  * A doc with no bindings row keeps ranking with its values bound to 0 —
+  * the reference's missing-doc-value semantics (a LEFT join + coalesce,
+  * not an inner join that would drop the hit).
   */
 object Expressions {
+
+  /** Shared ranking tail: bind `_score` + doc values (absent rows -> 0),
+    * evaluate the expression, rank desc with url tie-break. */
+  private def rankByExpr(hits: DataFrame, expression: String, bindings: DataFrame,
+                         k: Int): DataFrame = {
+    val boundCols = bindings.columns.filterNot(_ == "url")
+    val joined0 = hits.withColumnRenamed("score", "_score")
+      .join(broadcast(bindings), Seq("url"), "left_outer")
+    val joined = boundCols.foldLeft(joined0) { (df, c) =>
+      df.withColumn(c, coalesce(col(c), lit(0d)))
+    }
+    joined.withColumn("expr_score", expr(expression))
+      .select("url", "expr_score", "segmentId", "docId")
+      .orderBy(col("expr_score").desc, col("url").asc)
+      .limit(k)
+  }
 
   /** ExpressionSortField: the expression's value ranks the query's matches
     * (descending, reverse=true analog), ties on url. Returns
     * (url, expr_score, segmentId, docId) top-k. */
   def sortBy(se: Searcher, q: Query, expression: String, bindings: DataFrame,
-             k: Int): DataFrame = {
-    val hits = se.compile(q)
-      .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
-      .withColumnRenamed("score", "_score")
-      .join(broadcast(bindings), Seq("url"))
-    hits.withColumn("expr_score", expr(expression))
-      .select("url", "expr_score", "segmentId", "docId")
-      .orderBy(col("expr_score").desc, col("url").asc)
-      .limit(k)
-  }
+             k: Int): DataFrame =
+    rankByExpr(
+      se.compile(q).join(se.docs.select("segmentId", "docId", "url"),
+        Seq("segmentId", "docId")),
+      expression, bindings, k)
 
   /** ExpressionRescorer.Rescore: re-rank only the top-`window` first-pass
     * hits by the expression (second pass over a bounded candidate set). */
   def rescoreTopK(se: Searcher, q: Query, window: Int, expression: String,
-                  bindings: DataFrame, k: Int): DataFrame = {
-    val top = se.search(q, window) // (url, score, segmentId, docId), ranked
-      .withColumnRenamed("score", "_score")
-      .join(broadcast(bindings), Seq("url"))
-    top.withColumn("expr_score", expr(expression))
-      .select("url", "expr_score", "segmentId", "docId")
-      .orderBy(col("expr_score").desc, col("url").asc)
-      .limit(k)
-  }
+                  bindings: DataFrame, k: Int): DataFrame =
+    rankByExpr(se.search(q, window), expression, bindings, k)
 }

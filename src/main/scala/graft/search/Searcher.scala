@@ -119,12 +119,6 @@ object Searcher {
     * distributed anti-join path instead of OOMing the driver. */
   val DefaultDeleteBroadcastLimit: Long = 2L * 1024 * 1024
 
-  /** Pigeonhole substring filter for edit distance (the EDJoin/PassJoin
-    * prune): split `term` into `maxEdits`+1 contiguous pieces — each edit
-    * corrupts at most one piece, so any candidate within `maxEdits` must
-    * CONTAIN at least one piece unchanged. Returns a codegen'd `contains`
-    * disjunction over the `term` column; `lit(true)` when the query is too
-    * short to split (prune vacuous, correctness unaffected). */
   /** r2's fixed-member similarities are members of the general frameworks. */
   private[search] def normalizeSim(k: SimilarityKind): SimilarityKind = k match {
     case DfrInL2Sim(c) => DfrSim("in", "l", "h2", c)
@@ -132,6 +126,12 @@ object Searcher {
     case s => s
   }
 
+  /** Pigeonhole substring filter for edit distance (the EDJoin/PassJoin
+    * prune): split `term` into `maxEdits`+1 contiguous pieces — each edit
+    * corrupts at most one piece, so any candidate within `maxEdits` must
+    * CONTAIN at least one piece unchanged. Returns a codegen'd `contains`
+    * disjunction over the `term` column; `lit(true)` when the query is too
+    * short to split (prune vacuous, correctness unaffected). */
   def pigeonholePred(term: String, maxEdits: Int): Column = {
     val k = maxEdits + 1
     // split on CODE POINT boundaries (edits operate on code points; a piece

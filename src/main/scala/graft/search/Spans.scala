@@ -22,6 +22,12 @@ object SpanMatcher {
 
   type Span = (Int, Int) // [start, end)
 
+  /** Shared never-matches sentinel term (the reference's "Dummy clause
+    * because no terms found" span, ComplexPhraseQueryParser.cs:304): NUL
+    * delimiters cannot survive any analyzer, so no indexed term — not even
+    * a keyword-analyzed stored value — can collide with it. */
+  val NoMatchTerm: String = "\u0000-no-match-\u0000"
+
   def termsOf(q: SpanQ): Set[String] = q match {
     case SpanTermS(t) => Set(t)
     case SpanNearS(cs, _, _) => cs.flatMap(termsOf).toSet

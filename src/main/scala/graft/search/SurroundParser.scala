@@ -253,7 +253,7 @@ object SurroundParser {
         PrefixQ(pat.dropRight(1))
       else WildcardQ(pat)
       val terms = searcher.expandMultiTerm(field.getOrElse(searcher.defaultField), q)
-      if (terms.isEmpty) SpanTermS(" -no-match- ")
+      if (terms.isEmpty) SpanTermS(SpanMatcher.NoMatchTerm)
       else if (terms.size == 1) SpanTermS(terms.head)
       else SpanOrS(terms.map(t => SpanTermS(t): SpanQ).toList)
     case OrN(cs) => SpanOrS(cs.map(toSpan(_, field, searcher)))
