@@ -298,6 +298,13 @@ object Queries {
     "q_lang_pt" -> ((s, dir) =>
       idsOf(IndexCache.ptSearcher(s, dir),
         BoolQ(List(Occur.Must -> TermQ("flor"), Occur.Must -> TermQ("jardim"))))),
+    // --- AnalyzingQueryParser (QueryParser/Analyzing/): `Häus*` analyzes
+    //     its chunk through the German chain (-> haus) so the prefix hits
+    //     the normalized+stemmed dictionary — the classic parser's raw
+    //     `häus` prefix would match nothing
+    "q_analyzing_parsed" -> ((s, dir) =>
+      idsOf(IndexCache.deSearcher(s, dir), AnalyzingQueryParser.parse(
+        "Häus*", graft.analysis.Analyzers.byName("german")))),
 
     // --- percolation (MemoryIndex.cs: one single-doc index per incoming
     //     doc, matched against broadcast stored queries)
@@ -958,6 +965,10 @@ object Queries {
 
     "q_lang_pt" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    // every de-fixture doc contains Häuser -> haus
+    "q_analyzing_parsed" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
 
     "q_percolate" ->
       s"""$P, m AS (

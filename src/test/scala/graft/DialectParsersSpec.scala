@@ -305,6 +305,21 @@ class DialectParsersSpec extends AnyFunSuite {
     toks.foreach(t => assert(deleg(t.term) == t.position))
   }
 
+  test("analyzing parser: multi-term operands run through the analyzer") {
+    val german = Analyzers.byName("german")
+    // classic keeps the raw (lowercased) text; analyzing normalizes + stems
+    assert(QueryParser.parse("Gärt*", german) == PrefixQ("gärt"))
+    assert(AnalyzingQueryParser.parse("Gärt*", german) == PrefixQ("gart"))
+    assert(AnalyzingQueryParser.parse("Häuser~1", german) == FuzzyTopQ("haus", 1))
+    // wildcard chunks analyze independently, wildcards survive in place
+    assert(AnalyzingQueryParser.parse("Gärt?n*", german) == WildcardQ("gart?n*"))
+    // identity under a non-normalizing analyzer
+    assert(AnalyzingQueryParser.parse("qui*", simple) == PrefixQ("qui"))
+    // a chunk the analyzer swallows (German stopword) is an error
+    // (AnalyzeSingleChunk: "analyzer returned no output")
+    intercept[IllegalArgumentException](AnalyzingQueryParser.parse("und*", german))
+  }
+
   test("expressions: catalyst-compiled sort and bounded rescorer") {
     import org.apache.spark.sql.functions._
     val bindings = se.docs.select(col("url"), col("fieldLen").cast("double").as("flen"))
