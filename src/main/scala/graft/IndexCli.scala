@@ -3,7 +3,8 @@ package graft
 import org.apache.spark.sql.SparkSession
 import graft.build.{CheckIndex, IndexBuilder}
 import graft.merge.{MergeJob, TieredMergePolicy}
-import graft.search.{QueryParser, Searcher}
+import graft.search.{AnalyzingQueryParser, ComplexPhraseParser, QueryParser,
+  Searcher, SimpleQueryParser, SurroundParser, XmlQueryParser}
 import graft.streaming.StreamingIndexer
 
 /** spark-submit entry point for the whole engine lifecycle (the north rule's
@@ -75,9 +76,22 @@ object IndexCli {
       case "search" =>
         val indexPath = args(1)
         val k = args(2).toInt
-        val queryText = args.drop(3).mkString(" ")
+        // optional dialect flag: --parser classic|simple|surround|complex|xml|analyzing
+        val (dialect, rest) = args.drop(3).toList match {
+          case "--parser" :: d :: qs => (d, qs)
+          case qs => ("classic", qs)
+        }
+        val queryText = rest.mkString(" ")
         val s = new Searcher(spark, indexPath)
-        val q = QueryParser.parse(queryText, s.analyzer)
+        val q = dialect match {
+          case "classic" => QueryParser.parse(queryText, s.analyzer)
+          case "simple" => SimpleQueryParser.parse(queryText, s.analyzer)
+          case "surround" => SurroundParser.parse(queryText, s)
+          case "complex" => ComplexPhraseParser.parse(queryText, s.analyzer, s)
+          case "xml" => XmlQueryParser.parse(queryText, s.analyzer)
+          case "analyzing" => AnalyzingQueryParser.parse(queryText, s.analyzer)
+          case other => sys.error(s"unknown parser dialect: $other")
+        }
         s.search(q, k).collect().foreach { r =>
           println(f"${r.getDouble(1)}%10.4f  ${r.getString(0)}")
         }
