@@ -23,12 +23,15 @@ import org.apache.spark.sql.functions._
 object Expressions {
 
   /** Shared ranking tail: bind `_score` + doc values (absent rows -> 0),
-    * evaluate the expression, rank desc with url tie-break. */
+    * evaluate the expression, rank desc with url tie-break. The bindings
+    * table is corpus-sized (one row per doc with values) — no broadcast
+    * hint: AQE builds on whichever side is actually small (the bounded hit
+    * set for rescoreTopK, either side for sortBy). */
   private def rankByExpr(hits: DataFrame, expression: String, bindings: DataFrame,
                          k: Int): DataFrame = {
     val boundCols = bindings.columns.filterNot(_ == "url")
     val joined0 = hits.withColumnRenamed("score", "_score")
-      .join(broadcast(bindings), Seq("url"), "left_outer")
+      .join(bindings, Seq("url"), "left_outer")
     val joined = boundCols.foldLeft(joined0) { (df, c) =>
       df.withColumn(c, coalesce(col(c), lit(0d)))
     }
