@@ -15,7 +15,7 @@ import graft.streaming.StreamingIndexer
   *   stream  <pagesDir> <indexPath> <checkpointDir> [analyzer]
   *   merge   <indexPath>                      # tiered merge to policy
   *   check   <indexPath>                      # CheckIndex invariants
-  *   search  <indexPath> <k> <query...>       # classic query syntax
+  *   search  <indexPath> <k> [--parser classic|simple|surround|complex|xml|analyzing] <query...>
   *   delete  <indexPath> <query...>           # DeleteDocuments(Query)
   *   explain <indexPath> <segmentId> <docId> <query...>
   *   termvector <indexPath> <segmentId> <docId>
@@ -76,11 +76,14 @@ object IndexCli {
       case "search" =>
         val indexPath = args(1)
         val k = args(2).toInt
-        // optional dialect flag: --parser classic|simple|surround|complex|xml|analyzing
-        val (dialect, rest) = args.drop(3).toList match {
-          case "--parser" :: d :: qs => (d, qs)
-          case qs => ("classic", qs)
-        }
+        // optional dialect flag, accepted anywhere after the positionals:
+        // --parser classic|simple|surround|complex|xml|analyzing
+        val tail = args.drop(3).toList
+        val flagIdx = tail.indexOf("--parser")
+        val (dialect, rest) =
+          if (flagIdx >= 0 && flagIdx + 1 < tail.length)
+            (tail(flagIdx + 1), tail.patch(flagIdx, Nil, 2))
+          else ("classic", tail)
         val queryText = rest.mkString(" ")
         val s = new Searcher(spark, indexPath)
         val q = dialect match {

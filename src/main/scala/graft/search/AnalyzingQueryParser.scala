@@ -19,7 +19,10 @@ object AnalyzingQueryParser {
 
   def parse(query: String, analyzer: Analyzer,
             perField: Map[String, Analyzer] = Map.empty): Query =
-    transform(QueryParser.parse(query, analyzer, perField), analyzer, perField)
+    // lowerMultiTerm = false: chunks reach the analyzer in ORIGINAL case,
+    // so case-preserving per-field analyzers (keyword) see the raw text
+    transform(QueryParser.parse(query, analyzer, perField, lowerMultiTerm = false),
+      analyzer, perField)
 
   private def transform(q: Query, analyzer: Analyzer,
                         perField: Map[String, Analyzer]): Query = q match {

@@ -24,14 +24,17 @@ object Expressions {
 
   /** Shared ranking tail: bind `_score` + doc values (absent rows -> 0),
     * evaluate the expression, rank desc with url tie-break. The bindings
-    * table is corpus-sized (one row per doc with values) — no broadcast
-    * hint: AQE builds on whichever side is actually small (the bounded hit
-    * set for rescoreTopK, either side for sortBy). */
+    * table is corpus-sized (one row per doc with values) and a LEFT OUTER
+    * join can only build on ITS side — so it is first pruned with a semi
+    * join against the hit urls (there the hit set IS a valid build side):
+    * the outer join's right side then carries at most one row per hit and
+    * broadcasts, whatever the corpus size. */
   private def rankByExpr(hits: DataFrame, expression: String, bindings: DataFrame,
                          k: Int): DataFrame = {
     val boundCols = bindings.columns.filterNot(_ == "url")
+    val pruned = bindings.join(hits.select("url"), Seq("url"), "left_semi")
     val joined0 = hits.withColumnRenamed("score", "_score")
-      .join(bindings, Seq("url"), "left_outer")
+      .join(pruned, Seq("url"), "left_outer")
     val joined = boundCols.foldLeft(joined0) { (df, c) =>
       df.withColumn(c, coalesce(col(c), lit(0d)))
     }

@@ -126,8 +126,15 @@ object QueryParser {
     * analyzer (e.g. keyword StringFields keep the value verbatim),
     * everything else with the default.
     */
-  def parse(query: String, analyzer: Analyzer, perField: Map[String, Analyzer]): Query = {
-    val (q, rest) = parseGroup(lex(query), analyzer, perField, None)
+  def parse(query: String, analyzer: Analyzer, perField: Map[String, Analyzer]): Query =
+    parse(query, analyzer, perField, lowerMultiTerm = true)
+
+  /** `lowerMultiTerm = false` keeps wildcard/prefix/fuzzy operands in their
+    * ORIGINAL case (for AnalyzingQueryParser, whose chunk analysis must see
+    * the raw text so case-preserving per-field analyzers work). */
+  def parse(query: String, analyzer: Analyzer, perField: Map[String, Analyzer],
+            lowerMultiTerm: Boolean): Query = {
+    val (q, rest) = parseGroup(lex(query), analyzer, perField, None, lowerMultiTerm)
     require(rest.isEmpty || rest == List(RParen), s"dangling tokens in query: $query")
     q
   }
@@ -139,7 +146,9 @@ object QueryParser {
     */
   private def parseGroup(toks0: List[Tok], analyzer: Analyzer,
                          perField: Map[String, Analyzer],
-                         ctxField: Option[String]): (Query, List[Tok]) = {
+                         ctxField: Option[String],
+                         lowerMultiTerm: Boolean = true): (Query, List[Tok]) = {
+    def lowerRaw(s: String): String = if (lowerMultiTerm) s.toLowerCase else s
     var toks = toks0
     val clauses = scala.collection.mutable.ListBuffer.empty[(Occur.Value, Query)]
     var pendingConj: Option[Tok] = None
@@ -188,7 +197,8 @@ object QueryParser {
           toks = toks.tail
         case LParen =>
           val bind = pendingField
-          val (inner, rest) = parseGroup(toks.tail, analyzer, perField, bind.orElse(ctxField))
+          val (inner, rest) = parseGroup(toks.tail, analyzer, perField,
+            bind.orElse(ctxField), lowerMultiTerm)
           toks = rest match {
             case RParen :: t => t
             case t => t
@@ -238,10 +248,9 @@ object QueryParser {
     (q, toks)
   }
 
-  /** Wildcard/prefix/fuzzy terms are lowercased, not analyzed (the reference
-    * does the same — multi-term queries bypass the analyzer).
-    */
-  private def lowerRaw(s: String): String = s.toLowerCase
+  // Wildcard/prefix/fuzzy terms are lowercased (not analyzed) by default —
+  // the reference's classic behavior; see parseGroup's local lowerRaw and
+  // the lowerMultiTerm=false escape hatch used by AnalyzingQueryParser.
 }
 
 /** MultiFieldQueryParser analog (/root/reference/src/Lucene.Net.QueryParser/
