@@ -70,7 +70,8 @@ object MergeJob {
 
   def merge(spark: SparkSession, indexPath: String, sources: List[Int],
             hotTermDf: Int = 5000000,
-            sortedPermBroadcastMax: Int = SortedMergeMaxDocs): Int = {
+            sortedPermBroadcastMax: Int = SortedMergeMaxDocs,
+            sortedPieceEntries: Int = SortedMergePieceEntries): Int = {
     import spark.implicits._
     require(sources.size >= 2)
     // index-sorted index: the merge must RE-SORT (SortingMergePolicy.cs) —
@@ -105,7 +106,7 @@ object MergeJob {
     val totalMaxDoc: Long = srcSorted.map(s => stats(s).maxDoc).sum
     if (sortedMerge && totalMaxDoc > sortedPermBroadcastMax)
       return mergeSortedDistributed(spark, indexPath, srcSorted, target,
-        statsAll, dictWasValid)
+        statsAll, dictWasValid, sortedPieceEntries)
 
     // deleted docs of the source segments are PURGED here (docIds compact,
     // stats recomputed) — Lucene's merge applies live docs and remaps via
@@ -459,10 +460,10 @@ object MergeJob {
   private def mergeSortedDistributed(spark: SparkSession, indexPath: String,
                                      srcSorted: List[Int], target: Int,
                                      statsAll: Array[SegmentStats],
-                                     dictWasValid: Boolean): Int = {
+                                     dictWasValid: Boolean,
+                                     pieceEntries: Int): Int = {
     import spark.implicits._
     val staging = s"$indexPath/.staging/merge_$target"
-    val pieceEntries = SortedMergePieceEntries
 
     // snapshot the resolved markers this merge will purge (localCheckpoint
     // pins the snapshot: markers appended during the merge stay out of it
@@ -527,12 +528,25 @@ object MergeJob {
         }
       }
 
+    // SALTED shuffle (VERDICT r3 #1): the repartition key carries the
+    // newId-range piece bucket alongside (field, term), so a hot term
+    // (df ≈ corpus size) spreads its pieces over MANY reducers instead of
+    // funnelling through one — the same skew handling the unsorted path
+    // gets structurally from its df > hotTermDf piece rows. Soundness:
+    // newIds are unique per (field, term), each salt bucket spans one
+    // disjoint newId range of width pieceEntries, and the encoder below
+    // never lets a piece cross a bucket boundary — so emitted piece rows
+    // keep globally disjoint docId ranges, which the read path already
+    // serves as first-class split rows.
     val merged: Dataset[PostingRow] = entries.toDF()
       .join(permDf, Seq("segmentId", "docId"))
       .select(col("field"), col("term"), col("newId"), col("tf"),
         col("positions"), col("fieldLen"), col("payload"))
-      .repartition(col("field"), col("term"))
+      .withColumn("salt", (col("newId").cast("long") / pieceEntries).cast("int"))
+      .repartition(col("field"), col("term"), col("salt"))
       .sortWithinPartitions(col("field"), col("term"), col("newId"))
+      .select(col("field"), col("term"), col("newId"), col("tf"),
+        col("positions"), col("fieldLen"), col("payload"))
       .as[(String, String, Int, Int, Array[Int], Int, Array[Byte])]
       .mapPartitions { rows =>
         val it = rows.buffered
@@ -542,10 +556,14 @@ object MergeJob {
             if (nextRow != null || !it.hasNext) return
             val field = it.head._1
             val term = it.head._2
+            // two salt buckets of one term can hash to the same partition;
+            // stopping at the bucket boundary keeps piece ranges disjoint
+            val salt = it.head._3 / pieceEntries
             val enc = new PostingsCodec.Encoder
             var n = 0
             while (n < pieceEntries && it.hasNext &&
-              it.head._1 == field && it.head._2 == term) {
+              it.head._1 == field && it.head._2 == term &&
+              it.head._3 / pieceEntries == salt) {
               val e = it.next()
               enc.add(e._3, e._4, e._5, e._6, unframeEntryPayload(e._4, e._7))
               n += 1

@@ -57,6 +57,7 @@ object Classify {
     val dfc = pairs.groupBy("cls", "term").agg(count(lit(1)).as("df"))
     val wordsDf = spark.createDataset(words).toDF("term", "mult")
 
+    val nClasses = classes.count().toInt // true rank bound: one row per class
     val scored = classes.crossJoin(broadcast(wordsDf))
       .join(dfc, Seq("cls", "term"), "left_outer")
       .withColumn("dfw", coalesce(col("df"), lit(0L)))
@@ -65,7 +66,7 @@ object Classify {
       .agg(sum(col("mult") * log((col("dfw") + 1d) / col("den"))).as("lik"))
       .withColumn("score", log(col("nc").cast("double")) - log(lit(n.toDouble)) + col("lik"))
       .select(col("cls"), col("score"))
-    graft.Ranks.rankTopK(scored, 1 << 20, Seq(col("score").desc, col("cls").asc))
+    graft.Ranks.rankTopK(scored, nClasses, Seq(col("score").desc, col("cls").asc))
       .select("cls", "rank")
   }
 
@@ -84,7 +85,8 @@ object Classify {
     val top = se.search(q, k).select("url")
     val votes = broadcast(top).join(labels, "url")
       .groupBy(col("cls")).agg(count(lit(1)).as("votes"))
-    graft.Ranks.rankTopK(votes, 1 << 20, Seq(col("votes").desc, col("cls").asc))
+    // k neighbours cast at most k distinct class votes — the exact bound
+    graft.Ranks.rankTopK(votes, k, Seq(col("votes").desc, col("cls").asc))
       .select("cls", "votes", "rank")
   }
 }

@@ -114,9 +114,10 @@ final class CachedHits private[search] (cached: org.apache.spark.sql.Dataset[gra
 }
 
 object Searcher {
-  /** Default overlay-broadcast bound (~8 MB of ints). Merge cadence keeps
-    * real overlays far below this; crossing it flips readers to the
-    * distributed anti-join path instead of OOMing the driver. */
+  /** Default overlay-broadcast bound: 2M (segmentId, docId) markers ≈ 16 MB
+    * of ints. Merge cadence keeps real overlays far below this; crossing it
+    * flips readers to the distributed anti-join path instead of OOMing the
+    * driver. */
   val DefaultDeleteBroadcastLimit: Long = 2L * 1024 * 1024
 
   /** r2's fixed-member similarities are members of the general frameworks. */

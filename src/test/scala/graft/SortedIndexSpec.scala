@@ -167,6 +167,62 @@ class SortedIndexSpec extends AnyFunSuite {
     assert(sD.search(q, 10).collect().toSeq == sB.search(q, 10).collect().toSeq)
   }
 
+  test("distributed sorted merge salts hot terms: >1 task emits disjoint pieces") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graftsortsalt").toString
+    val n = 400
+    // every doc carries the hot term => df = corpus size >> pieceEntries
+    val pages = (0 until n).map { i =>
+      (f"u$i%04d", s"common filler$i extra${i % 17}", (i * 37 % 50).toLong)
+    }
+    IndexBuilder.build(spark, pages.toDF("url", "text", "nlen"), b,
+      IndexBuilder.BuildConfig(4, "simple", groupSize = 4, indexSort = Some("nlen")))
+    // force the distributed path with a tiny piece bucket (64 entries).
+    // AQE's partition coalescing folds the KB-scale test buckets into one
+    // task (advisory size), which would mask the salting — disable it here
+    // (real buckets are ~MBs and stay separate tasks)
+    val coalesceKey = "spark.sql.adaptive.coalescePartitions.enabled"
+    val prev = spark.conf.get(coalesceKey, "true")
+    spark.conf.set(coalesceKey, "false")
+    try
+      MergeJob.merge(spark, b, List(0, 1, 2, 3),
+        sortedPermBroadcastMax = 0, sortedPieceEntries = 64)
+    finally spark.conf.set(coalesceKey, prev)
+
+    // source segment dirs survive one commit as tombstones — read only the
+    // merged segment (the merge id band)
+    val rows = spark.read.parquet(IndexBuilder.postingsPath(b))
+      .filter(col("term") === "common" &&
+        col("segmentId") >= IndexBuilder.MergeIdOffset)
+      .select(input_file_name().as("file"), col("df"),
+        col("docDeltas"), col("tfs"), col("lens"))
+      .collect()
+    // the hot term was split into ~n/64 piece rows...
+    assert(rows.length >= n / 64,
+      s"expected >= ${n / 64} piece rows for the hot term, got ${rows.length}")
+    // ...written by MORE THAN ONE reducer task (one output file per task)
+    val files = rows.map(_.getString(0)).distinct
+    assert(files.length > 1,
+      s"hot-term pieces all came from one task (unsalted funnel): $files")
+    // piece docId ranges are disjoint and union to the full live doc set
+    val ranges = rows.map { r =>
+      val (ids, _, _) = graft.codec.PostingsCodec.decodeDocs(
+        r.getInt(1), r.getAs[Array[Byte]](2), r.getAs[Array[Byte]](3),
+        r.getAs[Array[Byte]](4))
+      (ids.head, ids.last, ids.toSeq)
+    }.sortBy(_._1)
+    ranges.toSeq.sliding(2).foreach { pair =>
+      if (pair.size == 2)
+        assert(pair(0)._2 < pair(1)._1, s"piece ranges overlap: ${pair(0)} vs ${pair(1)}")
+    }
+    assert(ranges.flatMap(_._3).toSeq == (0 until n), "pieces do not cover all docs")
+    // and the serving path still sees every doc exactly once
+    val s1 = new Searcher(spark, b)
+    assert(s1.count(TermQ("common")) == n)
+    val report = CheckIndex.run(spark, b)
+    assert(report.ok, report.violations.mkString("; "))
+  }
+
   test("distributed sorted merge keeps payloads aligned through the explode") {
     import spark.implicits._
     val b = Files.createTempDirectory("graftsortpay").toString
