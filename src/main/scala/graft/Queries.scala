@@ -230,6 +230,17 @@ object Queries {
       Seq(IndexCache.streamedSearcher(s, dir).count(MatchAllQ)).toDF("cnt")
     }),
 
+    // --- NRT refresh (Search/SearcherManager.cs MaybeRefresh): the served
+    //     reader came from the SAME manager across build -> query -> append
+    //     + delete -> refresh (IndexCache.nrtSearcher asserts the refresh
+    //     transitions); outputs are the post-refresh view
+    "q_nrt_docs" -> ((s, dir) =>
+      idsOf(IndexCache.nrtSearcher(s, dir), TermQ("data"))),
+    "q_nrt_count" -> ((s, dir) => {
+      import s.implicits._
+      Seq(IndexCache.nrtSearcher(s, dir).count(MatchAllQ)).toDF("cnt")
+    }),
+
     // --- JoinUtil with a ScoreMode (Join/JoinUtil.cs:18-67 CreateJoinQuery):
     //     from-side BM25 scores aggregate (Max mode) onto to-side docs
     //     through the join field — the scored query-time join
@@ -923,6 +934,13 @@ object Queries {
 
     "q_streamed_count" ->
       """SELECT count(*) AS cnt FROM documents""",
+
+    // NRT refresh: final view = full corpus appended, src1 docs deleted
+    // (markers, not purged — matches vanish, the live set shrinks)
+    "q_nrt_docs" ->
+      s"""$PDel SELECT DISTINCT doc_id FROM tf WHERE term = 'data' ORDER BY doc_id""",
+    "q_nrt_count" ->
+      """SELECT count(*) AS cnt FROM documents WHERE source <> 'src1'""",
 
     "q_join_score" ->
       s"""$P, ${scoreCte("a", "vector")},

@@ -43,7 +43,7 @@ object IndexCache {
 
   /** Bump when the on-disk postings layout changes — stale caches from a
     * previous engine version must not be reused across driver runs. */
-  val FormatVersion = 6
+  val FormatVersion = 7
 
   def indexPath(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -405,6 +405,45 @@ object IndexCache {
     new Searcher(spark, path, mode = ExactDouble)
   })
   private val stCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
+  /** NRT-REFRESH gate fixture (VERDICT r3 #4): batch-build docs >= 50, open
+    * a [[graft.streaming.SearcherManager]], query it, then APPEND docs < 50
+    * through the streaming band and DELETE source='src1' docs — and serve
+    * the gate queries through the SAME manager's maybeRefresh/acquire
+    * (Search/SearcherManager.cs MaybeRefresh semantics), never a hand-built
+    * Searcher. The refresh contract is asserted at fixture build time:
+    * unchanged -> no refresh; the pre-change reader keeps its point-in-time
+    * view; changed (appends + deletes) -> refresh hands out a new reader.
+    * Gate outputs are match SETS and counts (scoring-mode independent, so
+    * the manager's default reader is oracle-comparable). */
+  def nrtSearcher(spark: SparkSession, sfDir: String): Searcher = nrtCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_nrt"
+    val all = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(format_string("doc%09d", col("doc_id")).as("url"), col("text"),
+        col("doc_id"))
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      IndexBuilder.build(spark, all.filter(col("doc_id") >= 50).drop("doc_id"), path,
+        IndexBuilder.BuildConfig(numSegments = 2, analyzerName = "simple"))
+    }
+    val mgr = new graft.streaming.SearcherManager(spark, path)
+    val s0 = mgr.acquire()
+    require(!mgr.maybeRefresh(), "unchanged index must not trigger a refresh")
+    val n0 = s0.count(MatchAllQ)
+    graft.streaming.StreamingIndexer.appendBatch(spark,
+      all.filter(col("doc_id") < 50).drop("doc_id"), path, "simple",
+      segmentsPerBatch = 2, batchId = 0L)
+    graft.build.Deletes.deleteUrls(spark, path,
+      spark.read.parquet(s"$sfDir/documents.parquet")
+        .filter(col("source") === "src1")
+        .select(format_string("doc%09d", col("doc_id")).as("url")))
+    require(s0.count(MatchAllQ) == n0,
+      "pre-refresh reader lost its point-in-time view")
+    require(mgr.maybeRefresh(), "append + delete must trigger a refresh")
+    val s1 = mgr.acquire()
+    require(s1 ne s0, "refresh must hand out a new reader")
+    s1
+  })
+  private val nrtCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
   /** PerFieldSimilarityWrapper reader over the fielded gate index: the lang
     * keyword field scores TFIDF while text stays BM25 (queryNorm = coord = 1

@@ -44,6 +44,17 @@ object DictTable {
       .select("field", "term", "df", "ttf")
       .groupBy("field", "term")
       .agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
+      // `len` (code points) materialized + (field, len, term) range-sort:
+      // Parquet row-group min/max stats on (field, len) become TIGHT, so a
+      // fuzzy query's length-band predicate |len - len(q)| <= maxEdits
+      // prunes the dictionary scan to ~2*maxEdits+1 length slices instead
+      // of reading the whole table (Searcher.fuzzyDictScan) — the storage-
+      // level slice of the reference's Levenshtein-automaton dictionary
+      // walk (Util/Automaton/LevenshteinAutomata.cs). Terms stay sorted
+      // within each length slice, keeping prefix-family stats usable too.
+      .withColumn("len", length(col("term")).cast("int"))
+      .repartitionByRange(col("field"), col("len"), col("term"))
+      .sortWithinPartitions("field", "len", "term")
       .write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
     spark.catalog.refreshByPath(dictPath(indexPath))
     writeMarker(spark, indexPath, sig)

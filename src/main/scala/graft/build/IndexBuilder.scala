@@ -85,17 +85,41 @@ object IndexBuilder {
   def configPath(base: String) = s"$base/config.json"
 
   /** Stats generations — the segments_N analog: `stats` is generation 0 and
-    * a merge commits `stats_gN` with ONE atomic directory rename. The stats
-    * table defines the LIVE segment set: readers resolve the highest
-    * generation and filter docs/postings to its segments, so the whole
-    * merge (docs + postings + stats) becomes visible at that single rename
-    * and leftover source dirs from a crash are invisible.
+    * a merge commits `stats_gN`. The stats table defines the LIVE segment
+    * set: readers resolve the highest generation and filter docs/postings to
+    * its segments, so the whole merge (docs + postings + stats) becomes
+    * visible at that single commit and leftover source dirs from a crash are
+    * invisible.
+    *
+    * Commit protocol (object-store-safe): a generation is PUBLISHED by one
+    * small pointer file `commits/segments_<gen>` whose content is the
+    * generation's stats directory name. A single-file create is one atomic
+    * PUT on every store — unlike a directory rename, which on object stores
+    * (S3A) is a non-atomic copy+delete a reader can observe half-done.
+    * Readers discover the live generation by max-N over the pointer files
+    * (the SegmentInfos.GetLastCommitGeneration walk —
+    * /root/reference/src/Lucene.Net.Core/Index/SegmentInfos.cs:49-69);
+    * indexes that predate the protocol (no commits dir) fall back to the
+    * legacy stats-directory listing.
     */
   def statsDirName(gen: Long): String = if (gen == 0) "stats" else s"stats_g$gen"
 
+  def commitsPath(base: String): String = s"$base/commits"
+
   def statsGen(spark: SparkSession, base: String): Long = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val cp = new org.apache.hadoop.fs.Path(commitsPath(base))
+    val cfs = cp.getFileSystem(conf)
+    if (cfs.exists(cp)) {
+      val gens = cfs.listStatus(cp).map(_.getPath.getName).collect {
+        case n if n.startsWith("segments_") && n.length > 9 && n.drop(9).forall(_.isDigit) =>
+          n.drop(9).toLong
+      }
+      if (gens.nonEmpty) return gens.max
+    }
+    // legacy fallback (no pointer has ever been committed): directory listing
     val dir = new org.apache.hadoop.fs.Path(base)
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fs = dir.getFileSystem(conf)
     if (!fs.exists(dir)) return 0L
     val gens = fs.listStatus(dir).map(_.getPath.getName).collect {
       case "stats" => 0L
@@ -105,9 +129,35 @@ object IndexBuilder {
     if (gens.isEmpty) 0L else gens.max
   }
 
+  /** Stats directory NAME of a generation: the pointer file's content when
+    * one exists, the legacy conventional name otherwise. */
+  def statsDirOf(spark: SparkSession, base: String, gen: Long): String = {
+    val p = new org.apache.hadoop.fs.Path(s"${commitsPath(base)}/segments_$gen")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) statsDirName(gen)
+    else {
+      val in = fs.open(p)
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+      in.close()
+      if (s.isEmpty) statsDirName(gen) else s
+    }
+  }
+
+  /** Publish `dirName` as generation `gen` — ONE small-file create, the
+    * atomic commit point of the merge protocol. Idempotent (a crashed
+    * commit's retry recomputes the same generation and re-publishes). */
+  def commitPointer(spark: SparkSession, base: String, gen: Long, dirName: String): Unit = {
+    val dir = new org.apache.hadoop.fs.Path(commitsPath(base))
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"segments_$gen"), true)
+    out.write(dirName.getBytes("UTF-8"))
+    out.close()
+  }
+
   /** Resolved path of the CURRENT stats generation. */
   def statsPath(spark: SparkSession, base: String): String =
-    s"$base/${statsDirName(statsGen(spark, base))}"
+    s"$base/${statsDirOf(spark, base, statsGen(spark, base))}"
 
   /** Build the index from a pages DataFrame with columns (url string, text string).
     * Resume-safe: segments recorded in the manifest are skipped.
@@ -311,13 +361,13 @@ object IndexBuilder {
     // is still the supported discipline for concurrent MERGES.
     var appendedGen = statsGen(spark, indexPath)
     spark.createDataset(stats.toSeq).write.mode(SaveMode.Append)
-      .parquet(s"$indexPath/${statsDirName(appendedGen)}")
+      .parquet(s"$indexPath/${statsDirOf(spark, indexPath, appendedGen)}")
     var tries = 0
     var cur = statsGen(spark, indexPath)
     while (cur != appendedGen && tries < 5) {
       appendedGen = cur
       spark.createDataset(stats.toSeq).write.mode(SaveMode.Append)
-        .parquet(s"$indexPath/${statsDirName(appendedGen)}")
+        .parquet(s"$indexPath/${statsDirOf(spark, indexPath, appendedGen)}")
       tries += 1
       cur = statsGen(spark, indexPath)
     }

@@ -389,16 +389,28 @@ object MergeJob {
       .as[SegmentStats].collect()
     val newStats = statsNow.filterNot(s => srcSorted.contains(s.segmentId)) ++ mergedStats
 
-    // ---- THE COMMIT: one atomic rename flips in the next stats generation
-    // (segments_N analog); everything before this is invisible, everything
-    // after is cleanup
+    // ---- THE COMMIT (object-store-safe segments_N protocol): the merged
+    // stats generation is written as an ordinary parquet directory that
+    // readers IGNORE (no pointer yet), then published by creating ONE small
+    // pointer file — a single-object PUT, atomic on every store, where the
+    // previous directory-rename commit was a non-atomic copy+delete on
+    // object stores (a reader listing mid-rename could see a partial
+    // generation). Max-generation pointer discovery is the
+    // SegmentInfos.GetLastCommitGeneration analog (SegmentInfos.cs:49-69).
     val fs = new Path(indexPath).getFileSystem(hadoopConf)
-    val newGen = IndexBuilder.statsGen(spark, indexPath) + 1
-    val statsTmp = s"$indexPath/.staging/stats_g$newGen"
-    spark.createDataset(newStats.toSeq).write.mode(SaveMode.Overwrite).parquet(statsTmp)
-    val statsDst = new Path(s"$indexPath/${IndexBuilder.statsDirName(newGen)}")
-    require(fs.rename(new Path(statsTmp), statsDst), "stats generation flip failed")
-    spark.catalog.refreshByPath(statsDst.toString)
+    val curGen = IndexBuilder.statsGen(spark, indexPath)
+    // migration pointer for pre-pointer indexes: publish the CURRENT
+    // generation first, so the legacy dir-listing fallback can never
+    // resolve the new (not-yet-committed) stats directory written below
+    if (!fs.exists(new Path(s"${IndexBuilder.commitsPath(indexPath)}/segments_$curGen")))
+      IndexBuilder.commitPointer(spark, indexPath, curGen,
+        IndexBuilder.statsDirOf(spark, indexPath, curGen))
+    val newGen = curGen + 1
+    val newDir = IndexBuilder.statsDirName(newGen)
+    spark.createDataset(newStats.toSeq).write.mode(SaveMode.Overwrite)
+      .parquet(s"$indexPath/$newDir")
+    IndexBuilder.commitPointer(spark, indexPath, newGen, newDir) // THE commit
+    spark.catalog.refreshByPath(s"$indexPath/$newDir")
 
     // ---- cleanup, DEFERRED one commit (the reference keeps old commits
     // alive via IndexDeletionPolicy until readers release them): the source
@@ -413,7 +425,11 @@ object MergeJob {
           (if (hasVectors)
             Seq(s"${graft.build.TermVectors.vectorsPath(indexPath)}/segmentId=$s")
           else Nil)
-      } ++ (0L until newGen).map(g => s"$indexPath/${IndexBuilder.statsDirName(g)}")
+      } ++ (0L until newGen).flatMap(g =>
+        // superseded stats dirs (pointer-resolved name) AND their pointer
+        // files — keep-last-commit: only the new generation survives a purge
+        Seq(s"$indexPath/${IndexBuilder.statsDirOf(spark, indexPath, g)}",
+          s"${IndexBuilder.commitsPath(indexPath)}/segments_$g"))
     writeTombstone(fs, indexPath, newGen, doomed)
     spark.catalog.refreshByPath(IndexBuilder.docsPath(indexPath))
     spark.catalog.refreshByPath(IndexBuilder.postingsPath(indexPath))

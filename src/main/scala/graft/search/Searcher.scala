@@ -834,9 +834,14 @@ final class Searcher(spark: SparkSession, indexPath: String,
       constantScoreOver(pred, field)
     case WildcardQ(pat) => constantScoreOver(col("term").rlike("^" + Query.wildcardRegex(pat) + "$"), field)
     case RegexpQ(re) => constantScoreOver(col("term").rlike("^" + re + "$"), field)
-    case FuzzyQ(t, maxEdits) => constantScoreOver(
-      Searcher.pigeonholePred(t, maxEdits) &&
-        levenshtein(col("term"), lit(t)) <= maxEdits, field)
+    case FuzzyQ(t, maxEdits) =>
+      val qLen = t.codePointCount(0, t.length)
+      constantScoreOver(
+        abs(length(col("term")) - lit(qLen)) <= maxEdits &&
+          Searcher.pigeonholePred(t, maxEdits) &&
+          levenshtein(col("term"), lit(t)) <= maxEdits, field,
+        // storage-prunable form of the length band for the dictionary scan
+        dictRangePred = Some(col("len") >= qLen - maxEdits && col("len") <= qLen + maxEdits))
 
     case PayloadScoreQ(term, fn, boost) =>
       // PayloadTermQuery (includeSpanScore=false): decode the term's payload
@@ -915,9 +920,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
           val qLen = t.codePointCount(0, t.length)
           // eager localCheckpoint: the pruned scan (levenshtein included)
           // runs ONCE and feeds both the stats agg and the top-k collect
-          val base = dictionary(field)
-            .filter(abs(length(col("term")) - lit(qLen)) <= maxEdits)
-            .filter(Searcher.pigeonholePred(t, maxEdits))
+          val base = fuzzyDictScan(field, t, maxEdits)
             .withColumn("ed", levenshtein(col("term"), lit(t)))
             .filter(col("ed") <= maxEdits)
             .withColumn("sim", lit(1d) - col("ed").cast("double") /
@@ -984,19 +987,10 @@ final class Searcher(spark: SparkSession, indexPath: String,
         1f - ed.toFloat / math.min(cLen, qLen).toFloat
       })
     val cap = math.min(maxExpansions, Query.MaxClauseCount)
-    dictionary(field)
-      // length-band prune BEFORE the levenshtein evaluation: |len(t)-len(q)|
-      // <= maxEdits is a necessary condition, is cheap, and reaches the scan
-      // — the poor man's slice of the reference's Levenshtein-automaton
-      // intersection (Util/Automaton/LevenshteinAutomata.cs), which prunes
-      // the dictionary walk itself
-      .filter(abs(length(col("term")) - lit(qLen)) <= maxEdits)
-      // pigeonhole substring prune (the EDJoin/PassJoin filter): split the
-      // query into maxEdits+1 contiguous pieces — each edit corrupts at most
-      // one piece, so any true match CONTAINS at least one piece unchanged.
-      // codegen'd contains() over the dictionary, far more selective than
-      // the length band alone at web-scale dictionaries
-      .filter(Searcher.pigeonholePred(term, maxEdits))
+    // length-band (Parquet-row-group-prunable via the dict's sorted `len`
+    // column) + pigeonhole substring prune (the EDJoin/PassJoin filter)
+    // BEFORE the levenshtein evaluation — fuzzyDictScan
+    fuzzyDictScan(field, term, maxEdits)
       .withColumn("ed", levenshtein(col("term"), lit(term)))
       .filter(col("ed") <= maxEdits)
       .withColumn("boost", boostU(col("term"), col("ed")))
@@ -1020,9 +1014,18 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * prunable). Expansions above the budget — or a stale dictionary — fall
     * back to the predicate scan over postings metadata.
     */
-  private def constantScoreOver(termPred: Column, field: String): Dataset[Hit] = {
+  private def constantScoreOver(termPred: Column, field: String,
+                                /** Extra predicate over the dictionary's
+                                  * materialized columns (e.g. the fuzzy
+                                  * length band on `len`) — row-group
+                                  * prunable where termPred's functional
+                                  * form is not; never applied to the
+                                  * postings fallback (no such column). */
+                                dictRangePred: Option[Column] = None): Dataset[Hit] = {
     val expanded: Option[Array[String]] = dictTable.flatMap { dict =>
-      val terms = dict.filter(col("field") === field && termPred)
+      val extra = dictRangePred.filter(_ => dict.columns.contains("len"))
+        .getOrElse(lit(true))
+      val terms = dict.filter(col("field") === field && extra && termPred)
         .select("term").limit(ConstantScoreTermBudget + 1)
         .as[String].collect()
       if (terms.length <= ConstantScoreTermBudget) Some(terms) else None
@@ -1279,6 +1282,32 @@ final class Searcher(spark: SparkSession, indexPath: String,
     case None =>
       postingsRaw.filter(col("field") === field)
         .groupBy("term").agg(sum("df").cast("long").as("df"), sum("ttf").cast("long").as("ttf"))
+  }
+
+  /** Fuzzy candidate scan: dictionary entries surviving the length-band and
+    * pigeonhole prunes for `term` within `maxEdits` (a superset of the true
+    * matches — callers still verify with levenshtein). When the dictionary
+    * carries the materialized `len` column (DictTable range-sorts the table
+    * by (field, len, term)), the band predicate is a plain column range that
+    * Parquet row-group min/max stats PRUNE — the scan reads ~2*maxEdits+1
+    * length slices of the dictionary, not the whole table (the storage-level
+    * stand-in for the reference's Levenshtein-automaton term walk,
+    * Util/Automaton/LevenshteinAutomata.cs / Index/AutomatonTermsEnum.cs).
+    * Older dictionaries without `len` (and the stale-dict postings fallback)
+    * evaluate the band per row instead.
+    */
+  def fuzzyDictScan(field: String, term: String, maxEdits: Int): DataFrame = {
+    val qLen = term.codePointCount(0, term.length)
+    val base = dictTable match {
+      case Some(dict) if dict.columns.contains("len") =>
+        dict.filter(col("field") === field &&
+            col("len") >= qLen - maxEdits && col("len") <= qLen + maxEdits)
+          .select("term", "df", "ttf")
+      case _ =>
+        dictionary(field)
+          .filter(abs(length(col("term")) - lit(qLen)) <= maxEdits)
+    }
+    base.filter(Searcher.pigeonholePred(term, maxEdits))
   }
 
   /** Per-field analyzers from the index config (PerFieldAnalyzerWrapper

@@ -134,7 +134,9 @@ final class SearcherManager(spark: SparkSession, indexPath: String) {
     Seq(
       listing(IndexBuilder.manifestPath(indexPath)),
       gen.toString,
-      listing(s"$indexPath/${IndexBuilder.statsDirName(gen)}"),
+      // pointer-resolved current stats dir (merges flip the generation via
+      // the commits/segments_N pointer; appends add files to the dir)
+      listing(IndexBuilder.statsPath(spark, indexPath)),
       listing(graft.build.Deletes.deletesPath(indexPath))
     ).mkString("|")
   }
