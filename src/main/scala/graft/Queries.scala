@@ -230,6 +230,17 @@ object Queries {
       Seq(IndexCache.streamedSearcher(s, dir).count(MatchAllQ)).toDF("cnt")
     }),
 
+    // --- PostingsHighlighter (Postingshighlight/PostingsHighlighter.cs):
+    //     passage offsets come from the postings' OFFSET stream
+    //     (IndexOptions ..._AND_OFFSETS) — no term vectors, no re-analysis
+    "q_postings_highlight" -> ((s, dir) => {
+      val se = IndexCache.offsetsSearcher(s, dir)
+      Highlighter.postingsSnippet(se, IndexCache.offsetsFixturePages(s, dir),
+          "url", "text", Seq("target"), 12)
+        .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"), col("snippet"))
+        .orderBy("doc_id")
+    }),
+
     // --- NRT refresh (Search/SearcherManager.cs MaybeRefresh): the served
     //     reader came from the SAME manager across build -> query -> append
     //     + delete -> refresh (IndexCache.nrtSearcher asserts the refresh
@@ -934,6 +945,14 @@ object Queries {
 
     "q_streamed_count" ->
       """SELECT count(*) AS cnt FROM documents""",
+
+    // PostingsHighlighter: the fixture text is analytic in doc_id, so the
+    // snippet is a pure string-arithmetic slice at the token's startOffset
+    "q_postings_highlight" ->
+      """SELECT doc_id,
+        |  substring(concat(repeat('x', CAST(5 + doc_id % 11 AS INT)), ' target finale'),
+        |            CAST(7 + doc_id % 11 AS INT), 12) AS snippet
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // NRT refresh: final view = full corpus appended, src1 docs deleted
     // (markers, not purged — matches vanish, the live set shrinks)

@@ -406,6 +406,31 @@ object IndexCache {
   })
   private val stCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Offsets gate fixture pages: variable-length filler then ' target
+    * finale', so the token "target"'s character startOffset = 6 + doc_id%11
+    * is analytically derivable — the DuckDB twin recomputes the passage
+    * slice with pure string arithmetic. */
+  def offsetsFixturePages(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select(
+      format_string("doc%09d", col("doc_id")).as("url"),
+      expr("concat(repeat('x', cast(5 + doc_id % 11 as int)), ' target finale')").as("text"))
+
+  /** Index with per-position character offsets stored IN THE POSTINGS
+    * (IndexOptions ..._AND_OFFSETS, BuildConfig.indexOffsets = true) — the
+    * PostingsHighlighter gate fixture: highlighting slices the stored text
+    * at postings offsets, no term vectors, no re-analysis. Two segments so
+    * the offsets path is exercised across segment boundaries. */
+  def offsetsSearcher(spark: SparkSession, sfDir: String): Searcher = offCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_offsets"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      IndexBuilder.build(spark, offsetsFixturePages(spark, sfDir), path,
+        IndexBuilder.BuildConfig(numSegments = 2, analyzerName = "simple",
+          indexOffsets = true))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val offCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** NRT-REFRESH gate fixture (VERDICT r3 #4): batch-build docs >= 50, open
     * a [[graft.streaming.SearcherManager]], query it, then APPEND docs < 50
     * through the streaming band and DELETE source='src1' docs — and serve

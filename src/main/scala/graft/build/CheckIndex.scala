@@ -34,7 +34,7 @@ object CheckIndex {
     val postings = spark.read.parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(live))
       .transform(IndexBuilder.withPayloadsCol)
-      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads", "offsets")
       .as[PostingRow]
     val segMaxDocB = spark.sparkContext.broadcast(segMaxDoc)
 
@@ -67,6 +67,27 @@ object CheckIndex {
           i += 1
         }
         if (ttf != p.ttf) errs += s"seg=${p.segmentId} term=${p.term}: ttf=${p.ttf} decoded=$ttf"
+        // offset-stream alignment (IndexOptions ..._AND_OFFSETS variant):
+        // one (start, end) per position, starts non-decreasing per doc,
+        // end >= start — the CheckIndex offsets validation analog
+        if (p.offsets != null) {
+          val (os, oe) = PostingsCodec.decodeOffsets(d.tfs, p.offsets)
+          if (os.length != d.posStart(d.tfs.length))
+            errs += s"seg=${p.segmentId} term=${p.term}: offsets!=positions count"
+          var k = 0
+          i = 0
+          while (i < d.tfs.length) {
+            var prevS = -1
+            var j = 0
+            while (j < d.tfs(i)) {
+              if (os(k) < prevS) errs += s"seg=${p.segmentId} term=${p.term}: decreasing startOffset"
+              if (oe(k) < os(k)) errs += s"seg=${p.segmentId} term=${p.term}: endOffset<startOffset"
+              prevS = os(k)
+              k += 1; j += 1
+            }
+            i += 1
+          }
+        }
       } catch {
         case e: Exception => errs += s"seg=${p.segmentId} term=${p.term}: decode failed ${e.getMessage}"
       }

@@ -57,6 +57,13 @@ object IndexBuilder {
         * docs/postings — the TermVectorsConsumer analog (TermVectors.scala).
         * Opt-in: one extra tokenize pass over the build shuffle. */
       termVectors: Boolean = false,
+      /** Store per-position character offsets in the postings — the
+        * IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS analog
+        * (Codecs/Lucene41/Lucene41PostingsWriter.cs:497-566 offset branch):
+        * PostingsHighlighter-style passage highlighting straight from the
+        * postings, no term vectors, no re-analysis. Opt-in (a fourth codec
+        * stream on every posting row). */
+      indexOffsets: Boolean = false,
       /** Index sort (Lucene.Net.Misc/Index/Sorter/Sorter.cs + IndexWriterConfig.SetIndexSort
         * analog): name of a NUMERIC column on the pages input; each segment
         * assigns docIds in (column ASC, url ASC) order and stores the key in
@@ -71,13 +78,18 @@ object IndexBuilder {
 
   final case class BuildReport(numDocs: Long, numSegments: Int, elapsedSec: Double, docsPerSec: Double)
 
-  /** Back-compat read shim: indexes written before the payload stream lack
-    * the `payloads` postings column — surface it as a null binary column so
-    * readers/mergers/CheckIndex open old indexes instead of failing with
-    * UNRESOLVED_COLUMN. */
-  def withPayloadsCol(df: DataFrame): DataFrame =
-    if (df.columns.contains("payloads")) df
-    else df.withColumn("payloads", lit(null).cast("binary"))
+  /** Back-compat read shim: indexes written before the payload / offset
+    * streams lack those postings columns — surface them as null binary
+    * columns so readers/mergers/CheckIndex open old indexes instead of
+    * failing with UNRESOLVED_COLUMN. */
+  def withPayloadsCol(df: DataFrame): DataFrame = {
+    var out = df
+    if (!out.columns.contains("payloads"))
+      out = out.withColumn("payloads", lit(null).cast("binary"))
+    if (!out.columns.contains("offsets"))
+      out = out.withColumn("offsets", lit(null).cast("binary"))
+    out
+  }
 
   def docsPath(base: String) = s"$base/docs"
   def postingsPath(base: String) = s"$base/postings"
@@ -194,7 +206,7 @@ object IndexBuilder {
       .withColumn("segmentId", segOf(col("url")))
       .filter(col("segmentId").isInCollection(group -- alreadyDone))
     writeSegments(spark, inGroup, indexPath, cfg.analyzerName, cfg.boost, cfg.flushTokens,
-      group, cfg.extraFields, cfg.termVectors, cfg.indexSort)
+      group, cfg.extraFields, cfg.termVectors, cfg.indexSort, cfg.indexOffsets)
   }
 
   /** Write one group of segments from a pages DataFrame that already carries
@@ -205,7 +217,8 @@ object IndexBuilder {
                     analyzerName: String, boost: Float, flushTokens: Int,
                     group: Set[Int], extraFields: Seq[(String, String)] = Nil,
                     termVectors: Boolean = false,
-                    indexSort: Option[String] = None): Long = {
+                    indexSort: Option[String] = None,
+                    indexOffsets: Boolean = false): Long = {
     import spark.implicits._
     val tg0 = System.nanoTime()
     val fieldSpecs: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
@@ -232,7 +245,7 @@ object IndexBuilder {
     val postings: Dataset[PostingRow] = sortedPages.mapPartitions { rows =>
       val fields = fieldSpecs.map { case (n, a) => n -> Analyzers.byName(a) }
       new Iterator[PostingRow] {
-        private var writer = new SegmentWriter(fields, flushTokens)
+        private var writer = new SegmentWriter(fields, flushTokens, indexOffsets)
         private var curSeg = -1
         private var docId = -1
         private var queue: Iterator[PostingRow] = Iterator.empty
@@ -416,6 +429,7 @@ object IndexBuilder {
       s"indexSort column '$c' must not contain ':', ',' or '\"'"))
     val json = s"""{"numSegments":${cfg.numSegments},"analyzer":"${cfg.analyzerName}",""" +
       s""""boost":${cfg.boost},"extraFields":"$extra","termVectors":${cfg.termVectors}""" +
+      s""","indexOffsets":${cfg.indexOffsets}""" +
       cfg.indexSort.map(c => s""","indexSort":"$c"""").getOrElse("") + "}"
     val path = new org.apache.hadoop.fs.Path(configPath(indexPath))
     val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -439,8 +453,9 @@ object IndexBuilder {
       (f, a)
     }
     val vecs = json.contains(""""termVectors":true""")
+    val offs = json.contains(""""indexOffsets":true""")
     val isort = """"indexSort":"([^"]+)"""".r.findFirstMatchIn(json).map(_.group(1))
     BuildConfig(num, an, boost = boost, extraFields = extraFields, termVectors = vecs,
-      indexSort = isort)
+      indexOffsets = offs, indexSort = isort)
   }
 }

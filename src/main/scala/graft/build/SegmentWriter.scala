@@ -18,11 +18,17 @@ import graft.model.{PostingRow, SkipRow}
   * into primitive int buffers (the ByteBlockPool analog), which keeps the
   * build compute-bound instead of allocation-bound.
   */
-final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
+final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int,
+                          /** Store per-position character offsets as the
+                            * fourth codec stream (IndexOptions
+                            * ..._AND_OFFSETS) — PostingsHighlighter input. */
+                          indexOffsets: Boolean = false) {
 
   /** Single-field convenience (the default "text" field). */
-  def this(analyzer: Analyzer, flushTokens: Int = 8 * 1024 * 1024) =
-    this(Seq("text" -> analyzer), flushTokens)
+  def this(analyzer: Analyzer, flushTokens: Int) =
+    this(Seq("text" -> analyzer), flushTokens, false)
+
+  def this(analyzer: Analyzer) = this(analyzer, 8 * 1024 * 1024)
 
   /** Growable posting accumulation for one (field, term) (int-array slices). */
   private final class PostBuf {
@@ -34,6 +40,11 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
     /** Per-position payloads aligned with `positions`; allocated lazily on
       * the first payload-carrying token (PayloadAttribute analog). */
     var pays: Array[Array[Byte]] = null
+    /** Flat per-position character offsets [s0,e0,s1,e1,...] aligned with
+      * `positions`; allocated only when the writer indexes offsets
+      * (OffsetAttribute analog). */
+    var offs: Array[Int] = null
+    var offN = 0
 
     def addDoc(docId: Int): Unit = {
       if (n == docs.length) {
@@ -44,15 +55,21 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
       n += 1
     }
 
-    def addPos(p: Int): Unit = addPos(p, null)
+    def addPos(p: Int): Unit = addPos(p, null, -1, -1)
 
-    def addPos(p: Int, payload: Array[Byte]): Unit = {
+    def addPos(p: Int, payload: Array[Byte], start: Int, end: Int): Unit = {
       if (posN == positions.length) {
         positions = java.util.Arrays.copyOf(positions, posN * 2)
         if (pays != null) pays = java.util.Arrays.copyOf(pays, posN * 2)
       }
       if (payload != null && pays == null) pays = new Array[Array[Byte]](positions.length)
       if (pays != null) pays(posN) = payload
+      if (start >= 0) {
+        if (offs == null) offs = new Array[Int](positions.length * 2)
+        else if (offN == offs.length) offs = java.util.Arrays.copyOf(offs, offN * 2)
+        offs(offN) = start; offs(offN + 1) = end
+        offN += 2
+      }
       positions(posN) = p
       posN += 1
       tfs(n - 1) += 1
@@ -88,7 +105,8 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
         var buf = fieldTerms.get(t.term)
         if (buf == null) { buf = new PostBuf; fieldTerms.put(t.term, buf) }
         if (buf.n == 0 || buf.docs(buf.n - 1) != docId) buf.addDoc(docId)
-        buf.addPos(t.position, t.payload)
+        if (indexOffsets) buf.addPos(t.position, t.payload, t.startOffset, t.endOffset)
+        else buf.addPos(t.position, t.payload, -1, -1)
         bufferedTokens += 1
       }
       docLens(f).append(fieldLen)
@@ -125,7 +143,9 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
             val ps = java.util.Arrays.copyOfRange(buf.positions, posOff, posOff + tf)
             val pl = if (buf.pays == null) null
               else java.util.Arrays.copyOfRange(buf.pays, posOff, posOff + tf)
-            enc.add(buf.docs(i), tf, ps, lens(buf.docs(i) - firstDocId), pl)
+            val of = if (buf.offs == null) null
+              else java.util.Arrays.copyOfRange(buf.offs, posOff * 2, (posOff + tf) * 2)
+            enc.add(buf.docs(i), tf, ps, lens(buf.docs(i) - firstDocId), pl, of)
             posOff += tf
             i += 1
           }
@@ -133,7 +153,7 @@ final class SegmentWriter(fields: Seq[(String, Analyzer)], flushTokens: Int) {
           out += PostingRow(segmentId, fields(f)._1, term, e.df, e.ttf,
             e.docDeltas, e.tfs, e.positions, e.lens,
             e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)),
-            e.payloads)
+            e.payloads, e.offsets)
         }
         fieldTerms.clear()
       }

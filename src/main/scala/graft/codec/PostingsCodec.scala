@@ -30,7 +30,14 @@ final case class EncodedPostings(
       * Lucene41PostingsWriter.cs:497-566 payload variants): one
       * vByte(len)+bytes frame per position, in position-stream order;
       * null when the field carries no payloads. */
-    payloads: Array[Byte] = null)
+    payloads: Array[Byte] = null,
+    /** Optional per-position character-offset stream — the
+      * IndexOptions.DOCS_AND_FREQS_AND_POSITIONS_AND_OFFSETS variant
+      * (Lucene41PostingsWriter.cs:497-566 offset branch; the reference
+      * interleaves offsets with payloads in the .pay file): per position,
+      * vByte(startOffset delta from the doc's previous startOffset) +
+      * vByte(endOffset - startOffset). null when offsets are not indexed. */
+    offsets: Array[Byte] = null)
 
 /** Posting-list block codec, semantics-equivalent to the reference's
   * Lucene41PostingsWriter/Reader
@@ -58,6 +65,7 @@ object PostingsCodec {
     private val lenOut = new ByteBuf(128)
     private val skips = scala.collection.mutable.ArrayBuffer.empty[SkipEntry]
     private var payOut: ByteBuf = null // created lazily on first payload
+    private var offOut: ByteBuf = null // created on the first doc when offsets are indexed
     private var blockMaxTf = 0
     private var blockMinLen = Int.MaxValue
     private var blockDocOff = 0
@@ -65,14 +73,21 @@ object PostingsCodec {
     private var blockPosOff = 0
 
     def add(docId: Int, tf: Int, positions: Array[Int], fieldLen: Int): Unit =
-      add(docId, tf, positions, fieldLen, null)
+      add(docId, tf, positions, fieldLen, null, null)
 
-    /** Payload-carrying variant: `payloads(i)` aligns with `positions(i)`
-      * (null entry = no payload at that position). Once any doc of the list
-      * carries payloads, every position is framed (len 0 when absent) so
-      * the stream stays aligned. */
     def add(docId: Int, tf: Int, positions: Array[Int], fieldLen: Int,
-            payloads: Array[Array[Byte]]): Unit = {
+            payloads: Array[Array[Byte]]): Unit =
+      add(docId, tf, positions, fieldLen, payloads, null)
+
+    /** Payload/offset-carrying variant: `payloads(i)` aligns with
+      * `positions(i)` (null entry = no payload at that position); `offsets`
+      * is a flat [s0,e0,s1,e1,...] character-offset array of length 2*tf
+      * (null = offsets not indexed). Once any doc of the list carries a
+      * stream, every later position is framed so the stream stays aligned;
+      * a list that MIXES offset-carrying and offset-less docs is rejected
+      * (offsets are a per-field index option, not per-doc). */
+    def add(docId: Int, tf: Int, positions: Array[Int], fieldLen: Int,
+            payloads: Array[Array[Byte]], offsets: Array[Int]): Unit = {
       require(df == 0 || docId > lastDocId, s"docIds must be strictly increasing: $docId after $lastDocId")
       if (inBlock == 0) {
         blockDocOff = docOut.size; blockTfOff = tfOut.size; blockPosOff = posOut.size
@@ -110,6 +125,22 @@ object PostingsCodec {
           j += 1
         }
       }
+      if (offsets != null) {
+        require(offOut != null || df == 1,
+          "offset stream must start at the first doc (per-field index option)")
+        if (offOut == null) offOut = new ByteBuf(256)
+        var prevStart = 0
+        var j = 0
+        while (j < tf) {
+          val s = offsets(2 * j)
+          val e = offsets(2 * j + 1)
+          VByte.writeInt(offOut, s - prevStart)
+          VByte.writeInt(offOut, e - s)
+          prevStart = s
+          j += 1
+        }
+      } else require(offOut == null,
+        "offset stream cannot stop mid-list (per-field index option)")
       if (inBlock == BlockSize) flushBlock()
     }
 
@@ -133,7 +164,8 @@ object PostingsCodec {
       }
       EncodedPostings(df, ttf, docOut.toArray, tfOut.toArray, posOut.toArray,
         lenOut.toArray, skips.toArray,
-        if (payOut == null) null else payOut.toArray)
+        if (payOut == null) null else payOut.toArray,
+        if (offOut == null) null else offOut.toArray)
     }
   }
 
@@ -233,6 +265,49 @@ object PostingsCodec {
       k += 1
     }
     (starts, lens, payloads)
+  }
+
+  /** Decode the offset stream into flat (starts, ends) arrays aligned with
+    * the decoded positions stream (doc i's offsets are indices
+    * posStart(i) until posStart(i+1)); per-doc start-delta encoding, so
+    * decoding walks docs via `tfs`. */
+  def decodeOffsets(tfs: Array[Int], offsets: Array[Byte]): (Array[Int], Array[Int]) = {
+    var total = 0
+    var i = 0
+    while (i < tfs.length) { total += tfs(i); i += 1 }
+    val starts = new Array[Int](total)
+    val ends = new Array[Int](total)
+    val c = new Cursor(0)
+    var k = 0
+    i = 0
+    while (i < tfs.length) {
+      var prevStart = 0
+      var j = 0
+      while (j < tfs(i)) {
+        prevStart += VByte.readInt(offsets, c)
+        starts(k) = prevStart
+        ends(k) = prevStart + VByte.readInt(offsets, c)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    (starts, ends)
+  }
+
+  /** Per-doc byte ranges of the offset stream (walk by tf) — merge-time
+    * purge/rebase slicing, the offsets twin of [[payloadDocRanges]]. */
+  def offsetDocRanges(tfs: Array[Int], offsets: Array[Byte]): Array[Int] = {
+    val ranges = new Array[Int](tfs.length + 1)
+    val c = new Cursor(0)
+    var i = 0
+    while (i < tfs.length) {
+      var j = 0
+      while (j < tfs(i)) { VByte.readInt(offsets, c); VByte.readInt(offsets, c); j += 1 }
+      i += 1
+      ranges(i) = c.pos
+    }
+    ranges
   }
 
   /** Per-doc byte ranges of the payload stream (frame-walk by tf), for

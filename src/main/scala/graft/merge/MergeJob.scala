@@ -41,7 +41,8 @@ object MergeJob {
                             df: Int, ttf: Long,
                             docDeltas: Array[Byte], tfs: Array[Byte],
                             positions: Array[Byte], lens: Array[Byte],
-                            skips: Array[SkipRow], payloads: Array[Byte])
+                            skips: Array[SkipRow], payloads: Array[Byte],
+                            offsets: Array[Byte])
 
   /** Merge `sources` into a FRESH segment id (max live id + 1) — fully
     * disjoint from every source, so staged data renames IN before anything
@@ -213,17 +214,17 @@ object MergeJob {
       .parquet(IndexBuilder.postingsPath(indexPath))
       .filter(col("segmentId").isInCollection(srcSorted))
       .transform(IndexBuilder.withPayloadsCol)
-      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads", "offsets")
       .as[PostingRow]
       .flatMap { p =>
         val seg = p.segmentId
         val (e, firstDoc) = reencode(p.df, p.docDeltas, p.tfs, p.positions, p.lens,
-          p.payloads, (d: Int) => remapFn(seg, d))
+          p.payloads, p.offsets, (d: Int) => remapFn(seg, d))
         if (e.df == 0) None // every doc of this piece was deleted
         else Some(PieceRow(p.field, p.term, p.segmentId, firstDoc, e.df, e.ttf,
           e.docDeltas, e.tfs, e.positions, e.lens,
           e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)),
-          e.payloads))
+          e.payloads, e.offsets))
       }
 
     // ---- phase 2: shuffle compressed pieces by (field, term), stitch per key
@@ -258,34 +259,38 @@ object MergeJob {
                 // disjoint (or piece-internal sorted) docId ranges
                 group.foreach { g =>
                   out += PostingRow(0, field, term, g.df, g.ttf, g.docDeltas, g.tfs,
-                    g.positions, g.lens, g.skips, g.payloads)
+                    g.positions, g.lens, g.skips, g.payloads, g.offsets)
                 }
               } else {
                 // gather every surviving entry, restore global docId order
                 // if pieces interleave, then encode one stitched row
                 val entries = scala.collection.mutable.ArrayBuffer
-                  .empty[(Int, Int, Array[Int], Int, Array[Array[Byte]])]
+                  .empty[(Int, Int, Array[Int], Int, Array[Array[Byte]], Array[Int])]
                 group.foreach { g =>
                   val d = PostingsCodec.decode(g.df, g.docDeltas, g.tfs, g.positions, g.lens)
                   val pays = payloadSlices(d.tfs, d.posStart, g.payloads)
+                  val offs = if (g.offsets == null) null
+                    else PostingsCodec.decodeOffsets(d.tfs, g.offsets)
                   var i = 0
                   while (i < d.docIds.length) {
                     val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
                     val pl = if (pays == null) null
                       else java.util.Arrays.copyOfRange(pays, d.posStart(i), d.posStart(i + 1))
-                    entries += ((d.docIds(i), d.tfs(i), ps, d.lens(i), pl))
+                    val of = if (offs == null) null
+                      else flatOffsets(offs._1, offs._2, d.posStart(i), d.posStart(i + 1))
+                    entries += ((d.docIds(i), d.tfs(i), ps, d.lens(i), pl, of))
                     i += 1
                   }
                 }
                 val orderedEntries = if (isSorted) entries.sortBy(_._1) else entries
                 val enc = new PostingsCodec.Encoder
-                orderedEntries.foreach { case (id, tf, ps, len, pl) =>
-                  enc.add(id, tf, ps, len, pl)
+                orderedEntries.foreach { case (id, tf, ps, len, pl, of) =>
+                  enc.add(id, tf, ps, len, pl, of)
                 }
                 val e = enc.finish()
                 out += PostingRow(0, field, term, e.df, e.ttf, e.docDeltas, e.tfs, e.positions, e.lens,
                   e.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen)),
-                  e.payloads)
+                  e.payloads, e.offsets)
               }
             }
           }
@@ -458,7 +463,11 @@ object MergeJob {
     * bytes per position; null when the source list carries no payloads). */
   final case class SortedEntryRow(field: String, term: String, segmentId: Int,
                                   docId: Int, tf: Int, positions: Array[Int],
-                                  fieldLen: Int, payload: Array[Byte])
+                                  fieldLen: Int, payload: Array[Byte],
+                                  /** Flat [s0,e0,...] character offsets for
+                                    * the entry's tf positions (null when the
+                                    * index carries no offset stream). */
+                                  offsets: Array[Int])
 
   /** Fully distributed sorted merge — the scale path above
     * [[SortedMergeMaxDocs]]. The Sorter.cs permutation becomes a TABLE built
@@ -530,17 +539,21 @@ object MergeJob {
       .filter(col("segmentId").isInCollection(srcSorted))
       .transform(IndexBuilder.withPayloadsCol)
       .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs",
-        "positions", "lens", "skips", "payloads")
+        "positions", "lens", "skips", "payloads", "offsets")
       .as[PostingRow]
       .flatMap { p =>
         val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
         val pays = payloadSlices(d.tfs, d.posStart, p.payloads)
+        val offs = if (p.offsets == null) null
+          else PostingsCodec.decodeOffsets(d.tfs, p.offsets)
         Iterator.tabulate(d.docIds.length) { i =>
           val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
           val pl = if (pays == null) null
             else frameEntryPayload(pays, d.posStart(i), d.posStart(i + 1))
+          val of = if (offs == null) null
+            else flatOffsets(offs._1, offs._2, d.posStart(i), d.posStart(i + 1))
           SortedEntryRow(p.field, p.term, p.segmentId, d.docIds(i), d.tfs(i),
-            ps, d.lens(i), pl)
+            ps, d.lens(i), pl, of)
         }
       }
 
@@ -557,13 +570,13 @@ object MergeJob {
     val merged: Dataset[PostingRow] = entries.toDF()
       .join(permDf, Seq("segmentId", "docId"))
       .select(col("field"), col("term"), col("newId"), col("tf"),
-        col("positions"), col("fieldLen"), col("payload"))
+        col("positions"), col("fieldLen"), col("payload"), col("offsets"))
       .withColumn("salt", (col("newId").cast("long") / pieceEntries).cast("int"))
       .repartition(col("field"), col("term"), col("salt"))
       .sortWithinPartitions(col("field"), col("term"), col("newId"))
       .select(col("field"), col("term"), col("newId"), col("tf"),
-        col("positions"), col("fieldLen"), col("payload"))
-      .as[(String, String, Int, Int, Array[Int], Int, Array[Byte])]
+        col("positions"), col("fieldLen"), col("payload"), col("offsets"))
+      .as[(String, String, Int, Int, Array[Int], Int, Array[Byte], Array[Int])]
       .mapPartitions { rows =>
         val it = rows.buffered
         new Iterator[PostingRow] {
@@ -581,7 +594,7 @@ object MergeJob {
               it.head._1 == field && it.head._2 == term &&
               it.head._3 / pieceEntries == salt) {
               val e = it.next()
-              enc.add(e._3, e._4, e._5, e._6, unframeEntryPayload(e._4, e._7))
+              enc.add(e._3, e._4, e._5, e._6, unframeEntryPayload(e._4, e._7), e._8)
               n += 1
             }
             val enc2 = enc.finish()
@@ -589,7 +602,7 @@ object MergeJob {
               enc2.docDeltas, enc2.tfs, enc2.positions, enc2.lens,
               enc2.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff,
                 s.posOff, s.cumDocs, s.maxTf, s.minLen)),
-              enc2.payloads)
+              enc2.payloads, enc2.offsets)
           }
           override def hasNext: Boolean = { advance(); nextRow != null }
           override def next(): PostingRow = {
@@ -687,12 +700,28 @@ object MergeJob {
       graft.build.Deletes.pruneApplied(spark, indexPath)
   }
 
+  /** Slice the flat decoded offset arrays [from, to) into one entry's
+    * [s0,e0,s1,e1,...] carrier. */
+  private def flatOffsets(starts: Array[Int], ends: Array[Int],
+                          from: Int, to: Int): Array[Int] = {
+    val out = new Array[Int]((to - from) * 2)
+    var k = from
+    while (k < to) {
+      out(2 * (k - from)) = starts(k)
+      out(2 * (k - from) + 1) = ends(k)
+      k += 1
+    }
+    out
+  }
+
   private def reencode(df: Int, docDeltas: Array[Byte], tfs: Array[Byte],
                        positions: Array[Byte], lens: Array[Byte],
-                       payloads: Array[Byte],
+                       payloads: Array[Byte], offsetBytes: Array[Byte],
                        remap: Int => Int): (graft.codec.EncodedPostings, Int) = {
     val d = PostingsCodec.decode(df, docDeltas, tfs, positions, lens)
     val pays = payloadSlices(d.tfs, d.posStart, payloads)
+    val offs = if (offsetBytes == null) null
+      else PostingsCodec.decodeOffsets(d.tfs, offsetBytes)
     // a sorted-merge permutation is NOT monotonic within a segment, so the
     // surviving entries are gathered and re-sorted by their new docId before
     // encoding (Sorter.cs's SortingLeafReader view does the same reorder)
@@ -715,7 +744,9 @@ object MergeJob {
       val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(j), d.posStart(j + 1))
       val pl = if (pays == null) null
         else java.util.Arrays.copyOfRange(pays, d.posStart(j), d.posStart(j + 1))
-      enc.add(nid, d.tfs(j), ps, d.lens(j), pl)
+      val of = if (offs == null) null
+        else flatOffsets(offs._1, offs._2, d.posStart(j), d.posStart(j + 1))
+      enc.add(nid, d.tfs(j), ps, d.lens(j), pl, of)
     }
     (enc.finish(), ordered.headOption.map(_._1).getOrElse(0))
   }

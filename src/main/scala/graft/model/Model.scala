@@ -26,7 +26,12 @@ final case class PostingRow(segmentId: Int, field: String, term: String, df: Int
                             /** Optional per-position payload stream (the .pay
                               * file analog, vByte(len)+bytes per position);
                               * null for fields without payloads. */
-                            payloads: Array[Byte] = null)
+                            payloads: Array[Byte] = null,
+                            /** Optional per-position character-offset stream
+                              * (IndexOptions ..._AND_OFFSETS; the reference
+                              * stores offsets in the same .pay file) — see
+                              * PostingsCodec; null when not indexed. */
+                            offsets: Array[Byte] = null)
 
 /** Scoring-only posting projection (no positions column read). */
 final case class PostingSlim(segmentId: Int, field: String, term: String, df: Int,

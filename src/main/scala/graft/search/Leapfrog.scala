@@ -474,7 +474,8 @@ object Leapfrog {
     import spark.implicits._
     searcher.postingsRaw
       .filter(keysPred(keys))
-      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
+      .transform(graft.build.IndexBuilder.withPayloadsCol)
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads", "offsets")
       .as[PostingRow]
       .repartition(col("segmentId"))
   }

@@ -211,7 +211,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
   @transient lazy val postings: Dataset[PostingRow] =
     postingsRaw
       .transform(IndexBuilder.withPayloadsCol)
-      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads")
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs", "positions", "lens", "skips", "payloads", "offsets")
       .as[PostingRow]
 
   /** Scoring-only projection: Parquet never reads the positions column. */
@@ -1274,6 +1274,31 @@ final class Searcher(spark: SparkSession, indexPath: String,
         Seq("segmentId", "docId"), "left_anti")
     stream.join(docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
       .select("url", "tf", "fieldLen")
+  }
+
+  /** Per-occurrence character offsets of `terms`, decoded straight from the
+    * postings' OFFSET stream — the PostingsHighlighter input
+    * (Lucene.Net.Highlighter/Postingshighlight/PostingsHighlighter.cs reads
+    * offsets from DocsAndPositionsEnum, never term vectors, never the
+    * analyzer): (segmentId, docId, term, start, end) rows, one per
+    * occurrence, deleted docs excluded. Requires an index built with
+    * IndexOptions ..._AND_OFFSETS (BuildConfig.indexOffsets). */
+  def postingsOffsets(terms: Seq[String], field: String = defaultField): DataFrame = {
+    require(cfg.indexOffsets, s"index at $indexPath was built without indexOffsets")
+    val stream0 = postings
+      .filter(col("field") === field && col("term").isInCollection(terms))
+      .flatMap { p =>
+        val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+        val (os, oe) = PostingsCodec.decodeOffsets(d.tfs, p.offsets)
+        (0 until d.docIds.length).iterator.flatMap { i =>
+          (d.posStart(i) until d.posStart(i + 1)).map { k =>
+            (p.segmentId, d.docIds(i), p.term, os(k), oe(k))
+          }
+        }
+      }.toDF("segmentId", "docId", "term", "start", "end")
+    if (deletedCount == 0) stream0
+    else stream0.join(graft.build.Deletes.deletedDf(spark, indexPath),
+      Seq("segmentId", "docId"), "left_anti")
   }
 
   /** Term dictionary of one field with global stats: (term, df, ttf). */

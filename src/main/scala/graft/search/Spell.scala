@@ -140,11 +140,35 @@ object Highlighter {
     */
   def vectorSnippet(se: Searcher, pages: DataFrame, urlCol: String, textCol: String,
                     terms: Seq[String], width: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val m = se.termVectors
       .filter(col("field") === se.defaultField && col("term").isInCollection(terms))
       .select(col("segmentId"), col("docId"), col("term"),
         explode(col("starts")).as("start"))
+    snippetFromOffsets(se, m, pages, urlCol, textCol, width)
+  }
+
+  /** PostingsHighlighter analog proper (/root/reference/src/
+    * Lucene.Net.Highlighter/Postingshighlight/PostingsHighlighter.cs):
+    * character offsets come from the POSTINGS' offset stream (IndexOptions
+    * ..._AND_OFFSETS, BuildConfig.indexOffsets) — no term vectors stored, no
+    * re-analysis at highlight time; candidate passages and the best-passage
+    * choice are the same deterministic rule as [[vectorSnippet]], and the
+    * snippet is a raw substring of the stored text at those offsets.
+    */
+  def postingsSnippet(se: Searcher, pages: DataFrame, urlCol: String, textCol: String,
+                      terms: Seq[String], width: Int): DataFrame = {
+    val m = se.postingsOffsets(terms, se.defaultField)
+      .select(col("segmentId"), col("docId"), col("term"), col("start"))
+    snippetFromOffsets(se, m, pages, urlCol, textCol, width)
+  }
+
+  /** Shared passage scoring + text slicing over (segmentId, docId, term,
+    * start) occurrence rows: candidate fragments are `width`-char windows
+    * anchored at each occurrence; best per doc = (distinct matching terms,
+    * total matches, earliest anchor). */
+  private def snippetFromOffsets(se: Searcher, m: DataFrame, pages: DataFrame,
+                                 urlCol: String, textCol: String, width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val cand = m.select(col("segmentId").as("cseg"), col("docId").as("cdoc"),
       col("start").as("anchor"))
     val scored = cand.join(m,

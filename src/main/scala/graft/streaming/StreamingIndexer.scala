@@ -55,7 +55,8 @@ object StreamingIndexer {
       boost = 1f, flushTokens = 8 * 1024 * 1024,
       group = (base until base + nSeg).toSet, extraFields = extraFields,
       termVectors = idxCfg.exists(_.termVectors),
-      indexSort = indexSort)
+      indexSort = indexSort,
+      indexOffsets = idxCfg.exists(_.indexOffsets))
   }
 
   /** Start the incremental indexer over a parquet file-source directory.

@@ -26,6 +26,12 @@ def main():
     with open(os.path.join(out_dir, "oracle_sql.json")) as f:
         oracle = json.load(f)
     n_pass = n_fail = n_skip = 0
+    # an oracle entry with NO parquet output = a query that errored in
+    # Verify (it logs and continues) — count it as a failure, never skip it
+    for name in sorted(oracle):
+        if not os.path.isdir(os.path.join(out_dir, name)):
+            print(f"FAIL  {name}: no engine output (query errored in Verify)")
+            n_fail += 1
     for name in sorted(os.listdir(out_dir)):
         d = os.path.join(out_dir, name)
         if not os.path.isdir(d):
