@@ -300,6 +300,22 @@ object Queries {
     //     stemming + stop gaps; French elision + minimal stemming
     "q_lang_de" -> ((s, dir) =>
       idsOf(IndexCache.deSearcher(s, dir), TermQ("feld"))),
+    // Snowball English (Porter2): running -> run on even docs only
+    "q_lang_en2" -> ((s, dir) =>
+      idsOf(IndexCache.en2Searcher(s, dir), TermQ("run"))),
+    // data@1 .. system@4: the exact gap over the stopped "of" + the
+    // variant slot proves Porter2 positions ride the stop-gap contract
+    "q_lang_en2_phrase" -> ((s, dir) =>
+      idsOf(IndexCache.en2Searcher(s, dir), PhraseQ(List("data" -> 0, "system" -> 3)))),
+    // Dutch Snowball: katten -> kat everywhere; straten -> strat on odd docs
+    "q_lang_nl" -> ((s, dir) =>
+      idsOf(IndexCache.nlSearcher(s, dir), TermQ("strat"))),
+    // Swedish Snowball: flickorna -> flick on even docs
+    "q_lang_sv" -> ((s, dir) =>
+      idsOf(IndexCache.svSearcher(s, dir), TermQ("flick"))),
+    // Russian Snowball: красивая -> красив on even docs
+    "q_lang_ru" -> ((s, dir) =>
+      idsOf(IndexCache.ruSearcher(s, dir), TermQ("красив"))),
     "q_lang_de_phrase" -> ((s, dir) =>
       // haus@1 .. gart@3: the gap over the stopped "und" must be exact
       idsOf(IndexCache.deSearcher(s, dir), PhraseQ(List("haus" -> 0, "gart" -> 2)))),
@@ -983,6 +999,17 @@ object Queries {
 
     // analytic twins: the language fixtures are pure functions of doc_id
     "q_lang_de" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    "q_lang_en2" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_en2_phrase" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "q_lang_nl" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+    "q_lang_sv" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_ru" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     "q_lang_de_phrase" ->

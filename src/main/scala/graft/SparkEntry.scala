@@ -386,6 +386,54 @@ object IndexCache {
   })
   private val ptCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  private def langFixture(spark: SparkSession, sfDir: String, tag: String,
+                          analyzerName: String, textCol: org.apache.spark.sql.Column): Searcher = {
+    val path = indexPath(sfDir) + "_" + tag
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        format_string("doc%09d", col("doc_id")).as("url"), textCol.as("text"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = analyzerName))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  }
+
+  /** Snowball-English (Porter2) gate fixture:
+    *   "The data of {running|walking} systems joined quickly"
+    * => data@1 {run|walk}@3 system@4 join@5 quick@6 (The@0, of@2 stopped —
+    * gaps preserved). */
+  def en2Searcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "en2"), langFixture(spark, sfDir, "en2", "english_snowball",
+      concat(lit("The data of "),
+        when(col("doc_id") % 2 === 0, "running").otherwise("walking"),
+        lit(" systems joined quickly"))))
+
+  /** Dutch (Snowball DutchStemmer) gate fixture:
+    *   "De katten en boeken lopen {huizen|straten}"
+    * => kat@1 boek@3 lop@4 {huiz|strat}@5 (de@0, en@2 stopped). */
+  def nlSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "nl"), langFixture(spark, sfDir, "nl", "dutch",
+      concat(lit("De katten en boeken lopen "),
+        when(col("doc_id") % 2 === 0, "huizen").otherwise("straten"))))
+
+  /** Swedish (Snowball SwedishStemmer) gate fixture:
+    *   "Det är bilarna och katterna i husen {flickorna|hundarna}"
+    * => bil@2 katt@4 hus@6 {flick|hund}@7 (det@0, är@1, och@3, i@5 stopped). */
+  def svSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "sv"), langFixture(spark, sfDir, "sv", "swedish",
+      concat(lit("Det är bilarna och katterna i husen "),
+        when(col("doc_id") % 2 === 0, "flickorna").otherwise("hundarna"))))
+
+  /** Russian (Snowball RussianStemmer) gate fixture:
+    *   "и книги в домах столов {красивая|важная}"
+    * => книг@1 дом@3 стол@4 {красив|важн}@5 (и@0, в@2 stopped). */
+  def ruSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ru"), langFixture(spark, sfDir, "ru", "russian",
+      concat(lit("и книги в домах столов "),
+        when(col("doc_id") % 2 === 0, "красивая").otherwise("важная"))))
+
+  private val langCache = scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
+
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs
     * < 50 appended through StreamingIndexer.appendBatch into the streaming
     * id band (2^20..) — the gate then queries across both bands, putting

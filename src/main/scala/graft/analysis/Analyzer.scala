@@ -275,6 +275,10 @@ object Analyzers {
     case "keyword" => KeywordAnalyzer
     case "stop" => StopAnalyzer
     case "english" => EnglishAnalyzer // standard chain + Porter stemming
+    case "english_snowball" => EnglishSnowballAnalyzer // Porter2 (Snowball English)
+    case "dutch" => DutchAnalyzer // classic -> Dutch stops -> Snowball Dutch
+    case "swedish" => SwedishAnalyzer // classic -> Swedish stops -> Snowball Swedish
+    case "russian" => RussianAnalyzer // classic -> Russian stops -> Snowball Russian
     case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant

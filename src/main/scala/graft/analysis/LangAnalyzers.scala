@@ -476,6 +476,58 @@ object LangAnalyzers {
       term.substring(i + 1)
     else term
   }
+
+  /** Dutch stop words: function-word core of the Snowball dutch_stop.txt
+    * (Analysis/Nl/DutchAnalyzer.cs DEFAULT_STOPWORD_FILE — embedded
+    * resource absent from this tree; a DOCUMENTED SUBSET like the Spanish/
+    * Italian sets). */
+  val DutchStopWords: Set[String] = Set(
+    "de", "en", "van", "ik", "te", "dat", "die", "in", "een", "hij",
+    "het", "niet", "zijn", "is", "was", "op", "aan", "met", "als", "voor",
+    "had", "er", "maar", "om", "hem", "dan", "zou", "of", "wat", "mijn",
+    "men", "dit", "zo", "door", "over", "ze", "zich", "bij", "ook", "tot",
+    "je", "mij", "uit", "der", "daar", "haar", "naar", "heb", "hoe",
+    "heeft", "hebben", "deze", "u", "want", "nog", "zal", "me", "zij",
+    "nu", "ge", "geen", "omdat", "iets", "worden", "toch", "al", "waren",
+    "veel", "meer", "doen", "toen", "moet", "ben", "zonder", "kan", "hun",
+    "dus", "alles", "onder", "ja", "eens", "hier", "wie", "werd",
+    "altijd", "doch", "wordt", "wezen", "kunnen", "ons", "zelf", "tegen",
+    "na", "reeds", "wil", "kon", "niets", "uw", "iemand", "geweest",
+    "kunt")
+
+  /** Swedish stop words: function-word core of the Snowball
+    * swedish_stop.txt (Analysis/Sv/SwedishAnalyzer DEFAULT_STOPWORD_FILE —
+    * embedded resource absent; DOCUMENTED SUBSET). */
+  val SwedishStopWords: Set[String] = Set(
+    "och", "det", "att", "i", "en", "jag", "hon", "som", "han", "på",
+    "den", "med", "var", "sig", "för", "så", "till", "är", "men", "ett",
+    "om", "hade", "de", "av", "icke", "mig", "du", "henne", "då", "sin",
+    "nu", "har", "inte", "hans", "honom", "skulle", "hennes", "där",
+    "min", "man", "ej", "vid", "kunde", "något", "från", "ut", "när",
+    "efter", "upp", "vi", "dem", "vara", "vad", "över", "än", "dig",
+    "kan", "sina", "här", "ha", "mot", "alla", "under", "någon", "eller",
+    "allt", "mycket", "sedan", "ju", "denna", "själv", "detta", "åt",
+    "utan", "varit", "hur", "ingen", "mitt", "ni", "bli", "blev", "oss",
+    "din", "dessa", "några", "deras", "blir", "mina", "samma", "vilken",
+    "er", "sådan", "vår", "blivit", "dess", "inom", "mellan", "sådant",
+    "varför", "varje", "vilka", "ditt", "vem", "vilket", "sitta",
+    "sådana", "vart", "dina", "vars", "vårt", "våra", "ert", "era",
+    "vilkas")
+
+  /** Russian stop words: function-word core of the Snowball
+    * russian_stop.txt (Analysis/Ru/RussianAnalyzer.cs stop set;
+    * DOCUMENTED SUBSET). */
+  val RussianStopWords: Set[String] = Set(
+    "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
+    "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
+    "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот", "от",
+    "меня", "еще", "нет", "о", "из", "ему", "теперь", "когда", "даже",
+    "ну", "вдруг", "ли", "если", "уже", "или", "ни", "быть", "был",
+    "него", "до", "вас", "нибудь", "опять", "уж", "вам", "ведь", "там",
+    "потом", "себя", "ничего", "ей", "может", "они", "тут", "где",
+    "есть", "надо", "ней", "для", "мы", "тебя", "их", "чем", "была",
+    "сам", "чтоб", "без", "будто", "чего", "раз", "тоже", "себе", "под",
+    "будет", "ж", "тогда", "кто", "этот")
 }
 
 /** German chain: classic grammar -> lowercase -> German stops ->
@@ -541,4 +593,53 @@ object PortugueseAnalyzer extends Analyzer {
     StandardNoStop.tokenize(text)
       .filterNot(t => PortugueseStopWords.contains(t.term))
       .map(t => t.copy(term = portugueseLightStem(t.term)))
+}
+
+/** SNOWBALL English (Porter2) chain: classic grammar -> possessive strip
+  * (StandardFilter) -> lowercase -> English stops -> EnglishStemmer — the
+  * SnowballAnalyzer("English") / SnowballFilter(EnglishStemmer) chain
+  * (Analysis/Snowball/SnowballAnalyzer.cs + SnowballFilter.cs; the
+  * generated Tartarus EnglishStemmer implements the same published Porter2
+  * algorithm). Distinct from [[EnglishAnalyzer]], which keeps the
+  * reference's EnglishAnalyzer default of classic Porter (1980). */
+object EnglishSnowballAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => StandardAnalyzer.EnglishStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.porter2(t.term)))
+}
+
+/** Dutch chain: classic grammar -> lowercase -> Dutch stops -> Snowball
+  * DutchStemmer (Analysis/Nl/DutchAnalyzer.cs createComponents:
+  * StandardTokenizer -> LowerCase -> Stop -> StemOverride(empty here) ->
+  * SnowballFilter(DutchStemmer)). */
+object DutchAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => DutchStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.dutchStem(t.term)))
+}
+
+/** Swedish chain: classic grammar -> lowercase -> Swedish stops -> Snowball
+  * SwedishStemmer (Analysis/Sv/SwedishAnalyzer createComponents; the
+  * analyzer default SwedishLightStemFilter is Savoy's light variant — we
+  * ship the full Snowball algorithm, the SnowballFilter catalog member). */
+object SwedishAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => SwedishStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.swedishStem(t.term)))
+}
+
+/** Russian chain: classic grammar -> lowercase -> Russian stops -> Snowball
+  * RussianStemmer (Analysis/Ru/RussianAnalyzer.cs createComponents:
+  * StandardTokenizer -> LowerCase -> Stop -> SnowballFilter(RussianStemmer)). */
+object RussianAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => RussianStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.russianStem(t.term)))
 }
