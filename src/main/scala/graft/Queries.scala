@@ -230,6 +230,30 @@ object Queries {
       Seq(IndexCache.streamedSearcher(s, dir).count(MatchAllQ)).toDF("cnt")
     }),
 
+    // --- AnalyzingSuggester (Suggest/Analyzing/AnalyzingSuggester.cs):
+    //     completion matches the ANALYZED form, returns the SURFACE form —
+    //     "Runs" stems to "run" and completes "Running Systems ..." (a raw
+    //     character-prefix suggester matches nothing here)
+    "q_suggest_analyzing" -> ((s, dir) => {
+      val sugg = s.read.parquet(s"$dir/documents.parquet").select(
+        concat(when(col("doc_id") % 2 === 0, "Running Systems ").otherwise("Walking Paths "),
+          col("doc_id").cast("string")).as("surface"),
+        ((col("doc_id") * 37) % 101).as("weight"))
+      Suggest.completeAnalyzed(sugg, "surface", "weight", "english_snowball", "Runs", 5)
+    }),
+
+    // --- DirectSpellChecker with the JaroWinklerDistance option
+    //     (Spell/JaroWinklerDistance.cs; DuckDB's jaro_winkler_similarity
+    //     is formula-identical on this fixture — verified exhaustively)
+    "q_spell_jw" -> ((s, dir) => {
+      val dict = s.read.parquet(s"$dir/documents.parquet")
+        .select(concat(lit("jw"), (col("doc_id") % 40).cast("string")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      StringDistances.suggestScored(dict, "jw1x", 2, 5, "jarowinkler")
+        .select(col("term"), round(col("score"), 4).as("score"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // --- PostingsHighlighter (Postingshighlight/PostingsHighlighter.cs):
     //     passage offsets come from the postings' OFFSET stream
     //     (IndexOptions ..._AND_OFFSETS) — no term vectors, no re-analysis
@@ -961,6 +985,31 @@ object Queries {
 
     "q_streamed_count" ->
       """SELECT count(*) AS cnt FROM documents""",
+
+    "q_suggest_analyzing" ->
+      """WITH sugg AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN doc_id % 2 = 0 THEN 'Running Systems ' ELSE 'Walking Paths ' END)
+        |      || CAST(doc_id AS VARCHAR) AS surface,
+        |    (doc_id * 37) % 101 AS weight
+        |  FROM documents)
+        |SELECT surface, weight,
+        |  CAST(row_number() OVER (ORDER BY weight DESC, surface) AS INT) AS rank
+        |FROM sugg WHERE doc_id % 2 = 0
+        |ORDER BY rank LIMIT 5""".stripMargin,
+
+    "q_spell_jw" ->
+      """WITH dict AS (
+        |  SELECT 'jw' || CAST(doc_id % 40 AS VARCHAR) AS term, count(*) AS df
+        |  FROM documents GROUP BY 1),
+        |cands AS (
+        |  SELECT term, df, jaro_winkler_similarity('jw1x', term) AS s
+        |  FROM dict
+        |  WHERE levenshtein(term, 'jw1x') <= 2 AND term <> 'jw1x'
+        |    AND jaro_winkler_similarity('jw1x', term) >= 0.5)
+        |SELECT term, round(s, 4) AS score,
+        |  CAST(row_number() OVER (ORDER BY s DESC, df DESC, term) AS INT) AS rank
+        |FROM cands ORDER BY rank LIMIT 5""".stripMargin,
 
     // PostingsHighlighter: the fixture text is analytic in doc_id, so the
     // snippet is a pure string-arithmetic slice at the token's startOffset

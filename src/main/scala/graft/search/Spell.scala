@@ -26,6 +26,152 @@ object Spell {
   }
 }
 
+/** Alternative string distances for the spell checker — the
+  * DirectSpellChecker `Distance` seam (/root/reference/src/
+  * Lucene.Net.Suggest/Spell/JaroWinklerDistance.cs, NGramDistance.cs):
+  * semantics-faithful fresh implementations of the published algorithms
+  * (Winkler 1990; Kondrak 2005 position-based n-gram distance with the
+  * null-prefix discount).
+  */
+object StringDistances {
+
+  /** Jaro-Winkler similarity, reference semantics: match window
+    * max(maxLen/2 - 1, 0); transpositions halved; common prefix NOT capped
+    * at 4 (it runs to the shorter string's length, the reference's loop);
+    * Winkler bonus min(0.1, 1/maxLen) * prefix * (1-j) applied only when
+    * jaro >= threshold (default 0.7). */
+  def jaroWinkler(s1: String, s2: String, threshold: Double = 0.7): Double = {
+    val (mx, mn) = if (s1.length > s2.length) (s1, s2) else (s2, s1)
+    val range = math.max(mx.length / 2 - 1, 0)
+    val matchIndexes = Array.fill(mn.length)(-1)
+    val matchFlags = new Array[Boolean](mx.length)
+    var matches = 0
+    var mi = 0
+    while (mi < mn.length) {
+      val c1 = mn.charAt(mi)
+      var xi = math.max(mi - range, 0)
+      val xn = math.min(mi + range + 1, mx.length)
+      var hit = false
+      while (xi < xn && !hit) {
+        if (!matchFlags(xi) && c1 == mx.charAt(xi)) {
+          matchIndexes(mi) = xi
+          matchFlags(xi) = true
+          matches += 1
+          hit = true
+        }
+        xi += 1
+      }
+      mi += 1
+    }
+    if (matches == 0) return 0d
+    val ms1 = new Array[Char](matches)
+    val ms2 = new Array[Char](matches)
+    var si = 0
+    mi = 0
+    while (mi < mn.length) {
+      if (matchIndexes(mi) != -1) { ms1(si) = mn.charAt(mi); si += 1 }
+      mi += 1
+    }
+    si = 0
+    mi = 0
+    while (mi < mx.length) {
+      if (matchFlags(mi)) { ms2(si) = mx.charAt(mi); si += 1 }
+      mi += 1
+    }
+    val transpositions = (0 until matches).count(i => ms1(i) != ms2(i)) / 2
+    var prefix = 0
+    mi = 0
+    var cont = true
+    while (mi < mn.length && cont) {
+      if (s1.charAt(mi) == s2.charAt(mi)) prefix += 1 else cont = false
+      mi += 1
+    }
+    val m = matches.toDouble
+    val j = (m / s1.length + m / s2.length + (m - transpositions) / m) / 3
+    if (j < threshold) j
+    else j + math.min(0.1, 1.0 / mx.length) * prefix * (1 - j)
+  }
+
+  /** Kondrak n-gram similarity (default bigrams): DP over n-gram windows
+    * with an (n-1)-null prefix so the first character participates in n
+    * n-grams; null-prefix matches are discounted; result normalized as
+    * 1 - cost/max(|s|,|t|). Strings shorter than n compare positionally. */
+  def nGram(source: String, target: String, n: Int = 2): Double = {
+    val sl = source.length
+    val tl = target.length
+    if (sl == 0 || tl == 0) return if (sl == tl) 1d else 0d
+    if (sl < n || tl < n) {
+      var cost = 0
+      var i = 0
+      val ni = math.min(sl, tl)
+      while (i < ni) { if (source.charAt(i) == target.charAt(i)) cost += 1; i += 1 }
+      return cost.toDouble / math.max(sl, tl)
+    }
+    val sa = new Array[Char](sl + n - 1)
+    var i = 0
+    while (i < sa.length) {
+      sa(i) = if (i < n - 1) 0.toChar else source.charAt(i - n + 1)
+      i += 1
+    }
+    var p = Array.tabulate(sl + 1)(_.toDouble)
+    var d = new Array[Double](sl + 1)
+    val tj = new Array[Char](n)
+    var j = 1
+    while (j <= tl) {
+      if (j < n) {
+        var ti = 0
+        while (ti < n - j) { tj(ti) = 0.toChar; ti += 1 }
+        while (ti < n) { tj(ti) = target.charAt(ti - (n - j)); ti += 1 }
+      } else {
+        var ti = 0
+        while (ti < n) { tj(ti) = target.charAt(j - n + ti); ti += 1 }
+      }
+      d(0) = j
+      i = 1
+      while (i <= sl) {
+        var cost = 0
+        var tn = n
+        var ni = 0
+        while (ni < n) {
+          if (sa(i - 1 + ni) != tj(ni)) cost += 1
+          else if (sa(i - 1 + ni) == 0.toChar) tn -= 1
+          ni += 1
+        }
+        val ec = cost.toDouble / tn
+        d(i) = math.min(math.min(d(i - 1) + 1, p(i) + 1), p(i - 1) + ec)
+        i += 1
+      }
+      val t = p; p = d; d = t
+      j += 1
+    }
+    1.0 - p(sl) / math.max(tl, sl)
+  }
+
+  /** DirectSpellChecker with a pluggable similarity
+    * (DirectSpellChecker.Distance + SuggestWordQueue comparer: score desc,
+    * freq desc, term asc; `accuracy` is the default 0.5 score floor):
+    * candidates within `maxEdits`, scored by `distanceName`
+    * ("jarowinkler" | "ngram"), top-k. The distance UDF runs only over the
+    * already levenshtein-filtered candidate set — not a hot scan path. */
+  def suggestScored(dictionary: DataFrame, input: String, maxEdits: Int, k: Int,
+                    distanceName: String, accuracy: Double = 0.5): DataFrame = {
+    val distU = distanceName match {
+      case "jarowinkler" => udf((t: String) => StringDistances.jaroWinkler(input, t))
+      case "ngram" => udf((t: String) => StringDistances.nGram(input, t))
+      case other => throw new IllegalArgumentException(s"unknown distance: $other")
+    }
+    val cands = dictionary
+      .withColumn("ed", levenshtein(col("term"), lit(input)))
+      .filter(col("ed") <= maxEdits && col("term") =!= input)
+      .withColumn("score", distU(col("term")))
+      .filter(col("score") >= accuracy)
+    graft.Ranks.rankTopK(cands, k,
+        Seq(col("score").desc, col("df").desc, col("term").asc))
+      .select(col("term"), col("score"), col("rank"))
+      .orderBy("rank")
+  }
+}
+
 /** WordBreakSpellChecker analog (/root/reference/src/Lucene.Net.Suggest/
   * Spell/WordBreakSpellChecker.cs): split an unbroken input at every cut
   * point where BOTH halves are dictionary terms; ranked by combined df.

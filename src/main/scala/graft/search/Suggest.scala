@@ -54,6 +54,39 @@ object Suggest {
       .orderBy("rank")
   }
 
+  /** AnalyzingSuggester analog proper (/root/reference/src/
+    * Lucene.Net.Suggest/Suggest/Analyzing/AnalyzingSuggester.cs): each
+    * suggestion's SURFACE form is run through the analysis chain at build
+    * time; completion matches the ANALYZED form of the input as a prefix of
+    * the suggestion's analyzed form; results return the surface form ranked
+    * (weight desc, surface asc). "Runs" therefore completes "Running
+    * Systems ..." through the shared stem, which no raw-prefix suggester
+    * can do. The reference walks a surface-output FST keyed by analyzed
+    * bytes; relationally the analyzed key is a derived column and the
+    * prefix match a filter over it.
+    *
+    * `suggestions` = (surfaceCol: string, weightCol: numeric).
+    */
+  def completeAnalyzed(suggestions: DataFrame, surfaceCol: String, weightCol: String,
+                       analyzerName: String, input: String, k: Int): DataFrame = {
+    val spark = suggestions.sparkSession
+    import spark.implicits._
+    val key = graft.analysis.Analyzers.byName(analyzerName)
+      .terms(input).mkString(" ")
+    val analyzed = suggestions
+      .select(col(surfaceCol).cast("string").as("surface"),
+        col(weightCol).cast("long").as("weight"))
+      .as[(String, Long)]
+      .mapPartitions { rows =>
+        val a = graft.analysis.Analyzers.byName(analyzerName)
+        rows.map { case (s, w) => (s, w, a.terms(if (s == null) "" else s).mkString(" ")) }
+      }.toDF("surface", "weight", "akey")
+    graft.Ranks.rankTopK(analyzed.filter(col("akey").startsWith(key)), k,
+        Seq(col("weight").desc, col("surface").asc))
+      .select(col("surface"), col("weight"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** FuzzySuggester analog (/root/reference/src/Lucene.Net.Suggest/Suggest/
     * Analyzing/FuzzySuggester.cs): completions whose PREFIX of the input's
     * length is within `maxEdits` Levenshtein of the input (the reference
