@@ -175,6 +175,27 @@ object QueriesPipeline {
         .select("dim", "value", "cnt").orderBy("dim", "value")
     }),
 
+    // ---- SortedSet-DV facets (Facet/SortedSet/SortedSetDocValuesFacetCounts
+    // .cs): per-doc "dim/label" SETS counted without a taxonomy index
+    "q_facet_ssdv" -> ((s, dir) => {
+      val withFacets = documents(s, dir)
+        .withColumn("facets", array(
+          concat(lit("source/"), col("source")),
+          concat(lit("lang/"), col("lang"))))
+        .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
+      graft.pipeline.Facets.sortedSetCounts(withFacets, "facets")
+        .orderBy("dim", "label")
+    }),
+
+    // ---- sampled facets (RandomSamplingFacetsCollector.cs): seeded
+    // deterministic doc sampler + amortized original-count estimate
+    "q_facet_sampled" -> ((s, dir) =>
+      graft.pipeline.Facets.sampledCounts(
+          documents(s, dir)
+            .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')")),
+          "doc_id", "source", rateNum = 1, rateDen = 4, seed = 7L)
+        .orderBy("source")),
+
     // ---- block join (Lucene.Net.Join ToParent/ToChildBlockJoinQuery):
     // parents by matching children with a child-score aggregate, and the
     // reverse
@@ -610,6 +631,23 @@ object QueriesPipeline {
       """SELECT source, count(*) AS cnt FROM documents
         |WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_facet_ssdv" ->
+      """WITH m AS (SELECT source, lang FROM documents
+        |  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector'))
+        |SELECT dim, label, cnt FROM (
+        |  SELECT 'source' AS dim, source AS label, count(*) AS cnt FROM m GROUP BY source
+        |  UNION ALL
+        |  SELECT 'lang' AS dim, lang AS label, count(*) AS cnt FROM m GROUP BY lang)
+        |ORDER BY dim, label""".stripMargin,
+
+    "q_facet_sampled" ->
+      """WITH m AS (SELECT doc_id, source FROM documents
+        |  WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')),
+        |s AS (SELECT * FROM m
+        |  WHERE (doc_id * 2654435761 + 7) % 4294967296 < 1073741824)
+        |SELECT source, count(*) AS cnt, CAST(count(*) * 4 AS BIGINT) AS est
+        |FROM s GROUP BY source ORDER BY source""".stripMargin,
 
     "q1_agg" ->
       """SELECT l_returnflag, l_linestatus, count(*) AS cnt,
