@@ -340,6 +340,18 @@ object Queries {
     // Russian Snowball: красивая -> красив on even docs
     "q_lang_ru" -> ((s, dir) =>
       idsOf(IndexCache.ruSearcher(s, dir), TermQ("красив"))),
+    // Danish Snowball: bilerne -> bil on even docs
+    "q_lang_da" -> ((s, dir) =>
+      idsOf(IndexCache.daSearcher(s, dir), TermQ("bil"))),
+    // Norwegian Snowball: guttane -> gutt on even docs
+    "q_lang_no" -> ((s, dir) =>
+      idsOf(IndexCache.noSearcher(s, dir), TermQ("gutt"))),
+    // CJK bigrams: 系统 exists only where the even-parity run produced it
+    "q_lang_cjk" -> ((s, dir) =>
+      idsOf(IndexCache.cjkSearcher(s, dir), TermQ("系统"))),
+    // bigram positions + the stopped-'the' gap: 数据@0 .. engine@4 everywhere
+    "q_lang_cjk_phrase" -> ((s, dir) =>
+      idsOf(IndexCache.cjkSearcher(s, dir), PhraseQ(List("数据" -> 0, "engine" -> 4)))),
     "q_lang_de_phrase" -> ((s, dir) =>
       // haus@1 .. gart@3: the gap over the stopped "und" must be exact
       idsOf(IndexCache.deSearcher(s, dir), PhraseQ(List("haus" -> 0, "gart" -> 2)))),
@@ -1060,6 +1072,14 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_ru" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_da" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_no" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_cjk" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_cjk_phrase" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
 
     "q_lang_de_phrase" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",

@@ -432,6 +432,31 @@ object IndexCache {
       concat(lit("и книги в домах столов "),
         when(col("doc_id") % 2 === 0, "красивая").otherwise("важная"))))
 
+  /** Danish (Snowball DanishStemmer) gate fixture:
+    *   "og bogen i husene kattene {bilerne|dagene}"
+    * => bog@1 hus@3 kat@4 {bil|dag}@5 (og@0, i@2 stopped). */
+  def daSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "da"), langFixture(spark, sfDir, "da", "danish",
+      concat(lit("og bogen i husene kattene "),
+        when(col("doc_id") % 2 === 0, "bilerne").otherwise("dagene"))))
+
+  /** Norwegian (Snowball NorwegianStemmer) gate fixture:
+    *   "og huset i bøkene {guttane|jentene}"
+    * => hus@1 bøk@3 {gutt|jent}@4 (og@0, i@2 stopped). */
+  def noSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "no"), langFixture(spark, sfDir, "no", "norwegian",
+      concat(lit("og huset i bøkene "),
+        when(col("doc_id") % 2 === 0, "guttane").otherwise("jentene"))))
+
+  /** CJK bigram gate fixture (CJKAnalyzer):
+    *   "{数据系统|数据分析} the engine"
+    * => even: 数据@0 据系@1 系统@2 engine@4; odd: 数据@0 据分@1 分析@2
+    *   engine@4 ('the'@3 stopped with its gap preserved). */
+  def cjkSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "cjk"), langFixture(spark, sfDir, "cjk", "cjk",
+      concat(when(col("doc_id") % 2 === 0, "数据系统").otherwise("数据分析"),
+        lit(" the engine"))))
+
   private val langCache = scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
 
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs

@@ -279,6 +279,9 @@ object Analyzers {
     case "dutch" => DutchAnalyzer // classic -> Dutch stops -> Snowball Dutch
     case "swedish" => SwedishAnalyzer // classic -> Swedish stops -> Snowball Swedish
     case "russian" => RussianAnalyzer // classic -> Russian stops -> Snowball Russian
+    case "danish" => DanishAnalyzer // classic -> Danish stops -> Snowball Danish
+    case "norwegian" => NorwegianAnalyzer // classic -> Norwegian stops -> Snowball Norwegian
+    case "cjk" => CjkAnalyzer // classic -> CJK bigrams -> stops (CJKAnalyzer.cs)
     case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant

@@ -514,6 +514,42 @@ object LangAnalyzers {
     "sådana", "vart", "dina", "vars", "vårt", "våra", "ert", "era",
     "vilkas")
 
+  /** Danish stop words: function-word core of the Snowball danish_stop.txt
+    * (Analysis/Da/DanishAnalyzer DEFAULT_STOPWORD_FILE — embedded resource
+    * absent; DOCUMENTED SUBSET). */
+  val DanishStopWords: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "den", "til", "er", "som", "på",
+    "de", "med", "han", "af", "for", "ikke", "der", "var", "mig", "sig",
+    "men", "et", "har", "om", "vi", "min", "havde", "ham", "hun", "nu",
+    "over", "da", "fra", "du", "ud", "sin", "dem", "os", "op", "man",
+    "hans", "hvor", "eller", "hvad", "skal", "selv", "her", "alle", "vil",
+    "blev", "kunne", "ind", "når", "være", "dog", "noget", "ville", "jo",
+    "deres", "efter", "ned", "skulle", "denne", "end", "dette", "mit",
+    "også", "under", "have", "dig", "anden", "hende", "mine", "alt",
+    "meget", "sit", "sine", "vor", "mod", "disse", "hvis", "din", "nogle",
+    "hos", "blive", "mange", "ad", "bliver", "hendes", "været", "thi",
+    "jer", "sådan")
+
+  /** Norwegian stop words: function-word core of the Snowball
+    * norwegian_stop.txt (Analysis/No/NorwegianAnalyzer; DOCUMENTED
+    * SUBSET). */
+  val NorwegianStopWords: Set[String] = Set(
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er", "som",
+    "på", "de", "med", "han", "av", "ikke", "ikkje", "der", "så", "var",
+    "meg", "seg", "men", "ett", "har", "om", "vi", "min", "mitt", "ha",
+    "hadde", "hun", "nå", "over", "da", "ved", "fra", "du", "ut", "sin",
+    "dem", "oss", "opp", "man", "kan", "hans", "hvor", "eller", "hva",
+    "skal", "selv", "sjøl", "her", "alle", "vil", "bli", "ble", "blei",
+    "blitt", "kunne", "inn", "når", "være", "kom", "noen", "noe", "ville",
+    "dere", "deres", "kun", "ja", "etter", "ned", "skulle", "denne",
+    "for", "deg", "si", "sine", "sitt", "mot", "å", "meget", "hvorfor",
+    "dette", "disse", "uten", "hvordan", "ingen", "din", "ditt", "blir",
+    "samme", "hvilken", "hvilke", "sånn", "inni", "mellom", "vår", "hver",
+    "hvem", "vors", "hvis", "både", "bare", "enn", "fordi", "før", "mange",
+    "også", "slik", "vært", "begge", "siden", "dykk", "dykkar", "dei",
+    "deira", "deires", "deim", "di", "då", "eg", "ein", "eit", "eitt",
+    "elles", "honom", "hjå", "ho", "hoe", "henne", "hennar", "hennes")
+
   /** Russian stop words: function-word core of the Snowball
     * russian_stop.txt (Analysis/Ru/RussianAnalyzer.cs stop set;
     * DOCUMENTED SUBSET). */
@@ -642,4 +678,69 @@ object RussianAnalyzer extends Analyzer {
     StandardNoStop.tokenize(text)
       .filterNot(t => RussianStopWords.contains(t.term))
       .map(t => t.copy(term = SnowballStemmers.russianStem(t.term)))
+}
+
+/** Danish chain: classic grammar -> lowercase -> Danish stops -> Snowball
+  * DanishStemmer (Analysis/Da/DanishAnalyzer createComponents). */
+object DanishAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => DanishStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.danishStem(t.term)))
+}
+
+/** Norwegian chain: classic grammar -> lowercase -> Norwegian stops ->
+  * Snowball NorwegianStemmer (Analysis/No/NorwegianAnalyzer
+  * createComponents). */
+object NorwegianAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => NorwegianStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.norwegianStem(t.term)))
+}
+
+/** CJK chain — the CJKAnalyzer (Analysis/Cjk/CJKAnalyzer.cs:
+  * StandardTokenizer -> CJKWidthFilter -> LowerCase -> CJKBigramFilter ->
+  * StopFilter): runs of adjacent CJK characters (the classic grammar emits
+  * them as single-char CJ tokens) combine into overlapping BIGRAMS —
+  * "数据系统" indexes as 数据/据系/系统 — while non-CJK tokens pass through
+  * lowercased; a lone CJK char between non-CJK text stays a unigram
+  * (CJKBigramFilter outputUnigrams-for-singletons behavior). Positions are
+  * renumbered over the bigram stream (each run of n chars occupies n-1
+  * positions), then English stopwords drop WITH their position gaps
+  * (the reference's StopFilter runs after the bigrammer too). */
+object CjkAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] = {
+    val base = LangAnalyzers.StandardNoStop.tokenize(text).toArray
+    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    var pos = -1
+    var i = 0
+    while (i < base.length) {
+      val t = base(i)
+      if (t.tokenType == TokenType.CJ) {
+        var j = i
+        while (j + 1 < base.length && base(j + 1).tokenType == TokenType.CJ &&
+          base(j + 1).position == base(j).position + 1 &&
+          base(j + 1).startOffset == base(j).endOffset) j += 1
+        if (j == i) { pos += 1; out += t.copy(position = pos) }
+        else {
+          var k = i
+          while (k < j) {
+            pos += 1
+            out += Token(base(k).term + base(k + 1).term, pos,
+              base(k).startOffset, base(k + 1).endOffset, TokenType.CJ)
+            k += 1
+          }
+        }
+        i = j + 1
+      } else {
+        pos += 1
+        out += t.copy(position = pos)
+        i += 1
+      }
+    }
+    out.iterator.filterNot(t => StandardAnalyzer.EnglishStopWords.contains(t.term))
+  }
 }

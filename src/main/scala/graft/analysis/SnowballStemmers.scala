@@ -299,6 +299,95 @@ object SnowballStemmers {
     w
   }
 
+  // -------------------------------------------------------------- Danish
+  // snowballstem.org/algorithms/danish/
+
+  @inline private def daVowel(c: Char): Boolean = "aeiouyæåø".indexOf(c) >= 0
+
+  private val DaStep1 = Seq(
+    "erendes", "erende", "hedens", "ethed", "erede", "heden", "heder",
+    "endes", "ernes", "erens", "erets", "ered", "ende", "erne", "eren",
+    "erer", "heds", "enes", "eres", "eret", "hed", "ene", "ere", "ens",
+    "ers", "ets", "en", "er", "es", "et", "e").sortBy(-_.length)
+
+  def danishStem(word: String): String = {
+    var w = word
+    var r1 = standardR(w, 0, daVowel)
+    if (r1 < 3) r1 = math.min(3, w.length)
+    def inR1(s: String): Boolean = w.length - s.length >= r1
+    def undoubleConsonant(): Unit = {
+      val n = w.length
+      if (n >= 2 && w.charAt(n - 1) == w.charAt(n - 2) &&
+          !daVowel(w.charAt(n - 1)) && inR1(w.substring(n - 1)))
+        w = w.dropRight(1)
+    }
+    def step2(): Unit =
+      if (Seq("gd", "dt", "gt", "kt").exists(s => w.endsWith(s) && inR1(s)))
+        w = w.dropRight(1)
+
+    // step 1
+    DaStep1.find(w.endsWith) match {
+      case Some(s) => if (inR1(s)) w = w.dropRight(s.length)
+      case None =>
+        if (w.endsWith("s") && inR1("s") && w.length > 1 &&
+            "abcdfghjklmnoprtvyzå".indexOf(w.charAt(w.length - 2)) >= 0)
+          w = w.dropRight(1)
+    }
+    step2()
+    // step 3
+    if (w.endsWith("igst")) w = w.dropRight(2)
+    val s3 = Seq("elig", "lig", "els", "ig").find(w.endsWith)
+    s3 match {
+      case Some(s) if inR1(s) => w = w.dropRight(s.length); step2()
+      case _ =>
+        if (w.endsWith("løst") && inR1("løst")) w = w.dropRight(1)
+    }
+    // step 4: undouble
+    undoubleConsonant()
+    w
+  }
+
+  // ------------------------------------------------------------ Norwegian
+  // snowballstem.org/algorithms/norwegian/
+
+  @inline private def noVowel(c: Char): Boolean = "aeiouyæåø".indexOf(c) >= 0
+
+  private val NoStep1 = Seq(
+    "hetenes", "hetene", "hetens", "heten", "heter", "endes", "enes",
+    "edes", "ande", "ende", "ane", "ene", "ets", "ede",
+    "ers", "ens", "het", "ast", "en", "ar", "er", "as", "es", "et",
+    "a", "e").sortBy(-_.length)
+
+  def norwegianStem(word: String): String = {
+    var w = word
+    var r1 = standardR(w, 0, noVowel)
+    if (r1 < 3) r1 = math.min(3, w.length)
+    def inR1(s: String): Boolean = w.length - s.length >= r1
+
+    // step 1: longest of the list / erte|ert -> er / s with valid s-ending
+    if (w.endsWith("erte") && inR1("erte")) w = w.dropRight(2)
+    else if (w.endsWith("ert") && inR1("ert")) w = w.dropRight(1)
+    else NoStep1.find(w.endsWith) match {
+      case Some(s) => if (inR1(s)) w = w.dropRight(s.length)
+      case None =>
+        if (w.endsWith("s") && inR1("s") && w.length > 1 && {
+          val c = w.charAt(w.length - 2)
+          "bcdfghjlmnoprtvyz".indexOf(c) >= 0 ||
+            (c == 'k' && (w.length < 3 || !noVowel(w.charAt(w.length - 3))))
+        }) w = w.dropRight(1)
+    }
+    // step 2
+    if ((w.endsWith("dt") || w.endsWith("vt")) && inR1(w.takeRight(2)))
+      w = w.dropRight(1)
+    // step 3
+    Seq("hetslov", "eleg", "elig", "elov", "slov", "leg", "lig", "els",
+        "lov", "eig", "ig").sortBy(-_.length).find(w.endsWith) match {
+      case Some(s) if inR1(s) => w = w.dropRight(s.length)
+      case _ =>
+    }
+    w
+  }
+
   // ------------------------------------------------------------- Russian
   // snowballstem.org/algorithms/russian/
 

@@ -69,6 +69,33 @@ class SnowballSpec extends AnyFunSuite {
     pairs.foreach { case (w, want) => assert(russianStem(w) == want, s"russian($w)") }
   }
 
+  test("Snowball Danish sample vocabulary") {
+    val pairs = Seq(
+      "bogen" -> "bog", "husene" -> "hus", "kattene" -> "kat",
+      "bilerne" -> "bil", "dagene" -> "dag", "venligst" -> "ven",
+      "afstemning" -> "afstemning")
+    pairs.foreach { case (w, want) => assert(danishStem(w) == want, s"danish($w)") }
+  }
+
+  test("Snowball Norwegian sample vocabulary") {
+    val pairs = Seq(
+      "huset" -> "hus", "bøkene" -> "bøk", "jentene" -> "jent",
+      "guttane" -> "gutt", "billett" -> "billett", "billetter" -> "billett")
+    pairs.foreach { case (w, want) => assert(norwegianStem(w) == want, s"norwegian($w)") }
+  }
+
+  test("CJK bigram chain: runs bigram, singletons stay, gaps preserved") {
+    val a = Analyzers.byName("cjk")
+    assert(a.tokenize("数据系统 the engine").map(t => s"${t.term}@${t.position}").toList ==
+      List("数据@0", "据系@1", "系统@2", "engine@4"))
+    // a lone CJK char between non-CJK words stays a unigram
+    assert(a.tokenize("alpha 数 beta").map(t => s"${t.term}@${t.position}").toList ==
+      List("alpha@0", "数@1", "beta@2"))
+    // two separate runs do not bridge across intervening latin text
+    assert(a.tokenize("数据 x 系统").map(_.term).toList ==
+      List("数据", "x", "系统"))
+  }
+
   test("language chains: stops drop with position gaps, stems apply") {
     val en = Analyzers.byName("english_snowball")
       .tokenize("The data of running systems joined quickly")
