@@ -71,11 +71,26 @@ final class PostingCursor(val dfCount: Int, docDeltas: Array[Byte], tfBytes: Arr
     * (maxTf, minLen, lastDoc); lastDoc = Int.MaxValue for the tail / none.
     */
   def blockMetaFor(target: Int): (Int, Int, Int) = {
-    var b = math.max(blockIdx, 0)
-    while (b < nFull && skips(b).lastDoc < target) b += 1
+    val b = findBlock(math.max(blockIdx, 0), target)
     if (b < nFull) (skips(b).maxTf, skips(b).minLen, skips(b).lastDoc)
     else if (tailLen > 0) (tailStats._1, tailStats._2, Int.MaxValue)
     else (0, 1, Int.MaxValue)
+  }
+
+  /** First block index >= `from` whose lastDoc >= target (nFull = tail).
+    * Binary search over the in-memory skip array — the O(log df) seek the
+    * reference needs MULTI-LEVEL skip lists for (skipMultiplier = 8,
+    * Codecs/MultiLevelSkipListWriter.cs:42-43): on-disk skips must be read
+    * sequentially per level, while a decoded sorted array bisects directly,
+    * so one level + binary search strictly dominates the 8x level tower. */
+  private def findBlock(from: Int, target: Int): Int = {
+    var lo = from
+    var hi = nFull
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (skips(mid).lastDoc < target) lo = mid + 1 else hi = mid
+    }
+    lo
   }
 
   private def decodeTailArrays(): (Array[Int], Array[Int], Array[Int]) = {
@@ -120,8 +135,7 @@ final class PostingCursor(val dfCount: Int, docDeltas: Array[Byte], tfBytes: Arr
 
   def advance(target: Int): Unit = {
     if (exhausted) return
-    var b = math.max(blockIdx, 0)
-    while (b < nFull && skips(b).lastDoc < target) b += 1
+    val b = findBlock(math.max(blockIdx, 0), target)
     if (b >= nFull && tailLen == 0) { exhausted = true; doc = Int.MaxValue; return }
     if (b != blockIdx) loadBlock(b)
     while (pos < blockLen && docBuf(pos) < target) pos += 1

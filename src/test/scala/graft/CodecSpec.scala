@@ -164,4 +164,39 @@ class CodecSpec extends AnyFunSuite {
     assert(w.score(2f, shortDoc) > w.score(2f, longDoc))
     assert(w.score(5f, shortDoc) > w.score(1f, shortDoc))
   }
+
+  test("PostingCursor.advance bisects skip blocks (multi-level-skip equivalent)") {
+    // 200k docs (>1500 blocks): random forward advances must land on the
+    // first docId >= target, identical to a reference linear-scan walk
+    val rnd = new Random(77)
+    val enc = new PostingsCodec.Encoder
+    val docIds = new Array[Int](200000)
+    var acc = -1
+    var i = 0
+    while (i < docIds.length) {
+      acc += 1 + rnd.nextInt(5)
+      docIds(i) = acc
+      enc.add(acc, 1 + (i % 3), Array(i % 7), 10 + (i % 50))
+      i += 1
+    }
+    val e = enc.finish()
+    val skips = e.skips.map(s => graft.model.SkipRow(s.lastDoc, s.docOff,
+      s.tfOff, s.posOff, s.cumDocs, s.maxTf, s.minLen))
+    val c = new graft.search.PostingCursor(e.df, e.docDeltas, e.tfs, e.lens,
+      skips, e.positions)
+    var target = 0
+    while (target <= acc) {
+      c.advance(target)
+      // expected: first docId >= target
+      val idx = {
+        val k = java.util.Arrays.binarySearch(docIds, target)
+        if (k >= 0) k else -k - 1
+      }
+      assert(c.doc == docIds(idx), s"advance($target)")
+      assert(c.tf == 1 + (idx % 3) && c.len == 10 + (idx % 50))
+      target = c.doc + 1 + rnd.nextInt(4000) // mix of near and far jumps
+    }
+    c.advance(acc + 1)
+    assert(c.exhausted)
+  }
 }
