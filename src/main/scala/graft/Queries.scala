@@ -352,6 +352,23 @@ object Queries {
     // bigram positions + the stopped-'the' gap: 数据@0 .. engine@4 everywhere
     "q_lang_cjk_phrase" -> ((s, dir) =>
       idsOf(IndexCache.cjkSearcher(s, dir), PhraseQ(List("数据" -> 0, "engine" -> 4)))),
+
+    // --- generic filter catalog under the gate (Shingle/NGram/Synonym/
+    //     Porter/ASCIIFolding/Phonetic chains — Analysis.Common catalog)
+    "q_filter_shingle" -> ((s, dir) =>
+      idsOf(IndexCache.shingleSearcher(s, dir), TermQ("beta gamma"))),
+    "q_filter_ngram" -> ((s, dir) =>
+      idsOf(IndexCache.ngramSearcher(s, dir), TermQ("bcd"))),
+    // the injected synonym must sit at the SOURCE position (posIncr = 0):
+    // phrase quick->engine with the source gap proves it
+    "q_filter_synonym" -> ((s, dir) =>
+      idsOf(IndexCache.synonymSearcher(s, dir), PhraseQ(List("quick" -> 0, "engine" -> 1)))),
+    "q_filter_porter" -> ((s, dir) =>
+      idsOf(IndexCache.porterSearcher(s, dir), TermQ("run"))),
+    "q_filter_ascii" -> ((s, dir) =>
+      idsOf(IndexCache.asciiSearcher(s, dir), TermQ("zurich"))),
+    "q_filter_soundex" -> ((s, dir) =>
+      idsOf(IndexCache.soundexSearcher(s, dir), TermQ("R163"))),
     "q_lang_de_phrase" -> ((s, dir) =>
       // haus@1 .. gart@3: the gap over the stopped "und" must be exact
       idsOf(IndexCache.deSearcher(s, dir), PhraseQ(List("haus" -> 0, "gart" -> 2)))),
@@ -1080,6 +1097,18 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_cjk_phrase" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "q_filter_shingle" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_ngram" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_synonym" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_porter" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_ascii" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_soundex" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     "q_lang_de_phrase" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",

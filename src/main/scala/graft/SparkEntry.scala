@@ -457,6 +457,52 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "数据系统").otherwise("数据分析"),
         lit(" the engine"))))
 
+  // ---- generic-filter-catalog gate fixtures (VERDICT r3: the one component
+  // green only in ScalaTest) — each named chain under an analytic fixture
+
+  /** ShingleFilter: "alpha beta {gamma|delta}" => unigrams + "alpha beta"@0,
+    * "beta gamma"@1 on even docs. */
+  def shingleSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "shingle"), langFixture(spark, sfDir, "shingle", "shingle",
+      concat(lit("alpha beta "),
+        when(col("doc_id") % 2 === 0, "gamma").otherwise("delta"))))
+
+  /** NGramTokenFilter(3,3): "{abcdef|uvwxyz}" => char trigrams at pos 0. */
+  def ngramSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ngram"), langFixture(spark, sfDir, "ngram", "ngram3",
+      when(col("doc_id") % 2 === 0, "abcdef").otherwise("uvwxyz")))
+
+  /** SynonymFilter (fixture map fast->quick, posIncr=0 injection):
+    * "the {fast|slow} engine" => quick@1 rides WITH fast@1 on even docs. */
+  def synonymSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "syn"), langFixture(spark, sfDir, "syn", "synonym_fixture",
+      concat(lit("the "),
+        when(col("doc_id") % 2 === 0, "fast").otherwise("slow"),
+        lit(" engine"))))
+
+  /** PorterStemFilter via the english chain: "The {running|jumped} engines
+    * quickly" => {run|jump}@1 engin@2 quickli@3 ('The'@0 stopped). */
+  def porterSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "porter"), langFixture(spark, sfDir, "porter", "english",
+      concat(lit("The "),
+        when(col("doc_id") % 2 === 0, "running").otherwise("jumped"),
+        lit(" engines quickly"))))
+
+  /** ASCIIFoldingFilter: "Café {Zürich|München} visit" => cafe@0
+    * {zurich|munchen}@1 visit@2. */
+  def asciiSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ascii"), langFixture(spark, sfDir, "ascii", "ascii",
+      concat(lit("Café "),
+        when(col("doc_id") % 2 === 0, "Zürich").otherwise("München"),
+        lit(" visit"))))
+
+  /** PhoneticFilter(Soundex, inject=true): "{robert|smith} jones" =>
+    * {robert+R163|smith+S530}@0, jones+J520@1. */
+  def soundexSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "soundex"), langFixture(spark, sfDir, "soundex", "soundex",
+      concat(when(col("doc_id") % 2 === 0, "robert").otherwise("smith"),
+        lit(" jones"))))
+
   private val langCache = scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
 
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs

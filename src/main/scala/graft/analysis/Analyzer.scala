@@ -282,6 +282,11 @@ object Analyzers {
     case "danish" => DanishAnalyzer // classic -> Danish stops -> Snowball Danish
     case "norwegian" => NorwegianAnalyzer // classic -> Norwegian stops -> Snowball Norwegian
     case "cjk" => CjkAnalyzer // classic -> CJK bigrams -> stops (CJKAnalyzer.cs)
+    case "shingle" => ShingleAnalyzer // simple -> word bigrams + unigrams
+    case "ngram3" => Ngram3Analyzer // simple -> char trigrams
+    case "ascii" => AsciiFoldingAnalyzer // classic -> ASCII folding
+    case "synonym_fixture" => SynonymFixtureAnalyzer // simple -> fixed synonym map
+    case "soundex" => SoundexAnalyzer // simple -> Soundex injection (phonetic)
     case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant

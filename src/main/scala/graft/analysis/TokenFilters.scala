@@ -234,6 +234,55 @@ object TokenFilters {
       }
     }
 
+  // -------------------------------------------------------------- phonetic
+
+  /** American Soundex (the US-census algorithm behind the reference's
+    * Analysis.Phonetic/PhoneticFilter + commons-codec Soundex): first
+    * letter kept, consonants coded b f p v=1, c g j k q s x z=2, d t=3,
+    * l=4, m n=5, r=6; vowels separate duplicate codes, h/w do NOT (the
+    * census H/W rule); padded/truncated to letter + 3 digits. Empty/
+    * non-alphabetic input returns the term unchanged. */
+  def soundex(term: String): String = {
+    val s = term.toUpperCase.filter(c => c >= 'A' && c <= 'Z')
+    if (s.isEmpty) return term
+    @inline def code(c: Char): Char = c match {
+      case 'B' | 'F' | 'P' | 'V' => '1'
+      case 'C' | 'G' | 'J' | 'K' | 'Q' | 'S' | 'X' | 'Z' => '2'
+      case 'D' | 'T' => '3'
+      case 'L' => '4'
+      case 'M' | 'N' => '5'
+      case 'R' => '6'
+      case _ => '0' // vowels + H/W/Y
+    }
+    val sb = new StringBuilder
+    sb.append(s.charAt(0))
+    var lastCode = code(s.charAt(0))
+    var i = 1
+    while (i < s.length && sb.length < 4) {
+      val c = s.charAt(i)
+      val k = code(c)
+      if (k != '0') {
+        if (k != lastCode) sb.append(k)
+        lastCode = k
+      } else if (c != 'H' && c != 'W') {
+        lastCode = '0' // a vowel separates equal codes; H/W do not
+      }
+      i += 1
+    }
+    while (sb.length < 4) sb.append('0')
+    sb.toString
+  }
+
+  /** PhoneticFilter semantics (inject = true, the reference default): the
+    * phonetic code is injected AT THE SAME POSITION as the source token,
+    * which passes through unchanged. */
+  def soundexInject(in: Iterator[Token]): Iterator[Token] =
+    in.flatMap { t =>
+      val c = soundex(t.term)
+      if (c == t.term) Iterator.single(t)
+      else Iterator(t, t.copy(term = c))
+    }
+
   // -------------------------------------------------------------- synonyms
 
   /** Inject synonyms at the SAME position as the source token (posIncr = 0
@@ -253,4 +302,37 @@ object EnglishAnalyzer extends Analyzer {
   override def tokenize(text: String): Iterator[Token] =
     TokenFilters.porterStem(StandardAnalyzer.tokenize(text))
   override def tokenCount(text: String): Int = StandardAnalyzer.tokenCount(text)
+}
+
+/** Named chains exposing the generic filter catalog to the index config /
+  * gate (each filter is otherwise a library combinator with free
+  * parameters; these fix the reference defaults so a build can name them). */
+object ShingleAnalyzer extends Analyzer { // ShingleFilter defaults: size 2 + unigrams
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.shingles(SimpleAnalyzer.tokenize(text))
+}
+
+object Ngram3Analyzer extends Analyzer { // NGramTokenFilter, min=max=3
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.ngrams(SimpleAnalyzer.tokenize(text), 3, 3)
+}
+
+object AsciiFoldingAnalyzer extends Analyzer { // classic grammar + ASCIIFoldingFilter
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.asciiFold(LangAnalyzers.StandardNoStop.tokenize(text))
+}
+
+/** SynonymFilter catalog chain with a FIXED fixture map (the reference's
+  * SynonymMap is build-time-frozen state exactly like this): fast->quick,
+  * car->automobile, injected at the source position (posIncr = 0). */
+object SynonymFixtureAnalyzer extends Analyzer {
+  val FixtureMap: Map[String, Seq[String]] =
+    Map("fast" -> Seq("quick"), "car" -> Seq("automobile"))
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.synonyms(SimpleAnalyzer.tokenize(text), FixtureMap)
+}
+
+object SoundexAnalyzer extends Analyzer { // PhoneticFilter(Soundex, inject=true)
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.soundexInject(SimpleAnalyzer.tokenize(text))
 }

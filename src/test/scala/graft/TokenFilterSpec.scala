@@ -97,4 +97,24 @@ class TokenFilterSpec extends AnyFunSuite {
     val g = s.search(q, 10).collect().map(r => (r.getString(0), r.getDouble(1).toFloat)).toList
     assert(g == o)
   }
+
+  test("soundex codes the census algorithm incl. the H/W rule") {
+    import graft.analysis.TokenFilters.soundex
+    assert(soundex("robert") == "R163")
+    assert(soundex("rupert") == "R163")
+    assert(soundex("smith") == "S530")
+    assert(soundex("jones") == "J520")
+    assert(soundex("ashcraft") == "A261") // s-c separated by h: coded once
+    assert(soundex("tymczak") == "T522")  // vowel separates equal codes
+    assert(soundex("pfister") == "P236")  // p-f adjacent equal codes collapse
+    assert(soundex("honeyman") == "H555")
+    assert(soundex("123") == "123")       // non-alphabetic passes through
+  }
+
+  test("soundex filter injects the code at the source position") {
+    import graft.analysis.Analyzers
+    val toks = Analyzers.byName("soundex").tokenize("robert jones")
+      .map(t => s"${t.term}@${t.position}").toList
+    assert(toks == List("robert@0", "R163@0", "jones@1", "J520@1"))
+  }
 }
