@@ -124,6 +124,9 @@ object Queries {
     "q_range" -> ((s, dir) => idsOf(searcher(s, dir),
       RangeQ("query", "sort", includeLo = true, includeHi = false))),
     "q_wildcard" -> ((s, dir) => idsOf(searcher(s, dir), WildcardQ("s?a*"))),
+    // leading wildcard: candidate fetch via the dict_grams positional-bigram
+    // index (required grams of the literal run), NOT a full dictionary scan
+    "q_wildcard_lead" -> ((s, dir) => idsOf(searcher(s, dir), WildcardQ("*tion"))),
     "q_regexp" -> ((s, dir) => idsOf(searcher(s, dir), RegexpQ("st[aeiou]+.*"))),
     "q_fuzzy" -> ((s, dir) => idsOf(searcher(s, dir), FuzzyQ("joins", 1))),
     // the reference FuzzyQuery default: scored top-terms rewrite with
@@ -932,6 +935,10 @@ object Queries {
     "q_wildcard" ->
       s"""$P SELECT DISTINCT doc_id FROM tf
          |WHERE regexp_matches(term, '^s.a.*$$') ORDER BY doc_id""".stripMargin,
+
+    "q_wildcard_lead" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE term LIKE '%tion' ORDER BY doc_id""".stripMargin,
 
     "q_fuzzy" ->
       s"""$P SELECT DISTINCT doc_id FROM tf

@@ -43,7 +43,7 @@ object IndexCache {
 
   /** Bump when the on-disk postings layout changes — stale caches from a
     * previous engine version must not be reused across driver runs. */
-  val FormatVersion = 7
+  val FormatVersion = 8 // v8: dict_grams positional-bigram dictionary index
 
   def indexPath(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")

@@ -18,7 +18,18 @@ import org.apache.spark.sql.functions._
 object DictTable {
 
   def dictPath(base: String) = s"$base/dict"
+  def gramsPath(base: String) = s"$base/dict_grams"
   def markerPath(base: String) = s"$base/dict_marker.txt"
+
+  /** Positional bigrams of `term` over CODE POINTS (edit operations are
+    * code-point-level; a gram through a surrogate pair would desynchronize
+    * the query- and index-side positions). Shared by the dict_grams writer
+    * and the query-side gram extraction so the two can never disagree. */
+  def positionalBigrams(term: String): Array[(String, Int)] = {
+    val cps = term.codePoints().toArray
+    if (cps.length < 2) Array.empty
+    else Array.tabulate(cps.length - 1)(i => (new String(cps, i, 2), i))
+  }
 
   /** Signature of the live segment set (ids + maxDocs from stats). */
   def segsSignature(spark: SparkSession, indexPath: String): String = {
@@ -57,7 +68,36 @@ object DictTable {
       .sortWithinPartitions("field", "len", "term")
       .write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
     spark.catalog.refreshByPath(dictPath(indexPath))
+    writeGrams(spark, indexPath)
     writeMarker(spark, indexPath, sig)
+  }
+
+  /** Positional-bigram inverted index over the dictionary — the columnar
+    * equivalent of the reference's Levenshtein-automaton walk down the FST
+    * term dictionary (Util/Automaton/LevenshteinAutomata.cs +
+    * Index/AutomatonTermsEnum.cs). The automaton walk is sublinear because
+    * it SEEKS between viable terms; a Parquet dictionary has no driver-
+    * resident trie to seek, but gram-equality predicates against a
+    * (field, gram)-sorted table prune to exactly the row groups holding a
+    * query's grams — the same sublinearity, shuffle-free at the scan. The
+    * count-filtering bound is the classic positional q-gram lemma (Gravano
+    * et al., VLDB 2001; EDJoin): ed(s,t) <= e implies s and t share at
+    * least max(|s|,|t|) - 1 - 2e positional bigrams within position
+    * distance e. Storage is ~(len-1) rows per term — the dictionary is
+    * orders of magnitude smaller than postings, so the overhead is noise.
+    */
+  def writeGrams(spark: SparkSession, indexPath: String): Unit = {
+    import spark.implicits._
+    val dict = spark.read.parquet(dictPath(indexPath))
+      .select("field", "term", "df", "ttf", "len").as[(String, String, Long, Long, Int)]
+    dict.flatMap { case (f, t, df, ttf, len) =>
+        positionalBigrams(t).iterator.map { case (g, p) => (f, g, p, t, df, ttf, len) }
+      }
+      .toDF("field", "gram", "pos", "term", "df", "ttf", "len")
+      .repartitionByRange(col("field"), col("gram"), col("term"))
+      .sortWithinPartitions("field", "gram", "term", "pos")
+      .write.mode(SaveMode.Overwrite).parquet(gramsPath(indexPath))
+    spark.catalog.refreshByPath(gramsPath(indexPath))
   }
 
   def writeMarker(spark: SparkSession, indexPath: String, sig: String): Unit = {
@@ -87,6 +127,16 @@ object DictTable {
   def readIfValid(spark: SparkSession, indexPath: String): Option[DataFrame] =
     if (isValid(spark, indexPath)) {
       try Some(spark.read.parquet(dictPath(indexPath)))
+      catch { case _: Exception => None }
+    } else None
+
+  /** The positional-bigram table if present AND fresh (same marker as the
+    * dictionary: both are rewritten together and share df/ttf merge
+    * invariance). Absent on indexes written before the gram format —
+    * readers fall back to the length-band dictionary scan. */
+  def readGramsIfValid(spark: SparkSession, indexPath: String): Option[DataFrame] =
+    if (isValid(spark, indexPath)) {
+      try Some(spark.read.parquet(gramsPath(indexPath)))
       catch { case _: Exception => None }
     } else None
 }

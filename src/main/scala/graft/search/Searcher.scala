@@ -386,6 +386,13 @@ final class Searcher(spark: SparkSession, indexPath: String,
   @transient lazy val dictTable: Option[DataFrame] =
     graft.build.DictTable.readIfValid(spark, indexPath)
 
+  /** Positional-bigram inverted index over the dictionary (dict_grams,
+    * DictTable.writeGrams) — fuzzy/wildcard candidate fetch by gram
+    * EQUALITY instead of a full dictionary scan. None on pre-gram indexes
+    * or when the dictionary is stale. */
+  @transient lazy val gramsTable: Option[DataFrame] =
+    graft.build.DictTable.readGramsIfValid(spark, indexPath)
+
   /** Cross-segment (field, term) stats (TermContext.Build analog,
     * Index/TermContext.cs:90): one tiny pruned aggregate, collected to the
     * driver, folded into constants.
@@ -832,7 +839,11 @@ final class Searcher(spark: SparkSession, indexPath: String,
       if (lo != null) pred = pred && (if (incLo) col("term") >= lo else col("term") > lo)
       if (hi != null) pred = pred && (if (incHi) col("term") <= hi else col("term") < hi)
       constantScoreOver(pred, field)
-    case WildcardQ(pat) => constantScoreOver(col("term").rlike("^" + Query.wildcardRegex(pat) + "$"), field)
+    case WildcardQ(pat) => constantScoreOver(
+      col("term").rlike("^" + Query.wildcardRegex(pat) + "$"), field,
+      // gram-index candidate fetch: a leading wildcard (`*foo`) reads the
+      // pattern's gram row groups, not the whole dictionary
+      dictSource = wildcardGramCandidates(field, pat))
     case RegexpQ(re) => constantScoreOver(col("term").rlike("^" + re + "$"), field)
     case FuzzyQ(t, maxEdits) =>
       val qLen = t.codePointCount(0, t.length)
@@ -840,8 +851,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
         abs(length(col("term")) - lit(qLen)) <= maxEdits &&
           Searcher.pigeonholePred(t, maxEdits) &&
           levenshtein(col("term"), lit(t)) <= maxEdits, field,
-        // storage-prunable form of the length band for the dictionary scan
-        dictRangePred = Some(col("len") >= qLen - maxEdits && col("len") <= qLen + maxEdits))
+        // gram-index (or length-band) candidate fetch before the verify
+        dictSource = dictTable.map(_ => fuzzyDictScan(field, t, maxEdits)))
 
     case PayloadScoreQ(term, fn, boost) =>
       // PayloadTermQuery (includeSpanScore=false): decode the term's payload
@@ -1015,20 +1026,24 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * back to the predicate scan over postings metadata.
     */
   private def constantScoreOver(termPred: Column, field: String,
-                                /** Extra predicate over the dictionary's
-                                  * materialized columns (e.g. the fuzzy
-                                  * length band on `len`) — row-group
-                                  * prunable where termPred's functional
-                                  * form is not; never applied to the
-                                  * postings fallback (no such column). */
-                                dictRangePred: Option[Column] = None): Dataset[Hit] = {
-    val expanded: Option[Array[String]] = dictTable.flatMap { dict =>
-      val extra = dictRangePred.filter(_ => dict.columns.contains("len"))
-        .getOrElse(lit(true))
-      val terms = dict.filter(col("field") === field && extra && termPred)
-        .select("term").limit(ConstantScoreTermBudget + 1)
-        .as[String].collect()
-      if (terms.length <= ConstantScoreTermBudget) Some(terms) else None
+                                /** Pre-filtered candidate SUPERSET with a
+                                  * `term` column (a fuzzyDictScan or gram-
+                                  * index fetch) used instead of the full
+                                  * dictionary scan; termPred still verifies
+                                  * every candidate exactly. */
+                                dictSource: Option[DataFrame] = None): Dataset[Hit] = {
+    val expanded: Option[Array[String]] = dictSource match {
+      case Some(src) =>
+        val terms = src.filter(termPred)
+          .select("term").limit(ConstantScoreTermBudget + 1)
+          .as[String].collect()
+        if (terms.length <= ConstantScoreTermBudget) Some(terms) else None
+      case None => dictTable.flatMap { dict =>
+        val terms = dict.filter(col("field") === field && termPred)
+          .select("term").limit(ConstantScoreTermBudget + 1)
+          .as[String].collect()
+        if (terms.length <= ConstantScoreTermBudget) Some(terms) else None
+      }
     }
     val rows = expanded match {
       case Some(terms) if terms.isEmpty => return spark.emptyDataset[Hit]
@@ -1321,9 +1336,36 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * Older dictionaries without `len` (and the stale-dict postings fallback)
     * evaluate the band per row instead.
     */
-  def fuzzyDictScan(field: String, term: String, maxEdits: Int): DataFrame = {
+  def fuzzyDictScan(field: String, term: String, maxEdits: Int,
+                    useGrams: Boolean = true): DataFrame = {
     val qLen = term.codePointCount(0, term.length)
-    val base = dictTable match {
+    // Sublinear path: positional-bigram count filtering (the positional
+    // q-gram lemma — ed <= e implies >= max(|s|,|t|)-1-2e shared positional
+    // bigrams within position distance e). Gram equality against the
+    // (field, gram)-sorted dict_grams table prunes the scan to the query's
+    // own gram row groups — the columnar analog of the reference's
+    // Levenshtein-automaton FST walk (Index/AutomatonTermsEnum.cs), which
+    // is sublinear for the same reason: it touches only viable dictionary
+    // regions. Valid only when the minimum shared-gram bound is >= 1
+    // (otherwise a true match could share NO gram and be missed).
+    val qGrams = graft.build.DictTable.positionalBigrams(term)
+    val gramPath = gramsTable
+      .filter(_ => useGrams && qLen - 1 - 2 * maxEdits >= 1 && qGrams.nonEmpty)
+      .map { g =>
+        val qg = qGrams.toSeq.toDF("gram", "qpos")
+        g.filter(col("field") === field &&
+            col("gram").isInCollection(qGrams.map(_._1).distinct.toSeq) &&
+            col("len") >= qLen - maxEdits && col("len") <= qLen + maxEdits)
+          .join(broadcast(qg), Seq("gram"))
+          .filter(abs(col("pos") - col("qpos")) <= maxEdits)
+          // join pairs over-count vs the lemma's one-to-one matching: safe
+          // (candidate SUPERSET); the levenshtein verify downstream is exact
+          .groupBy("term", "df", "ttf", "len")
+          .agg(org.apache.spark.sql.functions.count(lit(1)).as("shared"))
+          .filter(col("shared") >= greatest(lit(qLen), col("len")) - 1 - 2 * maxEdits)
+          .select("term", "df", "ttf")
+      }
+    val base = gramPath.getOrElse(dictTable match {
       case Some(dict) if dict.columns.contains("len") =>
         dict.filter(col("field") === field &&
             col("len") >= qLen - maxEdits && col("len") <= qLen + maxEdits)
@@ -1331,8 +1373,30 @@ final class Searcher(spark: SparkSession, indexPath: String,
       case _ =>
         dictionary(field)
           .filter(abs(length(col("term")) - lit(qLen)) <= maxEdits)
-    }
+    })
     base.filter(Searcher.pigeonholePred(term, maxEdits))
+  }
+
+  /** Wildcard candidate fetch from the gram index: every match must contain
+    * each bigram of every LITERAL RUN of the pattern, so terms carrying all
+    * required grams (gram-equality scan + count) are a candidate superset —
+    * the leading-wildcard case (`*foo`) stops being a full dictionary scan.
+    * None when the pattern has no 2-codepoint literal run or no gram table.
+    * (The reference reaches the same queries through CompiledAutomaton's
+    * common-suffix/prefix extraction — Util/Automaton/CompiledAutomaton.cs.)
+    */
+  private def wildcardGramCandidates(field: String, pattern: String): Option[DataFrame] = {
+    val runs = pattern.split("[*?]+").filter(r => r.codePointCount(0, r.length) >= 2)
+    val required = runs.flatMap(r =>
+      graft.build.DictTable.positionalBigrams(r).map(_._1)).distinct
+    if (required.isEmpty) None
+    else gramsTable.map { g =>
+      g.filter(col("field") === field && col("gram").isInCollection(required.toSeq))
+        .groupBy("term", "df", "ttf")
+        .agg(countDistinct(col("gram")).as("ng"))
+        .filter(col("ng") === required.length)
+        .select("term", "df", "ttf")
+    }
   }
 
   /** Per-field analyzers from the index config (PerFieldAnalyzerWrapper
@@ -1402,10 +1466,19 @@ final class Searcher(spark: SparkSession, indexPath: String,
       if (lo != null) pred = pred && (if (il) col("term") >= lo else col("term") > lo)
       if (hi != null) pred = pred && (if (ih) col("term") <= hi else col("term") < hi)
       expandDict(field, pred)
-    case WildcardQ(p) => expandDict(field, col("term").rlike("^" + Query.wildcardRegex(p) + "$"))
+    case WildcardQ(p) =>
+      val pred = col("term").rlike("^" + Query.wildcardRegex(p) + "$")
+      wildcardGramCandidates(field, p) match {
+        case Some(src) => src.filter(pred).select("term")
+          .limit(ConstantScoreTermBudget).as[String].collect().map((field, _)).toSet
+        case None => expandDict(field, pred)
+      }
     case RegexpQ(re) => expandDict(field, col("term").rlike("^" + re + "$"))
-    case FuzzyQ(t, me) => expandDict(field,
-      Searcher.pigeonholePred(t, me) && levenshtein(col("term"), lit(t)) <= me)
+    case FuzzyQ(t, me) =>
+      fuzzyDictScan(field, t, me)
+        .filter(levenshtein(col("term"), lit(t)) <= me)
+        .select("term").limit(ConstantScoreTermBudget).as[String].collect()
+        .map((field, _)).toSet
     case FuzzyTopQ(t, me, mx, _) =>
       fuzzyExpand(field, t, me, mx).map(e => (field, e._1)).toSet
     case other => Query.fieldTerms(other, field)

@@ -61,7 +61,9 @@ class FuzzyPruneSpec extends AnyFunSuite {
     try {
       val se = new Searcher(spark, base)
       val probe = "t1222x" // an actual dict term (k=1222: 4 + k%20 = 6 chars); band [5, 7]
-      val df = se.fuzzyDictScan(se.defaultField, probe, 1)
+      // useGrams=false pins THIS spec to the length-band path (the gram
+      // index path has its own pruning assertions in GramIndexSpec)
+      val df = se.fuzzyDictScan(se.defaultField, probe, 1, useGrams = false)
       df.collect()
       val scans = df.queryExecution.executedPlan.collect {
         case s: org.apache.spark.sql.execution.FileSourceScanExec => s
@@ -81,7 +83,7 @@ class FuzzyPruneSpec extends AnyFunSuite {
   test("pruned fuzzy results equal the unpruned dictionary filter") {
     val se = new Searcher(spark, base)
     val probe = "t1222x"
-    val got = se.fuzzyDictScan(se.defaultField, probe, 1)
+    val got = se.fuzzyDictScan(se.defaultField, probe, 1, useGrams = false)
       .withColumn("ed", levenshtein(col("term"), lit(probe)))
       .filter(col("ed") <= 1)
       .select("term").collect().map(_.getString(0)).toSet
