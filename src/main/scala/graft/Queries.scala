@@ -372,6 +372,31 @@ object Queries {
       idsOf(IndexCache.asciiSearcher(s, dir), TermQ("zurich"))),
     "q_filter_soundex" -> ((s, dir) =>
       idsOf(IndexCache.soundexSearcher(s, dir), TermQ("R163"))),
+    // case-change split parts occupy CONSECUTIVE positions: power@0 shot@1
+    "q_filter_worddelim" -> ((s, dir) =>
+      idsOf(IndexCache.wordDelimSearcher(s, dir), PhraseQ(List("power" -> 0, "shot" -> 1)))),
+    // numeric part present in BOTH variants, shifted to position 2
+    "q_filter_worddelim_num" -> ((s, dir) =>
+      idsOf(IndexCache.wordDelimSearcher(s, dir), PhraseQ(List("500" -> 0, "zoom" -> 1)))),
+    "q_filter_edge" -> ((s, dir) =>
+      idsOf(IndexCache.edgeSearcher(s, dir), TermQ("dat"))),
+    "q_filter_commongrams" -> ((s, dir) =>
+      idsOf(IndexCache.commonGramsSearcher(s, dir), TermQ("the_engine"))),
+    // --- second analyzer-catalog wave: each term exists only through the
+    //     language chain's stem/normalize rules on even docs
+    "q_lang_fi" -> ((s, dir) => idsOf(IndexCache.fiSearcher(s, dir), TermQ("talo"))),
+    "q_lang_hu" -> ((s, dir) => idsOf(IndexCache.huSearcher(s, dir), TermQ("haz"))),
+    "q_lang_cs" -> ((s, dir) => idsOf(IndexCache.csSearcher(s, dir), TermQ("student"))),
+    "q_lang_bg" -> ((s, dir) => idsOf(IndexCache.bgSearcher(s, dir), TermQ("град"))),
+    "q_lang_hi" -> ((s, dir) => idsOf(IndexCache.hiSearcher(s, dir), TermQ("किताब"))),
+    "q_lang_ar" -> ((s, dir) => idsOf(IndexCache.arSearcher(s, dir), TermQ("كتاب"))),
+    "q_lang_fa" -> ((s, dir) => idsOf(IndexCache.faSearcher(s, dir), TermQ("كتابي"))),
+    "q_lang_id" -> ((s, dir) => idsOf(IndexCache.idSearcher(s, dir), TermQ("baca"))),
+    // the stopped connective's position gap survives the Finnish chain:
+    // talo@0 .. ves@2 ("ja"@1 stopped)
+    "q_lang_fi_phrase" -> ((s, dir) =>
+      idsOf(IndexCache.fiSearcher(s, dir), PhraseQ(List("talo" -> 0, "ves" -> 2)))),
+
     "q_lang_de_phrase" -> ((s, dir) =>
       // haus@1 .. gart@3: the gap over the stopped "und" must be exact
       idsOf(IndexCache.deSearcher(s, dir), PhraseQ(List("haus" -> 0, "gart" -> 2)))),
@@ -1115,6 +1140,33 @@ object Queries {
     "q_filter_ascii" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_filter_soundex" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_worddelim" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_worddelim_num" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "q_filter_edge" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_commongrams" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    "q_lang_fi" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_hu" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_cs" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_bg" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_hi" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_ar" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_fa" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_id" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_fi_phrase" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     "q_lang_de_phrase" ->

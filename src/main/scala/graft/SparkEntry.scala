@@ -503,6 +503,81 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "robert").otherwise("smith"),
         lit(" jones"))))
 
+  /** WordDelimiterFilter defaults: "{PowerShot|FlashMax}-500's zoom" =>
+    * {power|flash}@0 {shot|max}@1 500@2 zoom@3 (case-change + numeric
+    * splits, possessive stripped, parts consume positions). */
+  def wordDelimSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "wdf"), langFixture(spark, sfDir, "wdf", "word_delimiter",
+      concat(when(col("doc_id") % 2 === 0, "PowerShot").otherwise("FlashMax"),
+        lit("-500's zoom"))))
+
+  /** EdgeNGramTokenFilter(2,3): "{dataset|moonbeam}" => {da,dat|mo,moo}@0. */
+  def edgeSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "edge"), langFixture(spark, sfDir, "edge", "edge23",
+      when(col("doc_id") % 2 === 0, "dataset").otherwise("moonbeam")))
+
+  /** CommonGramsFilter: "{the|an} engine" => {the|an}@0 +
+    * {the_engine|an_engine}@0 engine@1 — stopword-adjacent bigram overlays
+    * at the first word's position. */
+  def commonGramsSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "cgrams"), langFixture(spark, sfDir, "cgrams", "commongrams",
+      concat(when(col("doc_id") % 2 === 0, "the").otherwise("an"),
+        lit(" engine"))))
+
+  // ---- second analyzer-catalog wave (Fi/Hu/Cz/Bg/Hi/Ar/Fa/Id chains)
+
+  /** Finnish light stem: talossa->talo on even docs, autossa->auto on odd;
+    * "ja" stopped. */
+  def fiSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "fi"), langFixture(spark, sfDir, "fi", "finnish",
+      concat(when(col("doc_id") % 2 === 0, "talossa").otherwise("autossa"),
+        lit(" ja vesi"))))
+
+  /** Hungarian light stem: házakban->haz / kertekben->ker; "és" stopped. */
+  def huSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "hu"), langFixture(spark, sfDir, "hu", "hungarian",
+      concat(when(col("doc_id") % 2 === 0, "házakban").otherwise("kertekben"),
+        lit(" és alma"))))
+
+  /** Czech stem: studentech->student / městech->měst; "a" stopped. */
+  def csSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "cs"), langFixture(spark, sfDir, "cs", "czech",
+      concat(when(col("doc_id") % 2 === 0, "studentech").otherwise("městech"),
+        lit(" a škola"))))
+
+  /** Bulgarian stem: градовете->град / книгите->книг; "на" stopped. */
+  def bgSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "bg"), langFixture(spark, sfDir, "bg", "bulgarian",
+      concat(when(col("doc_id") % 2 === 0, "градовете").otherwise("книгите"),
+        lit(" на страна"))))
+
+  /** Hindi normalize+stem: किताबें->किताब / कमरे->कमर; "और" stopped
+    * (matched post-normalization as ओर). */
+  def hiSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "hi"), langFixture(spark, sfDir, "hi", "hindi",
+      concat(when(col("doc_id") % 2 === 0, "किताबें").otherwise("कमरे"),
+        lit(" और कलम"))))
+
+  /** Arabic stem: الكتاب->كتاب / والقلم->قلم; "في" stopped (surface form,
+    * before normalization — ArabicAnalyzer.cs chain order). */
+  def arSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ar"), langFixture(spark, sfDir, "ar", "arabic",
+      concat(when(col("doc_id") % 2 === 0, "الكتاب").otherwise("والقلم"),
+        lit(" في البيت"))))
+
+  /** Persian normalization: کتابی (farsi yeh + keheh) -> كتابي on even
+    * docs; "در" stopped post-normalization. */
+  def faSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "fa"), langFixture(spark, sfDir, "fa", "persian",
+      concat(when(col("doc_id") % 2 === 0, "کتابی").otherwise("قلمها"),
+        lit(" در خانه"))))
+
+  /** Indonesian stem: membaca->baca / berjalan->jalan; "yang" stopped. */
+  def idSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "id"), langFixture(spark, sfDir, "id", "indonesian",
+      concat(when(col("doc_id") % 2 === 0, "membaca").otherwise("berjalan"),
+        lit(" yang buku"))))
+
   private val langCache = scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
 
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs

@@ -282,11 +282,23 @@ object Analyzers {
     case "danish" => DanishAnalyzer // classic -> Danish stops -> Snowball Danish
     case "norwegian" => NorwegianAnalyzer // classic -> Norwegian stops -> Snowball Norwegian
     case "cjk" => CjkAnalyzer // classic -> CJK bigrams -> stops (CJKAnalyzer.cs)
+    case "finnish" => FinnishAnalyzer // classic -> Finnish stops -> light stem (Fi)
+    case "hungarian" => HungarianAnalyzer // classic -> Hungarian stops -> light stem (Hu)
+    case "czech" => CzechAnalyzer // classic -> Czech stops -> CzechStemmer (Cz)
+    case "bulgarian" => BulgarianAnalyzer // classic -> Bulgarian stops -> BulgarianStemmer (Bg)
+    case "hindi" => HindiAnalyzer // letter+mark -> normalize -> stops -> HindiStemmer (Hi)
+    case "arabic" => ArabicAnalyzer // letter+mark -> stops -> normalize -> ArabicStemmer (Ar)
+    case "persian" => PersianAnalyzer // letter+mark -> normalize -> stops (Fa)
+    case "indonesian" => IndonesianAnalyzer // classic -> Indonesian stops -> IndonesianStemmer (Id)
     case "shingle" => ShingleAnalyzer // simple -> word bigrams + unigrams
     case "ngram3" => Ngram3Analyzer // simple -> char trigrams
     case "ascii" => AsciiFoldingAnalyzer // classic -> ASCII folding
     case "synonym_fixture" => SynonymFixtureAnalyzer // simple -> fixed synonym map
     case "soundex" => SoundexAnalyzer // simple -> Soundex injection (phonetic)
+    case "refined_soundex" => RefinedSoundexAnalyzer // simple -> RefinedSoundex injection
+    case "word_delimiter" => WordDelimiterAnalyzer // whitespace -> WDF defaults -> lowercase
+    case "edge23" => Edge23Analyzer // simple -> edge ngrams (2,3)
+    case "commongrams" => CommonGramsAnalyzer // simple -> common-word bigram overlays
     case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant

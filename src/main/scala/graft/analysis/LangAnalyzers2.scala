@@ -1,0 +1,716 @@
+package graft.analysis
+
+/** Second analyzer-catalog wave: Finnish, Hungarian, Czech, Bulgarian,
+  * Hindi, Arabic, Persian, Indonesian — the next tier of the reference's
+  * per-language directories (/root/reference/src/Lucene.Net.Analysis.Common/
+  * Analysis/{Fi,Hu,Cz,Bg,Hi,Ar,Fa,Id}). Like LangAnalyzers, stemmer RULE
+  * SETS replicate the published algorithms the reference implements (Savoy
+  * UniNE light stemmers, Larkey's Arabic light10, Tala's Indonesian
+  * stemmer, the Lucene normalizer tables) — rule-identical by necessity,
+  * expressed as fresh immutable Scala; stop sets are DOCUMENTED SUBSETS of
+  * the reference's embedded stopword resources (function-word cores).
+  */
+object LangAnalyzers2 {
+
+  // ------------------------------------------------------------- tokenizer
+
+  /** Letter-or-nonspacing-mark tokenizer — the ArabicLetterTokenizer
+    * discipline (Analysis/Ar/ArabicLetterTokenizer.cs: LetterTokenizer
+    * widened to keep NonspacingMark so diacritics/matras don't split
+    * words); used by the Arabic/Persian/Hindi chains, lowercasing inline
+    * like LowerCaseTokenizer. */
+  def letterOrMarkTokenize(text: String): Iterator[Token] = {
+    @inline def isTok(c: Char): Boolean = {
+      val t = Character.getType(c)
+      Character.isLetter(c) || t == Character.NON_SPACING_MARK ||
+        t == Character.COMBINING_SPACING_MARK // Devanagari matras are Mc
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[Token]
+    var pos = -1
+    var i = 0
+    while (i < text.length) {
+      if (isTok(text.charAt(i))) {
+        val start = i
+        val sb = new java.lang.StringBuilder
+        while (i < text.length && isTok(text.charAt(i))) {
+          sb.append(Character.toLowerCase(text.charAt(i))); i += 1
+        }
+        pos += 1
+        out += Token(sb.toString, pos, start, i, TokenType.ALPHANUM)
+      } else i += 1
+    }
+    out.iterator
+  }
+
+  // ------------------------------------------------------------- Finnish
+  // FinnishLightStemmer.cs rules (Savoy, Report on CLEF-2003 Monolingual
+  // Tracks). NOTE: FinnishAnalyzer.cs defaults to SnowballFilter(Finnish);
+  // this chain ships the directory's FinnishLightStemFilter variant — the
+  // Snowball Finnish algorithm remains uncovered (documented divergence).
+
+  @inline private def fiVowel(c: Char): Boolean = "aeiouy".indexOf(c) >= 0
+
+  def finnishLightStem(word: String): String = {
+    if (word.length < 4) return word
+    var w: String = word.map { case 'ä' | 'å' => 'a'; case 'ö' => 'o'; case c => c }
+    w = fiStep1(w); w = fiStep2(w); w = fiStep3(w); w = fiNorm1(w); fiNorm2(w)
+  }
+
+  private def fiStep1(w: String): String = {
+    if (w.length > 8) {
+      if (w.endsWith("kin")) return fiStep1(w.dropRight(3))
+      if (w.endsWith("ko")) return fiStep1(w.dropRight(2))
+    }
+    if (w.length > 11) {
+      if (w.endsWith("dellinen")) return w.dropRight(8)
+      if (w.endsWith("dellisuus")) return w.dropRight(9)
+    }
+    w
+  }
+
+  private def fiStep2(w: String): String =
+    if (w.length > 5) {
+      if (w.endsWith("lla") || w.endsWith("tse") || w.endsWith("sti")) w.dropRight(3)
+      else if (w.endsWith("ni")) w.dropRight(2)
+      else if (w.endsWith("aa")) w.dropRight(1)
+      else w
+    } else w
+
+  private def fiStep3(w: String): String = {
+    val len = w.length
+    if (len > 8) {
+      if (w.endsWith("nnen")) return w.dropRight(4) + "s"
+      if (w.endsWith("ntena")) return w.dropRight(5) + "s"
+      if (w.endsWith("tten")) return w.dropRight(4)
+      if (w.endsWith("eiden")) return w.dropRight(5)
+    }
+    if (len > 6) {
+      if (w.endsWith("neen") || w.endsWith("niin") || w.endsWith("seen") ||
+          w.endsWith("teen") || w.endsWith("inen")) return w.dropRight(4)
+      if (w.charAt(len - 3) == 'h' && fiVowel(w.charAt(len - 2)) && w.charAt(len - 1) == 'n')
+        return w.dropRight(3)
+      if (w.endsWith("den")) return w.dropRight(3) + "s"
+      if (w.endsWith("ksen")) return w.dropRight(4) + "s"
+      if (w.endsWith("ssa") || w.endsWith("sta") || w.endsWith("lla") ||
+          w.endsWith("lta") || w.endsWith("tta") || w.endsWith("ksi") ||
+          w.endsWith("lle")) return w.dropRight(3)
+    }
+    if (len > 5) {
+      if (w.endsWith("na") || w.endsWith("ne")) return w.dropRight(2)
+      if (w.endsWith("nei")) return w.dropRight(3)
+    }
+    if (len > 4) {
+      if (w.endsWith("ja") || w.endsWith("ta")) return w.dropRight(2)
+      if (w.charAt(len - 1) == 'a') return w.dropRight(1)
+      if (w.charAt(len - 1) == 'n' && fiVowel(w.charAt(len - 2))) return w.dropRight(2)
+      if (w.charAt(len - 1) == 'n') return w.dropRight(1)
+    }
+    w
+  }
+
+  private def fiNorm1(w0: String): String = {
+    var w = w0
+    if (w.length > 5 && w.endsWith("hde")) w = w.dropRight(3) + "ksi"
+    if (w.length > 4 && (w.endsWith("ei") || w.endsWith("at"))) return w.dropRight(2)
+    if (w.length > 3 && "tsjeai".indexOf(w.last) >= 0) return w.dropRight(1)
+    w
+  }
+
+  private def fiNorm2(w0: String): String = {
+    var w = w0
+    if (w.length > 8 && "eou".indexOf(w.last) >= 0) w = w.dropRight(1)
+    if (w.length > 4) {
+      if (w.last == 'i') w = w.dropRight(1)
+      if (w.length > 4) {
+        // collapse repeated k/p/t (keep the first of each run)
+        val sb = new StringBuilder
+        sb.append(w.head)
+        var ch = w.head
+        var i = 1
+        while (i < w.length) {
+          val c = w.charAt(i)
+          if (c == ch && (ch == 'k' || ch == 'p' || ch == 't')) ()
+          else { sb.append(c); ch = c }
+          i += 1
+        }
+        w = sb.toString
+      }
+    }
+    w
+  }
+
+  // ------------------------------------------------------------ Hungarian
+  // HungarianLightStemmer.cs rules (Savoy UniNE). HungarianAnalyzer.cs
+  // defaults to Snowball Hungarian; this is the directory's
+  // HungarianLightStemFilter variant (documented divergence).
+
+  @inline private def huVowel(c: Char): Boolean = "aeiouy".indexOf(c) >= 0
+
+  def hungarianLightStem(word: String): String = {
+    var w: String = word.map {
+      case 'á' => 'a'; case 'ë' | 'é' => 'e'; case 'í' => 'i'
+      case 'ó' | 'ő' | 'õ' | 'ö' => 'o'
+      case 'ú' | 'ű' | 'ũ' | 'û' | 'ü' => 'u'
+      case c => c
+    }
+    w = huRemoveCase(w); w = huRemovePossessive(w); w = huRemovePlural(w)
+    huNormalize(w)
+  }
+
+  private val HuCase3 = Seq("nak", "nek", "val", "vel", "ert", "rol", "ban",
+    "ben", "bol", "nal", "nel", "hoz", "hez", "tol")
+  private val HuCase2 = Seq("at", "et", "ot", "va", "ve", "ra", "re", "ba",
+    "be", "ul", "ig")
+
+  private def huRemoveCase(w: String): String = {
+    val len = w.length
+    if (len > 6 && w.endsWith("kent")) return w.dropRight(4)
+    if (len > 5) {
+      if (HuCase3.exists(w.endsWith)) return w.dropRight(3)
+      if ((w.endsWith("al") || w.endsWith("el")) &&
+          !huVowel(w.charAt(len - 3)) && w.charAt(len - 3) == w.charAt(len - 4))
+        return w.dropRight(3)
+    }
+    if (len > 4) {
+      if (HuCase2.exists(w.endsWith)) return w.dropRight(2)
+      if ((w.endsWith("on") || w.endsWith("en")) && !huVowel(w.charAt(len - 3)))
+        return w.dropRight(2)
+      w.last match {
+        case 't' | 'n' => return w.dropRight(1)
+        case 'a' | 'e' if w.charAt(len - 2) == w.charAt(len - 3) && !huVowel(w.charAt(len - 2)) =>
+          return w.dropRight(2)
+        case _ =>
+      }
+    }
+    w
+  }
+
+  private def huRemovePossessive(w: String): String = {
+    val len = w.length
+    if (len > 6) {
+      if (!huVowel(w.charAt(len - 5)) &&
+          (w.endsWith("atok") || w.endsWith("otok") || w.endsWith("etek")))
+        return w.dropRight(4)
+      if (w.endsWith("itek") || w.endsWith("itok")) return w.dropRight(4)
+    }
+    if (len > 5) {
+      if (!huVowel(w.charAt(len - 4)) &&
+          (w.endsWith("unk") || w.endsWith("tok") || w.endsWith("tek")))
+        return w.dropRight(3)
+      if (huVowel(w.charAt(len - 4)) && w.endsWith("juk")) return w.dropRight(3)
+      if (w.endsWith("ink")) return w.dropRight(3)
+    }
+    if (len > 4) {
+      if (!huVowel(w.charAt(len - 3)) &&
+          (w.endsWith("am") || w.endsWith("em") || w.endsWith("om") ||
+           w.endsWith("ad") || w.endsWith("ed") || w.endsWith("od") || w.endsWith("uk")))
+        return w.dropRight(2)
+      if (huVowel(w.charAt(len - 3)) &&
+          (w.endsWith("nk") || w.endsWith("ja") || w.endsWith("je")))
+        return w.dropRight(2)
+      if (w.endsWith("im") || w.endsWith("id") || w.endsWith("ik")) return w.dropRight(2)
+    }
+    if (len > 3) w.last match {
+      case 'a' | 'e' if !huVowel(w.charAt(len - 2)) => return w.dropRight(1)
+      case 'm' | 'd' if huVowel(w.charAt(len - 2)) => return w.dropRight(1)
+      case 'i' => return w.dropRight(1)
+      case _ =>
+    }
+    w
+  }
+
+  private def huRemovePlural(w: String): String =
+    if (w.length > 3 && w.last == 'k') {
+      if ("aoe".indexOf(w.charAt(w.length - 2)) >= 0 && w.length > 4) w.dropRight(2)
+      else w.dropRight(1)
+    } else w
+
+  private def huNormalize(w: String): String =
+    if (w.length > 3 && "aeio".indexOf(w.last) >= 0) w.dropRight(1) else w
+
+  // --------------------------------------------------------------- Czech
+  // CzechStemmer.cs rules (Dolamic & Savoy light stemmer).
+
+  private val CsCase3 = Seq("ech", "ich", "ích", "ého", "ěmi", "emi", "ému",
+    "ěte", "ete", "ěti", "eti", "ího", "iho", "ími", "ímu", "imu", "ách",
+    "ata", "aty", "ých", "ama", "ami", "ové", "ovi", "ými")
+  private val CsCase2 = Seq("em", "es", "ém", "ím", "ům", "at", "ám", "os",
+    "us", "ým", "mi", "ou")
+
+  def czechStem(word: String): String = {
+    var w = csRemoveCase(word)
+    w = csRemovePossessives(w)
+    if (w.nonEmpty) w = csNormalize(w)
+    w
+  }
+
+  private def csRemoveCase(w: String): String = {
+    val len = w.length
+    if (len > 7 && w.endsWith("atech")) return w.dropRight(5)
+    if (len > 6 && (w.endsWith("ětem") || w.endsWith("etem") || w.endsWith("atům")))
+      return w.dropRight(4)
+    if (len > 5 && CsCase3.exists(w.endsWith)) return w.dropRight(3)
+    if (len > 4 && CsCase2.exists(w.endsWith)) return w.dropRight(2)
+    if (len > 3 && "aeiouůyáéíýě".indexOf(w.last) >= 0) return w.dropRight(1)
+    w
+  }
+
+  private def csRemovePossessives(w: String): String =
+    if (w.length > 5 && (w.endsWith("ov") || w.endsWith("in") || w.endsWith("ův")))
+      w.dropRight(2)
+    else w
+
+  private def csNormalize(w: String): String = {
+    val len = w.length
+    if (w.endsWith("čt")) return w.dropRight(2) + "ck"
+    if (w.endsWith("št")) return w.dropRight(2) + "sk"
+    w.last match {
+      case 'c' | 'č' => return w.dropRight(1) + "k"
+      case 'z' | 'ž' => return w.dropRight(1) + "h"
+      case _ =>
+    }
+    if (len > 1 && w.charAt(len - 2) == 'e') return w.dropRight(2) + w.last // e* > *
+    if (len > 2 && w.charAt(len - 2) == 'ů')
+      return w.substring(0, len - 2) + 'o' + w.last // *ů* -> *o*
+    w
+  }
+
+  // ------------------------------------------------------------ Bulgarian
+  // BulgarianStemmer.cs rules (Nakov's BulStem / Savoy light variant).
+
+  def bulgarianStem(word: String): String = {
+    if (word.length < 4) return word
+    if (word.length > 5 && word.endsWith("ища")) return word.dropRight(3)
+    var w = bgRemoveArticle(word)
+    w = bgRemovePlural(w)
+    if (w.length > 3) {
+      if (w.endsWith("я")) w = w.dropRight(1)
+      if (w.endsWith("а") || w.endsWith("о") || w.endsWith("е")) w = w.dropRight(1)
+    }
+    if (w.length > 4 && w.endsWith("ен")) w = w.dropRight(2) + "н"
+    if (w.length > 5 && w.charAt(w.length - 2) == 'ъ') w = w.dropRight(2) + w.last
+    w
+  }
+
+  private def bgRemoveArticle(w: String): String = {
+    val len = w.length
+    if (len > 6 && w.endsWith("ият")) return w.dropRight(3)
+    if (len > 5 && (w.endsWith("ът") || w.endsWith("то") || w.endsWith("те") ||
+        w.endsWith("та") || w.endsWith("ия"))) return w.dropRight(2)
+    if (len > 4 && w.endsWith("ят")) return w.dropRight(2)
+    w
+  }
+
+  private def bgRemovePlural(w: String): String = {
+    val len = w.length
+    if (len > 6) {
+      if (w.endsWith("овци")) return w.dropRight(3) // -> о
+      if (w.endsWith("ове")) return w.dropRight(3)
+      if (w.endsWith("еве")) return w.dropRight(3) + "й"
+    }
+    if (len > 5) {
+      if (w.endsWith("ища")) return w.dropRight(3)
+      if (w.endsWith("та")) return w.dropRight(2)
+      if (w.endsWith("ци")) return w.dropRight(2) + "к"
+      if (w.endsWith("зи")) return w.dropRight(2) + "г"
+      if (w.charAt(len - 3) == 'е' && w.last == 'и')
+        return w.substring(0, len - 3) + 'я' + w.charAt(len - 2) // е..и -> я..
+    }
+    if (len > 4) {
+      if (w.endsWith("си")) return w.dropRight(2) + "х"
+      if (w.endsWith("и")) return w.dropRight(1)
+    }
+    w
+  }
+
+  // --------------------------------------------------------------- Hindi
+  // HindiNormalizer.cs + HindiStemmer.cs (light stemmer of Ramanathan &
+  // Rao adapted per the Lucene tables). The IndicNormalizationFilter's
+  // script-data composition table is NOT replicated (documented gap); the
+  // chain is letter-or-mark tokenize -> hindiNormalize -> stop -> stem.
+
+  def hindiNormalize(term: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      c match {
+        case 'न' if i + 1 < term.length && term.charAt(i + 1) == '्' =>
+          sb.append('ं'); i += 1 // dead n -> bindu (virama consumed)
+        case 'ँ' => sb.append('ं') // candrabindu -> bindu
+        case '़' | '‍' | '‌' | '्' => () // nukta/zwj/zwnj/virama deleted
+        case 'ऩ' => sb.append('न')
+        case 'ऱ' => sb.append('र')
+        case 'ऴ' => sb.append('ळ')
+        case 'क़' => sb.append('क')
+        case 'ख़' => sb.append('ख')
+        case 'ग़' => sb.append('ग')
+        case 'ज़' => sb.append('ज')
+        case 'ड़' => sb.append('ड')
+        case 'ढ़' => sb.append('ढ')
+        case 'फ़' => sb.append('फ')
+        case 'य़' => sb.append('य')
+        case 'ॅ' | 'ॆ' => sb.append('े') // chandra/short e
+        case 'ॉ' | 'ॊ' => sb.append('ो')
+        case 'ऍ' | 'ऎ' => sb.append('ए')
+        case 'ऑ' | 'ऒ' => sb.append('ओ')
+        case 'ॲ' | 'आ' => sb.append('अ') // long -> short vowels
+        case 'ई' => sb.append('इ')
+        case 'ऊ' => sb.append('उ')
+        case 'ॠ' => sb.append('ऋ')
+        case 'ॡ' => sb.append('ऌ')
+        case 'ऐ' => sb.append('ए')
+        case 'औ' => sb.append('ओ')
+        case 'ी' => sb.append('ि')
+        case 'ू' => sb.append('ु')
+        case 'ॄ' => sb.append('ृ')
+        case 'ॣ' => sb.append('ॢ')
+        case 'ै' => sb.append('े')
+        case 'ौ' => sb.append('ो')
+        case other => sb.append(other)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  private val HiSuf5 = Seq("ाएंगी", "ाएंगे", "ाऊंगी", "ाऊंगा", "ाइयाँ", "ाइयों", "ाइयां")
+  private val HiSuf4 = Seq("ाएगी", "ाएगा", "ाओगी", "ाओगे", "एंगी", "ेंगी", "एंगे",
+    "ेंगे", "ूंगी", "ूंगा", "ातीं", "नाओं", "नाएं", "ताओं", "ताएं", "ियाँ", "ियों", "ियां")
+  private val HiSuf3 = Seq("ाकर", "ाइए", "ाईं", "ाया", "ेगी", "ेगा", "ोगी", "ोगे",
+    "ाने", "ाना", "ाते", "ाती", "ाता", "तीं", "ाओं", "ाएं", "ुओं", "ुएं", "ुआं")
+  private val HiSuf2 = Seq("कर", "ाओ", "िए", "ाई", "ाए", "ने", "नी", "ना", "ते",
+    "ीं", "ती", "ता", "ाँ", "ां", "ों", "ें")
+  private val HiSuf1 = Seq("ो", "े", "ू", "ु", "ी", "ि", "ा")
+
+  def hindiStem(w: String): String = {
+    val len = w.length
+    if (len > 6 && HiSuf5.exists(w.endsWith)) return w.dropRight(5)
+    if (len > 5 && HiSuf4.exists(w.endsWith)) return w.dropRight(4)
+    if (len > 4 && HiSuf3.exists(w.endsWith)) return w.dropRight(3)
+    if (len > 3 && HiSuf2.exists(w.endsWith)) return w.dropRight(2)
+    if (len > 2 && HiSuf1.exists(w.endsWith)) return w.dropRight(1)
+    w
+  }
+
+  // -------------------------------------------------------------- Arabic
+  // ArabicNormalizer.cs + ArabicStemmer.cs (Larkey/Ballesteros/Connell
+  // light10): normalize hamza forms / strip harakat + tatweel, then one
+  // prefix and every matching suffix with min-stem-length guards.
+
+  def arabicNormalize(term: String): String = {
+    val sb = new StringBuilder
+    term.foreach {
+      case 'آ' | 'أ' | 'إ' => sb.append('ا') // hamza alefs -> alef
+      case 'ى' => sb.append('ي') // dotless yeh -> yeh
+      case 'ة' => sb.append('ه') // teh marbuta -> heh
+      case 'ـ' | 'ً' | 'ٌ' | 'ٍ' | 'َ' | 'ُ' |
+           'ِ' | 'ّ' | 'ْ' => () // tatweel + harakat deleted
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private val ArPrefixes = Seq("ال", "وال",
+    "بال", "كال", "فال",
+    "لل", "و")
+  private val ArSuffixes = Seq("ها", "ان", "ات",
+    "ون", "ين", "يه", "ية",
+    "ه", "ة", "ي")
+
+  def arabicStem(word: String): String = {
+    var w = word
+    // prefix: first match only; wa- (single char) needs >= 3 chars after,
+    // the rest >= 2 (ArabicStemmer.cs startsWithCheckLength)
+    ArPrefixes.find { p =>
+      w.startsWith(p) && (if (p.length == 1) w.length >= 4 else w.length >= p.length + 2)
+    }.foreach(p => w = w.substring(p.length))
+    // suffixes: every match strips, each requiring >= 2 chars left
+    ArSuffixes.foreach { s =>
+      if (w.endsWith(s) && w.length >= s.length + 2) w = w.dropRight(s.length)
+    }
+    w
+  }
+
+  // ------------------------------------------------------------- Persian
+  // PersianNormalizer.cs: farsi yeh/yeh barree -> yeh, keheh -> kaf,
+  // heh+yeh/heh goal -> heh, hamza-above deleted. PersianAnalyzer.cs runs
+  // Arabic normalization first, stops AFTER normalization, no stemmer.
+
+  def persianNormalize(term: String): String = {
+    val sb = new StringBuilder
+    term.foreach {
+      case 'ی' | 'ے' => sb.append('ي')
+      case 'ک' => sb.append('ك')
+      case 'ۀ' | 'ہ' => sb.append('ه')
+      case 'ٔ' => ()
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  // ----------------------------------------------------------- Indonesian
+  // IndonesianStemmer.cs (Tala 2003): particle/possessive strip, then
+  // first-order prefix -> suffix -> second-order prefix with the
+  // rule-interaction flags; every rule gated on > 2 remaining syllables.
+
+  @inline private def idVowel(c: Char): Boolean = "aeiou".indexOf(c) >= 0
+
+  def indonesianStem(word: String, stemDerivational: Boolean = true): String = {
+    var w = word
+    var syll = w.count(idVowel)
+    var fKe = false; var fPeng = false; var fDi = false; var fMeng = false
+    var fTer = false; var fBer = false; var fPe = false
+
+    if (syll > 2 && (w.endsWith("kah") || w.endsWith("lah") || w.endsWith("pun"))) {
+      syll -= 1; w = w.dropRight(3)
+    }
+    if (syll > 2) {
+      if (w.endsWith("ku") || w.endsWith("mu")) { syll -= 1; w = w.dropRight(2) }
+      else if (w.endsWith("nya")) { syll -= 1; w = w.dropRight(3) }
+    }
+    if (!stemDerivational) return w
+
+    def firstOrderPrefix(): Boolean = {
+      val before = w
+      if (w.startsWith("meng")) { fMeng = true; syll -= 1; w = w.substring(4) }
+      else if (w.startsWith("meny") && w.length > 4 && idVowel(w.charAt(4))) {
+        fMeng = true; syll -= 1; w = "s" + w.substring(4)
+      }
+      else if (w.startsWith("men")) { fMeng = true; syll -= 1; w = w.substring(3) }
+      else if (w.startsWith("mem")) { fMeng = true; syll -= 1; w = w.substring(3) }
+      else if (w.startsWith("me")) { fMeng = true; syll -= 1; w = w.substring(2) }
+      else if (w.startsWith("peng")) { fPeng = true; syll -= 1; w = w.substring(4) }
+      else if (w.startsWith("peny") && w.length > 4 && idVowel(w.charAt(4))) {
+        fPeng = true; syll -= 1; w = "s" + w.substring(4)
+      }
+      else if (w.startsWith("peny")) { fPeng = true; syll -= 1; w = w.substring(4) }
+      else if (w.startsWith("pen") && w.length > 3 && idVowel(w.charAt(3))) {
+        fPeng = true; syll -= 1; w = "t" + w.substring(3)
+      }
+      else if (w.startsWith("pen")) { fPeng = true; syll -= 1; w = w.substring(3) }
+      else if (w.startsWith("pem")) { fPeng = true; syll -= 1; w = w.substring(3) }
+      else if (w.startsWith("di")) { fDi = true; syll -= 1; w = w.substring(2) }
+      else if (w.startsWith("ter")) { fTer = true; syll -= 1; w = w.substring(3) }
+      else if (w.startsWith("ke")) { fKe = true; syll -= 1; w = w.substring(2) }
+      w != before
+    }
+
+    def secondOrderPrefix(): Boolean = {
+      val before = w
+      if (w.startsWith("ber")) { fBer = true; syll -= 1; w = w.substring(3) }
+      else if (w.length == 7 && w == "belajar") { fBer = true; syll -= 1; w = w.substring(3) }
+      else if (w.startsWith("be") && w.length > 4 && !idVowel(w.charAt(2)) &&
+               w.charAt(3) == 'e' && w.charAt(4) == 'r') {
+        fBer = true; syll -= 1; w = w.substring(2)
+      }
+      else if (w.startsWith("per")) { syll -= 1; w = w.substring(3) }
+      else if (w.length == 7 && w == "pelajar") { syll -= 1; w = w.substring(3) }
+      else if (w.startsWith("pe")) { fPe = true; syll -= 1; w = w.substring(2) }
+      w != before
+    }
+
+    def suffix(): Boolean = {
+      val before = w
+      if (w.endsWith("kan") && !fKe && !fPeng && !fPe) { syll -= 1; w = w.dropRight(3) }
+      else if (w.endsWith("an") && !fDi && !fMeng && !fTer) { syll -= 1; w = w.dropRight(2) }
+      else if (w.endsWith("i") && !w.endsWith("si") && !fBer && !fKe && !fPeng) {
+        syll -= 1; w = w.dropRight(1)
+      }
+      w != before
+    }
+
+    val fired1 = syll > 2 && firstOrderPrefix()
+    if (fired1) {
+      val fired2 = syll > 2 && suffix()
+      if (fired2 && syll > 2) secondOrderPrefix()
+    } else {
+      if (syll > 2) secondOrderPrefix()
+      if (syll > 2) suffix()
+    }
+    w
+  }
+
+  // ------------------------------------------------------------ stop sets
+  // Function-word cores of the reference's embedded stopword resources
+  // (DOCUMENTED SUBSETS, per the LangAnalyzers convention).
+
+  val FinnishStopWords: Set[String] = Set(
+    "ja", "on", "ei", "että", "oli", "hän", "se", "en", "ole", "mutta",
+    "niin", "kuin", "minä", "sinä", "me", "te", "he", "tämä", "tuo",
+    "joka", "mikä", "kun", "jos", "myös", "sen", "sitä", "siinä", "ovat",
+    "olen", "olet", "mitä", "kanssa", "vain", "nyt", "jo", "hänen",
+    "itse", "tai", "vaan", "koska", "kuten", "missä", "ne", "nämä",
+    "näin", "siis", "sitten", "tässä", "yli", "ali")
+
+  val HungarianStopWords: Set[String] = Set(
+    "a", "az", "és", "hogy", "nem", "is", "egy", "de", "ez", "azt",
+    "van", "volt", "már", "csak", "meg", "ha", "mint", "el", "még",
+    "mert", "vagy", "így", "aki", "ami", "ők", "mi", "te", "én", "ő",
+    "ki", "be", "fel", "le", "majd", "után", "által", "arra", "erre",
+    "ezt", "abban", "ebben", "akkor", "amely", "azok", "ezek", "lesz",
+    "lett", "olyan", "ilyen", "itt", "ott", "pedig", "hát", "két")
+
+  val CzechStopWords: Set[String] = Set(
+    "a", "v", "se", "na", "je", "že", "o", "s", "z", "do", "i", "to",
+    "k", "ve", "pro", "za", "by", "ale", "si", "po", "jako", "podle",
+    "od", "jeho", "bude", "nebo", "již", "jen", "byl", "byla", "bylo",
+    "což", "být", "před", "také", "jsou", "jsme", "jsem", "při", "až",
+    "co", "tak", "má", "když", "než", "který", "která", "které",
+    "kteří", "ještě", "ani", "mezi", "tím", "tento", "pak", "u", "ke")
+
+  val BulgarianStopWords: Set[String] = Set(
+    "и", "в", "на", "с", "за", "да", "не", "се", "от", "е", "по", "че",
+    "като", "но", "си", "той", "тя", "то", "те", "ние", "вие", "аз",
+    "ти", "го", "я", "ме", "ни", "ви", "до", "ще", "са", "беше", "бе",
+    "това", "тази", "този", "тези", "или", "ако", "само", "след",
+    "при", "още", "много", "кой", "която", "което", "които", "им",
+    "му", "около", "между", "без", "пред", "съм", "сме", "сте")
+
+  val HindiStopWords: Set[String] = Set(
+    "के", "का", "की", "को", "में", "है", "हैं", "और", "से", "पर", "यह",
+    "वह", "ने", "कि", "एक", "भी", "था", "थी", "थे", "हो", "गया", "कर",
+    "लिए", "अपने", "इस", "उस", "तो", "ही", "कुछ", "जो", "अब", "जब",
+    "तक", "साथ", "बाद", "या", "हम", "आप", "वे", "इन", "उन", "दो",
+    "होता", "करने", "वाले", "सकता", "बहुत", "नहीं")
+
+  val ArabicStopWords: Set[String] = Set(
+    "من", "في", "على",
+    "إلى", "عن", "أن", "إن",
+    "كان", "كانت",
+    "هذا", "هذه", "ذلك",
+    "التي", "الذي",
+    "الذين", "ما", "لا",
+    "لم", "لن", "هو", "هي",
+    "هم", "أو", "ثم", "بعد",
+    "قبل", "عند", "قد",
+    "كل", "بين", "حتى",
+    "إذا", "أي", "كما",
+    "لكن", "منذ", "مع",
+    "غير", "حيث", "فيه",
+    "فيها", "عليه",
+    "عليها", "به", "له",
+    "لها")
+
+  /** Persian stops are matched AFTER normalization (PersianAnalyzer.cs
+    * chain order), so the set is stored pre-normalized. */
+  val PersianStopWords: Set[String] = Set(
+    "و", "در", "به", "از",
+    "كه", "اين", "را",
+    "با", "است", "براي",
+    "آن", "يك", "خود", "تا",
+    "بر", "هم", "نيز",
+    "اما", "يا", "شد",
+    "شده", "هاي", "مي",
+    "او", "ما", "شما",
+    "آنها", "بود",
+    "باشد", "كرد", "هر",
+    "بي", "من", "چه", "اگر",
+    "ولي", "بين", "پس"
+  ).map(t => persianNormalize(arabicNormalize(t)))
+
+  /** Hindi stops are matched AFTER normalization (HindiAnalyzer chain),
+    * so the set is stored pre-normalized. */
+  val HindiStopWordsNormalized: Set[String] = HindiStopWords.map(hindiNormalize)
+
+  val IndonesianStopWords: Set[String] = Set(
+    "yang", "dan", "di", "dari", "ini", "itu", "dengan", "untuk", "pada",
+    "ke", "tidak", "ada", "dalam", "akan", "adalah", "atau", "juga",
+    "ia", "dia", "mereka", "kita", "kami", "saya", "kamu", "anda",
+    "telah", "sudah", "bisa", "karena", "oleh", "saat", "jika",
+    "seperti", "sebagai", "tersebut", "harus", "para", "tetapi",
+    "namun", "serta", "yaitu", "bahwa", "lebih", "masih", "secara",
+    "dapat", "hanya", "antara", "begitu")
+}
+
+/** Finnish chain: classic grammar -> lowercase -> Finnish stops ->
+  * FinnishLightStemFilter (Analysis/Fi — the analyzer default is Snowball
+  * Finnish; the light filter is the directory's shipped variant and what
+  * this chain runs, a documented divergence). */
+object FinnishAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => FinnishStopWords.contains(t.term))
+      .map(t => t.copy(term = finnishLightStem(t.term)))
+}
+
+/** Hungarian chain: classic grammar -> lowercase -> Hungarian stops ->
+  * HungarianLightStemFilter (Analysis/Hu; Snowball Hungarian is the
+  * analyzer default — documented divergence, same as Finnish). */
+object HungarianAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => HungarianStopWords.contains(t.term))
+      .map(t => t.copy(term = hungarianLightStem(t.term)))
+}
+
+/** Czech chain: classic grammar -> lowercase -> Czech stops ->
+  * CzechStemFilter (Analysis/Cz/CzechAnalyzer.cs createComponents — the
+  * reference default chain). */
+object CzechAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => CzechStopWords.contains(t.term))
+      .map(t => t.copy(term = czechStem(t.term)))
+}
+
+/** Bulgarian chain: classic grammar -> lowercase -> Bulgarian stops ->
+  * BulgarianStemFilter (Analysis/Bg/BulgarianAnalyzer.cs default chain). */
+object BulgarianAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => BulgarianStopWords.contains(t.term))
+      .map(t => t.copy(term = bulgarianStem(t.term)))
+}
+
+/** Hindi chain: letter-or-mark tokenize -> lowercase -> Hindi
+  * normalization -> stops -> HindiStemFilter (Analysis/Hi/HindiAnalyzer
+  * chain; the IndicNormalizationFilter script-composition table is not
+  * replicated — documented gap). */
+object HindiAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    letterOrMarkTokenize(text)
+      .map(t => t.copy(term = hindiNormalize(t.term)))
+      .filterNot(t => HindiStopWordsNormalized.contains(t.term))
+      .map(t => t.copy(term = hindiStem(t.term)))
+}
+
+/** Arabic chain: letter-or-mark tokenize (ArabicLetterTokenizer) ->
+  * lowercase -> Arabic stops (surface forms) -> Arabic normalization ->
+  * ArabicStemFilter (Analysis/Ar/ArabicAnalyzer.cs chain order: stop
+  * BEFORE normalization). */
+object ArabicAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    letterOrMarkTokenize(text)
+      .filterNot(t => ArabicStopWords.contains(t.term))
+      .map(t => t.copy(term = arabicStem(arabicNormalize(t.term))))
+}
+
+/** Persian chain: letter-or-mark tokenize -> lowercase -> Arabic
+  * normalization -> Persian normalization -> stops (normalized forms;
+  * Analysis/Fa/PersianAnalyzer.cs chain order: stop AFTER normalization;
+  * no stemmer by design). */
+object PersianAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    letterOrMarkTokenize(text)
+      .map(t => t.copy(term = persianNormalize(arabicNormalize(t.term))))
+      .filterNot(t => PersianStopWords.contains(t.term))
+}
+
+/** Indonesian chain: classic grammar -> lowercase -> Indonesian stops ->
+  * IndonesianStemFilter with derivational stemming (Analysis/Id/
+  * IndonesianAnalyzer.cs default chain). */
+object IndonesianAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => IndonesianStopWords.contains(t.term))
+      .map(t => t.copy(term = indonesianStem(t.term)))
+}

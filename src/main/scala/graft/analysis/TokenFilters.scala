@@ -283,6 +283,139 @@ object TokenFilters {
       else Iterator(t, t.copy(term = c))
     }
 
+  /** Refined Soundex (commons-codec RefinedSoundex, the reference's
+    * PhoneticFilter encoder option): first letter + a digit for EVERY
+    * char (vowels = 0), consecutive duplicate digits collapsed, no
+    * truncation. */
+  def refinedSoundex(term: String): String = {
+    val s = term.toUpperCase.filter(c => c >= 'A' && c <= 'Z')
+    if (s.isEmpty) return term
+    val codes = "01360240043788015936020505" // A..Z
+    val sb = new StringBuilder
+    sb.append(s.charAt(0))
+    var last = ' '
+    var i = 0
+    while (i < s.length) {
+      val k = codes.charAt(s.charAt(i) - 'A')
+      if (k != last) sb.append(k)
+      last = k
+      i += 1
+    }
+    sb.toString
+  }
+
+  def refinedSoundexInject(in: Iterator[Token]): Iterator[Token] =
+    in.flatMap { t =>
+      val c = refinedSoundex(t.term)
+      if (c == t.term) Iterator.single(t)
+      else Iterator(t, t.copy(term = c))
+    }
+
+  // -------------------------------------------------------- word delimiter
+
+  /** WordDelimiterFilter with the factory defaults (Miscellaneous/
+    * WordDelimiterFilter.cs: GENERATE_WORD_PARTS | GENERATE_NUMBER_PARTS |
+    * SPLIT_ON_CASE_CHANGE | SPLIT_ON_NUMERICS | STEM_ENGLISH_POSSESSIVE;
+    * catenation off): each token splits at non-alphanumeric delimiters,
+    * lower-to-upper case changes and letter/digit boundaries; a trailing
+    * 's is stripped; the first part keeps the source position and each
+    * further part advances one position (the reference's posIncr=1 chain
+    * for split parts). Runs BEFORE lowercasing, like the reference chain. */
+  def wordDelimiter(in: Iterator[Token]): Iterator[Token] = {
+    var shift = 0 // extra positions injected so far (parts consume slots)
+    in.flatMap { t =>
+      val parts = wordDelimiterParts(t.term)
+      val basePos = t.position + shift
+      if (parts.isEmpty) Iterator.empty // all-delimiter token dropped (gap kept)
+      else {
+        shift += parts.length - 1
+        parts.iterator.zipWithIndex.map { case ((term, so, eo), i) =>
+          Token(term, basePos + i, t.startOffset + so, t.startOffset + eo, t.tokenType)
+        }
+      }
+    }
+  }
+
+  /** Sub-word parts of one term: (part, startOffsetDelta, endOffsetDelta). */
+  private[analysis] def wordDelimiterParts(term0: String): Seq[(String, Int, Int)] = {
+    // STEM_ENGLISH_POSSESSIVE: strip one trailing 's
+    val term = if (term0.endsWith("'s") || term0.endsWith("’s"))
+      term0.dropRight(2) else term0
+    @inline def cls(c: Char): Int =
+      if (Character.isDigit(c)) 2 else if (Character.isLetter(c)) 1 else 0
+    val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+    var i = 0
+    while (i < term.length) {
+      if (cls(term.charAt(i)) == 0) i += 1
+      else {
+        val start = i
+        val k = cls(term.charAt(i))
+        i += 1
+        // extend the run: same class, and for letters no lower->upper change
+        while (i < term.length && cls(term.charAt(i)) == k &&
+               !(k == 1 && Character.isUpperCase(term.charAt(i)) &&
+                 Character.isLowerCase(term.charAt(i - 1)))) i += 1
+        out += ((term.substring(start, i), start, i))
+      }
+    }
+    out.toSeq
+  }
+
+  // ------------------------------------------------------------ edge ngram
+
+  /** EdgeNGramTokenFilter (Ngram/EdgeNGramTokenFilter.cs, 4.4+ semantics):
+    * front-anchored prefixes of length min..max per token, ALL at the
+    * source token's position. */
+  def edgeNgrams(in: Iterator[Token], min: Int, max: Int): Iterator[Token] =
+    in.flatMap { t =>
+      (min to math.min(max, t.term.length)).iterator.map(n =>
+        t.copy(term = t.term.substring(0, n), endOffset = t.startOffset + n))
+    }
+
+  // ---------------------------------------------------------- common grams
+
+  /** CommonGramsFilter (CommonGrams/CommonGramsFilter.cs): unigrams pass
+    * through; whenever the previous or current token is a common word, the
+    * joined bigram "prev_cur" is ALSO emitted at the previous token's
+    * position (posIncr 0 overlap) — phrase-speed for stopword-adjacent
+    * pairs without dropping the stopwords. */
+  def commonGrams(in: Iterator[Token], common: Set[String]): Iterator[Token] = {
+    var prev: Token = null
+    in.flatMap { t =>
+      val grams =
+        if (prev != null && prev.position == t.position - 1 &&
+            (common.contains(prev.term) || common.contains(t.term)))
+          Iterator(prev.copy(term = prev.term + "_" + t.term, endOffset = t.endOffset), t)
+        else Iterator.single(t)
+      prev = t
+      grams
+    }
+  }
+
+  // ------------------------------------------------------- small catalogue
+
+  /** TrimFilter (Miscellaneous/TrimFilter.cs). */
+  def trim(in: Iterator[Token]): Iterator[Token] =
+    in.map(t => t.copy(term = t.term.trim))
+
+  /** LengthFilter (Miscellaneous/LengthFilter.cs): keep min <= len <= max;
+    * like the reference (a FilteringTokenFilter), dropped tokens leave
+    * position gaps. */
+  def lengthFilter(in: Iterator[Token], min: Int, max: Int): Iterator[Token] =
+    in.filter(t => t.term.length >= min && t.term.length <= max)
+
+  /** CapitalizationFilter (Miscellaneous/CapitalizationFilter.cs default:
+    * upcase the first letter, downcase the rest). */
+  def capitalize(in: Iterator[Token]): Iterator[Token] =
+    in.map { t =>
+      if (t.term.isEmpty) t
+      else t.copy(term = t.term.charAt(0).toUpper + t.term.substring(1).toLowerCase)
+    }
+
+  /** ReverseStringFilter (Reverse/ReverseStringFilter.cs, no marker). */
+  def reverse(in: Iterator[Token]): Iterator[Token] =
+    in.map(t => t.copy(term = t.term.reverse))
+
   // -------------------------------------------------------------- synonyms
 
   /** Inject synonyms at the SAME position as the source token (posIncr = 0
@@ -335,4 +468,31 @@ object SynonymFixtureAnalyzer extends Analyzer {
 object SoundexAnalyzer extends Analyzer { // PhoneticFilter(Soundex, inject=true)
   override def tokenize(text: String): Iterator[Token] =
     TokenFilters.soundexInject(SimpleAnalyzer.tokenize(text))
+}
+
+object RefinedSoundexAnalyzer extends Analyzer { // PhoneticFilter(RefinedSoundex)
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.refinedSoundexInject(SimpleAnalyzer.tokenize(text))
+}
+
+/** WordDelimiterFilter chain: whitespace tokenize (case preserved — the
+  * filter needs it for case-change splits) -> WordDelimiterFilter factory
+  * defaults -> lowercase. */
+object WordDelimiterAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.wordDelimiter(WhitespaceAnalyzer.tokenize(text))
+      .map(t => t.copy(term = t.term.toLowerCase))
+}
+
+object Edge23Analyzer extends Analyzer { // EdgeNGramTokenFilter(2,3)
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.edgeNgrams(SimpleAnalyzer.tokenize(text), 2, 3)
+}
+
+/** CommonGramsFilter chain with the English stop set as common words
+  * (the CommonGramsFilterFactory's usual configuration). */
+object CommonGramsAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.commonGrams(SimpleAnalyzer.tokenize(text),
+      StandardAnalyzer.EnglishStopWords)
 }

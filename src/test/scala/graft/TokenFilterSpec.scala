@@ -117,4 +117,34 @@ class TokenFilterSpec extends AnyFunSuite {
       .map(t => s"${t.term}@${t.position}").toList
     assert(toks == List("robert@0", "R163@0", "jones@1", "J520@1"))
   }
+
+  test("refined soundex codes every char without truncation") {
+    import graft.analysis.TokenFilters.refinedSoundex
+    assert(refinedSoundex("testing") == "T6036084")
+    assert(refinedSoundex("robert") == "R901096")
+    assert(refinedSoundex("42") == "42") // non-alphabetic passes through
+  }
+
+  test("word delimiter splits on case change, numerics and delimiters") {
+    import graft.analysis.Analyzers
+    val toks = Analyzers.byName("word_delimiter")
+      .tokenize("PowerShot-500's zoom WiFi")
+      .map(t => s"${t.term}@${t.position}").toList
+    assert(toks == List("power@0", "shot@1", "500@2", "zoom@3", "wi@4", "fi@5"))
+  }
+
+  test("edge ngrams sit at the source position") {
+    import graft.analysis.Analyzers
+    val toks = Analyzers.byName("edge23").tokenize("dataset x beam")
+      .map(t => s"${t.term}@${t.position}").toList
+    // "x" shorter than min=2 emits nothing but keeps its position slot
+    assert(toks == List("da@0", "dat@0", "be@2", "bea@2"))
+  }
+
+  test("common grams overlay stopword-adjacent bigrams") {
+    import graft.analysis.Analyzers
+    val toks = Analyzers.byName("commongrams").tokenize("the quick fox")
+      .map(t => s"${t.term}@${t.position}").toList
+    assert(toks == List("the@0", "the_quick@0", "quick@1", "fox@2"))
+  }
 }
