@@ -69,6 +69,11 @@ object Bench {
     // scored fuzzy top-k through the pruned dictionary expansion
     // (length band + pigeonhole substring + in-plan top-maxExpansions)
     results("q_fuzzy") = timeMedian(trials) { lucene.search(FuzzyTopQ("datq", 2), 10).collect() }
+    // gram-index paths: the 8-char term clears the positional q-gram count
+    // bound (qLen-1-2e >= 1), so candidates come from dict_grams equality
+    // lookups; the leading wildcard fetches by its literal run's bigrams
+    results("q_fuzzy_gram") = timeMedian(trials) { lucene.search(FuzzyTopQ("streamer", 2), 10).collect() }
+    results("q_wildcard_lead") = timeMedian(trials) { lucene.search(ConstantScoreQ(WildcardQ("*ream"), 1f), 10).collect() }
 
     // 3. pipeline operators at scale
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

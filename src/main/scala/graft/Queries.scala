@@ -382,6 +382,12 @@ object Queries {
       idsOf(IndexCache.edgeSearcher(s, dir), TermQ("dat"))),
     "q_filter_commongrams" -> ((s, dir) =>
       idsOf(IndexCache.commonGramsSearcher(s, dir), TermQ("the_engine"))),
+    // decompounded part rides at the SOURCE position (posIncr 0): the
+    // phrase original->heute still holds, and "ball" matches even docs
+    "q_filter_compound" -> ((s, dir) =>
+      idsOf(IndexCache.compoundSearcher(s, dir), TermQ("ball"))),
+    "q_filter_compound_phrase" -> ((s, dir) =>
+      idsOf(IndexCache.compoundSearcher(s, dir), PhraseQ(List("spiel" -> 0, "heute" -> 1)))),
     // --- second analyzer-catalog wave: each term exists only through the
     //     language chain's stem/normalize rules on even docs
     "q_lang_fi" -> ((s, dir) => idsOf(IndexCache.fiSearcher(s, dir), TermQ("talo"))),
@@ -1148,6 +1154,10 @@ object Queries {
     "q_filter_edge" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_filter_commongrams" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_compound" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_filter_compound_phrase" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     "q_lang_fi" ->

@@ -524,6 +524,14 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "the").otherwise("an"),
         lit(" engine"))))
 
+  /** DictionaryCompoundWordTokenFilter: "{fussballspiel|regenwetter}
+    * heute" => original@0 + dictionary parts {fuss,ball,spiel | regen,
+    * wetter}@0. */
+  def compoundSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "compound"), langFixture(spark, sfDir, "compound", "compound_fixture",
+      concat(when(col("doc_id") % 2 === 0, "fussballspiel").otherwise("regenwetter"),
+        lit(" heute"))))
+
   // ---- second analyzer-catalog wave (Fi/Hu/Cz/Bg/Hi/Ar/Fa/Id chains)
 
   /** Finnish light stem: talossa->talo on even docs, autossa->auto on odd;

@@ -299,6 +299,7 @@ object Analyzers {
     case "word_delimiter" => WordDelimiterAnalyzer // whitespace -> WDF defaults -> lowercase
     case "edge23" => Edge23Analyzer // simple -> edge ngrams (2,3)
     case "commongrams" => CommonGramsAnalyzer // simple -> common-word bigram overlays
+    case "compound_fixture" => CompoundFixtureAnalyzer // simple -> dictionary decompounding
     case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant

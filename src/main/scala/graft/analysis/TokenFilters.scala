@@ -392,6 +392,45 @@ object TokenFilters {
     }
   }
 
+  // ------------------------------------------------------- compound words
+
+  /** DictionaryCompoundWordTokenFilter (Compound/
+    * DictionaryCompoundWordTokenFilter.cs Decompose loop +
+    * CompoundWordTokenFilterBase defaults minWordSize=5, minSubwordSize=2,
+    * maxSubwordSize=15): a token of at least minWordSize emits, after
+    * itself, every dictionary subword found at any offset — injected at
+    * the SAME position (posIncr 0); 4.4+ semantics keep the ORIGINAL
+    * token's offsets on the parts. onlyLongestMatch keeps only the longest
+    * match per start offset. */
+  def dictionaryCompound(in: Iterator[Token], dict: Set[String],
+                         minWordSize: Int = 5, minSubwordSize: Int = 2,
+                         maxSubwordSize: Int = 15,
+                         onlyLongestMatch: Boolean = false): Iterator[Token] =
+    in.flatMap { t =>
+      val term = t.term
+      if (term.length < minWordSize) Iterator.single(t)
+      else {
+        val subs = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i <= term.length - minSubwordSize) {
+          var longest: String = null
+          var j = minSubwordSize
+          while (j <= maxSubwordSize && i + j <= term.length) {
+            val cand = term.substring(i, i + j)
+            if (dict.contains(cand)) {
+              if (onlyLongestMatch) {
+                if (longest == null || longest.length < j) longest = cand
+              } else subs += cand
+            }
+            j += 1
+          }
+          if (onlyLongestMatch && longest != null) subs += longest
+          i += 1
+        }
+        Iterator.single(t) ++ subs.iterator.map(s => t.copy(term = s))
+      }
+    }
+
   // ------------------------------------------------------- small catalogue
 
   /** TrimFilter (Miscellaneous/TrimFilter.cs). */
@@ -495,4 +534,12 @@ object CommonGramsAnalyzer extends Analyzer {
   override def tokenize(text: String): Iterator[Token] =
     TokenFilters.commonGrams(SimpleAnalyzer.tokenize(text),
       StandardAnalyzer.EnglishStopWords)
+}
+
+/** DictionaryCompoundWordTokenFilter chain with a FIXED fixture dictionary
+  * (the reference filter takes a runtime CharArraySet exactly like this). */
+object CompoundFixtureAnalyzer extends Analyzer {
+  val Dict: Set[String] = Set("fuss", "ball", "spiel", "wetter", "regen")
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.dictionaryCompound(SimpleAnalyzer.tokenize(text), Dict)
 }

@@ -141,6 +141,19 @@ class TokenFilterSpec extends AnyFunSuite {
     assert(toks == List("da@0", "dat@0", "be@2", "bea@2"))
   }
 
+  test("dictionary compound decomposition injects parts at the source position") {
+    import graft.analysis.Analyzers
+    val toks = Analyzers.byName("compound_fixture").tokenize("fussballspiel heute")
+      .map(t => s"${t.term}@${t.position}").toList
+    assert(toks == List("fussballspiel@0", "fuss@0", "ball@0", "spiel@0", "heute@1"))
+    // onlyLongestMatch keeps one match per start offset
+    import graft.analysis.{TokenFilters, SimpleAnalyzer}
+    val long = TokenFilters.dictionaryCompound(SimpleAnalyzer.tokenize("fussball"),
+      Set("fu", "fuss", "ball"), onlyLongestMatch = true)
+      .map(_.term).toList
+    assert(long == List("fussball", "fuss", "ball"))
+  }
+
   test("common grams overlay stopword-adjacent bigrams") {
     import graft.analysis.Analyzers
     val toks = Analyzers.byName("commongrams").tokenize("the quick fox")
