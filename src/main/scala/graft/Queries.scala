@@ -398,6 +398,11 @@ object Queries {
     "q_lang_ar" -> ((s, dir) => idsOf(IndexCache.arSearcher(s, dir), TermQ("كتاب"))),
     "q_lang_fa" -> ((s, dir) => idsOf(IndexCache.faSearcher(s, dir), TermQ("كتابي"))),
     "q_lang_id" -> ((s, dir) => idsOf(IndexCache.idSearcher(s, dir), TermQ("baca"))),
+    "q_lang_ckb" -> ((s, dir) => idsOf(IndexCache.ckbSearcher(s, dir), TermQ("پیاو"))),
+    "q_lang_el" -> ((s, dir) => idsOf(IndexCache.elSearcher(s, dir), TermQ("υπολογιστ"))),
+    // the segmented pieces sit at CONSECUTIVE positions: phrase proof
+    "q_lang_th" -> ((s, dir) =>
+      idsOf(IndexCache.thSearcher(s, dir), PhraseQ(List("ภาษา" -> 0, "ไทย" -> 1)))),
     // the stopped connective's position gap survives the Finnish chain:
     // talo@0 .. ves@2 ("ja"@1 stopped)
     "q_lang_fi_phrase" -> ((s, dir) =>
@@ -1175,6 +1180,12 @@ object Queries {
     "q_lang_fa" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_id" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_ckb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_el" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_th" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_fi_phrase" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",

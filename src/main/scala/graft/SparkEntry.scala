@@ -580,6 +580,27 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "کتابی").otherwise("قلمها"),
         lit(" در خانه"))))
 
+  /** Sorani stem: پیاوەکان (definite plural) -> پیاو / کتێبەکە (definite
+    * singular) -> کتێب; "لە" stopped. */
+  def ckbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ckb"), langFixture(spark, sfDir, "ckb", "sorani",
+      concat(when(col("doc_id") % 2 === 0, "پیاوەکان").otherwise("کتێبەکە"),
+        lit(" لە شار"))))
+
+  /** Greek fold+stem: Υπολογιστές -> υπολογιστ / Θάλασσα -> θαλασσ;
+    * "και" stopped. */
+  def elSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "el"), langFixture(spark, sfDir, "el", "greek",
+      concat(when(col("doc_id") % 2 === 0, "Υπολογιστές").otherwise("Θάλασσα"),
+        lit(" και δεδομένα"))))
+
+  /** Thai segmentation: ภาษาไทย splits to ภาษา|ไทย at consecutive
+    * positions (BreakIterator dictionary word-break); และ stopped. */
+  def thSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "th"), langFixture(spark, sfDir, "th", "thai",
+      concat(when(col("doc_id") % 2 === 0, "ภาษาไทย").otherwise("โรงเรียน"),
+        lit(" และ หนังสือ"))))
+
   /** Indonesian stem: membaca->baca / berjalan->jalan; "yang" stopped. */
   def idSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "id"), langFixture(spark, sfDir, "id", "indonesian",

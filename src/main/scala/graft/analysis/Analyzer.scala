@@ -290,6 +290,9 @@ object Analyzers {
     case "arabic" => ArabicAnalyzer // letter+mark -> stops -> normalize -> ArabicStemmer (Ar)
     case "persian" => PersianAnalyzer // letter+mark -> normalize -> stops (Fa)
     case "indonesian" => IndonesianAnalyzer // classic -> Indonesian stops -> IndonesianStemmer (Id)
+    case "sorani" => SoraniAnalyzer // letter+mark -> normalize -> stops -> SoraniStemmer (Ckb)
+    case "greek" => GreekAnalyzer // classic -> Greek lowercase/fold -> stops -> GreekStemmer (El)
+    case "thai" => ThaiAnalyzer // classic -> BreakIterator word split -> Thai stops (Th)
     case "shingle" => ShingleAnalyzer // simple -> word bigrams + unigrams
     case "ngram3" => Ngram3Analyzer // simple -> char trigrams
     case "ascii" => AsciiFoldingAnalyzer // classic -> ASCII folding

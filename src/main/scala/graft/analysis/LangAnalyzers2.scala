@@ -23,7 +23,9 @@ object LangAnalyzers2 {
     @inline def isTok(c: Char): Boolean = {
       val t = Character.getType(c)
       Character.isLetter(c) || t == Character.NON_SPACING_MARK ||
-        t == Character.COMBINING_SPACING_MARK // Devanagari matras are Mc
+        t == Character.COMBINING_SPACING_MARK || // Devanagari matras are Mc
+        t == Character.FORMAT // ZWNJ/ZWJ ride inside words (UAX#29 WB4);
+                              // the normalizers consume or delete them
     }
     val out = scala.collection.mutable.ArrayBuffer.empty[Token]
     var pos = -1
@@ -531,6 +533,113 @@ object LangAnalyzers2 {
     w
   }
 
+  // ------------------------------------------------------ Sorani (Kurdish)
+  // SoraniNormalizer.cs + SoraniStemmer.cs (Analysis/Ckb): yeh forms ->
+  // farsi yeh, kaf -> keheh, heh variants -> AE where final/marbuta,
+  // initial reh -> rreh, harakat/tatweel/format chars deleted; the stemmer
+  // strips postposition, possessive, ezafe/definite/indefinite endings.
+
+  def soraniNormalize(term: String): String = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < term.length) {
+      val c = term.charAt(i)
+      c match {
+        case 'ي' | 'ى' => sb.append('ی') // yeh/dotless -> farsi yeh
+        case 'ك' => sb.append('ک') // kaf -> keheh
+        case '‌' => // ZWNJ: heh before it becomes AE; ZWNJ deleted
+          if (sb.nonEmpty && sb.last == 'ه') sb.setCharAt(sb.length - 1, 'ە')
+        case 'ه' if i == term.length - 1 => sb.append('ە') // final heh -> AE
+        case 'ة' => sb.append('ە') // teh marbuta -> AE
+        case 'ھ' => sb.append('ه') // heh doachashmee -> heh
+        case 'ر' if sb.isEmpty => sb.append('ڕ') // initial reh -> rreh
+        case 'ڒ' => sb.append('ڕ') // rreh-above -> rreh
+        case 'ـ' | 'ً' | 'ٌ' | 'ٍ' | 'َ' | 'ُ' |
+             'ِ' | 'ّ' | 'ْ' => () // tatweel + harakat deleted
+        case other =>
+          if (Character.getType(other) == Character.FORMAT) () // deleted
+          else sb.append(other)
+      }
+      i += 1
+    }
+    sb.toString
+  }
+
+  def soraniStem(word: String): String = {
+    var w = word
+    // postposition
+    if (w.length > 5 && w.endsWith("دا")) w = w.dropRight(2)
+    else if (w.length > 4 && w.endsWith("نا")) w = w.dropRight(1)
+    else if (w.length > 6 && w.endsWith("ەوە")) w = w.dropRight(3)
+    // possessive pronoun
+    if (w.length > 6 && (w.endsWith("مان") || w.endsWith("یان") || w.endsWith("تان")))
+      w = w.dropRight(3)
+    // ezafe / definite / indefinite / demonstrative endings (first match)
+    val len = w.length
+    if (len > 6 && w.endsWith("ێکی")) w.dropRight(3)
+    else if (len > 7 && w.endsWith("یەکی")) w.dropRight(4)
+    else if (len > 5 && w.endsWith("ێک")) w.dropRight(2)
+    else if (len > 6 && w.endsWith("یەک")) w.dropRight(3)
+    else if (len > 6 && w.endsWith("ەکە")) w.dropRight(3)
+    else if (len > 5 && w.endsWith("کە")) w.dropRight(2)
+    else if (len > 7 && w.endsWith("ەکان")) w.dropRight(4)
+    else if (len > 6 && w.endsWith("کان")) w.dropRight(3)
+    else if (len > 7 && w.endsWith("یانی")) w.dropRight(4)
+    else if (len > 6 && w.endsWith("انی")) w.dropRight(3)
+    else if (len > 6 && w.endsWith("یان")) w.dropRight(3)
+    else if (len > 5 && w.endsWith("ان")) w.dropRight(2)
+    else if (len > 7 && w.endsWith("یانە")) w.dropRight(4)
+    else if (len > 6 && w.endsWith("انە")) w.dropRight(3)
+    else if (len > 5 && (w.endsWith("ایە") || w.endsWith("ەیە"))) w.dropRight(2)
+    else if (len > 4 && w.endsWith("ە")) w.dropRight(1)
+    else if (len > 4 && w.endsWith("ی")) w.dropRight(1)
+    else w
+  }
+
+  // ---------------------------------------------------------------- Thai
+  // ThaiWordFilter.cs / ThaiTokenizer (Analysis/Th): Thai script has no
+  // inter-word spaces; the reference delegates segmentation to the
+  // platform's dictionary-based BreakIterator (Java/ICU Thai word data) —
+  // so do we. Sub-words take consecutive positions (the filter's
+  // posIncr=1 re-emission), non-Thai tokens pass through.
+
+  @inline private def isThaiChar(c: Char): Boolean = c >= '฀' && c <= '๿'
+
+  def thaiWordSplit(in: Iterator[Token]): Iterator[Token] = {
+    val bi = java.text.BreakIterator.getWordInstance(new java.util.Locale("th"))
+    var shift = 0
+    in.flatMap { t =>
+      if (!t.term.exists(isThaiChar)) Iterator.single(t.copy(position = t.position + shift))
+      else {
+        bi.setText(t.term)
+        val parts = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+        var start = bi.first()
+        var end = bi.next()
+        while (end != java.text.BreakIterator.DONE) {
+          val piece = t.term.substring(start, end)
+          if (piece.exists(c => Character.isLetterOrDigit(c))) parts += ((piece, start, end))
+          start = end
+          end = bi.next()
+        }
+        val basePos = t.position + shift
+        if (parts.isEmpty) Iterator.single(t.copy(position = basePos))
+        else {
+          shift += parts.length - 1
+          parts.iterator.zipWithIndex.map { case ((term, so, eo), i) =>
+            Token(term, basePos + i, t.startOffset + so, t.startOffset + eo, t.tokenType)
+          }
+        }
+      }
+    }
+  }
+
+  /** DOCUMENTED SUBSET of the ThaiAnalyzer stop set. */
+  val ThaiStopWords: Set[String] = Set(
+    "และ", "ใน", "ของ", "ที่", "เป็น", "มี", "ไม่", "ให้", "ได้", "ว่า",
+    "จะ", "ก็", "มา", "ไป", "กับ", "จาก", "โดย", "หรือ", "แต่", "เมื่อ",
+    "ความ", "การ", "นี้", "นั้น", "ซึ่ง", "อยู่", "คือ", "ถ้า", "แล้ว",
+    "ต้อง", "กว่า", "ถูก", "ทั้ง", "ด้วย", "เพราะ", "อย่าง", "ช่วง", "ตาม")
+
   // ------------------------------------------------------------ stop sets
   // Function-word cores of the reference's embedded stopword resources
   // (DOCUMENTED SUBSETS, per the LangAnalyzers convention).
@@ -612,6 +721,17 @@ object LangAnalyzers2 {
   /** Hindi stops are matched AFTER normalization (HindiAnalyzer chain),
     * so the set is stored pre-normalized. */
   val HindiStopWordsNormalized: Set[String] = HindiStopWords.map(hindiNormalize)
+
+  /** Sorani stops are matched after normalization + lowercase
+    * (SoraniAnalyzer.cs chain order), stored pre-normalized. */
+  val SoraniStopWords: Set[String] = Set(
+    "و", "لە", "بە", "بۆ", "کە",
+    "ئەم", "ئەو", "ئەوە", "هەر",
+    "هەموو", "بەڵام", "وەک",
+    "دوای", "پاش", "تا", "لەگەڵ",
+    "لەسەر", "ناو", "بوو", "دەبێت",
+    "ئەگەر", "چەند", "هیچ", "یان"
+  ).map(soraniNormalize)
 
   val IndonesianStopWords: Set[String] = Set(
     "yang", "dan", "di", "dari", "ini", "itu", "dengan", "untuk", "pada",
@@ -699,9 +819,33 @@ object ArabicAnalyzer extends Analyzer {
 object PersianAnalyzer extends Analyzer {
   import LangAnalyzers2._
   override def tokenize(text: String): Iterator[Token] =
-    letterOrMarkTokenize(text)
+    // PersianCharFilter.cs: ZWNJ becomes a space BEFORE tokenization
+    // (same-length replace keeps offsets exact)
+    letterOrMarkTokenize(text.replace('‌', ' '))
       .map(t => t.copy(term = persianNormalize(arabicNormalize(t.term))))
       .filterNot(t => PersianStopWords.contains(t.term))
+}
+
+/** Thai chain: classic grammar (Thai runs emit as single tokens) ->
+  * lowercase -> BreakIterator word segmentation -> Thai stops
+  * (Analysis/Th/ThaiAnalyzer.cs chain with ThaiWordFilter). */
+object ThaiAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    thaiWordSplit(LangAnalyzers.StandardNoStop.tokenize(text))
+      .filterNot(t => ThaiStopWords.contains(t.term))
+}
+
+/** Sorani Kurdish chain: letter-or-mark tokenize -> Sorani normalization
+  * -> lowercase -> stops -> SoraniStemFilter (Analysis/Ckb/
+  * SoraniAnalyzer.cs chain order: normalize BEFORE stop/stem). */
+object SoraniAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    letterOrMarkTokenize(text)
+      .map(t => t.copy(term = soraniNormalize(t.term)))
+      .filterNot(t => SoraniStopWords.contains(t.term))
+      .map(t => t.copy(term = soraniStem(t.term)))
 }
 
 /** Indonesian chain: classic grammar -> lowercase -> Indonesian stops ->

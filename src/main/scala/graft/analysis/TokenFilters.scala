@@ -236,8 +236,11 @@ object TokenFilters {
 
   // -------------------------------------------------------------- phonetic
 
-  /** American Soundex (the US-census algorithm behind the reference's
-    * Analysis.Phonetic/PhoneticFilter + commons-codec Soundex): first
+  /** American Soundex (the US-census algorithm; Lucene ships it through
+    * the companion analysis-phonetic module's PhoneticFilter + commons-
+    * codec — that module is absent from this reference tree, so these
+    * encoders are catalog surplus implementing the same published
+    * algorithms): first
     * letter kept, consonants coded b f p v=1, c g j k q s x z=2, d t=3,
     * l=4, m n=5, r=6; vowels separate duplicate codes, h/w do NOT (the
     * census H/W rule); padded/truncated to letter + 3 digits. Empty/
@@ -283,8 +286,9 @@ object TokenFilters {
       else Iterator(t, t.copy(term = c))
     }
 
-  /** Refined Soundex (commons-codec RefinedSoundex, the reference's
-    * PhoneticFilter encoder option): first letter + a digit for EVERY
+  /** Refined Soundex (commons-codec RefinedSoundex, a PhoneticFilter
+    * encoder option in Lucene's companion phonetic module — see the
+    * Soundex note above): first letter + a digit for EVERY
     * char (vowels = 0), consecutive duplicate digits collapsed, no
     * truncation. */
   def refinedSoundex(term: String): String = {

@@ -65,6 +65,41 @@ class LangAnalyzers2Spec extends AnyFunSuite {
     assert(indonesianStem("buku") == "buku")        // 2 syllables untouched
   }
 
+  test("Greek lowercase fold and stemmer") {
+    import graft.analysis.GreekStemmer
+    assert(GreekStemmer.greekLowerCase("Υπολογιστές") == "υπολογιστεσ")
+    assert(GreekStemmer.greekLowerCase("ΘΆΛΑΣΣΑ") == "θαλασσα")
+    assert(GreekStemmer.stem("υπολογιστεσ") == "υπολογιστ") // rule21 -εσ
+    assert(GreekStemmer.stem("υπολογιστησ") == "υπολογιστ") // rule21 -ησ: same stem
+    assert(GreekStemmer.stem("θαλασσα") == "θαλασσ")        // rule21 final vowel
+    assert(GreekStemmer.stem("γεγονοτα") == "γεγον")        // rule0 irregular
+    assert(GreekStemmer.stem("παιδια") == "παιδ")           // rule5 -ια (consonant stem)
+    assert(GreekStemmer.stem("πλατεια") == "πλατει")        // rule5 adds -ι back after vowel
+    assert(GreekStemmer.stem("φωσ") == "φωσ")               // len < 4 untouched
+    assert(GreekStemmer.stem("ομορφοτερη") == "ομορφ")      // rule21 vowel + rule22 -οτερ
+  }
+
+  test("Sorani normalizer and stemmer") {
+    assert(soraniNormalize("كتاب") == "کتاب")   // kaf -> keheh
+    assert(soraniNormalize("ياد") == "یاد")      // yeh -> farsi yeh
+    assert(soraniNormalize("ره") == "ڕە")        // initial reh -> rreh, final heh -> AE
+    assert(soraniStem(soraniNormalize("پیاوەکان")) == "پیاو") // definite plural
+    assert(soraniStem(soraniNormalize("کتێبەکە")) == "کتێب")  // definite singular
+    assert(soraniStem(soraniNormalize("پیاوێک")) == "پیاو")   // indefinite singular
+    assert(soraniStem(soraniNormalize("شارێک")) == "شارێک")   // too short to strip (len > 5 guard)
+  }
+
+  test("Thai BreakIterator word segmentation") {
+    val toks = Analyzers.byName("thai").tokenize("ภาษาไทย hello")
+      .map(t => (t.term, t.position)).toList
+    assert(toks.last._1 == "hello")
+    val thai = toks.init
+    assert(thai.nonEmpty)
+    assert(thai.map(_._1).mkString == "ภาษาไทย") // segments tile the run exactly
+    assert(thai.map(_._2) == thai.indices.toList) // consecutive positions
+    assert(toks.last._2 == thai.length) // trailing token shifted past the parts
+  }
+
   test("letter-or-mark tokenizer keeps matras and positions") {
     val toks = Analyzers.byName("hindi").tokenize("किताबें और कलम")
       .map(t => s"${t.term}@${t.position}").toList
