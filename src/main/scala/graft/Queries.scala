@@ -391,7 +391,8 @@ object Queries {
     // --- second analyzer-catalog wave: each term exists only through the
     //     language chain's stem/normalize rules on even docs
     "q_lang_fi" -> ((s, dir) => idsOf(IndexCache.fiSearcher(s, dir), TermQ("talo"))),
-    "q_lang_hu" -> ((s, dir) => idsOf(IndexCache.huSearcher(s, dir), TermQ("haz"))),
+    "q_lang_hu" -> ((s, dir) => idsOf(IndexCache.huSearcher(s, dir), TermQ("ház"))),
+    "q_lang_hu_light" -> ((s, dir) => idsOf(IndexCache.huLightSearcher(s, dir), TermQ("haz"))),
     "q_lang_cs" -> ((s, dir) => idsOf(IndexCache.csSearcher(s, dir), TermQ("student"))),
     "q_lang_bg" -> ((s, dir) => idsOf(IndexCache.bgSearcher(s, dir), TermQ("град"))),
     "q_lang_hi" -> ((s, dir) => idsOf(IndexCache.hiSearcher(s, dir), TermQ("किताब"))),
@@ -400,13 +401,17 @@ object Queries {
     "q_lang_id" -> ((s, dir) => idsOf(IndexCache.idSearcher(s, dir), TermQ("baca"))),
     "q_lang_ckb" -> ((s, dir) => idsOf(IndexCache.ckbSearcher(s, dir), TermQ("پیاو"))),
     "q_lang_el" -> ((s, dir) => idsOf(IndexCache.elSearcher(s, dir), TermQ("υπολογιστ"))),
+    "q_lang_ro" -> ((s, dir) => idsOf(IndexCache.roSearcher(s, dir), TermQ("studenţ"))),
     // the segmented pieces sit at CONSECUTIVE positions: phrase proof
     "q_lang_th" -> ((s, dir) =>
       idsOf(IndexCache.thSearcher(s, dir), PhraseQ(List("ภาษา" -> 0, "ไทย" -> 1)))),
     // the stopped connective's position gap survives the Finnish chain:
-    // talo@0 .. ves@2 ("ja"@1 stopped)
+    // talo@0 .. vesi@2 ("ja"@1 stopped; Snowball keeps the final i)
     "q_lang_fi_phrase" -> ((s, dir) =>
-      idsOf(IndexCache.fiSearcher(s, dir), PhraseQ(List("talo" -> 0, "ves" -> 2)))),
+      idsOf(IndexCache.fiSearcher(s, dir), PhraseQ(List("talo" -> 0, "vesi" -> 2)))),
+    // FinnishLightStemFilter variant: kirjassa -> kirj (Savoy light rules)
+    "q_lang_fi_light" -> ((s, dir) =>
+      idsOf(IndexCache.fiLightSearcher(s, dir), TermQ("kirj"))),
 
     "q_lang_de_phrase" -> ((s, dir) =>
       // haus@1 .. gart@3: the gap over the stopped "und" must be exact
@@ -1169,6 +1174,8 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_hu" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_hu_light" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_cs" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_bg" ->
@@ -1185,9 +1192,13 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_el" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_ro" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_th" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_fi_phrase" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_fi_light" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     "q_lang_de_phrase" ->

@@ -43,7 +43,7 @@ object IndexCache {
 
   /** Bump when the on-disk postings layout changes — stale caches from a
     * previous engine version must not be reused across driver runs. */
-  val FormatVersion = 8 // v8: dict_grams positional-bigram dictionary index
+  val FormatVersion = 10 // v10: finnish + hungarian chains = Snowball defaults
 
   def indexPath(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -534,16 +534,32 @@ object IndexCache {
 
   // ---- second analyzer-catalog wave (Fi/Hu/Cz/Bg/Hi/Ar/Fa/Id chains)
 
-  /** Finnish light stem: talossa->talo on even docs, autossa->auto on odd;
-    * "ja" stopped. */
+  /** Finnish (Snowball default): talossa->talo on even docs, autossa->auto
+    * on odd; "ja" stopped; vesi untouched (no case ending in R1). */
   def fiSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "fi"), langFixture(spark, sfDir, "fi", "finnish",
       concat(when(col("doc_id") % 2 === 0, "talossa").otherwise("autossa"),
         lit(" ja vesi"))))
 
-  /** Hungarian light stem: házakban->haz / kertekben->ker; "és" stopped. */
+  /** Finnish light variant: kirjassa->kirj on even docs (the Snowball
+    * default also reaches kirj; the light chain is pinned by its own
+    * analyzer name so the gate proves the catalog member exists). */
+  def fiLightSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "fil"), langFixture(spark, sfDir, "fil", "finnish_light",
+      concat(when(col("doc_id") % 2 === 0, "kirjassa").otherwise("autossa"),
+        lit(" ja vesi"))))
+
+  /** Hungarian (Snowball default): házakban->ház (-ban case, -ak plural,
+    * accents kept) / kertekben->kert; "és" stopped. */
   def huSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "hu"), langFixture(spark, sfDir, "hu", "hungarian",
+      concat(when(col("doc_id") % 2 === 0, "házakban").otherwise("kertekben"),
+        lit(" és alma"))))
+
+  /** Hungarian light variant: házakban->haz (accents FOLDED — the Savoy
+    * light rules' distinguishing behavior vs the Snowball default). */
+  def huLightSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "hul"), langFixture(spark, sfDir, "hul", "hungarian_light",
       concat(when(col("doc_id") % 2 === 0, "házakban").otherwise("kertekben"),
         lit(" és alma"))))
 
@@ -586,6 +602,13 @@ object IndexCache {
     langCache.getOrElseUpdate((sfDir, "ckb"), langFixture(spark, sfDir, "ckb", "sorani",
       concat(when(col("doc_id") % 2 === 0, "پیاوەکان").otherwise("کتێبەکە"),
         lit(" لە شار"))))
+
+  /** Romanian (Snowball): studenţilor -> studenţ / oraşelor -> oraş;
+    * "în" stopped. */
+  def roSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ro"), langFixture(spark, sfDir, "ro", "romanian",
+      concat(when(col("doc_id") % 2 === 0, "studenţilor").otherwise("oraşelor"),
+        lit(" în lume"))))
 
   /** Greek fold+stem: Υπολογιστές -> υπολογιστ / Θάλασσα -> θαλασσ;
     * "και" stopped. */

@@ -282,8 +282,10 @@ object Analyzers {
     case "danish" => DanishAnalyzer // classic -> Danish stops -> Snowball Danish
     case "norwegian" => NorwegianAnalyzer // classic -> Norwegian stops -> Snowball Norwegian
     case "cjk" => CjkAnalyzer // classic -> CJK bigrams -> stops (CJKAnalyzer.cs)
-    case "finnish" => FinnishAnalyzer // classic -> Finnish stops -> light stem (Fi)
-    case "hungarian" => HungarianAnalyzer // classic -> Hungarian stops -> light stem (Hu)
+    case "finnish" => FinnishAnalyzer // classic -> Finnish stops -> SNOWBALL Finnish (Fi default)
+    case "finnish_light" => FinnishLightAnalyzer // FinnishLightStemFilter variant (Fi)
+    case "hungarian" => HungarianAnalyzer // classic -> Hungarian stops -> SNOWBALL Hungarian (Hu default)
+    case "hungarian_light" => HungarianLightAnalyzer // HungarianLightStemFilter variant (Hu)
     case "czech" => CzechAnalyzer // classic -> Czech stops -> CzechStemmer (Cz)
     case "bulgarian" => BulgarianAnalyzer // classic -> Bulgarian stops -> BulgarianStemmer (Bg)
     case "hindi" => HindiAnalyzer // letter+mark -> normalize -> stops -> HindiStemmer (Hi)
@@ -293,6 +295,7 @@ object Analyzers {
     case "sorani" => SoraniAnalyzer // letter+mark -> normalize -> stops -> SoraniStemmer (Ckb)
     case "greek" => GreekAnalyzer // classic -> Greek lowercase/fold -> stops -> GreekStemmer (El)
     case "thai" => ThaiAnalyzer // classic -> BreakIterator word split -> Thai stops (Th)
+    case "romanian" => RomanianAnalyzer // classic -> Romanian stops -> SNOWBALL Romanian (Ro)
     case "shingle" => ShingleAnalyzer // simple -> word bigrams + unigrams
     case "ngram3" => Ngram3Analyzer // simple -> char trigrams
     case "ascii" => AsciiFoldingAnalyzer // classic -> ASCII folding

@@ -733,6 +733,17 @@ object LangAnalyzers2 {
     "ئەگەر", "چەند", "هیچ", "یان"
   ).map(soraniNormalize)
 
+  /** DOCUMENTED SUBSET of the RomanianAnalyzer stop set (both comma-below
+    * and cedilla spellings of s/t included — the stemmer normalizes, the
+    * stop filter runs on surface forms). */
+  val RomanianStopWords: Set[String] = Set(
+    "și", "şi", "în", "de", "la", "cu", "pe", "un", "o", "din", "este",
+    "sunt", "care", "ce", "se", "sa", "să", "nu", "mai", "dar", "pentru",
+    "ca", "că", "au", "fost", "fi", "el", "ea", "lor", "le", "al", "ale",
+    "a", "acest", "această", "după", "prin", "dacă", "sau", "când",
+    "cînd", "unde", "iar", "până", "pînă", "fără", "asupra", "acelaşi",
+    "același")
+
   val IndonesianStopWords: Set[String] = Set(
     "yang", "dan", "di", "dari", "ini", "itu", "dengan", "untuk", "pada",
     "ke", "tidak", "ada", "dalam", "akan", "adalah", "atau", "juga",
@@ -743,11 +754,20 @@ object LangAnalyzers2 {
     "dapat", "hanya", "antara", "begitu")
 }
 
-/** Finnish chain: classic grammar -> lowercase -> Finnish stops ->
-  * FinnishLightStemFilter (Analysis/Fi — the analyzer default is Snowball
-  * Finnish; the light filter is the directory's shipped variant and what
-  * this chain runs, a documented divergence). */
+/** Finnish chain — the FinnishAnalyzer DEFAULT: classic grammar ->
+  * lowercase -> Finnish stops -> SnowballFilter(FinnishStemmer)
+  * (Analysis/Fi/FinnishAnalyzer.cs createComponents). */
 object FinnishAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => FinnishStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.finnishStem(t.term)))
+}
+
+/** FinnishLightStemFilter variant (Savoy CLEF-2003) — the directory's
+  * light-stemmer catalog member. */
+object FinnishLightAnalyzer extends Analyzer {
   import LangAnalyzers2._
   override def tokenize(text: String): Iterator[Token] =
     LangAnalyzers.StandardNoStop.tokenize(text)
@@ -755,10 +775,20 @@ object FinnishAnalyzer extends Analyzer {
       .map(t => t.copy(term = finnishLightStem(t.term)))
 }
 
-/** Hungarian chain: classic grammar -> lowercase -> Hungarian stops ->
-  * HungarianLightStemFilter (Analysis/Hu; Snowball Hungarian is the
-  * analyzer default — documented divergence, same as Finnish). */
+/** Hungarian chain — the HungarianAnalyzer DEFAULT: classic grammar ->
+  * lowercase -> Hungarian stops -> SnowballFilter(HungarianStemmer)
+  * (Analysis/Hu/HungarianAnalyzer.cs createComponents). */
 object HungarianAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => HungarianStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.hungarianStem(t.term)))
+}
+
+/** HungarianLightStemFilter variant (Savoy UniNE) — the directory's
+  * light-stemmer catalog member. */
+object HungarianLightAnalyzer extends Analyzer {
   import LangAnalyzers2._
   override def tokenize(text: String): Iterator[Token] =
     LangAnalyzers.StandardNoStop.tokenize(text)
@@ -824,6 +854,17 @@ object PersianAnalyzer extends Analyzer {
     letterOrMarkTokenize(text.replace('‌', ' '))
       .map(t => t.copy(term = persianNormalize(arabicNormalize(t.term))))
       .filterNot(t => PersianStopWords.contains(t.term))
+}
+
+/** Romanian chain — the RomanianAnalyzer default (its only stemmer):
+  * classic grammar -> lowercase -> Romanian stops ->
+  * SnowballFilter(RomanianStemmer) (Analysis/Ro/RomanianAnalyzer.cs). */
+object RomanianAnalyzer extends Analyzer {
+  import LangAnalyzers2._
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => RomanianStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers.romanianStem(t.term)))
 }
 
 /** Thai chain: classic grammar (Thai runs emit as single tokens) ->

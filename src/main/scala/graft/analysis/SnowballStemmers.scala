@@ -388,6 +388,492 @@ object SnowballStemmers {
     w
   }
 
+  // ------------------------------------------------------------- Finnish
+  // snowballstem.org/algorithms/finnish/ — the FinnishAnalyzer DEFAULT
+  // stemmer (SnowballFilter(FinnishStemmer); the generated Tartarus program
+  // is contrib/Snowball/SF/Snowball/Ext/FinnishStemmer.cs). Backward-mode
+  // rules over R1/R2 with the among condition/backtrack semantics
+  // preserved: particle -> possessive -> case-ending -> other-endings ->
+  // (i_plural if an ending was removed else t_plural) -> tidy.
+
+  @inline private def fiV(c: Char): Boolean = "aeiouyäö".indexOf(c) >= 0
+  @inline private def fiVnoY(c: Char): Boolean = "aeiouäö".indexOf(c) >= 0
+  private val FiLong = Set("aa", "ee", "ii", "oo", "uu", "ää", "öö")
+
+  def finnishStem(word: String): String = {
+    val sb = new StringBuilder(word)
+    // R1/R2: after the first non-vowel following the first vowel (twice)
+    def mark(from: Int): Int = {
+      var i = from
+      while (i < sb.length && !fiV(sb.charAt(i))) i += 1
+      while (i < sb.length && fiV(sb.charAt(i))) i += 1
+      if (i >= sb.length) sb.length else i + 1
+    }
+    val p1 = mark(0)
+    val p2 = mark(p1)
+
+    def endsAt(s: String, endPos: Int): Boolean = {
+      val off = endPos - s.length
+      off >= 0 && {
+        var k = 0
+        while (k < s.length && sb.charAt(off + k) == s.charAt(k)) k += 1
+        k == s.length
+      }
+    }
+    def ends(s: String): Boolean = endsAt(s, sb.length)
+    def del(n: Int): Unit = sb.setLength(sb.length - n)
+    // longest suffix of `cands` starting inside the region [rp, len)
+    def longestIn(rp: Int, cands: Seq[String]): Option[String] =
+      cands.sortBy(-_.length).find(s => ends(s) && sb.length - s.length >= rp)
+
+    var endingRemoved = false
+
+    // ---- particle_etc (R1)
+    locally {
+      val m = longestIn(p1, Seq("kaan", "kään", "sti", "han", "kin", "hän",
+        "pa", "ko", "pä", "kö"))
+      m.foreach {
+        case "sti" => if (sb.length - 3 >= p2) del(3)
+        case s =>
+          val b = sb.length - s.length - 1
+          if (b >= 0 && (fiV(sb.charAt(b)) || sb.charAt(b) == 'n' || sb.charAt(b) == 't'))
+            del(s.length)
+      }
+    }
+
+    // ---- possessive (R1)
+    locally {
+      val m = longestIn(p1, Seq("nsa", "nsä", "mme", "nne", "ni", "si", "an", "en", "än"))
+      m.foreach {
+        case "si" => if (!endsAt("k", sb.length - 2)) del(2)
+        case "ni" =>
+          del(2)
+          if (ends("kse")) { del(3); sb.append("ksi") }
+        case "nsa" | "nsä" | "mme" | "nne" => del(3)
+        case "an" =>
+          val e = sb.length - 2
+          if (Seq("lla", "na", "ssa", "ta", "lta", "sta").exists(endsAt(_, e))) del(2)
+        case "än" =>
+          val e = sb.length - 2
+          if (Seq("llä", "nä", "ssä", "tä", "ltä", "stä").exists(endsAt(_, e))) del(2)
+        case "en" =>
+          val e = sb.length - 2
+          if (Seq("lle", "ine").exists(endsAt(_, e))) del(2)
+        case _ =>
+      }
+    }
+
+    def longAt(endPos: Int): Boolean =
+      endPos >= 2 && FiLong.contains(sb.substring(endPos - 2, endPos))
+    // VI: 'i' preceded by a V-no-y vowel, checked at `endPos`
+    def viAt(endPos: Int): Boolean =
+      endPos >= 2 && sb.charAt(endPos - 1) == 'i' && fiVnoY(sb.charAt(endPos - 2))
+
+    // ---- case ending (R1); among backtracks when a VI/LONG entry's
+    // routine fails (falls to the shorter "n"), but positional conditions
+    // of a selected entry fail the whole rule (Snowball switch semantics)
+    locally {
+      // (literal, routine-cond, switch-case)
+      val entries: Seq[(String, Int => Boolean, Int)] = Seq(
+        ("seen", (e: Int) => longAt(e), -1),
+        ("tten", (e: Int) => viAt(e), -1),
+        ("siin", (e: Int) => viAt(e), -1),
+        ("den", (e: Int) => viAt(e), -1),
+        ("han", (_: Int) => true, 1), ("hen", (_: Int) => true, 2),
+        ("hin", (_: Int) => true, 3), ("hon", (_: Int) => true, 4),
+        ("hän", (_: Int) => true, 5), ("hön", (_: Int) => true, 6),
+        ("lla", (_: Int) => true, -1), ("ssa", (_: Int) => true, -1),
+        ("lta", (_: Int) => true, -1), ("sta", (_: Int) => true, -1),
+        ("tta", (_: Int) => true, 9), ("llä", (_: Int) => true, -1),
+        ("ssä", (_: Int) => true, -1), ("ltä", (_: Int) => true, -1),
+        ("stä", (_: Int) => true, -1), ("ttä", (_: Int) => true, 9),
+        ("lle", (_: Int) => true, -1), ("ine", (_: Int) => true, -1),
+        ("ksi", (_: Int) => true, -1),
+        ("na", (_: Int) => true, -1), ("ta", (_: Int) => true, -1),
+        ("nä", (_: Int) => true, -1), ("tä", (_: Int) => true, -1),
+        ("a", (_: Int) => true, 8), ("ä", (_: Int) => true, 8),
+        ("n", (_: Int) => true, 7))
+      val selected = entries.sortBy(-_._1.length).find { case (s, cond, _) =>
+        ends(s) && sb.length - s.length >= p1 && cond(sb.length - s.length)
+      }
+      selected.foreach { case (s, _, c) =>
+        val start = sb.length - s.length
+        val ok = c match {
+          case 1 => endsAt("a", start)
+          case 2 => endsAt("e", start)
+          case 3 => endsAt("i", start)
+          case 4 => endsAt("o", start)
+          case 5 => endsAt("ä", start)
+          case 6 => endsAt("ö", start)
+          case 8 => start >= 2 && fiV(sb.charAt(start - 1)) && !fiV(sb.charAt(start - 2))
+          case 9 => endsAt("e", start)
+          case _ => true
+        }
+        if (ok) {
+          var n = s.length
+          if (c == 7 && (longAt(start) || endsAt("ie", start)))
+            n += 1 // 'n' takes one extra preceding char after LONG/ie
+          del(n)
+          endingRemoved = true
+        }
+      }
+    }
+
+    // ---- other endings (R2): i-superlatives and eja/ejä delete
+    // unconditionally; plain comparatives require not-"po" (rule fails,
+    // no fallback, when "po" precedes)
+    locally {
+      val m = longestIn(p2, Seq("impi", "impa", "impä", "immi", "imma",
+        "immä", "eja", "ejä", "mpi", "mpa", "mpä", "mmi", "mma", "mmä"))
+      m.foreach { s =>
+        val uncond = s.startsWith("i") || s.startsWith("e")
+        if (uncond || !endsAt("po", sb.length - s.length)) del(s.length)
+      }
+    }
+
+    if (endingRemoved) {
+      // i_plural (R1)
+      if (sb.nonEmpty && sb.length - 1 >= p1 &&
+          (sb.charAt(sb.length - 1) == 'i' || sb.charAt(sb.length - 1) == 'j')) del(1)
+    } else {
+      // t_plural: 't' (R1) preceded by a vowel, then mma/imma in R2
+      if (sb.nonEmpty && sb.length - 1 >= p1 && sb.charAt(sb.length - 1) == 't' &&
+          sb.length >= 2 && fiV(sb.charAt(sb.length - 2))) {
+        del(1)
+        val m = longestIn(p2, Seq("imma", "mma"))
+        m.foreach { s =>
+          if (s == "imma" || !endsAt("po", sb.length - s.length)) del(s.length)
+        }
+      }
+    }
+
+    // ---- tidy (steps a-d region-limited INCLUDING their lookbacks)
+    if (sb.length - 2 >= p1 && longAt(sb.length)) del(1) // shorten LONG
+    if (sb.length - 1 >= p1 && "aeiä".indexOf(sb.charAt(sb.length - 1)) >= 0 &&
+        sb.length - 2 >= p1 && !fiV(sb.charAt(sb.length - 2))) del(1)
+    if (sb.length - 1 >= p1 && sb.charAt(sb.length - 1) == 'j' &&
+        sb.length - 2 >= p1 &&
+        (sb.charAt(sb.length - 2) == 'o' || sb.charAt(sb.length - 2) == 'u')) del(1)
+    if (sb.length - 1 >= p1 && sb.charAt(sb.length - 1) == 'o' &&
+        sb.length - 2 >= p1 && sb.charAt(sb.length - 2) == 'j') del(1)
+    // undouble the LAST consonant of the word (no region limit)
+    locally {
+      var k = sb.length - 1
+      while (k >= 0 && fiV(sb.charAt(k))) k -= 1
+      if (k >= 1 && sb.charAt(k - 1) == sb.charAt(k)) sb.deleteCharAt(k)
+    }
+
+    sb.toString
+  }
+
+  // ------------------------------------------------------------ Hungarian
+  // snowballstem.org/algorithms/hungarian/ — the HungarianAnalyzer DEFAULT
+  // (SnowballFilter(HungarianStemmer); generated program at
+  // contrib/Snowball/SF/Snowball/Ext/HungarianStemmer.cs). R1-only
+  // backward rules: instrum -> case -> case_special -> case_other ->
+  // factive -> owned -> sing_owner -> plur_owner -> plural, each an
+  // independent longest-suffix among with delete / a / e actions. The
+  // generated table spells long-umlaut vowels with Latin-1 õ/û; both those
+  // and the modern ő/ű forms are accepted (documented superset).
+
+  private val HuVowels = "aeiouáéíóõöúûüőű"
+  @inline private def huV(c: Char): Boolean = HuVowels.indexOf(c) >= 0
+  private val HuDigraphs = Seq("dzs", "cs", "gy", "ly", "ny", "sz", "ty", "zs")
+  private val HuDoubles = Seq("ccs", "zzs", "ggy", "lly", "nny", "tty", "ssz",
+    "bb", "cc", "dd", "ff", "gg", "jj", "kk", "ll", "mm", "nn", "pp", "rr",
+    "ss", "tt", "vv", "zz")
+
+  def hungarianStem(word: String): String = {
+    val sb = new StringBuilder(word)
+    // mark_regions: vowel-initial words mark after the first consonant
+    // cluster (a digraph counts as one consonant); consonant-initial words
+    // mark after the first vowel
+    val p1: Int = {
+      if (sb.nonEmpty && huV(sb.charAt(0))) {
+        var i = 0
+        while (i < sb.length && huV(sb.charAt(i))) i += 1
+        if (i >= sb.length) sb.length
+        else HuDigraphs.find(d => sb.indexOf(d, i) == i) match {
+          case Some(d) => i + d.length
+          case None => i + 1
+        }
+      } else {
+        var i = 0
+        while (i < sb.length && !huV(sb.charAt(i))) i += 1
+        if (i >= sb.length) sb.length else i + 1
+      }
+    }
+
+    def endsAt(s: String, endPos: Int): Boolean = {
+      val off = endPos - s.length
+      off >= 0 && {
+        var k = 0
+        while (k < s.length && sb.charAt(off + k) == s.charAt(k)) k += 1
+        k == s.length
+      }
+    }
+    def ends(s: String): Boolean = endsAt(s, sb.length)
+    def inR1(s: String): Boolean = sb.length - s.length >= p1
+    def doubleBefore(endPos: Int): Boolean = HuDoubles.exists(endsAt(_, endPos))
+    def undouble(): Unit = // remove one char of the final double (the
+      if (sb.length >= 2) sb.deleteCharAt(sb.length - 2) // middle of ggy etc.)
+    def vEnding(): Unit =
+      if (ends("á") && inR1("á")) sb.setCharAt(sb.length - 1, 'a')
+      else if (ends("é") && inR1("é")) sb.setCharAt(sb.length - 1, 'e')
+
+    /** Longest suffix in R1 from `table` (suffix -> replacement, "" =
+      * delete); applies and returns true when found. */
+    def among(table: Seq[(String, String)]): Boolean =
+      table.sortBy(-_._1.length).find(e => ends(e._1) && inR1(e._1)) match {
+        case Some((s, r)) =>
+          sb.setLength(sb.length - s.length); sb.append(r); true
+        case None => false
+      }
+
+    // instrum: -al/-el after a double consonant, then undouble
+    locally {
+      val m = Seq("al", "el").find(s => ends(s) && inR1(s) &&
+        doubleBefore(sb.length - s.length))
+      m.foreach { s => sb.setLength(sb.length - s.length); undouble() }
+    }
+    // case endings (both õ/û and ő/ű spellings accepted)
+    if (among(Seq(
+      "ba" -> "", "ra" -> "", "be" -> "", "re" -> "", "ig" -> "",
+      "nak" -> "", "nek" -> "", "val" -> "", "vel" -> "", "ul" -> "",
+      "nál" -> "", "nél" -> "", "ból" -> "", "ról" -> "", "tól" -> "",
+      "bõl" -> "", "rõl" -> "", "tõl" -> "", "ből" -> "", "ről" -> "",
+      "től" -> "", "ül" -> "", "n" -> "", "an" -> "", "ban" -> "",
+      "en" -> "", "ben" -> "", "képpen" -> "", "on" -> "", "ön" -> "",
+      "képp" -> "", "kor" -> "", "t" -> "", "at" -> "", "et" -> "",
+      "ként" -> "", "anként" -> "", "enként" -> "", "onként" -> "",
+      "ot" -> "", "ért" -> "", "öt" -> "", "hez" -> "", "hoz" -> "",
+      "höz" -> "", "vá" -> "", "vé" -> ""))) vEnding()
+    // case_special
+    among(Seq("ánként" -> "a", "án" -> "a", "én" -> "e"))
+    // case_other
+    among(Seq("ástul" -> "a", "éstül" -> "e", "astul" -> "", "estül" -> "",
+      "stul" -> "", "stül" -> ""))
+    // factive: final á/é after a double consonant, then undouble
+    locally {
+      val m = Seq("á", "é").find(s => ends(s) && inR1(s) &&
+        doubleBefore(sb.length - s.length))
+      m.foreach { s => sb.setLength(sb.length - s.length); undouble() }
+    }
+    // owned
+    among(Seq("áéi" -> "a", "ééi" -> "e", "aké" -> "", "eké" -> "",
+      "oké" -> "", "áké" -> "a", "éké" -> "e", "öké" -> "", "éi" -> "",
+      "éé" -> "e", "ké" -> "", "é" -> ""))
+    // sing_owner
+    among(Seq(
+      "unk" -> "", "ünk" -> "", "ánk" -> "a", "énk" -> "e", "nk" -> "",
+      "ájuk" -> "a", "éjük" -> "e", "juk" -> "", "jük" -> "", "uk" -> "",
+      "ük" -> "", "am" -> "", "em" -> "", "om" -> "", "ám" -> "a",
+      "ém" -> "e", "m" -> "", "ad" -> "", "ed" -> "", "od" -> "",
+      "öd" -> "", "ád" -> "a", "éd" -> "e", "d" -> "", "ja" -> "",
+      "je" -> "", "a" -> "", "e" -> "", "o" -> "", "á" -> "a", "é" -> "e"))
+    // plur_owner
+    among(Seq(
+      "jaim" -> "", "jeim" -> "", "áim" -> "a", "éim" -> "e", "aim" -> "",
+      "eim" -> "", "im" -> "", "jaid" -> "", "jeid" -> "", "áid" -> "a",
+      "éid" -> "e", "aid" -> "", "eid" -> "", "id" -> "", "jai" -> "",
+      "jei" -> "", "ái" -> "a", "éi" -> "e", "ai" -> "", "ei" -> "",
+      "i" -> "", "jaink" -> "", "jeink" -> "", "aink" -> "", "eink" -> "",
+      "áink" -> "a", "éink" -> "e", "ink" -> "", "jaitok" -> "",
+      "jeitek" -> "", "aitok" -> "", "eitek" -> "", "áitok" -> "a",
+      "éitek" -> "e", "itek" -> "", "jaik" -> "", "jeik" -> "",
+      "aik" -> "", "eik" -> "", "áik" -> "a", "éik" -> "e", "ik" -> ""))
+    // plural
+    among(Seq("ák" -> "a", "ék" -> "e", "ök" -> "", "ak" -> "", "ok" -> "",
+      "ek" -> "", "k" -> ""))
+
+    sb.toString
+  }
+
+  // ------------------------------------------------------------- Romanian
+  // snowballstem.org/algorithms/romanian/ — the RomanianAnalyzer's only
+  // stemmer (SnowballFilter(RomanianStemmer); generated program at
+  // contrib/Snowball/SF/Snowball/Ext/RomanianStemmer.cs). prelude marks
+  // non-syllabic i/u between vowels as I/U; backward rules: step_0 (R1) ->
+  // standard_suffix (combo repeat in R1 + residual in R2) -> verb_suffix
+  // (RV, only when no standard suffix was removed) -> vowel_suffix (RV);
+  // postlude restores i/u.
+
+  @inline private def roV(c: Char): Boolean = "aeiouâîă".indexOf(c) >= 0
+
+  def romanianStem(word0: String): String = {
+    // the generated table spells s/t-comma as the cedilla forms ş/ţ
+    // (U+015F/U+0163); modern comma-below ș/ț (U+0219/U+021B) normalize to
+    // them so both spellings stem identically (documented superset)
+    val sb = new StringBuilder(word0.map {
+      case 'ș' => 'ş'; case 'ț' => 'ţ'; case c => c
+    })
+    // prelude
+    var k = 1
+    while (k < sb.length - 1) {
+      val c = sb.charAt(k)
+      if ((c == 'u' || c == 'i') && roV(sb.charAt(k - 1)) && roV(sb.charAt(k + 1)))
+        sb.setCharAt(k, if (c == 'u') 'U' else 'I')
+      k += 1
+    }
+    // RV
+    val pV: Int = {
+      def firstFrom(i0: Int, want: Char => Boolean): Int = {
+        var i = i0
+        while (i < sb.length && !want(sb.charAt(i))) i += 1
+        if (i >= sb.length) sb.length else i + 1
+      }
+      if (sb.length < 2) sb.length
+      else if (roV(sb.charAt(0))) {
+        if (!roV(sb.charAt(1))) firstFrom(2, roV)       // v C ... gopast vowel
+        else firstFrom(2, c => !roV(c))                  // v v ... gopast consonant
+      } else {
+        if (!roV(sb.charAt(1))) firstFrom(2, roV)        // C C ... gopast vowel
+        else if (sb.length >= 3) 3 else sb.length        // C v x -> after 3rd char
+      }
+    }
+    // R1/R2
+    def mark(from: Int): Int = {
+      var i = from
+      while (i < sb.length && !roV(sb.charAt(i))) i += 1
+      while (i < sb.length && roV(sb.charAt(i))) i += 1
+      if (i >= sb.length) sb.length else i + 1
+    }
+    val p1 = { var i = 0
+      while (i < sb.length && !roV(sb.charAt(i))) i += 1
+      while (i < sb.length && roV(sb.charAt(i))) i += 1
+      if (i >= sb.length) sb.length else i + 1 }
+    val p2 = mark(p1)
+
+    def endsAt(s: String, endPos: Int): Boolean = {
+      val off = endPos - s.length
+      off >= 0 && {
+        var j = 0
+        while (j < s.length && sb.charAt(off + j) == s.charAt(j)) j += 1
+        j == s.length
+      }
+    }
+    def ends(s: String): Boolean = endsAt(s, sb.length)
+    def replace(sufLen: Int, r: String): Unit = {
+      sb.setLength(sb.length - sufLen); sb.append(r)
+    }
+    /** Longest suffix from `table` starting at or after `rp`; applies the
+      * replacement ("" = delete). Returns whether a rule fired. */
+    def among(rp: Int, table: Seq[(String, String)]): Boolean =
+      table.sortBy(-_._1.length).find(e => ends(e._1) && sb.length - e._1.length >= rp) match {
+        case Some((s, r)) => replace(s.length, r); true
+        case None => false
+      }
+
+    // step_0 (R1)
+    locally {
+      val cands: Seq[(String, Int)] = Seq("ului" -> 1, "ul" -> 1, "aua" -> 2,
+        "elor" -> 3, "ele" -> 3, "ea" -> 3, "iilor" -> 4, "iile" -> 4,
+        "ilor" -> 4, "iua" -> 4, "iei" -> 4, "ii" -> 4, "ile" -> 5,
+        "atei" -> 6, "aţia" -> 7, "aţie" -> 7)
+      cands.sortBy(-_._1.length).find(e => ends(e._1) && sb.length - e._1.length >= p1)
+        .foreach { case (s, c) =>
+          c match {
+            case 1 => replace(s.length, "")
+            case 2 => replace(s.length, "a")
+            case 3 => replace(s.length, "e")
+            case 4 => replace(s.length, "i")
+            case 5 => if (!endsAt("ab", sb.length - s.length)) replace(s.length, "i")
+            case 6 => replace(s.length, "at")
+            case 7 => replace(s.length, "aţi")
+          }
+        }
+    }
+
+    // standard_suffix: repeat combo (R1), then residual (R2)
+    var stdRemoved = false
+    val Combo: Seq[(String, String)] = Seq(
+      "abilitate" -> "abil", "abilitati" -> "abil", "abilităi" -> "abil",
+      "abilităţi" -> "abil", "ibilitate" -> "ibil",
+      "ivitate" -> "iv", "ivitati" -> "iv", "ivităi" -> "iv", "ivităţi" -> "iv",
+      "icitate" -> "ic", "icitati" -> "ic", "icităi" -> "ic", "icităţi" -> "ic",
+      "icatori" -> "ic", "icator" -> "ic",
+      "icala" -> "ic", "icale" -> "ic", "icali" -> "ic", "ical" -> "ic", "icală" -> "ic",
+      "iciva" -> "ic", "icive" -> "ic", "icivi" -> "ic", "iciv" -> "ic", "icivă" -> "ic",
+      "ativa" -> "at", "ative" -> "at", "ativi" -> "at", "ativ" -> "at", "ativă" -> "at",
+      "aţiune" -> "at", "atoare" -> "at", "ătoare" -> "at",
+      "atori" -> "at", "ători" -> "at", "ator" -> "at", "ător" -> "at",
+      "itiva" -> "it", "itive" -> "it", "itivi" -> "it", "itiv" -> "it", "itivă" -> "it",
+      "iţiune" -> "it", "itoare" -> "it", "itori" -> "it", "itor" -> "it")
+    var fired = true
+    while (fired) {
+      fired = among(p1, Combo)
+      if (fired) stdRemoved = true
+    }
+    locally {
+      val del: Seq[String] = Seq("ica", "abila", "ibila", "oasa", "ata",
+        "ita", "anta", "uta", "iva", "ic", "ice", "abile", "ibile", "oase",
+        "ate", "itate", "ite", "ante", "ute", "ive", "ici", "abili",
+        "ibili", "atori", "osi", "ati", "itati", "iti", "anti", "uti",
+        "ivi", "ităi", "oşi", "ităţi", "abil", "ibil", "ator", "os", "at",
+        "it", "ant", "ut", "iv", "ică", "abilă", "ibilă", "oasă", "ată",
+        "ită", "antă", "ută", "ivă")
+      val ist: Seq[String] = Seq("ista", "isme", "iste", "isti", "işti",
+        "ism", "ist", "istă")
+      val iune: Seq[String] = Seq("iune", "iuni")
+      val all: Seq[(String, Int)] = del.map(_ -> 1) ++ iune.map(_ -> 2) ++ ist.map(_ -> 3)
+      all.sortBy(-_._1.length).find(e => ends(e._1) && sb.length - e._1.length >= p2)
+        .foreach { case (s, c) =>
+          c match {
+            case 1 => replace(s.length, ""); stdRemoved = true
+            case 2 => // ţiune/ţiuni -> t
+              if (endsAt("ţ", sb.length - s.length)) {
+                replace(s.length + 1, "t"); stdRemoved = true
+              }
+            case 3 => replace(s.length, "ist"); stdRemoved = true
+          }
+        }
+    }
+
+    // verb_suffix (RV) — only when no standard suffix was removed
+    if (!stdRemoved) {
+      val v1: Seq[String] = Seq("ea", "ia", "esc", "ăsc", "ind", "ând",
+        "are", "ere", "ire", "âre", "ase", "ise", "use", "âse", "eşte",
+        "ăşte", "eze", "ai", "eai", "iai", "eşti", "ăşti", "ui", "ezi",
+        "âi", "aşi", "aseşi", "iseşi", "useşi", "âseşi", "işi", "uşi",
+        "âşi", "eaţi", "iaţi", "arăţi", "aserăţi", "iserăţi", "userăţi",
+        "âserăţi", "irăţi", "urăţi", "ârăţi", "am", "eam", "iam", "asem",
+        "isem", "usem", "âsem", "arăm", "aserăm", "iserăm", "userăm",
+        "âserăm", "irăm", "urăm", "ârăm", "au", "eau", "iau", "indu",
+        "ându", "ez", "ească", "ară", "aseră", "iseră", "useră", "âseră",
+        "iră", "ură", "âră", "ează")
+      val v2: Seq[String] = Seq("se", "sese", "sei", "seşi", "seseşi",
+        "aţi", "eţi", "iţi", "âţi", "serăţi", "seserăţi", "em", "sesem",
+        "im", "âm", "ăm", "serăm", "seserăm", "seră", "seseră")
+      // NOTE: v1/v2 overlap via among links; longest literal wins with its
+      // own case, exactly like find_among_b
+      val all: Seq[(String, Int)] = v1.map(_ -> 1) ++ v2.map(_ -> 2)
+      all.sortBy(-_._1.length).find(e => ends(e._1) && sb.length - e._1.length >= pV)
+        .foreach { case (s, c) =>
+          val start = sb.length - s.length
+          c match {
+            case 1 =>
+              // preceded (within RV) by a non-vowel or by 'u'
+              if (start - 1 >= pV &&
+                  (!roV(sb.charAt(start - 1)) || sb.charAt(start - 1) == 'u'))
+                replace(s.length, "")
+            case 2 => replace(s.length, "")
+          }
+        }
+    }
+
+    // vowel_suffix (RV)
+    among(pV, Seq("ie" -> "", "a" -> "", "e" -> "", "i" -> "", "ă" -> ""))
+
+    // postlude
+    var m = 0
+    while (m < sb.length) {
+      val c = sb.charAt(m)
+      if (c == 'I') sb.setCharAt(m, 'i') else if (c == 'U') sb.setCharAt(m, 'u')
+      m += 1
+    }
+    sb.toString
+  }
+
   // ------------------------------------------------------------- Russian
   // snowballstem.org/algorithms/russian/
 

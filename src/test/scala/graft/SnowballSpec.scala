@@ -84,6 +84,39 @@ class SnowballSpec extends AnyFunSuite {
     pairs.foreach { case (w, want) => assert(norwegianStem(w) == want, s"norwegian($w)") }
   }
 
+  test("Snowball Finnish sample vocabulary") {
+    import graft.analysis.SnowballStemmers.finnishStem
+    assert(finnishStem("talossa") == "talo")       // -ssa case ending
+    assert(finnishStem("taloissa") == "talo")      // plural: -ssa then i_plural
+    assert(finnishStem("autossa") == "auto")
+    assert(finnishStem("kirjassa") == "kirj")      // tidy drops AEI after consonant
+    assert(finnishStem("käsissä") == "käs")        // -ssä + i_plural
+    assert(finnishStem("järjestelmän") == "järjestelm") // -n + tidy ä
+    assert(finnishStem("taloko") == "talo")        // -ko particle after vowel
+    assert(finnishStem("vesi") == "vesi")          // no case ending inside R1
+    assert(finnishStem("takkien") == "tak")        // 'n'+ie, i_plural, undouble
+  }
+
+  test("Snowball Hungarian sample vocabulary") {
+    import graft.analysis.SnowballStemmers.hungarianStem
+    assert(hungarianStem("házakban") == "ház")   // -ban case + -ak plural
+    assert(hungarianStem("kertekben") == "kert") // -ben case + -ek plural
+    assert(hungarianStem("alma") == "alm")       // sing_owner final -a
+    assert(hungarianStem("almák") == "alma")     // plural -ák -> a
+    assert(hungarianStem("házak") == "ház")      // plural -ak
+    assert(hungarianStem("gépekkel") == "gép")   // instrum -el + undouble, then plural -ek
+  }
+
+  test("Snowball Romanian sample vocabulary") {
+    import graft.analysis.SnowballStemmers.romanianStem
+    assert(romanianStem("studenţilor") == "studenţ") // step_0 -ilor -> i, vowel drop
+    assert(romanianStem("oraşelor") == "oraş")       // -elor -> e, vowel drop
+    assert(romanianStem("lucrează") == "lucr")       // verb -ează after consonant
+    assert(romanianStem("frumoasă") == "frumoas")    // final ă in RV
+    assert(romanianStem("studenții") == "studenţ")   // comma-below normalizes; -ii -> i
+    assert(romanianStem("abilitate") == "abil")      // combo suffix
+  }
+
   test("CJK bigram chain: runs bigram, singletons stay, gaps preserved") {
     val a = Analyzers.byName("cjk")
     assert(a.tokenize("数据系统 the engine").map(t => s"${t.term}@${t.position}").toList ==
