@@ -327,9 +327,11 @@ object LangAnalyzers2 {
 
   // --------------------------------------------------------------- Hindi
   // HindiNormalizer.cs + HindiStemmer.cs (light stemmer of Ramanathan &
-  // Rao adapted per the Lucene tables). The IndicNormalizationFilter's
-  // script-data composition table is NOT replicated (documented gap); the
-  // chain is letter-or-mark tokenize -> hindiNormalize -> stop -> stem.
+  // Rao adapted per the Lucene tables). The IndicNormalizationFilter is
+  // NOT replicated: its decomposition table is elided in this reference
+  // tree (In/IndicNormalizer.cs declares `decompositions = {}` — a
+  // converter artifact leaving no data to follow); the chain is
+  // letter-or-mark tokenize -> hindiNormalize -> stop -> stem.
 
   def hindiNormalize(term: String): String = {
     val sb = new StringBuilder
