@@ -412,6 +412,31 @@ object Queries {
     // FinnishLightStemFilter variant: kirjassa -> kirj (Savoy light rules)
     "q_lang_fi_light" -> ((s, dir) =>
       idsOf(IndexCache.fiLightSearcher(s, dir), TermQ("kirj"))),
+    // --- third analyzer-catalog wave: Lv/Br/Gl/Ga/Tr/Ca/Eu/Hy
+    "q_lang_lv" -> ((s, dir) => idsOf(IndexCache.lvSearcher(s, dir), TermQ("cel"))),
+    "q_lang_br" -> ((s, dir) => idsOf(IndexCache.brSearcher(s, dir), TermQ("menin"))),
+    // menin@0 .. trabalh@2: gap over the stopped "de" must be exact
+    "q_lang_br_phrase" -> ((s, dir) =>
+      idsOf(IndexCache.brSearcher(s, dir), PhraseQ(List("menin" -> 0, "trabalh" -> 2)))),
+    "q_lang_gl" -> ((s, dir) => idsOf(IndexCache.glSearcher(s, dir), TermQ("traballador"))),
+    "q_lang_gl_min" -> ((s, dir) => idsOf(IndexCache.glMinSearcher(s, dir), TermQ("camión"))),
+    // nAthair -> IrishLowerCaseFilter n-athair -> initial-mutation undo
+    "q_lang_ga" -> ((s, dir) => idsOf(IndexCache.gaSearcher(s, dir), TermQ("athair"))),
+    // -íocht derivational strip reaches every doc
+    "q_lang_ga_deriv" -> ((s, dir) => idsOf(IndexCache.gaSearcher(s, dir), TermQ("fil"))),
+    // İstanbul'da -> ApostropheFilter + TurkishLowerCaseFilter (İ->i)
+    "q_lang_tr" -> ((s, dir) => idsOf(IndexCache.trSearcher(s, dir), TermQ("istanbul"))),
+    // kitapları -> Snowball Turkish noun-suffix chain, every doc
+    "q_lang_tr_stem" -> ((s, dir) => idsOf(IndexCache.trSearcher(s, dir), TermQ("kitap"))),
+    "q_lang_ca" -> ((s, dir) => idsOf(IndexCache.caSearcher(s, dir), TermQ("catalan"))),
+    // l'aigua -> elision -> residual-vowel strip, every doc
+    "q_lang_ca_elision" -> ((s, dir) => idsOf(IndexCache.caSearcher(s, dir), TermQ("aigu"))),
+    "q_lang_eu" -> ((s, dir) => idsOf(IndexCache.euSearcher(s, dir), TermQ("etxe"))),
+    "q_lang_hy" -> ((s, dir) => idsOf(IndexCache.hySearcher(s, dir), TermQ("գրքեր"))),
+    "q_lang_zh" -> ((s, dir) => idsOf(IndexCache.zhSearcher(s, dir), TermQ("数"))),
+    // ChineseFilter leaves NO gap at the dropped "the": 据@1 模@2 adjacent
+    "q_lang_zh_nogap" -> ((s, dir) =>
+      idsOf(IndexCache.zhSearcher(s, dir), PhraseQ(List("据" -> 0, "模" -> 1)))),
 
     "q_lang_de_phrase" -> ((s, dir) =>
       // haus@1 .. gart@3: the gap over the stopped "und" must be exact
@@ -1199,6 +1224,37 @@ object Queries {
     "q_lang_fi_phrase" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_fi_light" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+
+    "q_lang_lv" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_br" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_br_phrase" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_gl" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_gl_min" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_ga" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_ga_deriv" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "q_lang_tr" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_tr_stem" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "q_lang_ca" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_ca_elision" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "q_lang_eu" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_hy" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_zh" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_zh_nogap" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     "q_lang_de_phrase" ->

@@ -630,6 +630,81 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "membaca").otherwise("berjalan"),
         lit(" yang buku"))))
 
+  // ---- third analyzer-catalog wave (Lv/Br/Gl/Ga/Tr/Ca/Eu/Hy chains)
+
+  /** Latvian light stem: ceļiem->cel (plural dative -iem + ļ
+    * unpalatalization) / mājām->māj; "un" stopped; zivis->ziv. */
+  def lvSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "lv"), langFixture(spark, sfDir, "lv", "latvian",
+      concat(when(col("doc_id") % 2 === 0, "ceļiem").otherwise("mājām"),
+        lit(" un zivis"))))
+
+  /** Brazilian stem: meninas->menin / casas->cas; "de" stopped (gap kept);
+    * trabalhador->trabalh. */
+  def brSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "br"), langFixture(spark, sfDir, "br", "brazilian",
+      concat(when(col("doc_id") % 2 === 0, "meninas").otherwise("casas"),
+        lit(" de trabalhador"))))
+
+  /** Galician full chain: traballadores->traballador / casas->cas;
+    * "non" stopped; cancións->canci. */
+  def glSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "gl"), langFixture(spark, sfDir, "gl", "galician",
+      concat(when(col("doc_id") % 2 === 0, "traballadores").otherwise("casas"),
+        lit(" non cancións"))))
+
+  /** GalicianMinimal (RSLP-S plural-only): camións->camión / luces->luz;
+    * mulleres->muller. */
+  def glMinSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "glmin"), langFixture(spark, sfDir, "glmin", "galician_minimal",
+      concat(when(col("doc_id") % 2 === 0, "camións").otherwise("luces"),
+        lit(" non mulleres"))))
+
+  /** Irish chain: nAthair -> n-athair (IrishLowerCaseFilter) -> athair
+    * (initial-mutation undo) on even docs / scoil; "agus" stopped;
+    * filíocht->fil (-íocht noun suffix). */
+  def gaSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ga"), langFixture(spark, sfDir, "ga", "irish",
+      concat(when(col("doc_id") % 2 === 0, "nAthair").otherwise("scoil"),
+        lit(" agus filíocht"))))
+
+  /** Turkish chain: İstanbul'da -> apostrophe strip + Turkish İ->i
+    * lowercase -> istanbul on even docs / Ankara'ya -> ankar; "ve"
+    * stopped; kitapları->kitap (Snowball noun suffixes). */
+  def trSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "tr"), langFixture(spark, sfDir, "tr", "turkish",
+      concat(when(col("doc_id") % 2 === 0, "İstanbul'da").otherwise("Ankara'ya"),
+        lit(" ve kitapları"))))
+
+  /** Catalan chain: catalanes->catalan / cases->cas; "i" stopped;
+    * l'aigua -> elision -> aigua -> aigu (residual vowel). */
+  def caSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ca"), langFixture(spark, sfDir, "ca", "catalan",
+      concat(when(col("doc_id") % 2 === 0, "catalanes").otherwise("cases"),
+        lit(" i l'aigua"))))
+
+  /** Basque chain: etxeak->etxe / mendietan->mendi; "eta" stopped;
+    * liburuarekin->liburu. */
+  def euSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "eu"), langFixture(spark, sfDir, "eu", "basque",
+      concat(when(col("doc_id") % 2 === 0, "etxeak").otherwise("mendietan"),
+        lit(" eta liburuarekin"))))
+
+  /** Armenian chain: գրքերը->գրքեր (article ը) / տներում->տներ (-ում);
+    * "և" stopped; քաղաքից->քաղաք (-ից ablative). */
+  def hySearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "hy"), langFixture(spark, sfDir, "hy", "armenian",
+      concat(when(col("doc_id") % 2 === 0, "գրքերը").otherwise("տներում"),
+        lit(" և քաղաքից"))))
+
+  /** Chinese (unigram) chain: single-char CJK tokens; "the" dropped
+    * WITHOUT a position gap (pre-posIncr ChineseFilter) so 据@1 模@2 are
+    * phrase-adjacent across it on even docs. */
+  def zhSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "zh"), langFixture(spark, sfDir, "zh", "chinese",
+      concat(when(col("doc_id") % 2 === 0, "数据").otherwise("系统"),
+        lit(" the 模型"))))
+
   private val langCache = scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
 
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs

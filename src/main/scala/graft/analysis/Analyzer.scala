@@ -313,6 +313,16 @@ object Analyzers {
     case "italian" => ItalianAnalyzer // classic -> elision -> Italian stops -> light stem
     case "portuguese" => PortugueseAnalyzer // classic -> Portuguese stops -> light stem
     case "delimited_payload" => DelimitedPayloadAnalyzer
+    case "latvian" => LatvianAnalyzer // classic -> Latvian stops -> LatvianStemmer (Lv)
+    case "brazilian" => BrazilianAnalyzer // classic -> Brazilian stops -> BrazilianStemmer (Br)
+    case "galician" => GalicianAnalyzer // classic -> Galician stops -> GalicianStemmer (Gl)
+    case "galician_minimal" => GalicianMinimalAnalyzer // RSLP-S plural-only variant (Gl)
+    case "irish" => IrishAnalyzer // hyphenation stops -> elision -> Irish lower -> stops -> SNOWBALL Irish (Ga)
+    case "turkish" => TurkishAnalyzer // apostrophe -> Turkish lower -> stops -> SNOWBALL Turkish (Tr)
+    case "catalan" => CatalanAnalyzer // elision -> stops -> SNOWBALL Catalan (Ca)
+    case "basque" => BasqueAnalyzer // stops -> SNOWBALL Basque (Eu)
+    case "armenian" => ArmenianAnalyzer // stops -> SNOWBALL Armenian (Hy)
+    case "chinese" => ChineseAnalyzer // unigram CJK + ChineseFilter, NO stop gaps (Cn)
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }
