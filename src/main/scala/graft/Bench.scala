@@ -49,6 +49,21 @@ object Bench {
       IndexBuilder.build(spark, pages, idxPath,
         IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "simple", groupSize = 8))
     }
+    // 1b. webtext ingestion: the same docs wrapped in markup, built through
+    // HTMLStripCharFilter -> standard chain (tag/script strip + entity
+    // decode + offset correction on every page — the web-page build path)
+    locally {
+      import org.apache.spark.sql.functions._
+      val htmlIdxPath = java.nio.file.Files.createTempDirectory("graftbenchhtml").toString
+      val htmlPages = pages.withColumn("text",
+        concat(lit("<html><body><h1>page</h1><p>"), col("text"),
+          lit("</p><script>var x=1;</script></body></html>")))
+      results("index_build_html") = time {
+        IndexBuilder.build(spark, htmlPages, htmlIdxPath,
+          IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "html_strip", groupSize = 8))
+      }
+    }
+
     val lucene = new Searcher(spark, idxPath) // LuceneFloat serving mode
     // warm the stats caches outside the timed region (Lucene's IndexReader
     // open is likewise amortized outside per-query latency)

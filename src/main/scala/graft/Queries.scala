@@ -437,6 +437,62 @@ object Queries {
     // ChineseFilter leaves NO gap at the dropped "the": 据@1 模@2 adjacent
     "q_lang_zh_nogap" -> ((s, dir) =>
       idsOf(IndexCache.zhSearcher(s, dir), PhraseQ(List("据" -> 0, "模" -> 1)))),
+    // --- char-filter / generic tokenizer wave
+    // variant word inside <h1> markup reaches the index
+    "q_html_strip" -> ((s, dir) => idsOf(IndexCache.htmlSearcher(s, dir), TermQ("alpha"))),
+    // caf&eacute; decodes to café on every doc; script content never indexes
+    "q_html_entity" -> ((s, dir) => idsOf(IndexCache.htmlSearcher(s, dir), TermQ("café"))),
+    "q_html_script" -> ((s, dir) =>
+      idsOf(IndexCache.htmlSearcher(s, dir),
+        BoolQ(List(Occur.Must -> TermQ("corpus"), Occur.MustNot -> TermQ("hidden"))))),
+    "q_charfilter_map" -> ((s, dir) => idsOf(IndexCache.mapcfSearcher(s, dir), TermQ("foto"))),
+    "q_charfilter_patrep" -> ((s, dir) =>
+      idsOf(IndexCache.patrepSearcher(s, dir), TermQ("123456"))),
+    "q_path_hier" -> ((s, dir) => idsOf(IndexCache.pathSearcher(s, dir), TermQ("/usr/share"))),
+    "q_path_hier_full" -> ((s, dir) =>
+      idsOf(IndexCache.pathSearcher(s, dir), TermQ("/var/log/app"))),
+    "q_path_rev" -> ((s, dir) => idsOf(IndexCache.pathRevSearcher(s, dir), TermQ("share/docs"))),
+    "q_pattern_tok" -> ((s, dir) => idsOf(IndexCache.csvSearcher(s, dir), TermQ("beta"))),
+    "q_scandinavian" -> ((s, dir) =>
+      idsOf(IndexCache.scandSearcher(s, dir), TermQ("raksmorgas"))),
+    "q_hyphenated" -> ((s, dir) => idsOf(IndexCache.hyphSearcher(s, dir), TermQ("ecological"))),
+    // the joined token closes the position gap: ecological@0 disaster@1
+    "q_hyphenated_phrase" -> ((s, dir) =>
+      idsOf(IndexCache.hyphSearcher(s, dir),
+        PhraseQ(List("ecological" -> 0, "disaster" -> 1)))),
+    // KeywordRepeat: surface AND stem both live at position 0
+    "q_keyword_repeat" -> ((s, dir) =>
+      idsOf(IndexCache.repeatSearcher(s, dir),
+        BoolQ(List(Occur.Must -> TermQ("running"), Occur.Must -> TermQ("run"))))),
+    "q_stemmer_override" -> ((s, dir) =>
+      idsOf(IndexCache.overrideSearcher(s, dir), TermQ("sprint"))),
+    // WikipediaTokenizer: word inside [[internal link]] markup is searchable
+    "q_wiki_link" -> ((s, dir) => idsOf(IndexCache.wikiSearcher(s, dir), TermQ("alpha"))),
+    // ==heading== words keep adjacent positions: solar@_ power@_+1
+    "q_wiki_heading" -> ((s, dir) =>
+      idsOf(IndexCache.wikiSearcher(s, dir), PhraseQ(List("solar" -> 0, "power" -> 1)))),
+    // [http://url label]: the URL is ONE token typed elu
+    "q_wiki_url" -> ((s, dir) =>
+      idsOf(IndexCache.wikiSearcher(s, dir), TermQ("http://example.com/a"))),
+    // UNTOKENIZED_ONLY: the whole link / category collapses to one term
+    "q_wiki_collapsed" -> ((s, dir) =>
+      idsOf(IndexCache.wikiUntokSearcher(s, dir), TermQ("alpha beta"))),
+    "q_wiki_category" -> ((s, dir) =>
+      idsOf(IndexCache.wikiUntokSearcher(s, dir), TermQ("science fiction"))),
+    // UAX29URLEmail: a full email / URL is ONE searchable token
+    "q_uax_email" -> ((s, dir) =>
+      idsOf(IndexCache.uaxSearcher(s, dir), TermQ("bob@example.org"))),
+    "q_uax_url" -> ((s, dir) =>
+      idsOf(IndexCache.uaxSearcher(s, dir), TermQ("https://example.com/a?x=1"))),
+    // Hunspell: "rewalked" stems to the dictionary form "walk"
+    "q_hunspell" -> ((s, dir) => idsOf(IndexCache.hunspellSearcher(s, dir), TermQ("walk"))),
+    "q_hunspell_try" -> ((s, dir) =>
+      idsOf(IndexCache.hunspellSearcher(s, dir), TermQ("try"))),
+    // HyphenationCompound: a compound is searchable by its hyphen-cut part
+    "q_hyph_compound" -> ((s, dir) =>
+      idsOf(IndexCache.hyphCompoundSearcher(s, dir), TermQ("spiel"))),
+    "q_hyph_compound_part" -> ((s, dir) =>
+      idsOf(IndexCache.hyphCompoundSearcher(s, dir), TermQ("regen"))),
 
     "q_lang_de_phrase" -> ((s, dir) =>
       // haus@1 .. gart@3: the gap over the stopped "und" must be exact
@@ -1256,6 +1312,56 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_zh_nogap" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_html_strip" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_html_entity" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "q_html_script" ->
+      """SELECT doc_id FROM documents ORDER BY doc_id""",
+    "q_charfilter_map" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_charfilter_patrep" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_path_hier" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_path_hier_full" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+    "q_path_rev" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_pattern_tok" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_scandinavian" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_hyphenated" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_hyphenated_phrase" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_keyword_repeat" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_stemmer_override" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_wiki_link" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_wiki_heading" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_wiki_url" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_wiki_collapsed" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_wiki_category" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_uax_email" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_uax_url" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_hunspell" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_hunspell_try" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+    "q_hyph_compound" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_hyph_compound_part" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
 
     "q_lang_de_phrase" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",

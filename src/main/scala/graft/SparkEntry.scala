@@ -705,6 +705,116 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "数据").otherwise("系统"),
         lit(" the 模型"))))
 
+  // ---- char-filter / generic tokenizer wave (CharFilter, Path, Pattern,
+  //      Miscellaneous directories)
+
+  /** HTMLStripCharFilter fixture: variant word inside markup; script
+    * content ("hidden") must NOT index; caf&eacute; decodes to café. */
+  def htmlSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "html"), langFixture(spark, sfDir, "html", "html_strip",
+      concat(lit("<html><body><h1>"),
+        when(col("doc_id") % 2 === 0, "alpha").otherwise("beta"),
+        lit("</h1><script>var hidden=1;</script><p>caf&eacute; corpus</p></body></html>"))))
+
+  /** MappingCharFilter fixture (ph->f pre-tokenization): photo->foto. */
+  def mapcfSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "mapcf"), langFixture(spark, sfDir, "mapcf", "mapping_fixture",
+      concat(when(col("doc_id") % 2 === 0, "photo").otherwise("graph"),
+        lit(" topic"))))
+
+  /** PatternReplaceCharFilter fixture: 123-456 -> one token 123456. */
+  def patrepSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "patrep"), langFixture(spark, sfDir, "patrep", "patrep_fixture",
+      concat(when(col("doc_id") % 2 === 0, "123-456").otherwise("789-012"),
+        lit(" code"))))
+
+  /** PathHierarchyTokenizer fixture: the whole field is a path. */
+  def pathSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "path"), langFixture(spark, sfDir, "path", "path_hier",
+      when(col("doc_id") % 2 === 0, "/usr/share/docs").otherwise("/var/log/app")))
+
+  /** ReversePathHierarchyTokenizer fixture (suffix hierarchy). */
+  def pathRevSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "pathrev"), langFixture(spark, sfDir, "pathrev", "path_hier_rev",
+      when(col("doc_id") % 2 === 0, "/usr/share/docs").otherwise("/var/log/app")))
+
+  /** PatternTokenizer fixture: comma-separated values. */
+  def csvSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "csv"), langFixture(spark, sfDir, "csv", "pattern_csv",
+      when(col("doc_id") % 2 === 0, "alpha, beta, gamma").otherwise("delta, epsilon")))
+
+  /** ScandinavianFoldingFilter fixture: räksmörgås->raksmorgas. */
+  def scandSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "scand"), langFixture(spark, sfDir, "scand", "scandinavian_fold",
+      concat(when(col("doc_id") % 2 === 0, "räksmörgås").otherwise("blåbær"),
+        lit(" smak"))))
+
+  /** HyphenatedWordsFilter fixture: "ecologi- cal" joins to ecological@0
+    * and the position gap closes (disaster@1). */
+  def hyphSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "hyph"), langFixture(spark, sfDir, "hyph", "hyphenated",
+      concat(when(col("doc_id") % 2 === 0, "ecologi- cal").otherwise("standard"),
+        lit(" disaster"))))
+
+  /** KeywordRepeatFilter fixture: running AND run both index at pos 0. */
+  def repeatSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "repeat"), langFixture(spark, sfDir, "repeat", "keyword_repeat",
+      concat(when(col("doc_id") % 2 === 0, "running").otherwise("jumped"),
+        lit(" quickly"))))
+
+  /** StemmerOverrideFilter fixture: running -> sprint (dictionary wins
+    * over Porter). */
+  def overrideSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "override"), langFixture(spark, sfDir, "override", "stemmer_override",
+      concat(when(col("doc_id") % 2 === 0, "running").otherwise("walking"),
+        lit(" daily"))))
+
+  /** WikipediaTokenizer fixture: wiki markup — internal links, headings,
+    * external links, citations, categories. */
+  def wikiSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "wiki"), langFixture(spark, sfDir, "wiki", "wikipedia",
+      concat(lit("intro [["),
+        when(col("doc_id") % 2 === 0, "alpha beta]] ==Solar Power== [http://example.com/a click]")
+          .otherwise("gamma delta]] ==Wind Power== [http://example.com/b visit]"),
+        lit(" <ref>cite "),
+        when(col("doc_id") % 2 === 0, "alpha").otherwise("gamma"),
+        lit("</ref> [[Category:"),
+        when(col("doc_id") % 2 === 0, "science fiction").otherwise("space opera"),
+        lit("]]"))))
+
+  /** UNTOKENIZED_ONLY twin of the wiki fixture: links + categories collapse
+    * to single multi-word terms. */
+  def wikiUntokSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "wikiuntok"), langFixture(spark, sfDir, "wikiuntok", "wikipedia_untok",
+      concat(lit("intro [["),
+        when(col("doc_id") % 2 === 0, "alpha beta").otherwise("gamma delta"),
+        lit("]] [[Category:"),
+        when(col("doc_id") % 2 === 0, "science fiction").otherwise("space opera"),
+        lit("]]"))))
+
+  /** UAX29URLEmailTokenizer fixture: a URL and an email embedded in prose. */
+  def uaxSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "uax"), langFixture(spark, sfDir, "uax", "uax_url_email",
+      concat(lit("contact "),
+        when(col("doc_id") % 2 === 0, "bob@example.org").otherwise("eve@sample.net"),
+        lit(" or visit "),
+        when(col("doc_id") % 2 === 0, "https://example.com/a?x=1").otherwise("https://sample.net/b"),
+        lit(" today."))))
+
+  /** Hunspell fixture: affix-dictionary stemming (re-+walk+-ed collapse to
+    * the dictionary stem; unknown words index unchanged). */
+  def hunspellSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "hunspell"), langFixture(spark, sfDir, "hunspell", "hunspell_fixture",
+      concat(when(col("doc_id") % 2 === 0, "rewalked").otherwise("tried"),
+        lit(" zebra"))))
+
+  /** HyphenationCompound fixture: Liang-pattern decompounding against the
+    * part dictionary — compounds searchable by their parts. */
+  def hyphCompoundSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "hyphcomp"), langFixture(spark, sfDir, "hyphcomp", "hyph_compound",
+      concat(when(col("doc_id") % 2 === 0, "fussballspiel").otherwise("regenwetter"),
+        lit(" heute"))))
+
   private val langCache = scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
 
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs

@@ -323,6 +323,22 @@ object Analyzers {
     case "basque" => BasqueAnalyzer // stops -> SNOWBALL Basque (Eu)
     case "armenian" => ArmenianAnalyzer // stops -> SNOWBALL Armenian (Hy)
     case "chinese" => ChineseAnalyzer // unigram CJK + ChineseFilter, NO stop gaps (Cn)
+    case "html_strip" => HtmlStripAnalyzer // HTMLStripCharFilter -> standard (CharFilter dir)
+    case "mapping_fixture" => MappingFixtureAnalyzer // MappingCharFilter ph->f
+    case "patrep_fixture" => PatternReplaceFixtureAnalyzer // PatternReplaceCharFilter
+    case "path_hier" => PathHierarchyAnalyzer // PathHierarchyTokenizer (Path dir)
+    case "path_hier_rev" => ReversePathHierarchyAnalyzer // ReversePathHierarchyTokenizer
+    case "pattern_csv" => PatternCsvAnalyzer // PatternTokenizer split on commas
+    case "scandinavian_fold" => ScandinavianFoldAnalyzer // ScandinavianFoldingFilter
+    case "scandinavian_norm" => ScandinavianNormAnalyzer // ScandinavianNormalizationFilter
+    case "hyphenated" => HyphenatedAnalyzer // whitespace -> HyphenatedWordsFilter
+    case "keyword_repeat" => KeywordRepeatAnalyzer // KeywordRepeat + Porter + RemoveDuplicates
+    case "stemmer_override" => StemmerOverrideAnalyzer // StemmerOverrideFilter + Porter
+    case "wikipedia" => WikipediaAnalyzer // WikipediaTokenizer TOKENS_ONLY (Wikipedia dir)
+    case "wikipedia_untok" => WikipediaUntokenizedAnalyzer // UNTOKENIZED_ONLY il+c collapse
+    case "uax_url_email" => UaxUrlEmailAnalyzer // UAX29URLEmailAnalyzer: URLs/emails single tokens
+    case "hunspell_fixture" => HunspellFixtureAnalyzer // Hunspell affix-dictionary stemming
+    case "hyph_compound" => HyphCompoundFixtureAnalyzer // Liang hyphenation decompounding
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
 }
