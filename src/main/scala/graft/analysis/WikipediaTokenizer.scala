@@ -120,7 +120,13 @@ object WikipediaTokenizer {
           val tagEnd = s.indexOf('>', i)
           if (tagEnd < 0) { i = n }
           else {
-            val closeTag = s.toLowerCase.indexOf("</ref", tagEnd)
+            // case-insensitive scan for </ref without copying the document
+            var closeTag = -1
+            var p = tagEnd
+            while (closeTag < 0 && p <= n - 5) {
+              if (s.regionMatches(true, p, "</ref", 0, 5)) closeTag = p
+              p += 1
+            }
             val end = if (closeTag < 0) n else closeTag
             classicInto(tagEnd + 1, end, Citation, nextItem)
             nextItem += 1
