@@ -493,6 +493,25 @@ object Queries {
       idsOf(IndexCache.hyphCompoundSearcher(s, dir), TermQ("spiel"))),
     "q_hyph_compound_part" -> ((s, dir) =>
       idsOf(IndexCache.hyphCompoundSearcher(s, dir), TermQ("regen"))),
+    // KStem: "dying" reaches the index as its direct-conflation root "die"
+    "q_kstem" -> ((s, dir) => idsOf(IndexCache.kstemSearcher(s, dir), TermQ("die"))),
+    // "tried" -> "try" (-ied rule + dictionary), "running" -> "run" (doubled C)
+    "q_kstem_try" -> ((s, dir) => idsOf(IndexCache.kstemSearcher(s, dir), TermQ("try"))),
+    "q_kstem_dict" -> ((s, dir) => idsOf(IndexCache.kstemSearcher(s, dir), TermQ("run"))),
+    // EnglishMinimalStem: cats -> cat (plural-only)
+    "q_en_minimal" -> ((s, dir) => idsOf(IndexCache.enMinimalSearcher(s, dir), TermQ("cat"))),
+    // EnglishPossessive: Bob’s (U+2019) -> bob
+    "q_en_possessive" -> ((s, dir) =>
+      idsOf(IndexCache.enPossessiveSearcher(s, dir), TermQ("bob"))),
+    // BlendedInfixSuggester: infix completions re-ranked by first-match
+    // token position (reciprocal blender), score = (weight * coef) as long
+    "q_suggest_blended" -> ((s, dir) => {
+      val sugg = s.read.parquet(s"$dir/documents.parquet").select(
+        concat(when(col("doc_id") % 2 === 0, "alpha data systems ").otherwise("data alpha tools "),
+          col("doc_id").cast("string")).as("surface"),
+        ((col("doc_id") * 37) % 101).as("weight"))
+      Suggest.completeBlendedInfix(sugg, "surface", "weight", "data", 5, reciprocal = true)
+    }),
 
     "q_lang_de_phrase" -> ((s, dir) =>
       // haus@1 .. gart@3: the gap over the stopped "und" must be exact
@@ -1362,6 +1381,28 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_hyph_compound_part" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+    "q_kstem" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_kstem_try" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+    "q_kstem_dict" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_en_minimal" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_en_possessive" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_suggest_blended" ->
+      """WITH sugg AS (
+        |  SELECT (CASE WHEN doc_id % 2 = 0 THEN 'alpha data systems ' ELSE 'data alpha tools ' END)
+        |      || CAST(doc_id AS VARCHAR) AS surface,
+        |    (doc_id * 37) % 101 AS weight,
+        |    CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END AS pos
+        |  FROM documents),
+        |scored AS (
+        |  SELECT surface, CAST(FLOOR(weight * (1.0/(1.0+pos))) AS BIGINT) AS score FROM sugg),
+        |top AS (SELECT surface, score FROM scored ORDER BY score DESC, surface ASC LIMIT 5)
+        |SELECT surface, score, CAST(row_number() OVER (ORDER BY score DESC, surface ASC) AS INT) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
 
     "q_lang_de_phrase" ->
       """SELECT doc_id FROM documents ORDER BY doc_id""",

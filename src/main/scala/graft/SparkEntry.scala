@@ -815,6 +815,27 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "fussballspiel").otherwise("regenwetter"),
         lit(" heute"))))
 
+  /** KStem fixture: dictionary-backed stemming — an irregular form (direct
+    * conflation), a -ied past tense, and a doubled-consonant -ing all
+    * collapse to their dictionary roots. */
+  def kstemSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "kstem"), langFixture(spark, sfDir, "kstem", "english_kstem",
+      concat(when(col("doc_id") % 2 === 0, "dying running").otherwise("tried walking"),
+        lit(" zebra"))))
+
+  /** EnglishMinimalStem fixture: plural-only stemming. */
+  def enMinimalSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "enmin"), langFixture(spark, sfDir, "enmin", "english_minimal",
+      concat(when(col("doc_id") % 2 === 0, "cats").otherwise("dogs"),
+        lit(" bowl"))))
+
+  /** EnglishPossessive fixture: the U+2019 curly-apostrophe 's strip that
+    * only the dedicated possessive filter handles. */
+  def enPossessiveSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "enposs"), langFixture(spark, sfDir, "enposs", "english_possessive",
+      concat(when(col("doc_id") % 2 === 0, "Bob’s").otherwise("Eve’s"),
+        lit(" bowl"))))
+
   private val langCache = scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
 
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs

@@ -276,6 +276,9 @@ object Analyzers {
     case "stop" => StopAnalyzer
     case "english" => EnglishAnalyzer // standard chain + Porter stemming
     case "english_snowball" => EnglishSnowballAnalyzer // Porter2 (Snowball English)
+    case "english_kstem" => KStemAnalyzer // Krovetz dictionary-backed stemming (En/KStemFilter.cs)
+    case "english_minimal" => EnglishMinimalAnalyzer // plural-only stemming (En/EnglishMinimalStemmer.cs)
+    case "english_possessive" => EnglishPossessiveAnalyzer // 's strip incl. U+2019 (En/EnglishPossessiveFilter.cs)
     case "dutch" => DutchAnalyzer // classic -> Dutch stops -> Snowball Dutch
     case "swedish" => SwedishAnalyzer // classic -> Swedish stops -> Snowball Swedish
     case "russian" => RussianAnalyzer // classic -> Russian stops -> Snowball Russian

@@ -134,6 +134,52 @@ object TokenFilters {
   def porterStem(in: Iterator[Token]): Iterator[Token] =
     in.map(t => t.copy(term = PorterStemmer.stem(t.term)))
 
+  // ------------------------------------------------- English (En/) extras
+
+  /** EnglishPossessiveFilter (En/EnglishPossessiveFilter.cs:69-73): strip a
+    * trailing 's / 'S where the apostrophe is ASCII ', U+2019 RIGHT SINGLE
+    * QUOTATION MARK, or U+FF07 FULLWIDTH APOSTROPHE (the 3.6+ behavior).
+    * Complements StandardFilter, which only handles ASCII ' on
+    * APOSTROPHE-typed classic-grammar tokens. */
+  def englishPossessive(in: Iterator[Token]): Iterator[Token] =
+    in.map { t =>
+      val s = t.term
+      val n = s.length
+      if (n >= 2 && (s.charAt(n - 1) == 's' || s.charAt(n - 1) == 'S') &&
+          (s.charAt(n - 2) == '\'' || s.charAt(n - 2) == '’' || s.charAt(n - 2) == '＇'))
+        t.copy(term = s.substring(0, n - 2))
+      else t
+    }
+
+  /** EnglishMinimalStemmer (En/EnglishMinimalStemmer.cs:33-59): plural-only
+    * stemming — drop a final 's' except after 'u'/'s'; '-ies' -> 'y' for
+    * length > 3 unless preceded by a/e; keep '-Xes' where X in {i,a,o,e}. */
+  def englishMinimalStemWord(s: String): String = {
+    val len = s.length
+    if (len < 3 || s.charAt(len - 1) != 's') return s
+    s.charAt(len - 2) match {
+      case 'u' | 's' => s
+      case 'e' =>
+        if (len > 3 && s.charAt(len - 3) == 'i' && s.charAt(len - 4) != 'a' && s.charAt(len - 4) != 'e')
+          s.substring(0, len - 3) + "y"
+        else if (s.charAt(len - 3) == 'i' || s.charAt(len - 3) == 'a' ||
+                 s.charAt(len - 3) == 'o' || s.charAt(len - 3) == 'e') s
+        else s.substring(0, len - 1)
+      case _ => s.substring(0, len - 1)
+    }
+  }
+
+  def englishMinimalStem(in: Iterator[Token]): Iterator[Token] =
+    in.map(t => t.copy(term = englishMinimalStemWord(t.term)))
+
+  /** KStemFilter (En/KStemFilter.cs): Krovetz dictionary-backed stemming;
+    * one mutable [[KStemmer]] per stream, as the reference keeps one per
+    * filter instance. Lowercase input required (KStemmer.cs isAlpha). */
+  def kstem(in: Iterator[Token], dict: Map[String, KStem.DictEntry] = KStem.defaultDict): Iterator[Token] = {
+    val st = new KStemmer(dict)
+    in.map(t => t.copy(term = st.stem(t.term)))
+  }
+
   // -------------------------------------------------------- ASCII folding
 
   /** Latin-1 Supplement + Latin Extended-A folding to ASCII (a documented
@@ -478,6 +524,32 @@ object EnglishAnalyzer extends Analyzer {
   override def tokenize(text: String): Iterator[Token] =
     TokenFilters.porterStem(StandardAnalyzer.tokenize(text))
   override def tokenCount(text: String): Int = StandardAnalyzer.tokenCount(text)
+}
+
+/** EnglishAnalyzer with KStemFilter in place of Porter — the reference's
+  * other in-tree English stemmer (En/KStemFilter.cs). Chain mirrors
+  * En/EnglishAnalyzer.cs:105-112: standard grammar -> possessive strip ->
+  * lowercase -> stop -> stem. */
+object KStemAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.kstem(TokenFilters.englishPossessive(StandardAnalyzer.tokenize(text)))
+  override def tokenCount(text: String): Int = StandardAnalyzer.tokenCount(text)
+}
+
+/** Standard chain + EnglishMinimalStemFilter (plural-only stemming). */
+object EnglishMinimalAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.englishMinimalStem(StandardAnalyzer.tokenize(text))
+  override def tokenCount(text: String): Int = StandardAnalyzer.tokenCount(text)
+}
+
+/** Whitespace -> lowercase -> EnglishPossessiveFilter: exercises the 3.6+
+  * curly-apostrophe (U+2019) strip, which the classic grammar never sees
+  * (it splits words at U+2019; the UAX#29 tokenizer keeps them intact). */
+object EnglishPossessiveAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    TokenFilters.englishPossessive(
+      WhitespaceAnalyzer.tokenize(text).map(t => t.copy(term = t.term.toLowerCase)))
 }
 
 /** Named chains exposing the generic filter catalog to the index config /

@@ -87,6 +87,36 @@ object Suggest {
       .orderBy("rank")
   }
 
+  /** BlendedInfixSuggester analog (/root/reference/src/Lucene.Net.Suggest/
+    * Suggest/Analyzing/BlendedInfixSuggester.cs): infix completion where the
+    * weight is blended with the POSITION of the first matched token in the
+    * suggestion — POSITION_LINEAR: weight*(1 - 0.10*position);
+    * POSITION_RECIPROCAL: weight/(1+position); score truncated to long
+    * (BlendedInfixSuggester.cs:76-80,183). The reference over-fetches
+    * num*numFactor from the unblended index then re-ranks; relationally we
+    * rank ALL matches by the blended score directly, which is the exact
+    * (non-approximate) form of the same ordering.
+    *
+    * `suggestions` = (surfaceCol: string, weightCol: numeric); `input` is a
+    * single query token, prefix-matched like the suggester's last token.
+    */
+  def completeBlendedInfix(suggestions: DataFrame, surfaceCol: String, weightCol: String,
+                           input: String, k: Int, reciprocal: Boolean = false): DataFrame = {
+    val toks = split(lower(col(surfaceCol)), "\\s+")
+    val hit = array_position(transform(toks, t => t.startsWith(lit(input.toLowerCase))), true)
+    val pos = (hit - 1).cast("double") // 0-based first-match token position
+    val coef = if (reciprocal) lit(1.0) / (lit(1.0) + pos)
+               else lit(1.0) - lit(0.10) * pos
+    val scored = suggestions
+      .select(col(surfaceCol).cast("string").as("surface"),
+        col(weightCol).cast("long").as("weight"), hit.as("hit"), coef.as("coef"))
+      .filter(col("hit") > 0)
+      .withColumn("score", (col("weight") * col("coef")).cast("long"))
+    graft.Ranks.rankTopK(scored, k, Seq(col("score").desc, col("surface").asc))
+      .select(col("surface"), col("score"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** FuzzySuggester analog (/root/reference/src/Lucene.Net.Suggest/Suggest/
     * Analyzing/FuzzySuggester.cs): completions whose PREFIX of the input's
     * length is within `maxEdits` Levenshtein of the input (the reference
