@@ -503,6 +503,9 @@ object Queries {
     // EnglishPossessive: Bob’s (U+2019) -> bob
     "q_en_possessive" -> ((s, dir) =>
       idsOf(IndexCache.enPossessiveSearcher(s, dir), TermQ("bob"))),
+    // Bloom postings format: term query over a bloom-built 4-segment index
+    // (driver-side segment pruning; results must be bloom-invisible)
+    "q_bloom_term" -> ((s, dir) => idsOf(IndexCache.bloomSearcher(s, dir), TermQ("needle"))),
     // BlendedInfixSuggester: infix completions re-ranked by first-match
     // token position (reciprocal blender), score = (weight * coef) as long
     "q_suggest_blended" -> ((s, dir) => {
@@ -1390,6 +1393,8 @@ object Queries {
     "q_en_minimal" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_en_possessive" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_bloom_term" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_suggest_blended" ->
       """WITH sugg AS (

@@ -836,6 +836,24 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "Bob’s").otherwise("Eve’s"),
         lit(" bowl"))))
 
+  /** Bloom-postings fixture (BloomFilteringPostingsFormat analog): a
+    * 4-segment index built with per-segment term blooms; term queries prune
+    * the segment list driver-side before any postings scan. */
+  def bloomSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "bloom"), {
+      val path = indexPath(sfDir) + "_bloom"
+      if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+        val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+          format_string("doc%09d", col("doc_id")).as("url"),
+          concat(when(col("doc_id") % 2 === 0, "needle").otherwise("haystack"),
+            lit(" probe")).as("text"))
+        IndexBuilder.build(spark, pages, path,
+          IndexBuilder.BuildConfig(numSegments = 4, analyzerName = "simple",
+            groupSize = 4, bloomFilter = true))
+      }
+      new Searcher(spark, path, mode = ExactDouble)
+    })
+
   private val langCache = scala.collection.concurrent.TrieMap.empty[(String, String), Searcher]
 
   /** STREAMED gate fixture: docs >= 50 batch-built (segments 0..1), docs

@@ -71,7 +71,14 @@ object IndexBuilder {
         * (Searcher.searchSortedEarly). Merges RE-SORT via a budget-bounded
         * permutation (MergeJob.SortedMergeMaxDocs), the SortingMergePolicy
         * analog. */
-      indexSort: Option[String] = None) {
+      indexSort: Option[String] = None,
+      /** Per-segment term bloom filters (BloomFilteringPostingsFormat
+        * analog, Lucene.Net.Codecs/Bloom/): opt-in, advisory rows under
+        * `<index>/blooms` consulted by the Searcher to SKIP segments that
+        * definitely lack a term before scheduling their postings scan.
+        * Segments without a bloom row (e.g. merged after the build) are
+        * always scanned, so the rows can never cause a false negative. */
+      bloomFilter: Boolean = false) {
     /** Full field list, default field first. */
     def fieldList: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
   }
@@ -93,6 +100,7 @@ object IndexBuilder {
 
   def docsPath(base: String) = s"$base/docs"
   def postingsPath(base: String) = s"$base/postings"
+  def bloomsPath(base: String) = s"$base/blooms"
   def manifestPath(base: String) = s"$base/manifest"
   def configPath(base: String) = s"$base/config.json"
 
@@ -206,7 +214,8 @@ object IndexBuilder {
       .withColumn("segmentId", segOf(col("url")))
       .filter(col("segmentId").isInCollection(group -- alreadyDone))
     writeSegments(spark, inGroup, indexPath, cfg.analyzerName, cfg.boost, cfg.flushTokens,
-      group, cfg.extraFields, cfg.termVectors, cfg.indexSort, cfg.indexOffsets)
+      group, cfg.extraFields, cfg.termVectors, cfg.indexSort, cfg.indexOffsets,
+      cfg.bloomFilter)
   }
 
   /** Write one group of segments from a pages DataFrame that already carries
@@ -218,7 +227,8 @@ object IndexBuilder {
                     group: Set[Int], extraFields: Seq[(String, String)] = Nil,
                     termVectors: Boolean = false,
                     indexSort: Option[String] = None,
-                    indexOffsets: Boolean = false): Long = {
+                    indexOffsets: Boolean = false,
+                    bloomFilter: Boolean = false): Long = {
     import spark.implicits._
     val tg0 = System.nanoTime()
     val fieldSpecs: Seq[(String, String)] = (DefaultField -> analyzerName) +: extraFields
@@ -339,6 +349,23 @@ object IndexBuilder {
     Await.result(postingsJob, Duration.Inf)
     Await.result(docsJob, Duration.Inf)
     Await.result(vectorsJob, Duration.Inf)
+
+    // opt-in per-(segment, field) term blooms (BloomFilteringPostingsFormat
+    // analog): one streaming pass over each group's term rows; the bitset
+    // folds to the FuzzySet target saturation before it is stored.
+    if (bloomFilter) {
+      spark.read.parquet(postingsPath(indexPath))
+        .filter(col("segmentId").isInCollection(group))
+        .select(col("segmentId").cast("int").as("segmentId"), col("field"), col("term"))
+        .as[(Int, String, String)]
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key: (Int, String), rows: Iterator[(Int, String, String)]) =>
+          val (mask, bits) = graft.codec.TermBloom.build(
+            rows.map(r => graft.codec.TermBloom.hash(r._3)))
+          graft.codec.BloomRow(key._1, key._2, mask, bits)
+        }
+        .write.mode(SaveMode.Append).parquet(bloomsPath(indexPath))
+    }
 
     // per-segment, per-field stats (CollectionStatistics analog,
     // Search/CollectionStatistics.cs:32-37): maxDoc is segment-wide; the

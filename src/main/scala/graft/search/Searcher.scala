@@ -120,6 +120,11 @@ object Searcher {
     * driver. */
   val DefaultDeleteBroadcastLimit: Long = 2L * 1024 * 1024
 
+  /** Max total bytes of live bloom rows cached on the driver; above this
+    * the reader skips bloom pruning (Parquet stats still prune row-groups).
+    * 64 MB covers ~500 segments of 1M distinct terms at 10% saturation. */
+  val DefaultBloomCacheLimit: Long = 64L * 1024 * 1024
+
   /** r2's fixed-member similarities are members of the general frameworks. */
   private[search] def normalizeSim(k: SimilarityKind): SimilarityKind = k match {
     case DfrInL2Sim(c) => DfrSim("in", "l", "h2", c)
@@ -385,6 +390,54 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * filters it down to a handful of terms first (Parquet min/max prunes). */
   @transient lazy val dictTable: Option[DataFrame] =
     graft.build.DictTable.readIfValid(spark, indexPath)
+
+  /** Per-(segment, field) term blooms (BloomFilteringPostingsFormat analog,
+    * codec/TermBloom.scala) — ADVISORY driver-side cache: a term query only
+    * schedules postings scans for segments whose bloom says mayContain.
+    * Segments without a bloom row (merged after the build, or built without
+    * the opt-in) always scan, so a bloom can never drop a hit. Empty when
+    * the index has no blooms dir or the live rows exceed the byte budget
+    * ([[Searcher.DefaultBloomCacheLimit]]) — at extreme segment counts the
+    * Parquet row-group stats still prune within each partition. */
+  @transient lazy val termBlooms: Map[(Int, String), (Int, Array[Byte])] = {
+    val pathStr = IndexBuilder.bloomsPath(indexPath)
+    val p = new org.apache.hadoop.fs.Path(pathStr)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val live = spark.read.parquet(pathStr)
+        .filter(col("segmentId").isInCollection(liveSegments))
+      val sizeRow = live.agg(sum(length(col("bits")))).head()
+      val totalBytes = if (sizeRow.isNullAt(0)) 0L else sizeRow.getLong(0)
+      if (totalBytes > Searcher.DefaultBloomCacheLimit) Map.empty
+      else live.select(col("segmentId").cast("int"), col("field"),
+          col("bloomMask").cast("int"), col("bits"))
+        .as[(Int, String, Int, Array[Byte])].collect()
+        .map { case (s, f, m, b) => (s, f) -> (m, b) }.toMap
+    }
+  }
+
+  /** Live segments that MAY contain (field, term); None when no blooms are
+    * loaded (scan everything, the pre-bloom behavior). */
+  def bloomSegments(field: String, term: String): Option[Set[Int]] =
+    if (termBlooms.isEmpty) None
+    else {
+      val h = graft.codec.TermBloom.hash(term)
+      Some(liveSegments.filter { s =>
+        termBlooms.get((s, field)) match {
+          case Some((mask, bits)) => graft.codec.TermBloom.mayContain(h, mask, bits)
+          case None => true // advisory: unbloomed segment must scan
+        }
+      })
+    }
+
+  /** Apply the bloom prune to a postings source, when it narrows. */
+  private[search] def bloomPrune[T](ds: Dataset[T], field: String, term: String): Dataset[T] =
+    bloomSegments(field, term) match {
+      case Some(segs) if segs.size < liveSegments.size =>
+        ds.filter(col("segmentId").isInCollection(segs))
+      case _ => ds
+    }
 
   /** Positional-bigram inverted index over the dictionary (dict_grams,
     * DictTable.writeGrams) — fuzzy/wildcard candidate fetch by gram
@@ -798,7 +851,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
         case None => spark.emptyDataset[Hit]
         case Some((df, ttf)) =>
           val scorer = makeScorer(field, df, boost, qn, ttf = ttf)
-          postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
+          bloomPrune(postingsSlim.filter(col("field") === field && col("term") === term),
+              field, term).flatMap { p =>
             val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
             val out = new Array[Hit](docIds.length)
             var i = 0
@@ -1276,7 +1330,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
   def termPostings(term: String, field: String = defaultField): DataFrame = {
     val b = deletedB
     val hasDeletes = deletedDocs.nonEmpty
-    val stream0 = postingsSlim.filter(col("field") === field && col("term") === term).flatMap { p =>
+    val stream0 = bloomPrune(postingsSlim.filter(col("field") === field && col("term") === term),
+        field, term).flatMap { p =>
       val (docIds, tfs, lens) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
       val del = if (hasDeletes) b.value.getOrElse(p.segmentId, Array.empty[Int]) else Array.empty[Int]
       (0 until docIds.length)
