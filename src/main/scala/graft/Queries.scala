@@ -257,6 +257,17 @@ object Queries {
         .orderBy("rank")
     }),
 
+    // DirectSpellChecker's own scoring distance: Damerau/transposition edit
+    // distance normalized 1 - dist/min(len) (LuceneLevenshteinDistance.cs)
+    "q_spell_lucenelev" -> ((s, dir) => {
+      val dict = s.read.parquet(s"$dir/documents.parquet")
+        .select(concat(lit("lv"), (col("doc_id") % 40).cast("string")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      StringDistances.suggestScored(dict, "lv1x", 2, 5, "lucenelevenshtein")
+        .select(col("term"), round(col("score"), 4).as("score"), col("rank"))
+        .orderBy("rank")
+    }),
+
     // --- PostingsHighlighter (Postingshighlight/PostingsHighlighter.cs):
     //     passage offsets come from the postings' OFFSET stream
     //     (IndexOptions ..._AND_OFFSETS) — no term vectors, no re-analysis
@@ -503,6 +514,15 @@ object Queries {
     // EnglishPossessive: Bob’s (U+2019) -> bob
     "q_en_possessive" -> ((s, dir) =>
       idsOf(IndexCache.enPossessiveSearcher(s, dir), TermQ("bob"))),
+    // SuggestStopFilter: the trailing "the" (no separator after it) is KEPT
+    // as the prefix token, so it completes to "theory"
+    "q_suggest_stop" -> ((s, dir) => {
+      val sugg = s.read.parquet(s"$dir/documents.parquet").select(
+        concat(when(col("doc_id") % 2 === 0, "find theory ").otherwise("find path "),
+          col("doc_id").cast("string")).as("surface"),
+        ((col("doc_id") * 37) % 101).as("weight"))
+      Suggest.completeSuggestStop(sugg, "surface", "weight", "find the", 5)
+    }),
     // Bloom postings format: term query over a bloom-built 4-segment index
     // (driver-side segment pruning; results must be bloom-invisible)
     "q_bloom_term" -> ((s, dir) => idsOf(IndexCache.bloomSearcher(s, dir), TermQ("needle"))),
@@ -1191,6 +1211,22 @@ object Queries {
         |  CAST(row_number() OVER (ORDER BY s DESC, df DESC, term) AS INT) AS rank
         |FROM cands ORDER BY rank LIMIT 5""".stripMargin,
 
+    "q_spell_lucenelev" ->
+      """WITH dict AS (
+        |  SELECT 'lv' || CAST(doc_id % 40 AS VARCHAR) AS term, count(*) AS df
+        |  FROM documents GROUP BY 1),
+        |cands AS (
+        |  SELECT term, df,
+        |    1.0 - CAST(damerau_levenshtein('lv1x', term) AS DOUBLE)
+        |          / LEAST(length('lv1x'), length(term)) AS s
+        |  FROM dict
+        |  WHERE levenshtein(term, 'lv1x') <= 2 AND term <> 'lv1x'
+        |    AND 1.0 - CAST(damerau_levenshtein('lv1x', term) AS DOUBLE)
+        |          / LEAST(length('lv1x'), length(term)) >= 0.5)
+        |SELECT term, round(s, 4) AS score,
+        |  CAST(row_number() OVER (ORDER BY s DESC, df DESC, term) AS INT) AS rank
+        |FROM cands ORDER BY rank LIMIT 5""".stripMargin,
+
     // PostingsHighlighter: the fixture text is analytic in doc_id, so the
     // snippet is a pure string-arithmetic slice at the token's startOffset
     "q_postings_highlight" ->
@@ -1396,6 +1432,14 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_bloom_term" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_suggest_stop" ->
+      """WITH sugg AS (
+        |  SELECT 'find theory ' || CAST(doc_id AS VARCHAR) AS surface,
+        |    (doc_id * 37) % 101 AS weight
+        |  FROM documents WHERE doc_id % 2 = 0),
+        |top AS (SELECT surface, weight FROM sugg ORDER BY weight DESC, surface ASC LIMIT 5)
+        |SELECT surface, weight, CAST(row_number() OVER (ORDER BY weight DESC, surface ASC) AS INT) AS rank
+        |FROM top ORDER BY rank""".stripMargin,
     "q_suggest_blended" ->
       """WITH sugg AS (
         |  SELECT (CASE WHEN doc_id % 2 = 0 THEN 'alpha data systems ' ELSE 'data alpha tools ' END)

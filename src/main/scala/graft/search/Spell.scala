@@ -147,6 +147,38 @@ object StringDistances {
     1.0 - p(sl) / math.max(tl, sl)
   }
 
+  /** LuceneLevenshteinDistance (Spell/LuceneLevenshteinDistance.cs:32-92):
+    * Damerau edit distance (adjacent transposition = 1 edit) normalized as
+    * 1 - dist/min(len) — the variant DirectSpellChecker itself scores with.
+    * The reference's empty-string branch returns max(n, m) — the raw
+    * DISTANCE, not a similarity — and that quirk is preserved. */
+  def luceneLevenshtein(target: String, other: String): Double = {
+    val n = target.length
+    val m = other.length
+    if (n == 0 || m == 0) return if (n == m) 0d else math.max(n, m).toDouble
+    val d = Array.ofDim[Int](n + 1, m + 1)
+    var i = 0
+    while (i <= n) { d(i)(0) = i; i += 1 }
+    var j = 0
+    while (j <= m) { d(0)(j) = j; j += 1 }
+    j = 1
+    while (j <= m) {
+      val tj = other.charAt(j - 1)
+      i = 1
+      while (i <= n) {
+        val cost = if (target.charAt(i - 1) == tj) 0 else 1
+        var v = math.min(math.min(d(i - 1)(j) + 1, d(i)(j - 1) + 1), d(i - 1)(j - 1) + cost)
+        if (i > 1 && j > 1 && target.charAt(i - 1) == other.charAt(j - 2) &&
+            target.charAt(i - 2) == other.charAt(j - 1))
+          v = math.min(v, d(i - 2)(j - 2) + cost)
+        d(i)(j) = v
+        i += 1
+      }
+      j += 1
+    }
+    1.0 - d(n)(m).toDouble / math.min(m, n)
+  }
+
   /** DirectSpellChecker with a pluggable similarity
     * (DirectSpellChecker.Distance + SuggestWordQueue comparer: score desc,
     * freq desc, term asc; `accuracy` is the default 0.5 score floor):
@@ -158,6 +190,7 @@ object StringDistances {
     val distU = distanceName match {
       case "jarowinkler" => udf((t: String) => StringDistances.jaroWinkler(input, t))
       case "ngram" => udf((t: String) => StringDistances.nGram(input, t))
+      case "lucenelevenshtein" => udf((t: String) => StringDistances.luceneLevenshtein(input, t))
       case other => throw new IllegalArgumentException(s"unknown distance: $other")
     }
     val cands = dictionary

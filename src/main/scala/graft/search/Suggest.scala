@@ -87,6 +87,48 @@ object Suggest {
       .orderBy("rank")
   }
 
+  /** SuggestStopFilter query analysis (/root/reference/src/Lucene.Net.Suggest/
+    * Suggest/Analyzing/SuggestStopFilter.cs): stop words drop EXCEPT a
+    * trailing one not followed by a separator — the user may still be typing
+    * it ("find the" keeps "the" as the prefix token, because it could become
+    * "theory"; "find the " drops it). Returns (exact tokens, optional prefix
+    * token): with a trailing separator every kept token matches exactly and
+    * there is no prefix token (the suggester's prefixToken == null case). */
+  def suggestStopAnalyze(input: String,
+                         stopWords: Set[String] = graft.analysis.StandardAnalyzer.EnglishStopWords)
+      : (List[String], Option[String]) = {
+    val raw = input.toLowerCase.split("\\s+").filter(_.nonEmpty).toList
+    val endsWithSep = input.nonEmpty && Character.isWhitespace(input.charAt(input.length - 1))
+    val kept = raw.zipWithIndex.collect {
+      case (t, i) if !stopWords.contains(t) || (i == raw.length - 1 && !endsWithSep) => t
+    }
+    if (endsWithSep || kept.isEmpty) (kept, None) else (kept.dropRight(1), Some(kept.last))
+  }
+
+  /** AnalyzingInfixSuggester lookup with SuggestStopFilter query analysis:
+    * all exact tokens must appear in the suggestion (allTermsRequired), the
+    * prefix token prefix-matches any token; weight desc, surface asc. */
+  def completeSuggestStop(suggestions: DataFrame, surfaceCol: String, weightCol: String,
+                          input: String, k: Int,
+                          stopWords: Set[String] = graft.analysis.StandardAnalyzer.EnglishStopWords)
+      : DataFrame = {
+    val (exact, prefix) = suggestStopAnalyze(input, stopWords)
+    require(exact.nonEmpty || prefix.nonEmpty, s"input analyzed to nothing: '$input'")
+    val toks = split(lower(col(surfaceCol)), "\\s+")
+    val condExact = exact.map(t => array_contains(toks, t)).foldLeft(lit(true))(_ && _)
+    val cond = prefix match {
+      case Some(p) => condExact && exists(toks, t => t.startsWith(lit(p)))
+      case None => condExact
+    }
+    val matched = suggestions
+      .select(col(surfaceCol).cast("string").as("surface"),
+        col(weightCol).cast("long").as("weight"))
+      .filter(cond)
+    graft.Ranks.rankTopK(matched, k, Seq(col("weight").desc, col("surface").asc))
+      .select(col("surface"), col("weight"), col("rank"))
+      .orderBy("rank")
+  }
+
   /** BlendedInfixSuggester analog (/root/reference/src/Lucene.Net.Suggest/
     * Suggest/Analyzing/BlendedInfixSuggester.cs): infix completion where the
     * weight is blended with the POSITION of the first matched token in the
