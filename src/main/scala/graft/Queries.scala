@@ -583,6 +583,13 @@ object Queries {
       graft.pipeline.Classify.naiveBayes(
         s.read.parquet(s"$dir/documents.parquet"), "text", "lang",
         "data stream engine")),
+    // DatasetSplitter: train/test/cv assignment from the sequential
+    // quota-writer loop's closed form over the global doc position
+    "q_dataset_split" -> ((s, dir) =>
+      graft.pipeline.Classify.splitDataset(
+          s.read.parquet(s"$dir/documents.parquet").select("doc_id"),
+          Seq(col("doc_id")), 0.2, 0.1)
+        .select(col("doc_id"), col("split")).orderBy("doc_id")),
     "q_classify_knn" -> ((s, dir) => {
       val labels = s.read.parquet(s"$dir/documents.parquet")
         .select(format_string("doc%09d", col("doc_id")).as("url"), col("lang").as("cls"))
@@ -1432,6 +1439,20 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_bloom_term" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_dataset_split" ->
+      """WITH t AS (
+        |  SELECT doc_id, row_number() OVER (ORDER BY doc_id) - 1 AS b,
+        |    (SELECT count(*) FROM documents) AS size
+        |  FROM documents),
+        |caps AS (SELECT CAST(CEIL(size * 0.2) AS BIGINT) AS capt,
+        |                CAST(CEIL(size * 0.1) AS BIGINT) AS capc, * FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN b % 2 = 0 AND b / 2.0 < capt THEN 'test'
+        |       WHEN NOT (b % 2 = 0 AND b / 2.0 < capt)
+        |            AND (b // 2 + GREATEST(CAST(CEIL(b / 2.0) AS BIGINT) - capt, 0)) < capc
+        |         THEN 'cv'
+        |       ELSE 'train' END AS split
+        |FROM caps ORDER BY doc_id""".stripMargin,
     "q_suggest_stop" ->
       """WITH sugg AS (
         |  SELECT 'find theory ' || CAST(doc_id AS VARCHAR) AS surface,

@@ -89,4 +89,38 @@ object Classify {
     graft.Ranks.rankTopK(votes, k, Seq(col("votes").desc, col("cls").asc))
       .select("cls", "votes", "rank")
   }
+
+  /** DatasetSplitter analog (/root/reference/src/Lucene.Net.Classification/
+    * Utils/DatasetSplitter.cs:113-124): split a corpus into train / test /
+    * cross-validation sets. The reference walks docs in order with three
+    * quota-bounded writers: an even-position doc goes to TEST while the test
+    * writer is under size*testRatio; otherwise the doc goes to CV while the
+    * cv writer is under size*cvRatio; else TRAINING. That sequential loop
+    * has a closed form over the doc's global position b (no per-row state):
+    *   test  <=> b even       && b/2 < capTest
+    *   cvBefore(b) = floor(b/2) + max(0, ceil(b/2) - capTest)
+    *   cv    <=> !test && cvBefore(b) < capCv
+    * (floor(b/2) odd positions before b all attempted cv; even positions
+    * beyond the test quota overflow into cv in order). The global position
+    * comes from Ranks.appendRank — parallel, no single-partition window.
+    * `order` must be a total order (the reference's MatchAll docId order).
+    *
+    * Returns the input with a `split` column in {"test", "cv", "train"}.
+    */
+  def splitDataset(df: DataFrame, order: Seq[org.apache.spark.sql.Column],
+                   testRatio: Double, cvRatio: Double): DataFrame = {
+    val size = df.count()
+    val capTest = math.ceil(size * testRatio).toLong
+    val capCv = math.ceil(size * cvRatio).toLong
+    val withB = graft.Ranks.appendRank(df, "splitPos", order)
+      .withColumn("b", col("splitPos").cast("long") - 1L)
+    val isTest = col("b") % 2 === 0 && col("b") / 2 < capTest
+    val cvBefore = floor(col("b") / 2) +
+      greatest(ceil(col("b") / 2) - capTest, lit(0L))
+    val isCv = !isTest && cvBefore < capCv
+    withB
+      .withColumn("split",
+        when(isTest, "test").when(isCv, "cv").otherwise("train"))
+      .drop("splitPos", "b")
+  }
 }
