@@ -41,10 +41,12 @@ object IndexCli {
     args(0) match {
       case "build" =>
         val Array(_, pagesPath, indexPath, rest0 @ _*) = args: @unchecked
-        // flags may appear anywhere after the positionals: vectors | sort=<col>
+        // flags may appear anywhere after the positionals:
+        // vectors | sort=<col> | bloom
         val vectors = rest0.contains("vectors")
+        val bloom = rest0.contains("bloom")
         val sortCol = rest0.collectFirst { case f if f.startsWith("sort=") => f.drop(5) }
-        val rest = rest0.filterNot(f => f == "vectors" || f.startsWith("sort="))
+        val rest = rest0.filterNot(f => f == "vectors" || f == "bloom" || f.startsWith("sort="))
         val numSegments = rest.headOption.map(_.toInt)
           .getOrElse(math.max(spark.sparkContext.defaultParallelism * 4, 16))
         val analyzer = rest.lift(1).getOrElse("standard")
@@ -52,7 +54,7 @@ object IndexCli {
         val pages = spark.read.parquet(pagesPath).selectExpr(baseCols: _*)
         val report = IndexBuilder.build(spark, pages, indexPath,
           IndexBuilder.BuildConfig(numSegments, analyzer,
-            termVectors = vectors, indexSort = sortCol))
+            termVectors = vectors, indexSort = sortCol, bloomFilter = bloom))
         println(s"""{"docs":${report.numDocs},"segments":${report.numSegments},""" +
           s""""sec":${report.elapsedSec},"docsPerSec":${report.docsPerSec.toLong}}""")
 
