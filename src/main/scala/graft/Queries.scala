@@ -1020,6 +1020,65 @@ object Queries {
       val withUrl = broadcast(rescored)
         .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
       IndexCache.rankedIds(withUrl.select("url", "score", "segmentId", "docId")).limit(10)
+    }),
+
+    // --- TermsFilter (Queries/TermsFilter.cs): docs containing ANY of a
+    //     term set, as a doc-id-set filter (constant score)
+    "q_terms_filter" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      Filters.terms(se, Seq("merge", "commit"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // --- BooleanFilter (Queries/BooleanFilter.cs Occur-composed clauses):
+    //     ((merge OR commit) ANDNOT stream) AND data
+    "q_boolean_filter" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val f = Filters.boolean(se, Seq(
+        Occur.Should -> Filters.terms(se, Seq("merge")),
+        Occur.Should -> Filters.terms(se, Seq("commit")),
+        Occur.MustNot -> Filters.query(se, TermQ("stream")),
+        Occur.Must -> Filters.query(se, TermQ("data"))))
+      f.join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"))
+        .orderBy("doc_id")
+    }),
+
+    // --- FunctionQuery (Queries/Function/FunctionQuery.cs): every doc
+    //     scored by a ValueSource tree — reciprocal + rangemap + linear
+    //     over the doc length (Float/IntFieldSource analog = fieldLen)
+    "q_func_query" -> ((s, dir) => {
+      import ValueSources._
+      val se = searcher(s, dir)
+      val vs = SumVS(List(
+        ReciprocalVS(ColVS("fieldLen"), m = 1.0, a = 1000.0, b = 100.0),
+        RangeMapVS(ColVS("fieldLen"), lo = 50.0, hi = 100.0, target = 5.0,
+          default = Some(0.0)),
+        LinearVS(ColVS("fieldLen"), slope = 0.01, intercept = 1.0)))
+      IndexCache.rankedIds(ValueSources.functionQuery(se, vs)).limit(10)
+    }),
+
+    // --- BoostedQuery (Queries/Function/BoostedQuery.cs): BM25 score *
+    //     scale(fieldLen, 0, 1) — ScaleFloatFunction's observed min/max
+    //     resolve over ALL docs at weight creation
+    "q_func_boosted" -> ((s, dir) => {
+      import ValueSources._
+      val se = searcher(s, dir)
+      IndexCache.rankedIds(ValueSources.boostedQuery(se, TermQ("vector"),
+        ScaleVS(ColVS("fieldLen"), 0.0, 1.0))).limit(10)
+    }),
+
+    // --- Ord/ReverseOrd + TermFreq + IDF sources composed:
+    //     tf('vector') * idf('vector') + rord(url) * 1e-4
+    "q_func_ord" -> ((s, dir) => {
+      import ValueSources._
+      val se = searcher(s, dir)
+      val vs = SumVS(List(
+        ProductVS(List(TermFreqVS("vector"), IdfVS("vector"))),
+        ProductVS(List(RordVS("url"), ConstVS(0.0001)))))
+      IndexCache.rankedIds(ValueSources.functionQuery(se, vs)).limit(10)
     })
   )
 
@@ -2282,6 +2341,65 @@ object Queries {
          |  SELECT w.doc_id, w.s + 2.0 * coalesce(p.s, 0) AS s
          |  FROM win w LEFT JOIN ps p ON p.doc_id = w.doc_id)
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
-         |FROM resc ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
+         |FROM resc ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_terms_filter" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE term IN ('merge', 'commit') ORDER BY doc_id""".stripMargin,
+
+    "q_boolean_filter" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE term IN ('merge', 'commit')
+         |AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'stream')
+         |AND doc_id IN (SELECT doc_id FROM tf WHERE term = 'data')
+         |ORDER BY doc_id""".stripMargin,
+
+    // reciprocal: 1000/(dl*1+100); rangemap: dl in [50,100] -> 5 else 0;
+    // linear: dl*0.01+1 — summed left-to-right like the engine's reduce
+    "q_func_query" ->
+      s"""$P SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM (
+         |  SELECT doc_id,
+         |    1000.0 / (CAST(dl AS DOUBLE) * 1.0 + 100.0)
+         |    + (CASE WHEN CAST(dl AS DOUBLE) >= 50.0 AND CAST(dl AS DOUBLE) <= 100.0
+         |            THEN 5.0 ELSE 0.0 END)
+         |    + (CAST(dl AS DOUBLE) * 0.01 + 1.0) AS s
+         |  FROM dl)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // scale(dl, 0, 1): (dl - minObs) * ((1-0)/(maxObs-minObs)) + 0, min/max
+    // observed over ALL docs; score = bm25(vector) * scaled
+    "q_func_boosted" ->
+      s"""$P, ${scoreCte("a", "vector")},
+         |mm AS (SELECT CAST(min(dl) AS DOUBLE) AS mindl,
+         |              CAST(max(dl) AS DOUBLE) AS maxdl FROM dl)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM (
+         |  SELECT a.doc_id,
+         |    a.s * ((CAST(dl.dl AS DOUBLE) - mm.mindl)
+         |           * ((1.0 - 0.0) / (mm.maxdl - mm.mindl)) + 0.0) AS s
+         |  FROM scores_a a JOIN dl USING (doc_id) CROSS JOIN mm)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // tf('vector') * (ln(n/(df+1))+1) + rord(url) * 1e-4; urls sort like
+    // doc_ids (zero-padded), so ord = row_number over doc_id - 1
+    "q_func_ord" ->
+      s"""$P, idfv AS (
+         |  SELECT ln(c.n / (d.df + 1.0)) + 1.0 AS v
+         |  FROM dfs d CROSS JOIN consts c WHERE d.term = 'vector'),
+         |ords AS (
+         |  SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY doc_id) - 1 AS DOUBLE) AS ord,
+         |    (SELECT CAST(count(*) AS DOUBLE) FROM docsrc) AS cnt
+         |  FROM docsrc)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM (
+         |  SELECT o.doc_id,
+         |    CAST(coalesce(t.tf, 0) AS DOUBLE) * i.v
+         |    + (o.cnt - o.ord - 1.0) * 0.0001 AS s
+         |  FROM ords o CROSS JOIN idfv i
+         |  LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'vector') t
+         |    USING (doc_id))
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
   )
 }
