@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.pipeline.{Ann, BlockJoin, Dedup, Multimodal, TextStats}
+import graft.pipeline.{Ann, BlockJoin, Dedup, Multimodal, Spatial, TextStats}
 
 /** Pipeline/relational/streaming-analog query battery + DuckDB oracles —
   * mixed into [[Queries.all]]. Covers the training-data operators (dedup,
@@ -14,6 +14,13 @@ object QueriesPipeline {
 
   private def documents(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/documents.parquet")
+
+  /** Deterministic synthetic points: lat/lon derived from doc_id with pure
+    * integer/double ops the DuckDB twin repeats verbatim. */
+  private def spatialPoints(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).select(col("doc_id"),
+      (expr("(doc_id * 7919) % 17000") / 100.0 - 85.0).as("lat"),
+      (expr("(doc_id * 104729) % 36000") / 100.0 - 180.0).as("lon"))
 
   def pipeAll: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family
@@ -284,6 +291,35 @@ object QueriesPipeline {
           countDistinct(col("user_id")).cast("long").as("nusers"))
         .orderBy("h", "event_type")),
 
+    // --- contrib/Spatial (pipeline/Spatial.scala): deterministic points
+    //     derived from doc_id so the DuckDB twin recomputes them exactly
+    "q_spatial_bbox" -> ((s, dir) => {
+      val pts = spatialPoints(s, dir)
+      Spatial.bboxFilter(pts, "lat", "lon", 10.0, 45.0, -30.0, 60.0)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    // prefix-tree path: covering-cell prune at level 6 + exact refine must
+    // equal the plain bbox answer (RecursivePrefixTreeFilter semantics)
+    "q_spatial_cells" -> ((s, dir) => {
+      val pts = Spatial.withCells(spatialPoints(s, dir), "lat", "lon", 6)
+      Spatial.cellBboxFilter(pts, "lat", "lon", 10.0, 45.0, -30.0, 60.0, 6)
+        .select("doc_id").orderBy("doc_id")
+    }),
+
+    "q_spatial_distance" -> ((s, dir) => {
+      val pts = spatialPoints(s, dir)
+      Spatial.distanceFilter(pts, "lat", "lon", 48.85, 2.35, 1500.0)
+        .select(col("doc_id"), round(col("distKm"), 4).as("dist_km"))
+        .orderBy("doc_id")
+    }),
+
+    "q_spatial_nearest" -> ((s, dir) => {
+      val pts = spatialPoints(s, dir)
+      Spatial.nearestK(pts, "lat", "lon", "doc_id", 48.85, 2.35, 10)
+        .select("doc_id", "rank")
+    }),
+
     "q_events_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -312,6 +348,22 @@ object QueriesPipeline {
   private def coefValues: String =
     Dedup.coeffs(16).zipWithIndex
       .map { case ((a, b), i) => s"($i, ${a}, ${b})" }.mkString(", ")
+
+  /** DuckDB twin of [[spatialPoints]]. */
+  private val SpatialPts =
+    """WITH pts AS (
+      |  SELECT doc_id,
+      |    ((doc_id * 7919) % 17000) / 100.0 - 85.0 AS lat,
+      |    ((doc_id * 104729) % 36000) / 100.0 - 180.0 AS lon
+      |  FROM documents)""".stripMargin
+
+  /** Haversine to (48.85, 2.35), op-for-op the engine's column order
+    * (Spatial.haversineKm with lat1=lat, lon1=lon, lat2/lon2 = the point). */
+  private val HaversineSql =
+    """2 * 6371.0087714 * asin(sqrt(
+      |    pow(sin(radians(48.85 - lat) / 2), 2)
+      |    + cos(radians(lat)) * cos(radians(48.85))
+      |      * pow(sin(radians(2.35 - lon) / 2), 2)))""".stripMargin
 
   def pipeOracle: Map[String, String] = Map(
     "q_dedup_exact" ->
@@ -709,6 +761,29 @@ object QueriesPipeline {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type,
         |  count(*) AS cnt, CAST(count(DISTINCT user_id) AS BIGINT) AS nusers
         |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    "q_spatial_bbox" ->
+      s"""$SpatialPts SELECT doc_id FROM pts
+         |WHERE lat >= 10.0 AND lat <= 45.0 AND lon >= -30.0 AND lon <= 60.0
+         |ORDER BY doc_id""".stripMargin,
+
+    // the covering-cell prune + refine must equal the exact bbox answer
+    "q_spatial_cells" ->
+      s"""$SpatialPts SELECT doc_id FROM pts
+         |WHERE lat >= 10.0 AND lat <= 45.0 AND lon >= -30.0 AND lon <= 60.0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_spatial_distance" ->
+      s"""$SpatialPts, d AS (
+         |  SELECT doc_id, $HaversineSql AS dist FROM pts)
+         |SELECT doc_id, round(dist, 4) AS dist_km FROM d
+         |WHERE dist < 1500.0 ORDER BY doc_id""".stripMargin,
+
+    "q_spatial_nearest" ->
+      s"""$SpatialPts, d AS (
+         |  SELECT doc_id, $HaversineSql AS dist FROM pts)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY dist, doc_id) AS INT) AS rank
+         |FROM d ORDER BY dist, doc_id LIMIT 10""".stripMargin,
 
     "q_events_sessions" ->
       """WITH x AS (
