@@ -66,6 +66,16 @@ object Queries {
   /** BM25 score of `term` per doc as CTE `scores_<name>` (ExactDouble parity:
     * ((ln(1+((n-df)+0.5)/(df+0.5)) * (1.2+1)) * tf) / (tf + 1.2*((1-0.75)+((0.75*dl)/avgdl)))
     */
+  /** [[scoreCte]] with a query boost multiplying the idf in place
+    * (ExactDouble boost point — same shape as the q_parsed_boost oracle). */
+  private def boostedScoreCte(name: String, term: String, boost: String): String =
+    s"""scores_$name AS (
+       |  SELECT tf.doc_id,
+       |    ((ln(1 + ((c.n - d.df) + 0.5) / (d.df + 0.5)) * $boost) * (1.2 + 1)) * tf.tf /
+       |    (tf.tf + 1.2 * ((1 - 0.75) + ((0.75 * dl.dl) / (CAST(c.sttf AS DOUBLE) / c.n)))) AS s
+       |  FROM tf JOIN dl USING (doc_id) JOIN dfs d ON d.term = tf.term CROSS JOIN consts c
+       |  WHERE tf.term = '$term')""".stripMargin
+
   private def scoreCte(name: String, term: String): String =
     s"""scores_$name AS (
        |  SELECT tf.doc_id,
@@ -1079,6 +1089,20 @@ object Queries {
         ProductVS(List(TermFreqVS("vector"), IdfVS("vector"))),
         ProductVS(List(RordVS("url"), ConstVS(0.0001)))))
       IndexCache.rankedIds(ValueSources.functionQuery(se, vs)).limit(10)
+    }),
+
+    // --- contrib/WordNet SynExpand: query terms + synonyms from a wn_s.pl
+    //     synonym table as boosted SHOULD clauses (multiword synset members
+    //     are dropped by the IsDecent letter check, like Syns2Index.cs)
+    "q_wordnet_expand" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val wn = WordNet.parsePrologLines(Iterator(
+        "s(100001,1,'vector',n,1,0).",
+        "s(100001,2,'table',n,1,0).",
+        "s(100001,3,'data_structure',n,1,0).", // rejected: non-letter char
+        "s(100002,1,'stream',n,1,0).",
+        "s(100002,2,'batch',n,1,0)."))
+      ranked(se.search(WordNet.expand("vector stream", wn, se.analyzer, 0.5f), 10))
     })
   )
 
@@ -2400,6 +2424,27 @@ object Queries {
          |  FROM ords o CROSS JOIN idfv i
          |  LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'vector') t
          |    USING (doc_id))
-         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    // clause order [vector, stream, table^0.5, batch^0.5]; the engine sums
+    // clause-ordered ((v+s)+t)+b, so the full outer joins nest the same way
+    "q_wordnet_expand" ->
+      s"""$P, ${scoreCte("v", "vector")}, ${scoreCte("w", "stream")},
+         |${boostedScoreCte("t", "table", "0.5")},
+         |${boostedScoreCte("b", "batch", "0.5")},
+         |m1 AS (
+         |  SELECT coalesce(v.doc_id, w.doc_id) AS doc_id,
+         |         (coalesce(v.s, 0) + coalesce(w.s, 0)) AS s
+         |  FROM scores_v v FULL OUTER JOIN scores_w w ON v.doc_id = w.doc_id),
+         |m2 AS (
+         |  SELECT coalesce(m1.doc_id, t.doc_id) AS doc_id,
+         |         (coalesce(m1.s, 0) + coalesce(t.s, 0)) AS s
+         |  FROM m1 FULL OUTER JOIN scores_t t ON m1.doc_id = t.doc_id),
+         |m3 AS (
+         |  SELECT coalesce(m2.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(m2.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM m2 FULL OUTER JOIN scores_b b ON m2.doc_id = b.doc_id)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM m3 ORDER BY s DESC, doc_id LIMIT 10""".stripMargin
   )
 }
