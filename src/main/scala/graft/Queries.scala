@@ -1091,6 +1091,19 @@ object Queries {
       IndexCache.rankedIds(ValueSources.functionQuery(se, vs)).limit(10)
     }),
 
+    // --- SpanPositionRangeQuery: 'vector' spans inside positions [5, 50)
+    "q_span_posrange" -> ((s, dir) => idsOf(searcher(s, dir),
+      SpanMatchQ(SpanPosRangeS(SpanTermS("vector"), 5, 50)))),
+
+    // --- SpanMultiTermQueryWrapper: prefix expanded to a SpanOr inside an
+    //     unordered near (merg* within 2 of 'data')
+    "q_span_multiterm" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      idsOf(se, SpanMatchQ(SpanNearS(
+        List(SpanMulti.wrap(se, PrefixQ("merg")), SpanTermS("data")),
+        slop = 2, inOrder = false)))
+    }),
+
     // --- contrib/WordNet SynExpand: query terms + synonyms from a wn_s.pl
     //     synonym table as boosted SHOULD clauses (multiword synset members
     //     are dropped by the IsDecent letter check, like Syns2Index.cs)
@@ -2425,6 +2438,17 @@ object Queries {
          |  LEFT JOIN (SELECT doc_id, tf FROM tf WHERE term = 'vector') t
          |    USING (doc_id))
          |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_span_posrange" ->
+      s"""$P SELECT DISTINCT doc_id FROM toks
+         |WHERE term = 'vector' AND pos >= 5 AND pos + 1 <= 50
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_span_multiterm" ->
+      s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
+         |  ON a.doc_id = b.doc_id
+         |  AND (greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1) <= 2
+         |WHERE a.term LIKE 'merg%' AND b.term = 'data' ORDER BY 1""".stripMargin,
 
     // clause order [vector, stream, table^0.5, batch^0.5]; the engine sums
     // clause-ordered ((v+s)+t)+b, so the full outer joins nest the same way

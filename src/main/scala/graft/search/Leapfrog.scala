@@ -403,6 +403,7 @@ object Leapfrog {
       case SpanOrS(cs) => List(cs.flatMap(SpanMatcher.termsOf).toSet)
       case SpanNotS(i, _) => cnf(i)
       case SpanFirstS(i, _) => cnf(i)
+      case SpanPosRangeS(i, _, _) => cnf(i)
     }
     val groups0 = cnf(span).map(_.filter(t => stats.contains((field, t))))
     if (groups0.exists(_.isEmpty)) return spark.emptyDataset[Hit]

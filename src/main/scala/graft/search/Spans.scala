@@ -17,6 +17,24 @@ final case class SpanNearS(clauses: List[SpanQ], slop: Int, inOrder: Boolean) ex
 final case class SpanOrS(clauses: List[SpanQ]) extends SpanQ
 final case class SpanNotS(include: SpanQ, exclude: SpanQ) extends SpanQ
 final case class SpanFirstS(inner: SpanQ, end: Int) extends SpanQ
+/** SpanPositionRangeQuery.cs:43-51: keep spans with start >= `start` and
+  * end <= `end` (SpanFirst is the start=0 case). */
+final case class SpanPosRangeS(inner: SpanQ, start: Int, end: Int) extends SpanQ
+
+object SpanMulti {
+  /** SpanMultiTermQueryWrapper.cs: a multi-term query (prefix/wildcard/
+    * fuzzy/regexp/range) inside a span tree — rewritten to the SpanOr of
+    * its matching dictionary terms (the SpanRewriteMethod's
+    * SCORING_SPAN_QUERY_REWRITE: one SpanTermQuery per expanded term),
+    * budget-capped like every other rewrite. No match -> the shared
+    * never-matches sentinel. */
+  def wrap(se: Searcher, q: Query, field: String = ""): SpanQ = {
+    val f = if (field.isEmpty) se.defaultField else field
+    val terms = se.expandMultiTerm(f, q)
+    if (terms.isEmpty) SpanTermS(SpanMatcher.NoMatchTerm)
+    else SpanOrS(terms.toList.map(SpanTermS))
+  }
+}
 
 object SpanMatcher {
 
@@ -34,6 +52,7 @@ object SpanMatcher {
     case SpanOrS(cs) => cs.flatMap(termsOf).toSet
     case SpanNotS(i, e) => termsOf(i) ++ termsOf(e)
     case SpanFirstS(i, _) => termsOf(i)
+    case SpanPosRangeS(i, _, _) => termsOf(i)
   }
 
   /** All spans of `q` in a doc given term -> ascending positions. */
@@ -52,6 +71,9 @@ object SpanMatcher {
 
     case SpanFirstS(inner, end) =>
       spans(inner, positions).filter(_._2 <= end)
+
+    case SpanPosRangeS(inner, start, end) =>
+      spans(inner, positions).filter(s => s._1 >= start && s._2 <= end)
 
     case SpanNearS(clauses, slop, inOrder) =>
       val childSpans = clauses.map(c => spans(c, positions))

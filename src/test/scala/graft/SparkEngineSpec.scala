@@ -200,6 +200,24 @@ class SparkEngineSpec extends AnyFunSuite {
     assert(SpanMatcher.spans(SpanNotS(SpanTermS("c"), SpanTermS("c")), pos).isEmpty)
     // spanOr merges
     assert(SpanMatcher.spans(SpanOrS(List(SpanTermS("a"), SpanTermS("c"))), pos).size == 3)
+    // spanPosRange: start >= 3 and end <= 11 (SpanPositionRangeQuery.cs:43-51)
+    assert(SpanMatcher.spans(SpanPosRangeS(SpanTermS("a"), 3, 11), pos) == List((10, 11)))
+    assert(SpanMatcher.spans(SpanPosRangeS(SpanTermS("b"), 0, 20), pos).size == 2)
+    assert(SpanMatcher.spans(SpanPosRangeS(SpanTermS("b"), 4, 12), pos).isEmpty)
+  }
+
+  test("span multi-term wrapper expands to the SpanOr of dictionary matches") {
+    val se = idx1
+    val wrapped = SpanMulti.wrap(se, PrefixQ("qui"))
+    val expanded = SpanMatcher.termsOf(wrapped)
+    assert(expanded.contains("quick"))
+    assert(expanded.forall(_.startsWith("qui")))
+    // near with the wrapper == near with the explicit or (same expansion)
+    checkIdentical(SpanMatchQ(SpanNearS(List(wrapped, SpanTermS("fox")), 2, inOrder = false)))
+    // no dictionary match -> the never-matches sentinel
+    assert(SpanMulti.wrap(se, PrefixQ("zzzznope")) == SpanTermS(SpanMatcher.NoMatchTerm))
+    assert(se.count(SpanMatchQ(SpanNearS(
+      List(SpanMulti.wrap(se, PrefixQ("zzzznope")), SpanTermS("fox")), 5, inOrder = false))) == 0)
   }
 
   test("unordered near allows overlapping clause spans (NearSpansUnordered.cs:424-427)") {
