@@ -22,6 +22,15 @@ object QueriesPipeline {
       (expr("(doc_id * 7919) % 17000") / 100.0 - 85.0).as("lat"),
       (expr("(doc_id * 104729) % 36000") / 100.0 - 180.0).as("lon"))
 
+  /** Deterministic synthetic rectangles (BBoxStrategy rows), doc_id-derived
+    * with the exact expression text the DuckDB twin repeats. */
+  private def spatialRects(s: SparkSession, dir: String): DataFrame =
+    documents(s, dir).selectExpr("doc_id",
+      "((doc_id * 7919) % 16000) / 100.0 - 85.0 AS minLat",
+      "(((doc_id * 7919) % 16000) / 100.0 - 85.0) + (((doc_id * 17) % 800) / 100.0 + 0.5) AS maxLat",
+      "((doc_id * 104729) % 34000) / 100.0 - 180.0 AS minLon",
+      "(((doc_id * 104729) % 34000) / 100.0 - 180.0) + (((doc_id * 31) % 1000) / 100.0 + 0.5) AS maxLon")
+
   def pipeAll: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- dedup family
     "q_dedup_exact" -> ((s, dir) =>
@@ -320,6 +329,26 @@ object QueriesPipeline {
         .select("doc_id", "rank")
     }),
 
+    // --- BBoxStrategy (contrib/Spatial/BBox): rectangle relations + the
+    //     AreaSimilarity overlap score over stored rect rows
+    "q_bbox_intersects" -> ((s, dir) =>
+      spatialRects(s, dir)
+        .filter(Spatial.BBox.intersects(Spatial.Rect(0.0, 20.0, 0.0, 30.0)))
+        .select("doc_id").orderBy("doc_id")),
+
+    "q_bbox_within" -> ((s, dir) =>
+      spatialRects(s, dir)
+        .filter(Spatial.BBox.within(Spatial.Rect(-20.0, 40.0, -60.0, 60.0)))
+        .select("doc_id").orderBy("doc_id")),
+
+    "q_bbox_area" -> ((s, dir) => {
+      val q = Spatial.Rect(0.0, 20.0, 0.0, 30.0)
+      val scored = spatialRects(s, dir)
+        .withColumn("s", Spatial.BBox.areaScore(q))
+      Ranks.rankTopK(scored, 10, Seq(col("s").desc, col("doc_id").asc))
+        .select("doc_id", "rank")
+    }),
+
     "q_events_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -365,7 +394,48 @@ object QueriesPipeline {
       |    + cos(radians(lat)) * cos(radians(48.85))
       |      * pow(sin(radians(2.35 - lon) / 2), 2)))""".stripMargin
 
+  /** DuckDB twin of [[spatialRects]]. */
+  private val SpatialRects =
+    """WITH rects AS (
+      |  SELECT doc_id,
+      |    ((doc_id * 7919) % 16000) / 100.0 - 85.0 AS minLat,
+      |    (((doc_id * 7919) % 16000) / 100.0 - 85.0) + (((doc_id * 17) % 800) / 100.0 + 0.5) AS maxLat,
+      |    ((doc_id * 104729) % 34000) / 100.0 - 180.0 AS minLon,
+      |    (((doc_id * 104729) % 34000) / 100.0 - 180.0) + (((doc_id * 31) % 1000) / 100.0 + 0.5) AS maxLon
+      |  FROM documents)""".stripMargin
+
   def pipeOracle: Map[String, String] = Map(
+    "q_bbox_intersects" ->
+      s"""$SpatialRects SELECT doc_id FROM rects
+         |WHERE minLon <= 30.0 AND maxLon >= 0.0 AND minLat <= 20.0 AND maxLat >= 0.0
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_bbox_within" ->
+      s"""$SpatialRects SELECT doc_id FROM rects
+         |WHERE minLon >= -60.0 AND maxLon <= 60.0 AND minLat >= -20.0 AND maxLat <= 40.0
+         |ORDER BY doc_id""".stripMargin,
+
+    // AreaSimilarity.cs:168-176 with queryPower=2, targetPower=0.5:
+    // pow(iArea/qArea, 2) * pow(iArea/tArea, 0.5) * 10000 when the
+    // intersection is non-degenerate, else 0
+    "q_bbox_area" ->
+      s"""$SpatialRects, scored AS (
+         |  SELECT doc_id,
+         |    CASE WHEN (least(30.0, maxLon) - greatest(0.0, minLon)) > 0
+         |          AND (least(20.0, maxLat) - greatest(0.0, minLat)) > 0
+         |          AND ((maxLon - minLon) * (maxLat - minLat)) > 0
+         |    THEN pow(((least(30.0, maxLon) - greatest(0.0, minLon))
+         |              * (least(20.0, maxLat) - greatest(0.0, minLat)))
+         |             / (abs(30.0 - 0.0) * abs(20.0 - 0.0)), 2.0)
+         |       * pow(((least(30.0, maxLon) - greatest(0.0, minLon))
+         |              * (least(20.0, maxLat) - greatest(0.0, minLat)))
+         |             / ((maxLon - minLon) * (maxLat - minLat)), 0.5)
+         |       * 10000.0
+         |    ELSE 0.0 END AS s
+         |  FROM rects)
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM scored ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS min_id
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,

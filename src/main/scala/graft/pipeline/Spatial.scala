@@ -181,6 +181,60 @@ object Spatial {
     2.0 * EarthMeanRadiusKm * math.asin(math.sqrt(a))
   }
 
+  // ------------------------------------------------- BBoxStrategy (rects)
+
+  /** A query rectangle (BBox/BBoxStrategy.cs stores minX/maxX/minY/maxY per
+    * doc; here those are four numeric columns). Indexed rectangles are
+    * stored non-dateline-crossing (split crossing rects into two rows at
+    * write time) — the reference's XDL flag machinery then reduces to the
+    * plain interval algebra below. */
+  final case class Rect(minLat: Double, maxLat: Double,
+                        minLon: Double, maxLon: Double)
+
+  /** Rectangle relation predicates over (minLat,maxLat,minLon,maxLon)
+    * columns — BBoxStrategy.MakeIntersects/MakeWithin/MakeContains/
+    * MakeEquals/MakeDisjoint as pushed-down range conjunctions. */
+  object BBox {
+    private val (tMinLat, tMaxLat, tMinLon, tMaxLon) =
+      (col("minLat"), col("maxLat"), col("minLon"), col("maxLon"))
+
+    def intersects(q: Rect): Column =
+      tMinLon <= q.maxLon && tMaxLon >= q.minLon &&
+        tMinLat <= q.maxLat && tMaxLat >= q.minLat
+
+    /** Target IsWithin the query box. */
+    def within(q: Rect): Column =
+      tMinLon >= q.minLon && tMaxLon <= q.maxLon &&
+        tMinLat >= q.minLat && tMaxLat <= q.maxLat
+
+    /** Target Contains the query box. */
+    def containsBox(q: Rect): Column =
+      tMinLon <= q.minLon && tMaxLon >= q.maxLon &&
+        tMinLat <= q.minLat && tMaxLat >= q.maxLat
+
+    def equalsBox(q: Rect): Column =
+      tMinLon === q.minLon && tMaxLon === q.maxLon &&
+        tMinLat === q.minLat && tMaxLat === q.maxLat
+
+    def disjoint(q: Rect): Column = !intersects(q)
+
+    /** AreaSimilarity.Score (BBox/AreaSimilarity.cs:86-176, non-XDL arm):
+      * height/width of the intersection; when both positive,
+      * pow(iArea/qArea, queryPower) * pow(iArea/tArea, targetPower) * 10000
+      * (defaults 2.0 / 0.5); else 0. */
+    def areaScore(q: Rect, queryPower: Double = 2.0,
+                  targetPower: Double = 0.5): Column = {
+      val qArea = math.abs(q.maxLon - q.minLon) * math.abs(q.maxLat - q.minLat)
+      val height = least(lit(q.maxLat), tMaxLat) - greatest(lit(q.minLat), tMinLat)
+      val width = least(lit(q.maxLon), tMaxLon) - greatest(lit(q.minLon), tMinLon)
+      val tArea = (tMaxLon - tMinLon) * (tMaxLat - tMinLat)
+      val iArea = width * height
+      when(width > 0d && height > 0d && tArea > 0d && lit(qArea) > 0d,
+        pow(iArea / qArea, queryPower) * pow(iArea / tArea, targetPower) * 10000.0)
+        .otherwise(0d)
+    }
+  }
+
   /** Nearest-k by great-circle distance: distance column + driver-ranked
     * top-k (TakeOrderedAndProject; never a global sort). Ties on `idCol`. */
   def nearestK(df: DataFrame, latCol: String, lonCol: String, idCol: String,

@@ -108,6 +108,55 @@ class SpatialSpec extends AnyFunSuite {
     got.foreach { r => assert(r.getDouble(1) == c / (r.getDouble(0) + c)) }
   }
 
+  private lazy val rects = {
+    val r = new scala.util.Random(77)
+    (0 until 800).map { i =>
+      val la0 = r.nextDouble() * 160.0 - 85.0
+      val lo0 = r.nextDouble() * 330.0 - 180.0
+      (i.toLong, la0, la0 + r.nextDouble() * 20.0, lo0, lo0 + r.nextDouble() * 25.0)
+    }
+  }
+  private lazy val rectDf =
+    rects.toDF("id", "minLat", "maxLat", "minLon", "maxLon").cache()
+
+  test("bbox rectangle relations equal brute force") {
+    val q = Spatial.Rect(-10.0, 25.0, -40.0, 15.0)
+    def brute(p: (Long, Double, Double, Double, Double) => Boolean) =
+      rects.filter(r => p(r._1, r._2, r._3, r._4, r._5)).map(_._1).toSet
+    val wantI = brute((_, la0, la1, lo0, lo1) =>
+      lo0 <= q.maxLon && lo1 >= q.minLon && la0 <= q.maxLat && la1 >= q.minLat)
+    val wantW = brute((_, la0, la1, lo0, lo1) =>
+      lo0 >= q.minLon && lo1 <= q.maxLon && la0 >= q.minLat && la1 <= q.maxLat)
+    val wantC = brute((_, la0, la1, lo0, lo1) =>
+      lo0 <= q.minLon && lo1 >= q.maxLon && la0 <= q.minLat && la1 >= q.maxLat)
+    assert(ids(rectDf.filter(Spatial.BBox.intersects(q))) == wantI)
+    assert(ids(rectDf.filter(Spatial.BBox.within(q))) == wantW)
+    assert(ids(rectDf.filter(Spatial.BBox.containsBox(q))) == wantC)
+    assert(ids(rectDf.filter(Spatial.BBox.disjoint(q))) == rects.map(_._1).toSet -- wantI)
+    assert(wantI.nonEmpty && wantW.nonEmpty,
+      "fixture must exercise the relations non-trivially")
+    // within and contains are both subsets of intersects
+    assert(wantW.subsetOf(wantI) && wantC.subsetOf(wantI))
+  }
+
+  test("areaScore matches the AreaSimilarity formula") {
+    val q = Spatial.Rect(-10.0, 25.0, -40.0, 15.0)
+    val qArea = math.abs(q.maxLon - q.minLon) * math.abs(q.maxLat - q.minLat)
+    val got = rectDf.withColumn("s", Spatial.BBox.areaScore(q))
+      .select("id", "s").collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    rects.foreach { case (id, la0, la1, lo0, lo1) =>
+      val h = math.min(q.maxLat, la1) - math.max(q.minLat, la0)
+      val w = math.min(q.maxLon, lo1) - math.max(q.minLon, lo0)
+      val tArea = (lo1 - lo0) * (la1 - la0)
+      val want =
+        if (w > 0 && h > 0 && tArea > 0) {
+          val i = w * h
+          math.pow(i / qArea, 2.0) * math.pow(i / tArea, 0.5) * 10000.0
+        } else 0.0
+      assert(got(id) == want, s"rect $id")
+    }
+  }
+
   test("cell-sorted table: bbox predicates push down and prune row groups") {
     val hc = spark.sparkContext.hadoopConfiguration
     val prevBlock = hc.get("parquet.block.size")
