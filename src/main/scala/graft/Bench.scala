@@ -149,6 +149,20 @@ object Bench {
         "simple").count()
     }
 
+    // 5. spatial operators over 2M synthetic points (generated in-plan —
+    //    the operator cost, not the tiny fixture table, is what's timed)
+    locally {
+      val pts = spark.range(2000000L).selectExpr("id",
+        "((id * 7919) % 1700000) / 10000.0 - 85.0 AS lat",
+        "((id * 104729) % 3600000) / 10000.0 - 180.0 AS lon")
+      results("spatial_radius") = timeMedian(trials) {
+        graft.pipeline.Spatial.distanceFilter(pts, "lat", "lon", 48.85, 2.35, 200.0).count()
+      }
+      results("spatial_knn") = timeMedian(trials) {
+        graft.pipeline.Spatial.nearestK(pts, "lat", "lon", "id", 48.85, 2.35, 10).collect()
+      }
+    }
+
     results("q1_agg") = time {
       Queries.all("q1_agg")(spark, sfDir).collect()
     }

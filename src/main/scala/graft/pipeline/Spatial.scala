@@ -243,4 +243,79 @@ object Spatial {
       haversineKm(col(latCol), col(lonCol), lit(lat), lit(lon)))
     graft.Ranks.rankTopK(withDist, k, Seq(col("distKm").asc, col(idCol).asc))
   }
+
+  // --------------------------------------------- SpatialArgs string syntax
+
+  sealed trait Shape extends Serializable
+  final case class PointShape(lat: Double, lon: Double) extends Shape
+  final case class RectShape(rect: Rect) extends Shape
+  /** Circle with a radius in DEGREES (the spatial4j surface syntax
+    * `Circle(x y d=deg)`); `radiusKm` converts via the mean earth radius
+    * (DistanceUtils Degrees2Dist). */
+  final case class CircleShape(lat: Double, lon: Double, radiusDeg: Double) extends Shape {
+    def radiusKm: Double = math.toRadians(radiusDeg) * EarthMeanRadiusKm
+  }
+  final case class SpatialArgs(op: String, shape: Shape)
+
+  private val Operations = Set("Intersects", "IsWithin", "Contains",
+    "IsDisjointTo", "IsEqualTo", "BBoxIntersects", "BBoxWithin", "Overlaps")
+
+  /** SpatialArgsParser.cs:Parse — `Op(shapeBody)`: the op name before the
+    * first paren, the shape between it and the LAST paren. Shape bodies
+    * follow the spatial4j surface forms the reference reads: `x y` point,
+    * `minX minY maxX maxY` rect, `Circle(x y d=deg)` circle (x = lon,
+    * y = lat). */
+  def parseArgs(v: String): SpatialArgs = {
+    val idx = v.indexOf('('); val edx = v.lastIndexOf(')')
+    require(idx >= 0 && idx <= edx, s"missing parens: $v")
+    val op = v.substring(0, idx).trim
+    require(Operations.contains(op), s"unknown operation: $op")
+    val body = v.substring(idx + 1, edx).trim
+    require(body.nonEmpty, s"missing body : $v")
+    SpatialArgs(op, parseShape(body))
+  }
+
+  private def parseShape(body: String): Shape =
+    if (body.startsWith("Circle(")) {
+      val inner = body.stripPrefix("Circle(").stripSuffix(")").trim
+      val parts = inner.split("\\s+")
+      val d = parts.find(_.startsWith("d="))
+        .getOrElse(sys.error(s"circle needs d=: $body")).drop(2).toDouble
+      val xy = parts.filterNot(_.startsWith("d="))
+      CircleShape(lat = xy(1).toDouble, lon = xy(0).toDouble, radiusDeg = d)
+    } else body.split("\\s+") match {
+      case Array(x, y) => PointShape(lat = y.toDouble, lon = x.toDouble)
+      case Array(x0, y0, x1, y1) => RectShape(
+        Rect(minLat = y0.toDouble, maxLat = y1.toDouble,
+          minLon = x0.toDouble, maxLon = x1.toDouble))
+      case _ => sys.error(s"unreadable shape: $body")
+    }
+
+  /** Apply parsed args to a POINT table (lat/lon columns) — the
+    * PointVectorStrategy.MakeQuery dispatch. */
+  def applyToPoints(df: DataFrame, latCol: String, lonCol: String,
+                    args: SpatialArgs): DataFrame = (args.op, args.shape) match {
+    case ("Intersects" | "IsWithin" | "BBoxIntersects" | "BBoxWithin" | "Overlaps",
+          RectShape(r)) =>
+      bboxFilter(df, latCol, lonCol, r.minLat, r.maxLat, r.minLon, r.maxLon)
+    case ("IsDisjointTo", RectShape(r)) =>
+      disjointFilter(df, latCol, lonCol, r.minLat, r.maxLat, r.minLon, r.maxLon)
+    case ("Intersects" | "IsWithin", c: CircleShape) =>
+      distanceFilter(df, latCol, lonCol, c.lat, c.lon, c.radiusKm)
+    case ("IsEqualTo", PointShape(la, lo)) =>
+      df.filter(col(latCol) === la && col(lonCol) === lo)
+    case (op, sh) => sys.error(s"unsupported point operation: $op on $sh")
+  }
+
+  /** Apply parsed args to a RECT table — the BBoxStrategy dispatch. */
+  def applyToRects(df: DataFrame, args: SpatialArgs): DataFrame =
+    (args.op, args.shape) match {
+      case ("Intersects" | "BBoxIntersects" | "Overlaps", RectShape(r)) =>
+        df.filter(BBox.intersects(r))
+      case ("IsWithin" | "BBoxWithin", RectShape(r)) => df.filter(BBox.within(r))
+      case ("Contains", RectShape(r)) => df.filter(BBox.containsBox(r))
+      case ("IsEqualTo", RectShape(r)) => df.filter(BBox.equalsBox(r))
+      case ("IsDisjointTo", RectShape(r)) => df.filter(BBox.disjoint(r))
+      case (op, sh) => sys.error(s"unsupported rect operation: $op on $sh")
+    }
 }

@@ -28,8 +28,41 @@ object Drive {
     println("LONG: [" + StandardAnalyzer.tokenize("x " + "b"*257 + " y").map(t => s"${t.term}@${t.position}").mkString(",") + "]")
     println("ABSENT: " + idx.search(TermQ("zzznope"), 5).size)
     println("STOPQUERY: " + idx.search(TermQ("the"), 5).size)
+    // WordNet expansion drives the oracle engine end-to-end
+    val wn = WordNet.parsePrologLines(Iterator(
+      "s(1,1,'quick',a,1,0).", "s(1,2,'fast',a,1,0)."))
+    val wq = WordNet.expand("quick", wn, StandardAnalyzer, 0.5f)
+    println("WORDNET: " + idx.search(wq, 3).map(_.key).mkString(","))
     driveSparkMerge()
+    driveSpatialValueSources()
     println("EMPTYDOC_NORM: " + idx.docs.map(d => d.fieldLen).mkString(","))
+  }
+
+  /** Spatial + ValueSource/Filters package-boundary drive. */
+  def driveSpatialValueSources(): Unit = {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val pts = Seq((1L, 48.86, 2.35), (2L, 51.5, -0.13), (3L, -33.9, 151.2))
+      .toDF("id", "lat", "lon")
+    val near = graft.pipeline.Spatial.applyToPoints(pts, "lat", "lon",
+      graft.pipeline.Spatial.parseArgs("Intersects(Circle(2.0 48.0 d=5))"))
+      .select("id").collect().map(_.getLong(0)).toList
+    println(s"SPATIAL: paris_circle=$near")
+    val base = java.nio.file.Files.createTempDirectory("drivevs").toString
+    val df = spark.createDataFrame(graft.build.PagesGen.local(80)).toDF("url", "text")
+    graft.build.IndexBuilder.build(spark, df, base,
+      graft.build.IndexBuilder.BuildConfig(2, "standard", groupSize = 4))
+    val se = new Searcher(spark, base)
+    import graft.search.ValueSources._
+    val fq = graft.search.ValueSources.functionQuery(se,
+      ReciprocalVS(ColVS("fieldLen"), 1.0, 100.0, 10.0))
+    println("FUNCQ: " + fq.orderBy(org.apache.spark.sql.functions.col("score").desc,
+      org.apache.spark.sql.functions.col("url")).limit(2)
+      .collect().map(r => f"${r.getString(0)}:${r.getDouble(1)}%.3f").mkString(" "))
+    val filt = Filters.boolean(se, Seq(
+      Occur.Should -> Filters.terms(se, Seq("quick", "fox")),
+      Occur.MustNot -> Filters.query(se, TermQ("lazy"))))
+    println("FILTERS: n=" + filt.count())
   }
 
   /** End-to-end Spark drive: build multi-segment index from generated pages,

@@ -157,6 +157,28 @@ class SpatialSpec extends AnyFunSuite {
     }
   }
 
+  test("spatial args parse + dispatch equal the direct filters") {
+    import Spatial._
+    assert(parseArgs("Intersects(-40 -10 15 25)") ==
+      SpatialArgs("Intersects", RectShape(Rect(-10.0, 25.0, -40.0, 15.0))))
+    assert(parseArgs("IsWithin(Circle(2.35 48.85 d=13.5))") ==
+      SpatialArgs("IsWithin", CircleShape(48.85, 2.35, 13.5)))
+    intercept[IllegalArgumentException] { parseArgs("Nope(0 0 1 1)") }
+    intercept[IllegalArgumentException] { parseArgs("Intersects") }
+    // rect over points == bboxFilter; circle == distanceFilter at d-km
+    val viaArgs = ids(applyToPoints(df, "lat", "lon", parseArgs("Intersects(-40 -10 15 25)")))
+    assert(viaArgs == ids(bboxFilter(df, "lat", "lon", -10.0, 25.0, -40.0, 15.0)))
+    val c = parseArgs("Intersects(Circle(2.35 48.85 d=13.5))")
+      .shape.asInstanceOf[CircleShape]
+    assert(ids(applyToPoints(df, "lat", "lon", SpatialArgs("Intersects", c))) ==
+      ids(distanceFilter(df, "lat", "lon", 48.85, 2.35, c.radiusKm)))
+    assert(math.abs(c.radiusKm - math.toRadians(13.5) * Spatial.EarthMeanRadiusKm) == 0.0)
+    // rect table dispatch
+    val q = Spatial.Rect(-10.0, 25.0, -40.0, 15.0)
+    assert(ids(applyToRects(rectDf, parseArgs("Contains(-40 -10 15 25)"))) ==
+      ids(rectDf.filter(Spatial.BBox.containsBox(q))))
+  }
+
   test("cell-sorted table: bbox predicates push down and prune row groups") {
     val hc = spark.sparkContext.hadoopConfiguration
     val prevBlock = hc.get("parquet.block.size")
