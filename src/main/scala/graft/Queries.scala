@@ -1104,6 +1104,32 @@ object Queries {
         slop = 2, inOrder = false)))
     }),
 
+    // --- FieldMaskingSpanQuery: surname-field span 'lying' about its field
+    //     inside a text-field SpanNear; unordered slop=-1 = position-aligned
+    //     (the reference class doc's studentfirstname/studentsurname query
+    //     uses exactly this -1 trick). Matches docs whose text token b@1
+    //     is 'b1' AND surname token t@1 is 't2'.
+    "q_span_fieldmask" -> ((s, dir) => idsOf(IndexCache.maskSearcher(s, dir),
+      SpanMatchQ(SpanNearS(List(
+        SpanTermS("b1"),
+        SpanFieldMaskS(SpanTermS("t2"), "surname")), slop = -1, inOrder = false)))),
+
+    // --- SpanPayloadCheckQuery: 'alpha' spans whose position payload is
+    //     int(3) — matches via either alpha occurrence (payloads id%7 and
+    //     (id+3)%7 in the payload fixture)
+    "q_span_paycheck" -> ((s, dir) => idsOf(IndexCache.payloadSearcher(s, dir),
+      SpanMatchQ(SpanPayloadCheckS(SpanTermS("alpha"),
+        List(graft.analysis.DelimitedPayloadAnalyzer.encodeInt(3)))))),
+
+    // --- SpanNearPayloadCheckQuery: ordered near (alpha beta) whose two
+    //     collected payloads each equal one of {int(2), int(5)} (unordered
+    //     containment per the reference's AcceptPosition)
+    "q_span_nearpaycheck" -> ((s, dir) => idsOf(IndexCache.payloadSearcher(s, dir),
+      SpanMatchQ(SpanNearPayloadCheckS(
+        SpanNearS(List(SpanTermS("alpha"), SpanTermS("beta")), slop = 0, inOrder = true),
+        List(graft.analysis.DelimitedPayloadAnalyzer.encodeInt(2),
+          graft.analysis.DelimitedPayloadAnalyzer.encodeInt(5)))))),
+
     // --- contrib/WordNet SynExpand: query terms + synonyms from a wn_s.pl
     //     synonym table as boosted SHOULD clauses (multiword synset members
     //     are dropped by the IsDecent letter check, like Syns2Index.cs)
@@ -2449,6 +2475,24 @@ object Queries {
          |  ON a.doc_id = b.doc_id
          |  AND (greatest(a.pos, b.pos) - least(a.pos, b.pos) - 1) <= 2
          |WHERE a.term LIKE 'merg%' AND b.term = 'data' ORDER BY 1""".stripMargin,
+
+    // mask fixture: text = "a{id%4} b{(id+2)%5}", surname = "s{id%3}
+    // t{(id+1)%4}" — position-aligned AND is analytic over doc_id
+    "q_span_fieldmask" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE (doc_id + 2) % 5 = 1 AND (doc_id + 1) % 4 = 2
+         |ORDER BY doc_id""".stripMargin,
+
+    // payload fixture: "alpha|{id%7} beta|{id%13} alpha|{(id+3)%7}"
+    "q_span_paycheck" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE doc_id % 7 = 3 OR (doc_id + 3) % 7 = 3
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_span_nearpaycheck" ->
+      s"""SELECT doc_id FROM documents
+         |WHERE (doc_id % 7) IN (2, 5) AND (doc_id % 13) IN (2, 5)
+         |ORDER BY doc_id""".stripMargin,
 
     // clause order [vector, stream, table^0.5, batch^0.5]; the engine sums
     // clause-ordered ((v+s)+t)+b, so the full outer joins nest the same way

@@ -296,6 +296,29 @@ object IndexCache {
     new Searcher(spark, path, mode = ExactDouble)
   })
 
+  /** Two-parallel-analyzed-field fixture for FieldMaskingSpanQuery
+    * (Search/Spans/FieldMaskingSpanQuery.cs — the denormalized
+    * studentfirstname/studentsurname example): position-aligned token
+    * streams in the default `text` field ("a{id%4} b{(id+2)%5}") and a
+    * second analyzed field `surname` ("s{id%3} t{(id+1)%4}"), disjoint
+    * alphabets per slot so the DuckDB twin is analytic over doc_id. */
+  def maskSearcher(spark: SparkSession, sfDir: String): Searcher = kcache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_mask"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      val pages = spark.read.parquet(s"$sfDir/documents.parquet").select(
+        format_string("doc%09d", col("doc_id")).as("url"),
+        concat(lit("a"), (col("doc_id") % 4).cast("string"),
+          lit(" b"), ((col("doc_id") + 2) % 5).cast("string")).as("text"),
+        concat(lit("s"), (col("doc_id") % 3).cast("string"),
+          lit(" t"), ((col("doc_id") + 1) % 4).cast("string")).as("surname"))
+      IndexBuilder.build(spark, pages, path,
+        IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "simple",
+          extraFields = Seq("surname" -> "simple")))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val kcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** German-analyzer gate fixture: per-doc text whose GermanAnalyzer chain
     * (lowercase -> German stops -> German2 normalization -> Savoy light
     * stem) is analytically derivable from doc_id —

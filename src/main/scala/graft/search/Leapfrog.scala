@@ -3,6 +3,7 @@ package graft.search
 import org.apache.spark.sql.{Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{Hit, PostingRow}
+import graft.codec.PostingsCodec
 
 /** Per-segment leapfrog evaluation of Boolean-of-terms queries — the
   * ConjunctionScorer / BooleanScorer2 analog
@@ -397,56 +398,85 @@ object Leapfrog {
                        boost: Float, stats: Map[(String, String), (Long, Long)],
                        scored: Boolean, qn: Double): Dataset[Hit] = {
     import spark.implicits._
-    def cnf(q: SpanQ): List[Set[String]] = q match {
-      case SpanTermS(t) => List(Set(t))
-      case SpanNearS(cs, _, _) => cs.flatMap(cnf)
-      case SpanOrS(cs) => List(cs.flatMap(SpanMatcher.termsOf).toSet)
-      case SpanNotS(i, _) => cnf(i)
-      case SpanFirstS(i, _) => cnf(i)
-      case SpanPosRangeS(i, _, _) => cnf(i)
+    // CNF over-approximation in (field, term) keys — masked subtrees
+    // resolve to their REAL field (FieldMaskingSpanQuery.GetSpans runs the
+    // masked query unchanged)
+    def cnf(q: SpanQ, f: String): List[Set[(String, String)]] = q match {
+      case SpanTermS(t) => List(Set(f -> t))
+      case SpanNearS(cs, _, _) => cs.flatMap(cnf(_, f))
+      case SpanOrS(cs) => List(cs.flatMap(SpanMatcher.fieldTermsOf(_, f)).toSet)
+      case SpanNotS(i, _) => cnf(i, f)
+      case SpanFirstS(i, _) => cnf(i, f)
+      case SpanPosRangeS(i, _, _) => cnf(i, f)
+      case SpanFieldMaskS(i, mf) => cnf(i, mf)
+      case SpanPayloadCheckS(i, _) => cnf(i, f)
+      case SpanNearPayloadCheckS(i, _) => cnf(i, f)
     }
-    val groups0 = cnf(span).map(_.filter(t => stats.contains((field, t))))
+    val groups0 = cnf(span, field).map(_.filter(stats.contains))
     if (groups0.exists(_.isEmpty)) return spark.emptyDataset[Hit]
-    val groups: Array[Array[String]] = groups0.map(_.toArray).toArray
+    val groups: Array[Array[(String, String)]] = groups0.map(_.toArray).toArray
     // exclusion terms (SpanNot.exclude) are needed for verification only
-    val verifyTerms = SpanMatcher.termsOf(span).filter(t => stats.contains((field, t))).toArray
+    val verifyKeys = SpanMatcher.fieldTermsOf(span, field).filter(stats.contains).toArray
+    val needPay = SpanMatcher.needsPayloads(span)
     val bd = boost.toDouble
     val floatMode = searcher.mode == LuceneFloat
     val scorer: (Double, Int) => Double =
       if (!scored) null
       else {
         // summed idf over ALL the span's terms (SpanWeight ~ phrase weight;
-        // absent terms contribute idf at df = 0, like phraseSlots)
-        val terms = SpanMatcher.termsOf(span).toList.sorted
-        def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
-        val idfSumF = terms.map(t => searcher.idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
-        val idfSumD = terms.map(t => searcher.idfDouble(dfOf(t))).sum
-        val ttfs = terms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L))
+        // absent terms contribute idf at df = 0, like phraseSlots). With
+        // field masks: term stats come from each term's REAL field while
+        // the norm/collection side (makeScorer's `field`) stays the masked
+        // one — the reference's documented FieldMaskingSpanQuery scoring.
+        val keys = SpanMatcher.fieldTermsOf(span, field).toList.sorted
+        def dfOf(k: (String, String)): Long = stats.get(k).map(_._1).getOrElse(0L)
+        val idfSumF = keys.map(k => searcher.idfFloat(dfOf(k))).foldLeft(0.0f)(_ + _)
+        val idfSumD = keys.map(k => searcher.idfDouble(dfOf(k))).sum
+        val ttfs = keys.map(k => stats.get(k).map(_._2).getOrElse(0L))
         searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
-          lmTtfs = Some(ttfs), lmDfs = Some(terms.map(dfOf)))
+          lmTtfs = Some(ttfs), lmDfs = Some(keys.map(dfOf)))
       }
 
-    postingRows(searcher, verifyTerms.toSet.map((t: String) => (field, t))).mapPartitions { rows =>
+    postingRows(searcher, verifyKeys.toSet).mapPartitions { rows =>
       val bySeg = rows.toArray.groupBy(_.segmentId)
       bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
-        val groupCursors = groups.map(g => slotCursor(ps, g))
-        // independent per-term cursors for position verification
-        val termCursors: Map[String, ClauseCursor] =
-          verifyTerms.flatMap(t => Option(slotCursor(ps, Array(t))).map(t -> _)).toMap
+        val groupCursors = groups.map(g => slotCursorF(ps, g))
+        // independent per-key cursors for position verification
+        val termCursors: Map[(String, String), ClauseCursor] =
+          verifyKeys.flatMap(k => Option(slotCursorF(ps, Array(k))).map(k -> _)).toMap
+        // payload lookups decode the full row once per (segment, key) —
+        // same cost class as PayloadTermQuery, only when the tree checks
+        // payloads (needPay); piece rows have disjoint ranges, so docs
+        // resolve by binary search within each piece
+        val payIdx: Map[(String, String), PayloadIndex] =
+          if (!needPay) Map.empty
+          else verifyKeys.flatMap { k =>
+            val pieces = ps.filter(r => r.field == k._1 && r.term == k._2 && r.payloads != null)
+            if (pieces.isEmpty) None else Some(k -> new PayloadIndex(pieces))
+          }.toMap
         if (groupCursors.exists(_ == null)) Iterator.empty
         else candidateDocs(groupCursors).flatMap { cand =>
           var fieldLen = 0
-          val posMap: Map[String, Array[Int]] = termCursors.flatMap { case (t, c) =>
+          var maskedLen = 0
+          val posMap: Map[(String, String), Array[Int]] = termCursors.flatMap { case (k, c) =>
             if (!c.exhausted && c.doc < cand) c.advance(cand)
             if (!c.exhausted && c.doc == cand) {
-              fieldLen = c.len
-              Some(t -> c.positionsMerged())
+              // norm length from the top (masked) field's postings; fall
+              // back to any field only if no top-field term hit the doc
+              if (k._1 == field) fieldLen = c.len else maskedLen = c.len
+              Some(k -> c.positionsMerged())
             } else None
           }
+          if (fieldLen == 0) fieldLen = maskedLen
+          val pos: SpanMatcher.PosLookup =
+            (f, t) => posMap.getOrElse((f, t), SpanMatcher.NoPositions)
+          val pay: SpanMatcher.PayLookup =
+            if (!needPay) SpanMatcher.NoPayloads
+            else (f, t, p) => payIdx.get((f, t)).map(_.payloadAt(cand, p)).orNull
           if (!scored) {
-            if (SpanMatcher.matches(span, posMap)) Some(Hit(seg, cand, bd)) else None
+            if (SpanMatcher.matchesF(span, field, pos, pay)) Some(Hit(seg, cand, bd)) else None
           } else {
-            val spans = SpanMatcher.spans(span, posMap) // sorted distinct
+            val spans = SpanMatcher.spansF(span, field, pos, pay) // sorted distinct
             if (spans.isEmpty) None
             else {
               val freq: Double =
@@ -484,6 +514,51 @@ object Leapfrog {
   /** Cursor over the union of `terms`' pieces in this segment (alternatives
     * of one slot / one CNF group); null when none present.
     */
+  /** Field-qualified slot cursor — the span path fetches rows from SEVERAL
+    * fields when the tree holds FieldMaskingSpanQuery subtrees, so piece
+    * selection must match on (field, term), not term alone. */
+  private def slotCursorF(rows: Array[PostingRow], keys: Array[(String, String)]): ClauseCursor = {
+    val pieces = rows.filter(r => keys.contains((r.field, r.term))).map(p =>
+      new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips, p.positions))
+    if (pieces.isEmpty) null else new ClauseCursor(pieces)
+  }
+
+  /** Per-(field, term) payload lookup for the span payload checks:
+    * full-decodes each piece row's doc/position/payload streams once per
+    * segment task (same cost class as PayloadTermQuery, which must read
+    * every matching doc's payloads anyway), then answers
+    * payloadAt(docId, position) by binary search — piece rows carry
+    * disjoint docId ranges, so at most one piece holds the doc. */
+  private final class PayloadIndex(pieces: Array[PostingRow]) {
+    private val decoded = pieces.map { p =>
+      val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+      val (starts, lens, flat) =
+        PostingsCodec.decodePayloads(d.posStart(d.tfs.length), p.payloads)
+      (d, starts, lens, flat)
+    }
+    /** Payload bytes of `docId`'s occurrence at `position`; null = none. */
+    def payloadAt(docId: Int, position: Int): Array[Byte] = {
+      var i = 0
+      while (i < decoded.length) {
+        val (d, starts, lens, flat) = decoded(i)
+        val di = java.util.Arrays.binarySearch(d.docIds, docId)
+        if (di >= 0) {
+          var k = d.posStart(di)
+          while (k < d.posStart(di + 1)) {
+            if (d.posFlat(k) == position) {
+              return if (lens(k) == 0) null
+              else java.util.Arrays.copyOfRange(flat, starts(k), starts(k) + lens(k))
+            }
+            k += 1
+          }
+          return null
+        }
+        i += 1
+      }
+      null
+    }
+  }
+
   private def slotCursor(rows: Array[PostingRow], terms: Array[String]): ClauseCursor = {
     val pieces = rows.filter(r => terms.contains(r.term)).map(p =>
       new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips, p.positions))

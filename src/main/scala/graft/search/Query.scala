@@ -118,8 +118,8 @@ object Query {
     case BoolQ(cs, _) => cs.flatMap(c => fieldTerms(c._2, field)).toSet
     case PhraseQ(ts, _, _) => ts.map(field -> _._1).toSet
     case MultiPhraseQ(ss, _) => ss.flatMap(_._1).map(field -> _).toSet
-    case SpanMatchQ(sp, _) => SpanMatcher.termsOf(sp).map(field -> _)
-    case SpanScoreQ(sp, _) => SpanMatcher.termsOf(sp).map(field -> _)
+    case SpanMatchQ(sp, _) => SpanMatcher.fieldTermsOf(sp, field)
+    case SpanScoreQ(sp, _) => SpanMatcher.fieldTermsOf(sp, field)
     case PayloadScoreQ(t, _, _) => Set(field -> t)
     case DisMaxQ(cs, _) => cs.flatMap(fieldTerms(_, field)).toSet
     case ConstantScoreQ(inner, _) => fieldTerms(inner, field)

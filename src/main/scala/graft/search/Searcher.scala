@@ -1494,6 +1494,40 @@ final class Searcher(spark: SparkSession, indexPath: String,
     }.collect().toMap // piece rows have disjoint ranges: at most one matches
   }
 
+  /** Payload lookup for explain over one (segment, doc) — only materialized
+    * when the span tree contains payload checks; decodes the keys' payload
+    * streams exactly like the serving path's PayloadIndex. */
+  private def explainPayLookup(span: SpanQ, field: String, seg: Int,
+                               doc: Int): SpanMatcher.PayLookup = {
+    if (!SpanMatcher.needsPayloads(span)) return SpanMatcher.NoPayloads
+    val keys = SpanMatcher.fieldTermsOf(span, field)
+    val pred = keys.groupBy(_._1).map { case (f, ks) =>
+      col("field") === f && col("term").isInCollection(ks.map(_._2))
+    }.reduce(_ || _)
+    val rows = postings.filter(col("segmentId") === seg && pred).flatMap { p =>
+      if (p.payloads == null) None
+      else {
+        val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+        val di = java.util.Arrays.binarySearch(d.docIds, doc)
+        if (di < 0) None
+        else {
+          val (starts, lens, flat) =
+            PostingsCodec.decodePayloads(d.posStart(d.tfs.length), p.payloads)
+          val ks = d.posStart(di) until d.posStart(di + 1)
+          Some((p.field, p.term,
+            ks.map(d.posFlat).toArray,
+            ks.map(k => if (lens(k) == 0) null
+              else java.util.Arrays.copyOfRange(flat, starts(k), starts(k) + lens(k))).toArray))
+        }
+      }
+    }.collect()
+    val byKey: Map[(String, String), Map[Int, Array[Byte]]] = rows.map {
+      case (f, t, ps, pls) =>
+        (f, t) -> ps.zip(pls).filter(_._2 != null).toMap
+    }.toMap
+    (f, t, p) => byKey.get((f, t)).flatMap(_.get(p)).orNull
+  }
+
   /** IndexSearcher.Explain analog (Search/IndexSearcher.cs:692): decompose
     * the score of one (segment, doc) for `q`. The returned value equals the
     * compile() score exactly (same scorer closures compute both).
@@ -1612,26 +1646,26 @@ final class Searcher(spark: SparkSession, indexPath: String,
       explainPhrase(slots, boost, 0, stats, field, qn, dv)
 
     case SpanMatchQ(span, boost) =>
-      val posMap = SpanMatcher.termsOf(span).flatMap { t =>
-        dv.get((field, t)).map(v => t -> v._3)
-      }.toMap
-      if (SpanMatcher.matches(span, posMap)) Explanation(boost.toDouble, s"span match, constant $boost")
+      val pos: SpanMatcher.PosLookup =
+        (f, t) => dv.get((f, t)).map(_._3).getOrElse(SpanMatcher.NoPositions)
+      if (SpanMatcher.matchesF(span, field, pos, explainPayLookup(span, field, seg, doc)))
+        Explanation(boost.toDouble, s"span match, constant $boost")
       else Explanation.noMatch("span did not match")
 
     case SpanScoreQ(span, boost) =>
-      val entries = SpanMatcher.termsOf(span).toList.sorted.flatMap { t =>
-        dv.get((field, t)).map(v => t -> v)
-      }
-      val posMap = entries.map { case (t, v) => t -> v._3 }.toMap
-      val spans = SpanMatcher.spans(span, posMap)
+      val keys = SpanMatcher.fieldTermsOf(span, field).toList.sorted
+      val entries = keys.flatMap(k => dv.get(k).map(k -> _))
+      val pos: SpanMatcher.PosLookup =
+        (f, t) => dv.get((f, t)).map(_._3).getOrElse(SpanMatcher.NoPositions)
+      val spans = SpanMatcher.spansF(span, field, pos, explainPayLookup(span, field, seg, doc))
       if (spans.isEmpty) Explanation.noMatch("span did not match")
       else {
-        val len = entries.head._2._2
-        val terms = SpanMatcher.termsOf(span).toList.sorted
-        def dfOf(t: String): Long = stats.get((field, t)).map(_._1).getOrElse(0L)
-        val idfSumF = terms.map(t => idfFloat(dfOf(t))).foldLeft(0.0f)(_ + _)
-        val idfSumD = terms.map(t => idfDouble(dfOf(t))).sum
-        val ttfs = terms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L))
+        // norm length from the top (masked) field, like the serving path
+        val len = entries.find(_._1._1 == field).getOrElse(entries.head)._2._2
+        def dfOf(k: (String, String)): Long = stats.get(k).map(_._1).getOrElse(0L)
+        val idfSumF = keys.map(k => idfFloat(dfOf(k))).foldLeft(0.0f)(_ + _)
+        val idfSumD = keys.map(k => idfDouble(dfOf(k))).sum
+        val ttfs = keys.map(k => stats.get(k).map(_._2).getOrElse(0L))
         val freq: Double = mode match {
           case LuceneFloat =>
             var f = 0f; spans.foreach { case (s, e) => f += 1f / ((e - s) + 1) }; f.toDouble
@@ -1639,7 +1673,7 @@ final class Searcher(spark: SparkSession, indexPath: String,
             var f = 0d; spans.foreach { case (s, e) => f += 1.0 / ((e - s) + 1) }; f
         }
         val sc = makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
-          lmTtfs = Some(ttfs), lmDfs = Some(terms.map(dfOf)))(freq, len)
+          lmTtfs = Some(ttfs), lmDfs = Some(keys.map(dfOf)))(freq, len)
         Explanation(sc, "span weight, product of:", Seq(
           Explanation(idfSumD, "idf, sum over span terms"),
           Explanation(freq, "sloppyFreq, sum over spans"),
