@@ -383,6 +383,16 @@ object Queries {
       idsOf(IndexCache.shingleSearcher(s, dir), TermQ("beta gamma"))),
     "q_filter_ngram" -> ((s, dir) =>
       idsOf(IndexCache.ngramSearcher(s, dir), TermQ("bcd"))),
+    // NGramPhraseQuery rewrite over the CJK bigram chain (the gram
+    // TOKENIZER case the reference optimizes — consecutive positions):
+    // "数据 据系 系统" keeps 数据@0 + 系统@2, dropping the middle bigram's
+    // posting list; same doc set (even docs)
+    "q_ngram_phrase" -> ((s, dir) => {
+      val full = PhraseQ(List("数据" -> 0, "据系" -> 1, "系统" -> 2))
+      val opt = Query.ngramPhrase(2, full)
+      require(opt.terms == List("数据" -> 0, "系统" -> 2), s"rewrite shape: $opt")
+      idsOf(IndexCache.cjkSearcher(s, dir), opt)
+    }),
     // the injected synonym must sit at the SOURCE position (posIncr = 0):
     // phrase quick->engine with the source gap proves it
     "q_filter_synonym" -> ((s, dir) =>
@@ -815,6 +825,33 @@ object Queries {
       PayloadScoreQ("alpha", "min"), intScore = true)),
     "q_payload_avg" -> ((s, dir) => payloadIds(IndexCache.payloadSearcher(s, dir),
       PayloadScoreQ("alpha", "avg"), intScore = false)),
+
+    // --- PayloadNearQuery: span score x avg payload over the one (alpha
+    //     beta) span per doc; the span-weight factor is constant across the
+    //     fixture (equal dfs, fieldLen 3), so rank order is the payload avg
+    //     (doc_id%7 + doc_id%13)/2 with doc_id tie-break
+    "q_payload_near" -> ((s, dir) => {
+      val se = IndexCache.payloadSearcher(s, dir)
+      val hits = se.compile(PayloadNearQ(
+        SpanNearS(List(SpanTermS("alpha"), SpanTermS("beta")), 0, inOrder = true), "avg"))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .withColumn("doc_id", expr("cast(substring(url, 4) as bigint)"))
+        .select("doc_id", "score")
+      Ranks.rankTopK(hits, 15, Seq(col("score").desc, col("doc_id").asc))
+        .select("doc_id", "rank").orderBy("rank")
+    }),
+
+    // --- PayloadSpanUtil: the SET of payloads touched by a standard
+    //     query's matches — (doc_id, payload-int) rows, int-decoded
+    "q_payload_spanutil" -> ((s, dir) => {
+      val se = IndexCache.payloadSearcher(s, dir)
+      PayloadSpanUtil.payloadsForQuery(se,
+        BoolQ(List(Occur.Should -> TermQ("alpha"), Occur.Should -> TermQ("beta"))))
+        .join(se.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"),
+          expr("cast(conv(hex(payload), 16, 10) as int)").as("pay"))
+        .orderBy("doc_id", "pay")
+    }),
 
     // --- LM Dirichlet similarity (LMDirichletSimilarity, mu=2000): per-term
     //     score = ln(1 + tf/(mu*(ttf+1)/(sttf+1))) + ln(mu/(dl+mu)), clip 0
@@ -1417,6 +1454,8 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_filter_ngram" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_ngram_phrase" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_filter_synonym" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_filter_porter" ->
@@ -1990,6 +2029,21 @@ object Queries {
     "q_payload_avg" ->
       """SELECT doc_id, CAST((doc_id % 7) + ((doc_id + 3) % 7) AS DOUBLE) / 2 AS pay
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // distinct payload ints per doc among {id%7, (id+3)%7, id%13}
+    "q_payload_spanutil" ->
+      """SELECT doc_id, CAST(pay AS INT) AS pay FROM (
+        |  SELECT DISTINCT doc_id, doc_id % 7 AS pay FROM documents
+        |  UNION SELECT doc_id, (doc_id + 3) % 7 FROM documents
+        |  UNION SELECT doc_id, doc_id % 13 FROM documents)
+        |ORDER BY doc_id, pay""".stripMargin,
+
+    // span-weight factor constant across docs (equal dfs, fieldLen 3):
+    // rank == payload average (doc_id%7 + doc_id%13)/2 desc, doc_id asc
+    "q_payload_near" ->
+      """SELECT doc_id, CAST(row_number() OVER (
+        |  ORDER BY (doc_id % 7) + (doc_id % 13) DESC, doc_id) AS INT) AS rank
+        |FROM documents ORDER BY rank LIMIT 15""".stripMargin,
 
     // analytic twin of the classic-grammar token stream on the fixture
     "q_std_tokens" ->

@@ -144,6 +144,10 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
     case SpanMatchQ(span, boost) =>
       if (SpanMatcher.matches(span, d.positions)) Some(boost) else None
 
+    // the oracle stores no payload streams: PayloadFunction.DocScore
+    // defaults to 1.0, so PayloadNearQuery degenerates to the span score
+    case PayloadNearQ(span, _, boost) => scoreDoc(SpanScoreQ(span, boost), d)
+
     case SpanScoreQ(span, boost) =>
       // SpanScorer.cs:72-88: freq = sum of sloppyFreq(end-start) over spans
       val spans = SpanMatcher.spans(span, d.positions)

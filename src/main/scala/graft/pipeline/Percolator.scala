@@ -25,6 +25,7 @@ object Percolator {
   private[pipeline] def guardTerms(q: Query): Option[Set[String]] = q match {
     case TermQ(t, _) => Some(Set(t))
     case PayloadScoreQ(t, _, _) => Some(Set(t)) // matches iff the term matches
+    case PayloadNearQ(sp, _, _) => Some(SpanMatcher.termsOf(sp))
     case PhraseQ(terms, _, _) => Some(terms.map(_._1).toSet)
     case MultiPhraseQ(slots, _) => Some(slots.flatMap(_._1).toSet)
     case FieldQ(_, inner) => guardTerms(inner)

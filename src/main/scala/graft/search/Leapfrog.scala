@@ -394,30 +394,23 @@ object Leapfrog {
                 qn: Double): Dataset[Hit] =
     spanEval(searcher, spark, field, span, boost, stats, scored = true, qn)
 
+  /** PayloadNearQuery (Search/Payloads/PayloadNearQuery.cs): span score ×
+    * PayloadFunction aggregate over the payloads of every matching span. */
+  def payloadNear(searcher: Searcher, spark: SparkSession, field: String, span: SpanNearS,
+                  payFn: String, boost: Float, stats: Map[(String, String), (Long, Long)],
+                  qn: Double): Dataset[Hit] =
+    spanEval(searcher, spark, field, span, boost, stats, scored = true, qn, payFn = payFn)
+
   private def spanEval(searcher: Searcher, spark: SparkSession, field: String, span: SpanQ,
                        boost: Float, stats: Map[(String, String), (Long, Long)],
-                       scored: Boolean, qn: Double): Dataset[Hit] = {
+                       scored: Boolean, qn: Double, payFn: String = null): Dataset[Hit] = {
     import spark.implicits._
-    // CNF over-approximation in (field, term) keys — masked subtrees
-    // resolve to their REAL field (FieldMaskingSpanQuery.GetSpans runs the
-    // masked query unchanged)
-    def cnf(q: SpanQ, f: String): List[Set[(String, String)]] = q match {
-      case SpanTermS(t) => List(Set(f -> t))
-      case SpanNearS(cs, _, _) => cs.flatMap(cnf(_, f))
-      case SpanOrS(cs) => List(cs.flatMap(SpanMatcher.fieldTermsOf(_, f)).toSet)
-      case SpanNotS(i, _) => cnf(i, f)
-      case SpanFirstS(i, _) => cnf(i, f)
-      case SpanPosRangeS(i, _, _) => cnf(i, f)
-      case SpanFieldMaskS(i, mf) => cnf(i, mf)
-      case SpanPayloadCheckS(i, _) => cnf(i, f)
-      case SpanNearPayloadCheckS(i, _) => cnf(i, f)
-    }
-    val groups0 = cnf(span, field).map(_.filter(stats.contains))
+    val groups0 = spanCnf(span, field).map(_.filter(stats.contains))
     if (groups0.exists(_.isEmpty)) return spark.emptyDataset[Hit]
     val groups: Array[Array[(String, String)]] = groups0.map(_.toArray).toArray
     // exclusion terms (SpanNot.exclude) are needed for verification only
     val verifyKeys = SpanMatcher.fieldTermsOf(span, field).filter(stats.contains).toArray
-    val needPay = SpanMatcher.needsPayloads(span)
+    val needPay = SpanMatcher.needsPayloads(span) || payFn != null
     val bd = boost.toDouble
     val floatMode = searcher.mode == LuceneFloat
     val scorer: (Double, Int) => Double =
@@ -476,9 +469,10 @@ object Leapfrog {
           if (!scored) {
             if (SpanMatcher.matchesF(span, field, pos, pay)) Some(Hit(seg, cand, bd)) else None
           } else {
-            val spans = SpanMatcher.spansF(span, field, pos, pay) // sorted distinct
-            if (spans.isEmpty) None
+            val ps = SpanMatcher.pspans(span, field, pos, pay)
+            if (ps.isEmpty) None
             else {
+              val spans = ps.map(s => (s.start, s.end)).distinct // sorted already
               val freq: Double =
                 if (floatMode) {
                   var f = 0f
@@ -489,7 +483,16 @@ object Leapfrog {
                   spans.foreach { case (s, e) => f += 1.0 / ((e - s) + 1) }
                   f
                 }
-              Some(Hit(seg, cand, scorer(freq, fieldLen)))
+              val score =
+                if (payFn == null) scorer(freq, fieldLen)
+                else {
+                  // PayloadNearSpanScorer.ScoreCurrentDoc: span score ×
+                  // PayloadFunction.DocScore (float product in float mode)
+                  val factor = payloadAggregate(ps, payFn)
+                  if (floatMode) (scorer(freq, fieldLen).toFloat * factor.toFloat).toDouble
+                  else scorer(freq, fieldLen) * factor
+                }
+              Some(Hit(seg, cand, score))
             }
           }
         }
@@ -514,6 +517,78 @@ object Leapfrog {
   /** Cursor over the union of `terms`' pieces in this segment (alternatives
     * of one slot / one CNF group); null when none present.
     */
+  /** CNF over-approximation in (field, term) keys — masked subtrees
+    * resolve to their REAL field (FieldMaskingSpanQuery.GetSpans runs the
+    * masked query unchanged). */
+  private def spanCnf(q: SpanQ, f: String): List[Set[(String, String)]] = q match {
+    case SpanTermS(t) => List(Set(f -> t))
+    case SpanNearS(cs, _, _) => cs.flatMap(spanCnf(_, f))
+    case SpanOrS(cs) => List(cs.flatMap(SpanMatcher.fieldTermsOf(_, f)).toSet)
+    case SpanNotS(i, _) => spanCnf(i, f)
+    case SpanFirstS(i, _) => spanCnf(i, f)
+    case SpanPosRangeS(i, _, _) => spanCnf(i, f)
+    case SpanFieldMaskS(i, mf) => spanCnf(i, mf)
+    case SpanPayloadCheckS(i, _) => spanCnf(i, f)
+    case SpanNearPayloadCheckS(i, _) => spanCnf(i, f)
+  }
+
+  /** PayloadSpanUtil's gather step: (segmentId, docId, payload) rows — one
+    * per payload-carrying position covered by a matching span of `span`.
+    * Delete overlays are NOT applied (the reference util's contract is an
+    * "IndexReader [that] should only contain doc of interest"). */
+  def spanPayloads(searcher: Searcher, spark: SparkSession, field: String, span: SpanQ,
+                   stats: Map[(String, String), (Long, Long)]): Dataset[(Int, Int, Array[Byte])] = {
+    import spark.implicits._
+    val groups0 = spanCnf(span, field).map(_.filter(stats.contains))
+    if (groups0.exists(_.isEmpty))
+      return spark.emptyDataset[(Int, Int, Array[Byte])]
+    val groups: Array[Array[(String, String)]] = groups0.map(_.toArray).toArray
+    val verifyKeys = SpanMatcher.fieldTermsOf(span, field).filter(stats.contains).toArray
+    postingRows(searcher, verifyKeys.toSet).mapPartitions { rows =>
+      val bySeg = rows.toArray.groupBy(_.segmentId)
+      bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
+        val groupCursors = groups.map(g => slotCursorF(ps, g))
+        val termCursors: Map[(String, String), ClauseCursor] =
+          verifyKeys.flatMap(k => Option(slotCursorF(ps, Array(k))).map(k -> _)).toMap
+        val payIdx: Map[(String, String), PayloadIndex] = verifyKeys.flatMap { k =>
+          val pieces = ps.filter(r => r.field == k._1 && r.term == k._2 && r.payloads != null)
+          if (pieces.isEmpty) None else Some(k -> new PayloadIndex(pieces))
+        }.toMap
+        if (groupCursors.exists(_ == null)) Iterator.empty
+        else candidateDocs(groupCursors).flatMap { cand =>
+          val posMap = termCursors.flatMap { case (k, c) =>
+            if (!c.exhausted && c.doc < cand) c.advance(cand)
+            if (!c.exhausted && c.doc == cand) Some(k -> c.positionsMerged()) else None
+          }
+          val pos: SpanMatcher.PosLookup =
+            (f, t) => posMap.getOrElse((f, t), SpanMatcher.NoPositions)
+          val pay: SpanMatcher.PayLookup =
+            (f, t, p) => payIdx.get((f, t)).map(_.payloadAt(cand, p)).orNull
+          SpanMatcher.pspans(span, field, pos, pay).flatMap(_.pays).map(b => (seg, cand, b))
+        }
+      }
+    }
+  }
+
+  /** PayloadFunction.DocScore over every payload of every matching span
+    * (Payloads/AveragePayloadFunction.cs, Min/MaxPayloadFunction.cs):
+    * 4-byte-int payloads decode like PayloadScoreQ; payloadsSeen == 0 ->
+    * the 1.0 default. */
+  private def payloadAggregate(ps: List[SpanMatcher.PSpan], fn: String): Double = {
+    var sum = 0L; var mn = Int.MaxValue; var mx = Int.MinValue; var n = 0
+    ps.foreach(_.pays.foreach { b =>
+      if (b.length == 4) {
+        val v = graft.analysis.DelimitedPayloadAnalyzer.decodeInt(b, 0)
+        sum += v; if (v < mn) mn = v; if (v > mx) mx = v; n += 1
+      }
+    })
+    if (n == 0) 1.0 else fn match {
+      case "min" => mn.toDouble
+      case "max" => mx.toDouble
+      case _ => sum.toDouble / n
+    }
+  }
+
   /** Field-qualified slot cursor — the span path fetches rows from SEVERAL
     * fields when the tree holds FieldMaskingSpanQuery subtrees, so piece
     * selection must match on (field, term), not term alone. */

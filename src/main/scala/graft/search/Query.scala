@@ -77,6 +77,15 @@ final case class FuzzyTopQ(term: String, maxEdits: Int = 2, maxExpansions: Int =
   */
 final case class PayloadScoreQ(term: String, fn: String = "avg", boost: Float = 1f) extends Query
 
+/** PayloadNearQuery (Search/Payloads/PayloadNearQuery.cs): a SpanNearQuery
+  * whose score is the SpanScorer value MULTIPLIED by a PayloadFunction
+  * aggregate (`fn` = "min" | "max" | "avg") over the payloads collected
+  * from every matching span of the doc (PayloadNearSpanScorer.GetPayloads
+  * walks all sub-spans; DocScore defaults to 1.0 when no payloads seen).
+  * Payload bytes decode as 4-byte ints like PayloadScoreQ (the
+  * IntegerEncoder discipline). */
+final case class PayloadNearQ(span: SpanNearS, fn: String = "avg", boost: Float = 1f) extends Query
+
 case object MatchAllQ extends Query
 final case class ConstantScoreQ(inner: Query, boost: Float = 1f) extends Query
 /** score = max + tieBreaker * (sum - max), DisjunctionMaxQuery.cs:46,113. */
@@ -121,6 +130,7 @@ object Query {
     case SpanMatchQ(sp, _) => SpanMatcher.fieldTermsOf(sp, field)
     case SpanScoreQ(sp, _) => SpanMatcher.fieldTermsOf(sp, field)
     case PayloadScoreQ(t, _, _) => Set(field -> t)
+    case PayloadNearQ(sp, _, _) => SpanMatcher.fieldTermsOf(sp, field)
     case DisMaxQ(cs, _) => cs.flatMap(fieldTerms(_, field)).toSet
     case ConstantScoreQ(inner, _) => fieldTerms(inner, field)
     case FieldQ(f, inner) => fieldTerms(inner, f)
@@ -163,6 +173,7 @@ object Query {
       case SpanScoreQ(s, b0) => SpanScoreQ(s, b0 * b)
       case FuzzyTopQ(t, e, m, b0) => FuzzyTopQ(t, e, m, b0 * b)
       case PayloadScoreQ(t, f, b0) => PayloadScoreQ(t, f, b0 * b)
+      case PayloadNearQ(s, f, b0) => PayloadNearQ(s, f, b0 * b)
       case ConstantScoreQ(i, b0) => ConstantScoreQ(i, b0 * b)
       case BoolQ(cs, msm) =>
         BoolQ(cs.map { case (o, c) => (o, if (o == Occur.MustNot) c else withBoost(c, b)) }, msm)
@@ -170,6 +181,26 @@ object Query {
       case FieldQ(f, i) => FieldQ(f, withBoost(i, b))
       case other => ConstantScoreQ(other, b) // MatchAll / dictionary queries
     }
+
+  /** NGramPhraseQuery (Search/NGramPhraseQuery.cs:46-88 Rewrite): an EXACT
+    * (slop 0) phrase of consecutive-position n-gram terms keeps only every
+    * n-th slot plus the last — adjacent n-grams overlap by n-1 chars, so
+    * the retained slots pin the identical doc set with fewer posting
+    * lists. Non-optimizable shapes (slop != 0, n < 2, < 3 terms,
+    * non-consecutive positions) return the phrase unchanged, like the
+    * reference's base.Rewrite fallthrough. */
+  def ngramPhrase(n: Int, q: PhraseQ): PhraseQ = {
+    if (q.slop != 0 || n < 2 || q.terms.lengthCompare(3) < 0) return q
+    val consecutive = q.terms.map(_._2).sliding(2).forall {
+      case Seq(a, b) => a + 1 == b
+      case _ => true
+    }
+    if (!consecutive) return q
+    val lastIdx = q.terms.length - 1
+    PhraseQ(q.terms.zipWithIndex.collect {
+      case ((t, p), i) if i % n == 0 || i >= lastIdx => (t, p)
+    }, q.boost, 0)
+  }
 
   /** Wildcard pattern -> regex (anchored), for dictionary scans. */
   def wildcardRegex(pattern: String): String = {

@@ -450,6 +450,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * Index/TermContext.cs:90): one tiny pruned aggregate, collected to the
     * driver, folded into constants.
     */
+  private[search] def session: SparkSession = spark
+
   def fieldTermStats(keys: Set[(String, String)]): Map[(String, String), (Long, Long)] = {
     if (keys.isEmpty) return Map.empty
     val byField = keys.groupBy(_._1)
@@ -795,6 +797,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
           val w = phraseIdfF(ss.flatMap(_._1.toList.sorted), field) * b; w * w
         case SpanScoreQ(sp, b) =>
           val w = phraseIdfF(SpanMatcher.termsOf(sp).toList.sorted, field) * b; w * w
+        case PayloadNearQ(sp, _, b) =>
+          val w = phraseIdfF(SpanMatcher.termsOf(sp).toList.sorted, field) * b; w * w
         case DisMaxQ(cs, _) => cs.map(sswF(_, field)).foldLeft(0f)(_ + _)
         case ConstantScoreQ(_, b) => b * b
         case _ => 1f
@@ -808,6 +812,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
         case PhraseQ(ts, b, _) => val w = phraseIdfD(ts.map(_._1), field) * b; w * w
         case MultiPhraseQ(ss, b) => val w = phraseIdfD(ss.flatMap(_._1.toList.sorted), field) * b; w * w
         case SpanScoreQ(sp, b) =>
+          val w = phraseIdfD(SpanMatcher.termsOf(sp).toList.sorted, field) * b; w * w
+        case PayloadNearQ(sp, _, b) =>
           val w = phraseIdfD(SpanMatcher.termsOf(sp).toList.sorted, field) * b; w * w
         case DisMaxQ(cs, _) => cs.map(sswD(_, field)).sum
         case ConstantScoreQ(_, b) => b.toDouble * b
@@ -876,6 +882,9 @@ final class Searcher(spark: SparkSession, indexPath: String,
     case SpanMatchQ(span, boost) => Leapfrog.spanMatch(this, spark, field, span, boost, stats)
 
     case SpanScoreQ(span, boost) => Leapfrog.spanScore(this, spark, field, span, boost, stats, qn)
+
+    case PayloadNearQ(span, fn, boost) =>
+      Leapfrog.payloadNear(this, spark, field, span, fn, boost, stats, qn)
 
     case MatchAllQ =>
       docs.select(col("segmentId"), col("docId")).as[(Int, Int)]
@@ -1720,6 +1729,14 @@ final class Searcher(spark: SparkSession, indexPath: String,
         .filter(col("segmentId") === seg && col("docId") === doc).collect()
       if (hits.isEmpty) Explanation.noMatch("term absent in this doc")
       else Explanation(hits(0).score, s"payload $fn function over term positions")
+
+    case pq @ PayloadNearQ(_, fn, _) =>
+      // PayloadNearQuery, product of span weight and the payload function
+      val hits = compileNode(pq, stats, field, qn)
+        .filter(col("segmentId") === seg && col("docId") === doc).collect()
+      if (hits.isEmpty) Explanation.noMatch("span did not match")
+      else Explanation(hits(0).score,
+        s"PayloadNearQuery, span weight x payload $fn function")
 
     case mtq @ (PrefixQ(_) | RangeQ(_, _, _, _) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _)) =>
       // constant-score dictionary queries: matched iff the doc holds any of

@@ -35,6 +35,7 @@ object Drive {
     println("WORDNET: " + idx.search(wq, 3).map(_.key).mkString(","))
     driveSparkMerge()
     driveSpatialValueSources()
+    driveSpanExtras()
     println("EMPTYDOC_NORM: " + idx.docs.map(d => d.fieldLen).mkString(","))
   }
 
@@ -63,6 +64,27 @@ object Drive {
       Occur.Should -> Filters.terms(se, Seq("quick", "fox")),
       Occur.MustNot -> Filters.query(se, TermQ("lazy"))))
     println("FILTERS: n=" + filt.count())
+  }
+
+  /** Field-masked spans, payload checks, PayloadNear and PayloadSpanUtil
+    * at the package boundary. */
+  def driveSpanExtras(): Unit = {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    val base = java.nio.file.Files.createTempDirectory("drivespan").toString
+    val df = (0 until 60).map { id =>
+      (f"doc$id%04d", s"alpha|${id % 5} beta|${id % 3}")
+    }.toDF("url", "text")
+    graft.build.IndexBuilder.build(spark, df, base,
+      graft.build.IndexBuilder.BuildConfig(2, "delimited_payload", groupSize = 4))
+    val se = new Searcher(spark, base)
+    import graft.analysis.DelimitedPayloadAnalyzer.encodeInt
+    val check = se.count(SpanMatchQ(SpanPayloadCheckS(SpanTermS("alpha"), List(encodeInt(2)))))
+    val near = SpanNearS(List(SpanTermS("alpha"), SpanTermS("beta")), 0, inOrder = true)
+    val pn = se.search(PayloadNearQ(near, "max"), 3).collect()
+      .map(r => f"${r.getString(0)}:${r.getDouble(1)}%.2f").mkString(" ")
+    val utilRows = PayloadSpanUtil.payloadsForQuery(se, TermQ("beta")).count()
+    println(s"SPANPAY: check=$check near_top=[$pn] util_rows=$utilRows")
   }
 
   /** End-to-end Spark drive: build multi-segment index from generated pages,

@@ -99,4 +99,20 @@ class MultiTermRewriteSpec extends AnyFunSuite {
       assert(viaDict == viaScan && viaDict.nonEmpty)
     } finally graft.build.DictTable.writeMarker(spark, idxPath, marker)
   }
+
+  test("NGramPhraseQuery rewrite keeps every n-th gram plus the last") {
+    import Query.ngramPhrase
+    val full = PhraseQ(List("ab" -> 0, "bc" -> 1, "cd" -> 2, "de" -> 3, "ef" -> 4), 2f)
+    assert(ngramPhrase(2, full) == PhraseQ(List("ab" -> 0, "cd" -> 2, "ef" -> 4), 2f))
+    // last term always kept even off the stride
+    val four = PhraseQ(List("abc" -> 0, "bcd" -> 1, "cde" -> 2, "def" -> 3))
+    assert(ngramPhrase(3, four).terms == List("abc" -> 0, "def" -> 3))
+    // non-optimizable shapes return the phrase unchanged
+    assert(ngramPhrase(3, full.copy(slop = 1)) == full.copy(slop = 1)) // slop != 0
+    assert(ngramPhrase(1, full) == full)                       // n < 2
+    assert(ngramPhrase(2, PhraseQ(List("ab" -> 0, "bc" -> 1))) ==
+      PhraseQ(List("ab" -> 0, "bc" -> 1)))                     // too short
+    val gapped = PhraseQ(List("ab" -> 0, "cd" -> 2, "ef" -> 4))
+    assert(ngramPhrase(2, gapped) == gapped)                   // positions not consecutive
+  }
 }

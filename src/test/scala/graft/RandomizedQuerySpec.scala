@@ -35,8 +35,23 @@ class RandomizedQuerySpec extends AnyFunSuite {
         case 3 => PhraseQ(List("quick" -> 0, "brown" -> 1))
         case 4 => PrefixQ(randTerm(rnd).take(2 + rnd.nextInt(2)))
         case 5 => TermQ(randTerm(rnd), boost = 1f + rnd.nextInt(3))
-        case 6 => SpanScoreQ(SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")),
-          rnd.nextInt(4), inOrder = rnd.nextBoolean()))
+        case 6 =>
+          val near = SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")),
+            rnd.nextInt(4), inOrder = rnd.nextBoolean())
+          rnd.nextInt(4) match {
+            case 0 => SpanScoreQ(near)
+            // default-field mask is an identity on a one-field index —
+            // engine (real mask machinery) must equal the oracle
+            // (transparent-mask wrapper)
+            case 1 => SpanScoreQ(SpanNearS(List(
+              SpanFieldMaskS(SpanTermS("quick"), "text"), SpanTermS("fox")),
+              rnd.nextInt(4), inOrder = rnd.nextBoolean()))
+            // payload checks on a payload-less index: the plain check
+            // accepts every span, the near check none
+            case 2 => SpanMatchQ(SpanPayloadCheckS(SpanTermS("quick"),
+              List(Array[Byte](1, 2, 3, 4))))
+            case 3 => SpanMatchQ(SpanNearPayloadCheckS(near, List(Array[Byte](9))))
+          }
         case 7 => FuzzyQ(randTerm(rnd), 1)
         case 8 => FuzzyTopQ(randTerm(rnd), 1, 10)
         case 9 => FieldQ("text", TermQ(randTerm(rnd))) // default-field binding identity

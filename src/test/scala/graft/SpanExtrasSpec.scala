@@ -169,6 +169,56 @@ class SpanExtrasSpec extends AnyFunSuite {
     assert(paySe.explain(q, hit.segmentId, hit.docId).matched)
   }
 
+  test("engine: PayloadNearQuery = span score x payload function") {
+    val near = SpanNearS(List(SpanTermS("alpha"), SpanTermS("beta")), 1, inOrder = true)
+    def scores(fn: String): Map[Int, Double] =
+      paySe.compile(PayloadNearQ(near, fn))
+        .join(paySe.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+        .select("url", "score").collect()
+        .map(r => r.getString(0).drop(3).toInt -> r.getDouble(1)).toMap
+    val span = scores("avg") // payloads [id%5, id%3]
+    assert(span.keySet == (0 until N).toSet)
+    // the span-weight factor C is constant across the fixture (equal dfs and
+    // field lengths): scores must be proportional to the payload aggregate
+    // (avg of [0, 0] is 0.0 — payloadsSeen = 2, NOT the no-payload default)
+    val base = span.collectFirst { case (id, s) if (id % 5 + id % 3) > 0 => s * 2 / (id % 5 + id % 3) }.get
+    (0 until N).foreach { id =>
+      val want = base * (id % 5 + id % 3) / 2.0
+      assert(math.abs(span(id) - want) < 1e-9 * math.max(1.0, math.abs(want)),
+        s"doc $id: ${span(id)} vs $want")
+    }
+    val mx = scores("max"); val mn = scores("min")
+    (0 until N).foreach { id =>
+      assert(mx(id) + 1e-12 >= span(id) && span(id) + 1e-12 >= mn(id))
+      assert(math.abs(mx(id) - base * math.max(id % 5, id % 3)) < 1e-9 * math.max(1.0, mx(id)))
+    }
+    // explain equals compile
+    val h = paySe.compile(PayloadNearQ(near, "avg")).collect().maxBy(_.score)
+    val e = paySe.explain(PayloadNearQ(near, "avg"), h.segmentId, h.docId)
+    assert(e.matched && math.abs(e.value - h.score) < 1e-12)
+  }
+
+  test("engine: PayloadSpanUtil gathers the payload set of standard queries") {
+    import graft.analysis.DelimitedPayloadAnalyzer.decodeInt
+    // phrase "alpha beta"~2 converts to an unordered SpanNear (slop != 0);
+    // 'bare' matches but carries no payloads
+    val q = BoolQ(List(
+      Occur.Should -> PhraseQ(List("alpha" -> 0, "beta" -> 1), slop = 2),
+      Occur.Should -> TermQ("bare")))
+    val rows = PayloadSpanUtil.payloadsForQuery(paySe, q)
+      .join(paySe.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
+      .select("url", "payload").collect()
+      .map(r => r.getString(0).drop(3).toInt -> decodeInt(r.getAs[Array[Byte]](1), 0))
+      .groupBy(_._1).map { case (id, vs) => id -> vs.map(_._2).toSet }
+    assert(rows.keySet == (0 until N).toSet)
+    (0 until N).foreach { id =>
+      assert(rows(id) == Set(id % 5, id % 3), s"doc $id")
+    }
+    // prohibited clauses contribute nothing (GetPayloadsForQuery skips them)
+    val qNot = BoolQ(List(Occur.Must -> TermQ("bare"), Occur.MustNot -> TermQ("alpha")))
+    assert(PayloadSpanUtil.payloadsForQuery(paySe, qNot).count() == 0)
+  }
+
   test("engine: SpanNearPayloadCheck gathers sub-span payloads unordered") {
     // near (alpha, beta) slop 1 (bare sits between them), payloads {id%5, id%3}
     val near = SpanNearS(List(SpanTermS("alpha"), SpanTermS("beta")), 1, inOrder = true)
