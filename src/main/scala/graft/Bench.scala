@@ -80,6 +80,11 @@ object Bench {
       lucene.search(BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))), 10).collect()
     }
     results("q_phrase_top10") = timeMedian(trials) { lucene.search(PhraseQ(List("hash" -> 0, "join" -> 1)), 10).collect() }
+    // scored span near through the field-qualified span matcher
+    results("q_span_near") = timeMedian(trials) {
+      lucene.search(SpanScoreQ(SpanNearS(List(SpanTermS("hash"), SpanTermS("join")),
+        slop = 2, inOrder = true)), 10).collect()
+    }
     results("q_prefix") = timeMedian(trials) { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
     // scored fuzzy top-k through the pruned dictionary expansion
     // (length band + pigeonhole substring + in-plan top-maxExpansions)
