@@ -203,6 +203,45 @@ object QueriesPipeline {
         .orderBy("dim", "label")
     }),
 
+    // ---- association facets (Facet/Taxonomy/TaxonomyFacetSumIntAssociations
+    // .cs / ...SumFloatAssociations.cs): each doc carries (category, value)
+    // associations; the facet aggregates the SUM per category over matching
+    // docs (IntAssociationFacetField / FloatAssociationFacetField). The
+    // int association here is n_chars; the float one n_chars * 0.25
+    // (exactly representable, so the sum is order-insensitive).
+    "q_facet_assoc_int" -> ((s, dir) =>
+      documents(s, dir)
+        .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
+        .groupBy(col("source")).agg(sum(col("n_chars")).as("assoc_sum"))
+        .orderBy("source")),
+
+    "q_facet_assoc_float" -> ((s, dir) =>
+      documents(s, dir)
+        .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
+        .groupBy(col("lang"))
+        .agg(sum(col("n_chars").cast("double") * 0.25d).as("assoc_sum"))
+        .orderBy("lang")),
+
+    // ---- grouped facets (AbstractGroupFacetCollector.cs): facet counts
+    // where all docs of one GROUP count once per facet value — count of
+    // distinct groups per facet value
+    "q_group_facet" -> ((s, dir) =>
+      documents(s, dir)
+        .filter(expr("array_contains(regexp_extract_all(lower(text), '[a-z0-9]+', 0), 'vector')"))
+        .groupBy(col("lang")).agg(countDistinct(col("source")).as("groups"))
+        .orderBy("lang")),
+
+    // ---- group heads (AbstractAllGroupHeadsCollector.cs): the single head
+    // doc per group under the collector's sort — row_number 1 per group
+    "q_group_heads" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      documents(s, dir)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("lang")).orderBy(col("n_chars").desc, col("doc_id").asc)))
+        .filter(col("rn") === 1).select(col("lang"), col("doc_id"))
+        .orderBy("lang")
+    }),
+
     // ---- sampled facets (RandomSamplingFacetsCollector.cs): seeded
     // deterministic doc sampler + amortized original-count estimate
     "q_facet_sampled" -> ((s, dir) =>
@@ -221,6 +260,19 @@ object QueriesPipeline {
         .select(col("l_orderkey").as("o_orderkey"), col("child_matches"),
           col("score").cast("long").as("max_price100"))
         .orderBy("o_orderkey")),
+
+    // ---- ToParentBlockJoinSortField (Join/ToParentBlockJoinSortField.cs):
+    // parents ORDERED by an aggregate of a child field — top-10 orders by
+    // max child extendedprice
+    "q_blockjoin_sort" -> ((s, dir) => {
+      val agg = BlockJoin.toParent(s.read.parquet(s"$dir/lineitem.parquet"), "l_orderkey",
+        lit(true), expr("cast(floor(l_extendedprice * 100) as bigint)"), "Max")
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("score").cast("long").as("max_price100"))
+      graft.Ranks.rankTopK(agg, 10,
+          Seq(col("max_price100").desc, col("o_orderkey").asc))
+        .select("o_orderkey", "max_price100", "rank").orderBy("rank")
+    }),
 
     "q_blockjoin_child" -> ((s, dir) => {
       val par = s.read.parquet(s"$dir/orders.parquet")
@@ -753,6 +805,36 @@ object QueriesPipeline {
       """SELECT source, count(*) AS cnt FROM documents
         |WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
         |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_facet_assoc_int" ->
+      """SELECT source, CAST(sum(n_chars) AS BIGINT) AS assoc_sum FROM documents
+        |WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
+        |GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_facet_assoc_float" ->
+      """SELECT lang, sum(CAST(n_chars AS DOUBLE) * 0.25) AS assoc_sum FROM documents
+        |WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_group_facet" ->
+      """SELECT lang, CAST(count(DISTINCT source) AS BIGINT) AS groups FROM documents
+        |WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'vector')
+        |GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q_group_heads" ->
+      """SELECT lang, doc_id FROM (
+        |  SELECT lang, doc_id, row_number() OVER (
+        |    PARTITION BY lang ORDER BY n_chars DESC, doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    "q_blockjoin_sort" ->
+      """SELECT o_orderkey, max_price100,
+        |  CAST(row_number() OVER (ORDER BY max_price100 DESC, o_orderkey) AS INT) AS rank
+        |FROM (SELECT l_orderkey AS o_orderkey,
+        |        CAST(max(CAST(floor(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS max_price100
+        |      FROM lineitem GROUP BY l_orderkey)
+        |ORDER BY rank LIMIT 10""".stripMargin,
 
     "q_facet_ssdv" ->
       """WITH m AS (SELECT source, lang FROM documents
