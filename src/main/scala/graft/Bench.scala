@@ -94,6 +94,8 @@ object Bench {
     // lookups; the leading wildcard fetches by its literal run's bigrams
     results("q_fuzzy_gram") = timeMedian(trials) { lucene.search(FuzzyTopQ("streamer", 2), 10).collect() }
     results("q_wildcard_lead") = timeMedian(trials) { lucene.search(ConstantScoreQ(WildcardQ("*ream"), 1f), 10).collect() }
+    // regexp with mandatory literals {st, am}: candidates via gram equality
+    results("q_regexp_gram") = timeMedian(trials) { lucene.search(ConstantScoreQ(RegexpQ("st.*am.?"), 1f), 10).collect() }
 
     // 3. pipeline operators at scale
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")

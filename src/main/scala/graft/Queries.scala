@@ -138,6 +138,8 @@ object Queries {
     // index (required grams of the literal run), NOT a full dictionary scan
     "q_wildcard_lead" -> ((s, dir) => idsOf(searcher(s, dir), WildcardQ("*tion"))),
     "q_regexp" -> ((s, dir) => idsOf(searcher(s, dir), RegexpQ("st[aeiou]+.*"))),
+    // mandatory literals {st, eam} -> dict_grams candidate fetch, rlike verify
+    "q_regexp_gram" -> ((s, dir) => idsOf(searcher(s, dir), RegexpQ("st.*eam.?"))),
     "q_fuzzy" -> ((s, dir) => idsOf(searcher(s, dir), FuzzyQ("joins", 1))),
     // the reference FuzzyQuery default: scored top-terms rewrite with
     // boost = 1 - ed/min(len), maxExpansions cap, term-ordered clauses
@@ -1277,6 +1279,10 @@ object Queries {
     "q_regexp" ->
       s"""$P SELECT DISTINCT doc_id FROM tf
          |WHERE regexp_matches(term, '^st[aeiou]+.*$$') ORDER BY doc_id""".stripMargin,
+
+    "q_regexp_gram" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE regexp_matches(term, '^st.*eam.?$$') ORDER BY doc_id""".stripMargin,
 
     "q_fuzzy_topk" ->
       s"""$P, cands AS (

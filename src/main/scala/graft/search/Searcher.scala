@@ -132,6 +132,114 @@ object Searcher {
     case s => s
   }
 
+  /** Mandatory literal runs of a (Java-syntax) regular expression: substrings
+    * every matching string must contain CONTIGUOUSLY, extracted by a
+    * conservative linear walk — the columnar stand-in for the reference's
+    * automaton-guided dictionary walk (Index/AutomatonTermsEnum.cs factors
+    * the compiled automaton; we factor the pattern into required q-gram
+    * fetches against the dict_grams table, like the wildcard literal runs).
+    *
+    * Soundness contract: a char enters the current run only when the
+    * pattern REQUIRES it at a fixed offset within the run; any construct
+    * that could skip, repeat-with-gap or branch (`?`, `*`, `{0,..}`,
+    * class/dot, `+`/`{m,k}` tails) BREAKS the run, and anything whose
+    * analysis is non-local (groups, alternation, anchors, malformed tails)
+    * aborts to Nil — the caller then falls back to the full dictionary
+    * predicate scan, so extraction can only ever prune, never drop.
+    */
+  def regexLiteralRuns(re: String): List[String] = {
+    val runs = scala.collection.mutable.ListBuffer.empty[String]
+    val cur = new StringBuilder
+    def flush(): Unit = { if (cur.nonEmpty) { runs += cur.toString; cur.clear() } }
+    val n = re.length
+    var i = 0
+    var bail = false
+    /** Consume a quantifier at `i` if present. Returns (min, max, ok);
+      * (1, 1, true) when none. max = -1 means unbounded. */
+    def quantifier(): (Int, Int, Boolean) = {
+      if (i >= n) return (1, 1, true)
+      val q = re.charAt(i) match {
+        case '?' => i += 1; (0, 1, true)
+        case '*' => i += 1; (0, -1, true)
+        case '+' => i += 1; (1, -1, true)
+        case '{' =>
+          val close = re.indexOf('}', i)
+          if (close < 0) (0, 0, false)
+          else {
+            val body = re.substring(i + 1, close)
+            val parts = body.split(",", -1)
+            try {
+              val mn = parts(0).trim.toInt
+              val mx =
+                if (parts.length == 1) mn
+                else if (parts(1).trim.isEmpty) -1
+                else parts(1).trim.toInt
+              i = close + 1
+              (mn, mx, true)
+            } catch { case _: NumberFormatException => (0, 0, false) }
+          }
+        case _ => return (1, 1, true)
+      }
+      // reluctant / possessive suffix
+      if (q._3 && i < n && (re.charAt(i) == '?' || re.charAt(i) == '+')) i += 1
+      q
+    }
+    /** A single-char atom (literal `ch`) followed by its quantifier. */
+    def literalAtom(ch: Char): Unit = {
+      val (mn, mx, ok) = quantifier()
+      if (!ok) { bail = true; return }
+      if (mn == 0) flush() // optional: run breaks, char not required
+      else if (mn == mx) (0 until mn).foreach(_ => cur.append(ch)) // exact: contiguous, run continues
+      else { (0 until mn).foreach(_ => cur.append(ch)); flush() } // tail may repeat: gap after
+    }
+    /** A multi-char-capable atom (class, dot, class escape): contributes no
+      * literal; consume its quantifier and break the run. */
+    def opaqueAtom(): Unit = {
+      val (_, _, ok) = quantifier()
+      if (!ok) { bail = true; return }
+      flush()
+    }
+    while (i < n && !bail) {
+      re.charAt(i) match {
+        case '(' | ')' | '|' | '^' | '$' => return Nil // non-local; abort
+        case '?' | '*' | '+' | '{' => return Nil // orphan quantifier
+        case '.' => i += 1; opaqueAtom()
+        case '[' =>
+          i += 1
+          if (i < n && re.charAt(i) == '^') i += 1
+          if (i < n && re.charAt(i) == ']') i += 1 // leading ] is literal
+          while (i < n && re.charAt(i) != ']') {
+            re.charAt(i) match {
+              case '\\' => i += 1
+              case '[' => return Nil // nested class: walk would desync
+              case _ =>
+            }
+            i += 1
+          }
+          if (i >= n) return Nil
+          i += 1
+          opaqueAtom()
+        case '\\' =>
+          if (i + 1 >= n) return Nil
+          val e = re.charAt(i + 1)
+          i += 2
+          if (Character.isLetterOrDigit(e)) {
+            // alphanumeric escapes: the zero-width / one-char class ones
+            // (\d \w \s \b \B \A \G \z \Z \h \v \D \W \S \H \V \R) are
+            // safely opaque; anything that consumes FURTHER pattern chars
+            // (\uXXXX, \xHH, \0n, \cX, \p{..}, \N{..}, \k<..>, backrefs
+            // \1..\9) or quotes a region (\Q..\E) would desynchronize the
+            // walk — abort to the full-scan fallback
+            if ("dDwWsSbBAGzZhHvVR".indexOf(e) >= 0) opaqueAtom()
+            else return Nil
+          } else literalAtom(e) // \. \[ \\ etc: the escaped literal char
+        case ch => i += 1; literalAtom(ch)
+      }
+    }
+    if (bail) Nil
+    else { flush(); runs.toList }
+  }
+
   /** Pigeonhole substring filter for edit distance (the EDJoin/PassJoin
     * prune): split `term` into `maxEdits`+1 contiguous pieces — each edit
     * corrupts at most one piece, so any candidate within `maxEdits` must
@@ -907,7 +1015,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
       // gram-index candidate fetch: a leading wildcard (`*foo`) reads the
       // pattern's gram row groups, not the whole dictionary
       dictSource = wildcardGramCandidates(field, pat))
-    case RegexpQ(re) => constantScoreOver(col("term").rlike("^" + re + "$"), field)
+    case RegexpQ(re) => constantScoreOver(col("term").rlike("^" + re + "$"), field,
+      dictSource = regexpGramCandidates(field, re))
     case FuzzyQ(t, maxEdits) =>
       val qLen = t.codePointCount(0, t.length)
       constantScoreOver(
@@ -1449,19 +1558,32 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * (The reference reaches the same queries through CompiledAutomaton's
     * common-suffix/prefix extraction — Util/Automaton/CompiledAutomaton.cs.)
     */
-  private def wildcardGramCandidates(field: String, pattern: String): Option[DataFrame] = {
-    val runs = pattern.split("[*?]+").filter(r => r.codePointCount(0, r.length) >= 2)
-    val required = runs.flatMap(r =>
-      graft.build.DictTable.positionalBigrams(r).map(_._1)).distinct
+  /** Gram-index candidate fetch for literal runs (wildcard `*?` splits or
+    * regexp mandatory literals): terms carrying EVERY bigram of every run —
+    * a superset of the matches, fetched by sorted-gram equality instead of
+    * scanning the whole dictionary. */
+  private def gramCandidatesForRuns(field: String, runs: Seq[String]): Option[DataFrame] = {
+    val required = runs.filter(r => r.codePointCount(0, r.length) >= 2)
+      .flatMap(r => graft.build.DictTable.positionalBigrams(r).map(_._1)).distinct
     if (required.isEmpty) None
     else gramsTable.map { g =>
-      g.filter(col("field") === field && col("gram").isInCollection(required.toSeq))
+      g.filter(col("field") === field && col("gram").isInCollection(required))
         .groupBy("term", "df", "ttf")
         .agg(countDistinct(col("gram")).as("ng"))
         .filter(col("ng") === required.length)
         .select("term", "df", "ttf")
     }
   }
+
+  private def wildcardGramCandidates(field: String, pattern: String): Option[DataFrame] =
+    gramCandidatesForRuns(field, pattern.split("[*?]+").toSeq)
+
+  /** RegexpQuery candidates via the mandatory-literal factoring
+    * (Searcher.regexLiteralRuns) — the rlike predicate still verifies every
+    * candidate exactly; None (no extractable literals) keeps the full
+    * dictionary-scan path. */
+  private def regexpGramCandidates(field: String, re: String): Option[DataFrame] =
+    gramCandidatesForRuns(field, Searcher.regexLiteralRuns(re))
 
   /** Per-field analyzers from the index config (PerFieldAnalyzerWrapper
     * analog): `field:` clauses are analyzed with that field's chain. */
@@ -1571,7 +1693,13 @@ final class Searcher(spark: SparkSession, indexPath: String,
           .limit(ConstantScoreTermBudget).as[String].collect().map((field, _)).toSet
         case None => expandDict(field, pred)
       }
-    case RegexpQ(re) => expandDict(field, col("term").rlike("^" + re + "$"))
+    case RegexpQ(re) =>
+      val pred = col("term").rlike("^" + re + "$")
+      regexpGramCandidates(field, re) match {
+        case Some(src) => src.filter(pred).select("term")
+          .limit(ConstantScoreTermBudget).as[String].collect().map((field, _)).toSet
+        case None => expandDict(field, pred)
+      }
     case FuzzyQ(t, me) =>
       fuzzyDictScan(field, t, me)
         .filter(levenshtein(col("term"), lit(t)) <= me)

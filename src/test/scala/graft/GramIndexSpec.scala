@@ -138,4 +138,64 @@ class GramIndexSpec extends AnyFunSuite {
     assert(got == fallback)
     assert(got.nonEmpty)
   }
+
+  test("regexLiteralRuns: sound mandatory-literal extraction") {
+    import Searcher.regexLiteralRuns
+    assert(regexLiteralRuns("stream") == List("stream"))
+    assert(regexLiteralRuns(".*1222x") == List("1222x"))
+    assert(regexLiteralRuns("str.*ing") == List("str", "ing"))
+    assert(regexLiteralRuns("ab?cd") == List("a", "cd"))        // b optional
+    assert(regexLiteralRuns("ab+cd") == List("ab", "cd"))       // one b required, gap after
+    assert(regexLiteralRuns("ab{2}c") == List("abbc"))          // exact repeat stays contiguous
+    assert(regexLiteralRuns("ab{2,4}c") == List("abb", "c"))    // tail may repeat
+    assert(regexLiteralRuns("ab{0,3}c") == List("a", "c"))      // possibly absent
+    assert(regexLiteralRuns("a[xy]b") == List("a", "b"))        // class breaks the run
+    assert(regexLiteralRuns("a\\.b") == List("a.b"))             // escaped literal dot
+    assert(regexLiteralRuns("a\\db") == List("a", "b"))          // class escape breaks
+    assert(regexLiteralRuns("ab.?cd") == List("ab", "cd"))
+    assert(regexLiteralRuns("abc+?de") == List("abc", "de"))    // reluctant suffix
+    // non-local constructs abort to Nil (full-scan fallback)
+    assert(regexLiteralRuns("(ab|cd)e").isEmpty)
+    assert(regexLiteralRuns("ab|cd").isEmpty)
+    assert(regexLiteralRuns("a\\Qb.c\\Ed").isEmpty)
+    assert(regexLiteralRuns("*ab").isEmpty)                     // malformed
+    assert(regexLiteralRuns("ab{x}c").isEmpty)                  // malformed braces
+    // escapes that consume further pattern chars would desync the walk
+    assert(regexLiteralRuns("\\u0041bc").isEmpty)
+    assert(regexLiteralRuns("a\\x41b").isEmpty)
+    assert(regexLiteralRuns("a\\p{L}b").isEmpty)
+    assert(regexLiteralRuns("(a)b\\1").isEmpty)
+    assert(regexLiteralRuns("a[b[c]]d").isEmpty)                // nested class
+    assert(regexLiteralRuns("a\\bword") == List("a", "word")) // \b zero-width opaque
+  }
+
+  test("regexp matches via the gram index, equal to a full dictionary scan") {
+    val se = new Searcher(spark, base)
+    // two mandatory runs {t12, 2x} around a gap -> gram fetch; the rlike
+    // predicate verifies candidates exactly
+    val got = se.search(RegexpQ("t12.*2x"), 200)
+      .collect().map(_.getString(0)).toSet
+    val wantTerms = se.dictionary(se.defaultField)
+      .filter(col("term").rlike("^t12.*2x$"))
+      .select("term").collect().map(_.getString(0)).toSet
+    assert(wantTerms.nonEmpty)
+    val wantDocs = se.search(
+      BoolQ(wantTerms.toList.map(t => Occur.Should -> (ConstantScoreQ(TermQ(t), 1f): Query)), 0),
+      200).collect().map(_.getString(0)).toSet
+    assert(got == wantDocs)
+    // a pattern with alternation falls back to the full predicate scan and
+    // still answers correctly (both alternatives occur in the corpus)
+    val altTerms = se.dictionary(se.defaultField)
+      .filter(col("term").rlike("^.*(1222|9999)x$"))
+      .select("term").collect().map(_.getString(0)).toSet
+    val altWant = se.search(
+      BoolQ(altTerms.toList.map(t => Occur.Should -> (ConstantScoreQ(TermQ(t), 1f): Query)), 0),
+      200).collect().map(_.getString(0)).toSet
+    val viaAlt = se.search(RegexpQ(".*(1222|9999)x"), 200)
+      .collect().map(_.getString(0)).toSet
+    assert(viaAlt == altWant)
+    val viaPlain = se.search(RegexpQ(".*1222x"), 200)
+      .collect().map(_.getString(0)).toSet
+    assert(viaPlain.subsetOf(viaAlt) && viaAlt.size > viaPlain.size)
+  }
 }
