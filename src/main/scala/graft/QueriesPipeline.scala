@@ -401,6 +401,53 @@ object QueriesPipeline {
         .select("doc_id", "rank")
     }),
 
+    // ---- STREAMING twins (streaming/StreamingAnalytics.scala): the same
+    // analytics as q_events_window/_sessions computed by a DRAINED
+    // Structured-Streaming query — watermarked Append-mode windows and
+    // flatMapGroupsWithState sessionization. A sentinel event 2h past the
+    // end pushes the watermark beyond every real window/session so Append
+    // mode emits them all before AvailableNow stops; sentinel rows are
+    // filtered back out. One input file -> one deterministic micro-batch.
+    "q_streamed_window" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = s.read.parquet(s"$dir/events.parquet").select("ts", "event_type")
+      val sentinel = ev.agg(max(col("ts")).as("m"))
+        .select((col("m") + expr("INTERVAL 2 HOURS")).as("ts"),
+          lit("___wm___").as("event_type"))
+      val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_swin_${math.abs(dir.hashCode)}"
+      ev.unionByName(sentinel).coalesce(1).write.mode("overwrite").parquet(inDir)
+      val q = graft.streaming.StreamingAnalytics.windowedCounts(
+          s.readStream.schema(ev.schema).parquet(inDir),
+          "ts", "event_type", "30 minutes", "1 hour")
+        .writeStream.format("memory").queryName("graft_swin_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_swin_out").filter(col("event_type") =!= "___wm___")
+        .select(col("win_start").as("h"), col("event_type"), col("cnt"))
+        .orderBy("h", "event_type")
+    }),
+
+    "q_streamed_sessions" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val ev = s.read.parquet(s"$dir/events.parquet").select("user_id", "ts")
+      val sentinelEpoch = ev
+        .agg((unix_timestamp(max(col("ts"))) + 7200L).as("e")).collect()(0).getLong(0)
+      val sentinels = ev.select("user_id").distinct()
+        .crossJoin(ev.agg(max(col("ts")).as("m")))
+        .select(col("user_id"), (col("m") + expr("INTERVAL 2 HOURS")).as("ts"))
+      val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_ssess_${math.abs(dir.hashCode)}"
+      ev.unionByName(sentinels).coalesce(1).write.mode("overwrite").parquet(inDir)
+      val q = graft.streaming.StreamingAnalytics.sessionize(
+          s.readStream.schema(ev.schema).parquet(inDir), gapSec = 1800)
+        .writeStream.format("memory").queryName("graft_ssess_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_ssess_out")
+        .filter(col("session_start") < sentinelEpoch)
+        .groupBy("user_id").agg(count(lit(1)).cast("long").as("n_sessions"))
+        .orderBy("user_id")
+    }),
+
     "q_events_sessions" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts").asc, col("event_id").asc)
@@ -936,6 +983,20 @@ object QueriesPipeline {
          |  SELECT doc_id, $HaversineSql AS dist FROM pts)
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY dist, doc_id) AS INT) AS rank
          |FROM d ORDER BY dist, doc_id LIMIT 10""".stripMargin,
+
+    "q_streamed_window" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS h, event_type,
+        |  count(*) AS cnt
+        |FROM events GROUP BY 1, 2 ORDER BY h, event_type""".stripMargin,
+
+    "q_streamed_sessions" ->
+      """WITH x AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS prev
+        |  FROM events)
+        |SELECT user_id, CAST(sum(CASE WHEN prev IS NULL
+        |  OR (epoch(ts) - epoch(prev)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_events_sessions" ->
       """WITH x AS (
