@@ -37,6 +37,26 @@ object QueriesPipeline {
       Dedup.exactGroups(documents(s, dir), "doc_id", "text")
         .select(col("h"), col("cnt"), col("min_id")).orderBy("h")),
 
+    // streaming twin of exact dedup: first doc per digest survives in the
+    // drained stream; the surviving SET (count + id-set hash) is
+    // order-independent because ties share a digest -> order by min doc_id
+    // inside the oracle is avoided by outputting per-digest survivors'
+    // existence only
+    "q_streamed_dedup" -> ((s, dir) => {
+      import org.apache.spark.sql.streaming.Trigger
+      val docs = documents(s, dir).select(col("doc_id"), col("text"))
+      val inDir = s"${System.getProperty("java.io.tmpdir")}/graft_sdedup_${math.abs(dir.hashCode)}"
+      docs.coalesce(1).write.mode("overwrite").parquet(inDir)
+      val q = graft.streaming.StreamingAnalytics.dedupExact(
+          s.readStream.schema(docs.schema).parquet(inDir), "text")
+        .writeStream.format("memory").queryName("graft_sdedup_out")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+      s.table("graft_sdedup_out")
+        .groupBy(col("digest").as("h")).agg(count(lit(1)).as("survivors"))
+        .orderBy("h")
+    }),
+
     "q_dedup_jaccard" -> ((s, dir) => {
       val sh = Dedup.shingles(documents(s, dir), "doc_id", "text", 3)
       Dedup.jaccardPairs(sh, 1, 2).orderBy("ida", "idb")
@@ -538,6 +558,10 @@ object QueriesPipeline {
     "q_dedup_exact" ->
       """SELECT md5(text) AS h, count(*) AS cnt, min(doc_id) AS min_id
         |FROM documents GROUP BY md5(text) HAVING count(*) > 1 ORDER BY h""".stripMargin,
+
+    "q_streamed_dedup" ->
+      """SELECT md5(text) AS h, CAST(1 AS BIGINT) AS survivors
+        |FROM documents GROUP BY md5(text) ORDER BY h""".stripMargin,
 
     "q_dedup_jaccard" ->
       s"""$SH, sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),

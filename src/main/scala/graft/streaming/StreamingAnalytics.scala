@@ -32,6 +32,24 @@ object StreamingAnalytics {
       .select(unix_timestamp(col("window.start")).cast("long").as("win_start"),
         col(keyCol), col("cnt"))
 
+  /** Streaming exact dedup — the streaming twin of the batch
+    * `Dedup.exact` (first document per content digest survives): keyed
+    * dedup state over the digest shuffle. With `watermarkCols` set
+    * ((tsCol, delay)), uses dropDuplicatesWithinWatermark so state ages
+    * out — the 100 TB continuous-ingest shape; without it, state is
+    * retained for the stream's lifetime (finite drains / tests). */
+  def dedupExact(docs: DataFrame, textCol: String,
+                 watermark: Option[(String, String)] = None): DataFrame = {
+    val keyed = docs.withColumn("digest", md5(col(textCol)))
+    watermark match {
+      case Some((tsCol, delay)) =>
+        keyed.withColumn(tsCol, col(tsCol).cast("timestamp"))
+          .withWatermark(tsCol, delay)
+          .dropDuplicatesWithinWatermark("digest")
+      case None => keyed.dropDuplicates("digest")
+    }
+  }
+
   /** Open session accumulator carried in the state store (epoch millis). */
   final case class SessionAcc(start: Long, last: Long, n: Int)
   /** A CLOSED session (epoch seconds, matching unix_timestamp oracles). */

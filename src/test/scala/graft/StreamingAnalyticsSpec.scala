@@ -81,6 +81,23 @@ class StreamingAnalyticsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming exact dedup: one survivor per digest, state persists across batches") {
+    import spark.implicits._
+    implicit val sc = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val q = StreamingAnalytics.dedupExact(in.toDF.toDF("doc_id", "text"), "text")
+      .select("doc_id").writeStream.format("memory").queryName("san_dedup")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "aa"), (2L, "aa"), (3L, "bb"))
+      q.processAllAvailable()
+      assert(spark.table("san_dedup").as[Long].collect().toSet == Set(1L, 3L))
+      in.addData((4L, "aa"), (5L, "cc")) // aa still deduped across batches
+      q.processAllAvailable()
+      assert(spark.table("san_dedup").as[Long].collect().toSet == Set(1L, 3L, 5L))
+    } finally q.stop()
+  }
+
   test("drained stream sessionization equals the batch window-function plan") {
     import spark.implicits._
     val dir = "/root/testdata/sf0.001"
