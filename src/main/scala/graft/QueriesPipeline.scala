@@ -158,6 +158,30 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // resize plumbing: dims clamp + deterministic thumb length (the real
+    // pixel kernel swaps in at Multimodal.resizeStub)
+    "q_media_resize" -> ((s, dir) => {
+      val media = documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      Multimodal.resize(s, media, maxW = 128, maxH = 96)
+        .select(col("id").as("doc_id"), col("out_w"), col("out_h"), col("out_len"))
+        .orderBy("doc_id")
+    }),
+
+    // feature-extract plumbing: exact-integer fake embedding (dim 4) — the
+    // encoder swaps in at Multimodal.embedStub; downstream ANN reuses it
+    "q_media_embed" -> ((s, dir) => {
+      val media = documents(s, dir)
+        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      Multimodal.embed(s, media, dim = 4)
+        .select(col("id").as("doc_id"),
+          expr("cast(embedding[0] as double)").as("f0"),
+          expr("cast(embedding[1] as double)").as("f1"),
+          expr("cast(embedding[2] as double)").as("f2"),
+          expr("cast(embedding[3] as double)").as("f3"))
+        .orderBy("doc_id")
+    }),
+
     // ---- grouping / facet analogs (SURVEY.md §2.7) on documents metadata
     "q_group_top" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -864,6 +888,32 @@ object QueriesPipeline {
         |    + (CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END)) % 417 AS INT) AS fake_h,
         |  'raw' AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_media_resize" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS hd
+        |  FROM documents),
+        |d AS (SELECT doc_id,
+        |    CASE WHEN nb = 0 THEN 0 ELSE least(64 + nb % 577, 128) END AS out_w,
+        |    CASE WHEN nb = 0 THEN 0 ELSE least(64 + (nb * 31 + hd) % 417, 96) END AS out_h,
+        |    nb FROM m)
+        |SELECT doc_id, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
+        |  CAST(CASE WHEN nb = 0 THEN 0
+        |       ELSE greatest(1, (out_w * out_h) % 256) END AS INT) AS out_len
+        |FROM d ORDER BY doc_id""".stripMargin,
+
+    "q_media_embed" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
+        |    CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS hd
+        |  FROM documents)
+        |SELECT doc_id,
+        |  CAST((nb * 38 + hd) % 211 AS DOUBLE) AS f0,
+        |  CAST((nb * 69 + hd) % 227 AS DOUBLE) AS f1,
+        |  CAST((nb * 100 + hd) % 243 AS DOUBLE) AS f2,
+        |  CAST((nb * 131 + hd) % 259 AS DOUBLE) AS f3
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     "q_group_top" ->
       """SELECT lang, doc_id, rn FROM (

@@ -56,6 +56,59 @@ object Multimodal {
       }
   }
 
+  /** STUB resize — deterministic fake downscale standing in for a real
+    * pixel kernel: output dims clamp to (maxW, maxH), output payload is a
+    * deterministic byte slice sized from the clamped dims. The real
+    * contract is the batch shape: binary in, (dims, binary) out, one
+    * partition-preserving pass. */
+  def resizeStub(bytes: Array[Byte], maxW: Int, maxH: Int): (Int, Int, Array[Byte]) = {
+    if (bytes == null || bytes.isEmpty) return (0, 0, Array.empty[Byte])
+    val (w, h, _) = decodeImageStub(bytes)
+    val ow = math.min(w, maxW)
+    val oh = math.min(h, maxH)
+    val n = math.max(1, (ow * oh) % 256)
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) { out(i) = bytes(i % bytes.length); i += 1 }
+    (ow, oh, out)
+  }
+
+  /** Batch resize pass: (id, out_w, out_h, out_len, thumb). */
+  def resize(spark: SparkSession, media: DataFrame, maxW: Int, maxH: Int): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val (ow, oh, out) = resizeStub(bytes, maxW, maxH)
+        (id, ow, oh, out.length, out)
+      })
+      .toDF("id", "out_w", "out_h", "out_len", "thumb")
+  }
+
+  /** STUB feature extraction — a deterministic integer-arithmetic
+    * "embedding" of the payload (real systems run a vision/audio encoder
+    * here): dim exact-double features from (nBytes, head byte), suitable
+    * for feeding the REAL Ann cosine machinery downstream. */
+  def embedStub(bytes: Array[Byte], dim: Int): Array[Float] = {
+    val n = if (bytes == null) 0 else bytes.length
+    val head = if (n == 0) 0 else bytes(0) & 0xff
+    Array.tabulate(dim) { i =>
+      val c = 31 * (i + 1) + 7
+      val m = 211 + 16 * i
+      ((n.toLong * c + head) % m).toFloat
+    }
+  }
+
+  /** Batch feature-extract pass: (id, embedding) — pipe into
+    * [[graft.pipeline.Ann]] for media similarity search. */
+  def embed(spark: SparkSession, media: DataFrame, dim: Int = 4): DataFrame = {
+    import spark.implicits._
+    media.select(col("id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, embedStub(bytes, dim)) })
+      .toDF("id", "embedding")
+  }
+
   /** Frame-sampling stub for video-like payloads: pick every `stride`-th
     * chunk boundary deterministically (plumbing: one row in, n rows out).
     */
