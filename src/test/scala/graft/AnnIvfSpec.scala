@@ -49,4 +49,28 @@ class AnnIvfSpec extends AnyFunSuite {
       .select("cid").distinct().count()
     assert(cellsOfResults <= 2)
   }
+
+  test("media embeddings feed the real ANN cosine top-k (brute == hand-computed)") {
+    import spark.implicits._
+    import graft.pipeline.{Ann, Multimodal}
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+    val emb = Multimodal.embed(spark, docs, dim = 4)
+    val qv = Multimodal.embedStub("the query payload".getBytes("UTF-8"), 4)
+    val got = Ann.cosineTopK(emb, "id", "embedding", qv, 5)
+      .orderBy("rank").as[(Long, Int)].collect().toList
+    // hand-computed expectation over the same stub features
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      (0 until 4).foreach { i =>
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, cos(Multimodal.embedStub(t.getBytes("UTF-8"), 4), qv)) }
+      .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toList
+    assert(got.map(_._1) == want)
+  }
 }
