@@ -38,8 +38,12 @@ class RandomizedQuerySpec extends AnyFunSuite {
         case 6 =>
           val near = SpanNearS(List(SpanTermS("quick"), SpanTermS("fox")),
             rnd.nextInt(4), inOrder = rnd.nextBoolean())
-          rnd.nextInt(4) match {
+          rnd.nextInt(5) match {
             case 0 => SpanScoreQ(near)
+            // payload-less index: PayloadFunction.DocScore defaults to 1.0,
+            // so PayloadNearQ must equal the plain SpanScoreQ (and the
+            // oracle's explicit degeneration)
+            case 4 => PayloadNearQ(near, if (rnd.nextBoolean()) "avg" else "max")
             // default-field mask is an identity on a one-field index —
             // engine (real mask machinery) must equal the oracle
             // (transparent-mask wrapper)
