@@ -469,10 +469,10 @@ object Leapfrog {
           if (!scored) {
             if (SpanMatcher.matchesF(span, field, pos, pay)) Some(Hit(seg, cand, bd)) else None
           } else {
-            val ps = SpanMatcher.pspans(span, field, pos, pay)
-            if (ps.isEmpty) None
+            val matched = SpanMatcher.pspans(span, field, pos, pay)
+            if (matched.isEmpty) None
             else {
-              val spans = ps.map(s => (s.start, s.end)).distinct // sorted already
+              val spans = matched.map(s => (s.start, s.end)).distinct // sorted already
               val freq: Double =
                 if (floatMode) {
                   var f = 0f
@@ -488,7 +488,7 @@ object Leapfrog {
                 else {
                   // PayloadNearSpanScorer.ScoreCurrentDoc: span score ×
                   // PayloadFunction.DocScore (float product in float mode)
-                  val factor = payloadAggregate(ps, payFn)
+                  val factor = payloadAggregate(matched, payFn)
                   if (floatMode) (scorer(freq, fieldLen).toFloat * factor.toFloat).toDouble
                   else scorer(freq, fieldLen) * factor
                 }
@@ -514,9 +514,6 @@ object Leapfrog {
       .repartition(col("segmentId"))
   }
 
-  /** Cursor over the union of `terms`' pieces in this segment (alternatives
-    * of one slot / one CNF group); null when none present.
-    */
   /** CNF over-approximation in (field, term) keys — masked subtrees
     * resolve to their REAL field (FieldMaskingSpanQuery.GetSpans runs the
     * masked query unchanged). */
@@ -634,6 +631,9 @@ object Leapfrog {
     }
   }
 
+  /** Cursor over the union of `terms`' pieces in this segment (alternatives
+    * of one slot / one CNF group); null when none present.
+    */
   private def slotCursor(rows: Array[PostingRow], terms: Array[String]): ClauseCursor = {
     val pieces = rows.filter(r => terms.contains(r.term)).map(p =>
       new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips, p.positions))
