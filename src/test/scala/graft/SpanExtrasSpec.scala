@@ -145,6 +145,48 @@ class SpanExtrasSpec extends AnyFunSuite {
     }
   }
 
+  test("randomized masked span trees equal a brute-force two-field evaluation") {
+    import scala.util.Random
+    val rnd = new Random(20260818)
+    // per-doc token streams of both fixture fields (positions = indexes)
+    def toksOf(id: Int): Map[String, Array[String]] = Map(
+      "text" -> Array(s"a${id % 4}", s"b${(id + 2) % 5}"),
+      "surname" -> Array(s"s${id % 3}", s"t${(id + 1) % 4}"))
+    val vocab: Map[String, IndexedSeq[String]] = Map(
+      "text" -> ((0 until 4).map(i => s"a$i") ++ (0 until 5).map(i => s"b$i")),
+      "surname" -> ((0 until 3).map(i => s"s$i") ++ (0 until 4).map(i => s"t$i")))
+    def randTree(depth: Int, field: String): SpanQ =
+      if (depth == 0 || rnd.nextInt(3) == 0)
+        rnd.nextInt(4) match {
+          case 0 | 1 => SpanTermS(vocab(field)(rnd.nextInt(vocab(field).size)))
+          case 2 =>
+            val f2 = if (field == "text") "surname" else "text"
+            SpanFieldMaskS(SpanTermS(vocab(f2)(rnd.nextInt(vocab(f2).size))), f2)
+          case 3 => SpanOrS(List(
+            SpanTermS(vocab(field)(rnd.nextInt(vocab(field).size))),
+            SpanTermS(vocab(field)(rnd.nextInt(vocab(field).size)))))
+        }
+      else rnd.nextInt(3) match {
+        case 0 => SpanNearS(List(randTree(depth - 1, field), randTree(depth - 1, field)),
+          rnd.nextInt(3) - 1, inOrder = rnd.nextBoolean())
+        case 1 => SpanNotS(randTree(depth - 1, field), randTree(depth - 1, field))
+        case 2 => SpanPosRangeS(randTree(depth - 1, field), 0, 1 + rnd.nextInt(2))
+      }
+    def brutePos(id: Int): SpanMatcher.PosLookup = (f, t) =>
+      toksOf(id).get(f).map(_.zipWithIndex.filter(_._1 == t).map(_._2))
+        .getOrElse(SpanMatcher.NoPositions)
+    var nonEmpty = 0
+    (0 until 60).foreach { i =>
+      val tree = randTree(2, "text")
+      val got = ids(maskSe, SpanMatchQ(tree))
+      val want = (0 until N).filter(id =>
+        SpanMatcher.pspans(tree, "text", brutePos(id), SpanMatcher.NoPayloads).nonEmpty).toSet
+      assert(got == want, s"tree #$i mismatch: $tree")
+      if (want.nonEmpty) nonEmpty += 1
+    }
+    assert(nonEmpty > 25, s"generator too weak: $nonEmpty non-empty")
+  }
+
   private lazy val payIdx = {
     val base = Files.createTempDirectory("graftpaycheck").toString
     import spark.implicits._
