@@ -1,0 +1,217 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftColumnBridge}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expression for the ANN hot loop: cosine similarity of an
+  * ARRAY<FLOAT> column against a broadcast-literal query vector in ONE
+  * whole-stage-codegen pass. Replaces the `zip_with` + `aggregate`
+  * higher-order-function pair, whose lambda bodies evaluate interpreted per
+  * ELEMENT (CodegenFallback) — at dim 64 that is 128 boxed lambda calls per
+  * row versus one fused loop here.
+  *
+  * Bit-for-bit identical to the HOF formulation: the same left-fold
+  * summation order, the same float->double cast points, and the same final
+  * dot / (sqrt(n2) * qNorm) association — the ANN gates' hashes must not
+  * move when this swaps in.
+  */
+case class CosineToQuery(child: Expression, q: Array[Float], qNorm: Double)
+    extends UnaryExpression {
+
+  // the builder below casts the input to ARRAY<FLOAT>, so no
+  // ExpectsInputTypes coercion is needed (that trait is private[sql]-typed)
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val len = math.min(a.numElements(), q.length)
+    var dot = 0.0
+    var n2 = 0.0
+    var i = 0
+    while (i < len) {
+      val v = a.getFloat(i).toDouble
+      dot += v * q(i).toDouble
+      n2 += v * v
+      i += 1
+    }
+    dot / (math.sqrt(n2) * qNorm)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val qRef = ctx.addReferenceObj("qvec", q, "float[]")
+    // exact double literal via raw bits (string round-trips could drift)
+    val qNormLit =
+      s"java.lang.Double.longBitsToDouble(${java.lang.Double.doubleToLongBits(qNorm)}L)"
+    nullSafeCodeGen(ctx, ev, c => {
+      val dot = ctx.freshName("dot")
+      val n2 = ctx.freshName("n2")
+      val len = ctx.freshName("len")
+      val i = ctx.freshName("i")
+      val v = ctx.freshName("v")
+      s"""
+         |double $dot = 0.0;
+         |double $n2 = 0.0;
+         |int $len = java.lang.Math.min($c.numElements(), $qRef.length);
+         |for (int $i = 0; $i < $len; $i++) {
+         |  double $v = (double) $c.getFloat($i);
+         |  $dot += $v * (double) $qRef[$i];
+         |  $n2 += $v * $v;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($n2) * $qNormLit);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): CosineToQuery =
+    copy(child = newChild)
+}
+
+/** Squared L2 distance of two ARRAY<FLOAT> columns in one codegen pass —
+  * replaces zip_with((x-y)*(x-y)) + aggregate. Same left-fold order and
+  * cast points as the HOF form; shorter array bounds the loop (zip_with
+  * would null-pad, but every caller zips same-dim vectors). */
+case class L2SqPair(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val len = math.min(a.numElements(), b.numElements())
+    var s = 0.0; var i = 0
+    while (i < len) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val len = ctx.freshName("len"); val d = ctx.freshName("d")
+      s"""
+         |double $s = 0.0;
+         |int $len = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $len; $i++) {
+         |  double $d = (double) $a.getFloat($i) - (double) $b.getFloat($i);
+         |  $s += $d * $d;
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): L2SqPair =
+    copy(left = l, right = r)
+}
+
+/** Cosine of two ARRAY<FLOAT> columns: dot, |a|², |b|² gathered in ONE loop,
+  * combined as dot / (sqrt(na) * sqrt(nb)) — the exact association of the
+  * HOF form dot / (norm(a) * norm(b)). */
+case class CosinePair(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]; val b = r.asInstanceOf[ArrayData]
+    val len = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < len) {
+      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      dot += x * y; na += x * x; nb += y * y; i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb = ctx.freshName("nb"); val i = ctx.freshName("i")
+      val len = ctx.freshName("len"); val x = ctx.freshName("x"); val y = ctx.freshName("y")
+      s"""
+         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |int $len = java.lang.Math.min($a.numElements(), $b.numElements());
+         |for (int $i = 0; $i < $len; $i++) {
+         |  double $x = (double) $a.getFloat($i);
+         |  double $y = (double) $b.getFloat($i);
+         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |}
+         |${ev.value} = $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosinePair =
+    copy(left = l, right = r)
+}
+
+/** Hyperplane-LSH bucket id in one pass: bit j = 1 iff dot(v, plane_j) > 0,
+  * bucket = Σ bit_j * 2^j — replaces nBits separate zip_with + aggregate
+  * folds (each interpreted per element). Dot order per plane matches the
+  * HOF left fold. */
+case class LshBucket(child: Expression, planes: Array[Array[Double]])
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var bucket = 0L
+    var j = 0
+    while (j < planes.length) {
+      val p = planes(j)
+      val len = math.min(a.numElements(), p.length)
+      var dot = 0.0; var i = 0
+      while (i < len) { dot += a.getFloat(i).toDouble * p(i); i += 1 }
+      if (dot > 0) bucket |= (1L << j)
+      j += 1
+    }
+    bucket
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val pRef = ctx.addReferenceObj("planes", planes, "double[][]")
+    nullSafeCodeGen(ctx, ev, c => {
+      val bkt = ctx.freshName("bkt"); val j = ctx.freshName("j")
+      val p = ctx.freshName("p"); val dot = ctx.freshName("dot")
+      val i = ctx.freshName("i"); val len = ctx.freshName("len")
+      s"""
+         |long $bkt = 0L;
+         |for (int $j = 0; $j < $pRef.length; $j++) {
+         |  double[] $p = $pRef[$j];
+         |  int $len = java.lang.Math.min($c.numElements(), $p.length);
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    $dot += (double) $c.getFloat($i) * $p[$i];
+         |  }
+         |  if ($dot > 0) $bkt |= (1L << $j);
+         |}
+         |${ev.value} = $bkt;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  /** cosine(embCol, q) as a codegen'd Column; `qNorm` precomputed once. */
+  def cosineToQuery(emb: Column, q: Array[Float], qNorm: Double): Column =
+    GraftColumnBridge.column(CosineToQuery(
+      GraftColumnBridge.expression(emb.cast("array<float>")), q, qNorm))
+
+  def l2sq(a: Column, b: Column): Column =
+    GraftColumnBridge.column(L2SqPair(
+      GraftColumnBridge.expression(a.cast("array<float>")),
+      GraftColumnBridge.expression(b.cast("array<float>"))))
+
+  def cosinePair(a: Column, b: Column): Column =
+    GraftColumnBridge.column(CosinePair(
+      GraftColumnBridge.expression(a.cast("array<float>")),
+      GraftColumnBridge.expression(b.cast("array<float>"))))
+
+  def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
+    GraftColumnBridge.column(LshBucket(
+      GraftColumnBridge.expression(emb.cast("array<float>")), planes))
+}

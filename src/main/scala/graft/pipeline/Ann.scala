@@ -46,7 +46,10 @@ object Ann {
     }
     val scored = emb
       .filter(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
-      .withColumn("cos", dotCol(embCol, q) / (normCol(col(embCol)) * lit(qNorm)))
+      // one fused codegen pass (identical math to
+      // dotCol(...) / (normCol(...) * qNorm) — see CosineToQuery)
+      .withColumn("cos",
+        graft.functions.VectorExpressions.cosineToQuery(col(embCol), q, qNorm))
     // parallel TakeOrderedAndProject top-k; the <=k winners rank driver-side
     graft.Ranks.rankTopK(scored, k, Seq(col("cos").desc, col(idCol).asc))
       .select(col(idCol), col("rank"))
@@ -67,6 +70,12 @@ object Ann {
 
   /** Sequential-fold squared L2 distance between two array columns. */
   def l2sqCol(a: Column, b: Column): Column =
+    graft.functions.VectorExpressions.l2sq(a, b)
+
+  /** HOF twin of [[l2sqCol]] kept as the cross-check baseline (see
+    * VectorExpressionsSpec: the codegen'd expressions must be bit-identical
+    * to these folds). */
+  def l2sqColHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double")) * (x.cast("double") - y.cast("double"))),
       lit(0.0d), (acc, x) => acc + x)
@@ -137,27 +146,21 @@ object Ann {
       }
     val a = withBucket.as("a")
     val b = withBucket.as("b")
-    val dot = aggregate(
-      zip_with(col("a.e"), col("b.e"), (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0d), (acc, x) => acc + x)
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))
-      .withColumn("cos", dot / (normCol(col("a.e")) * normCol(col("b.e"))))
+      // one fused pass for dot + both norms (identical association to
+      // dot / (norm(a) * norm(b)) — see CosinePair)
+      .withColumn("cos",
+        graft.functions.VectorExpressions.cosinePair(col("a.e"), col("b.e")))
       .filter(col("cos") >= minCos)
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
   }
 
   /** Hyperplane-LSH bucket expression: bit j = 1 iff dot(v, plane_j) > 0;
     * bucket = sum bit_j * 2^j. */
-  def bucketCol(embCol: String, nBits: Int, dim: Int): Column = {
-    val ps = planes(dim, nBits)
-    (0 until nBits).map { j =>
-      val pArr = array(ps(j).toIndexedSeq.map(v => lit(v)): _*)
-      val dot = aggregate(
-        zip_with(col(embCol), pArr, (x, y) => x.cast("double") * y),
-        lit(0.0d), (acc, x) => acc + x)
-      when(dot > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _).cast("long")
-  }
+  def bucketCol(embCol: String, nBits: Int, dim: Int): Column =
+    // all nBits plane dots in one codegen'd loop (LshBucket) — same per-plane
+    // left-fold order and > 0 bit rule as the former per-plane HOF folds
+    graft.functions.VectorExpressions.lshBucket(col(embCol), planes(dim, nBits))
 
   /** LSH bucket id per vector (the persisted bucket-layout column). */
   def lshBuckets(emb: DataFrame, idCol: String, embCol: String, nBits: Int, dim: Int): DataFrame =
