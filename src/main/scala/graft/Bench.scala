@@ -104,6 +104,12 @@ object Bench {
         graft.pipeline.Dedup.minhashSignature(
           graft.pipeline.Dedup.shingles(docs, "doc_id", "text", 3), 16), 4).count()
     }
+    // the one-narrow-pass signature (MinHashSig expression): same candidate
+    // set with no shingle explode/distinct/groupBy shuffles
+    results("dedup_minhash_direct") = time {
+      graft.pipeline.Dedup.lshCandidates(
+        graft.pipeline.Dedup.minhashSignatureDirect(docs, "doc_id", "text", 3, 16), 4).count()
+    }
     results("simhash") = time {
       graft.pipeline.Dedup.simhash48(docs, "doc_id", "text").count()
     }

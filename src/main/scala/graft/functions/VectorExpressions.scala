@@ -195,6 +195,64 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** MinHash signature of a TOKEN array in ONE narrow pass: for each of the
+  * `as.length` hash functions, the minimum of ((h(shingle) * a_i + b_i) % p)
+  * over every k-token shingle window — h(shingle) replicates
+  * Dedup.shingleHash exactly (unsigned first 4 md5 bytes of the
+  * space-joined UTF-8 shingle, mod p). Min over the window MULTISET equals
+  * min over the distinct-shingle SET, so this matches the exploded
+  * shingles -> distinct -> groupBy(id) signature value-for-value while
+  * eliminating both shuffles (the signature becomes a map-side column; only
+  * the Jaccard VERIFY still needs materialized shingles, and only for
+  * candidate docs). CodegenFallback: one virtual eval per ROW — the md5
+  * work per shingle dominates either way. */
+case class MinHashSig(child: Expression, k: Int, as: Array[Long], bs: Array[Long], p: Long)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val nh = as.length
+    val mins = Array.fill(nh)(Long.MaxValue)
+    val digest = md5.get()
+    var i = 0
+    while (i + k <= n) {
+      // space-joined UTF-8 bytes of the k-token window (array_join(_, ' '))
+      digest.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) digest.update(' '.toByte)
+        digest.update(arr.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      val d = digest.digest()
+      // conv(substr(hex, 1, 8), 16, 10): unsigned first 4 bytes
+      val h = (((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) |
+        ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)) % p
+      var t = 0
+      while (t < nh) {
+        val v = (h * as(t) + bs(t)) % p
+        if (v < mins(t)) mins(t) = v
+        t += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(mins)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** cosine(embCol, q) as a codegen'd Column; `qNorm` precomputed once. */
   def cosineToQuery(emb: Column, q: Array[Float], qNorm: Double): Column =
@@ -214,4 +272,10 @@ object VectorExpressions {
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
     GraftColumnBridge.column(LshBucket(
       GraftColumnBridge.expression(emb.cast("array<float>")), planes))
+
+  /** MinHash signature array over a token-array column. */
+  def minHashSig(tokens: Column, k: Int, coeffs: Seq[(Long, Long)], p: Long): Column =
+    GraftColumnBridge.column(MinHashSig(
+      GraftColumnBridge.expression(tokens),
+      k, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, p))
 }

@@ -83,6 +83,20 @@ object Dedup {
       .select(col("id"), col("s.i").as("i"), col("s.minh").as("minh"))
   }
 
+  /** MinHash signature computed in ONE NARROW PASS per doc — no shingle
+    * explode, no distinct, no groupBy (min over the window multiset equals
+    * min over the distinct-shingle set): the 100 TB signature shape. Same
+    * (id, i, minh) rows, value-identical to [[minhashSignature]]
+    * (MinHashSigDirectSpec + the unchanged q_dedup_* gate hashes); the tiny
+    * numHashes-wide posexplode replaces the shingle-cardinality shuffle. */
+  def minhashSignatureDirect(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, numHashes: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokensCol(textCol).as("arr"))
+      .filter(size(col("arr")) >= k)
+      .select(col("id"), posexplode(
+        graft.functions.VectorExpressions.minHashSig(col("arr"), k, coeffs(numHashes), P)))
+      .toDF("id", "i", "minh")
+
   /** LSH candidate pairs: docs sharing any band of `rowsPerBand` consecutive
     * minhashes. Returns distinct (ida < idb). `maxBucket` caps band-bucket
     * size: a bucket larger than the cap (boilerplate-heavy near-identical
@@ -136,8 +150,15 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                    numHashes: Int, rowsPerBand: Int, tNum: Int, tDen: Int,
                    maxBucket: Int = 10000): DataFrame = {
-    val sh = shingles(df, idCol, textCol, k)
-    val cands = lshCandidates(minhashSignature(sh, numHashes), rowsPerBand, maxBucket)
+    // signatures in one narrow pass (no shingle materialization); shingles
+    // are then materialized ONLY for docs that appear in a candidate pair —
+    // at web scale that is the near-dup tail, not the corpus
+    val cands = lshCandidates(
+      minhashSignatureDirect(df, idCol, textCol, k, numHashes), rowsPerBand, maxBucket)
+      .persist()
+    val candIds = cands.select(col("ida").as(idCol))
+      .union(cands.select(col("idb").as(idCol))).distinct()
+    val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, k)
     jaccardVerify(sh, cands, tNum, tDen)
   }
 
