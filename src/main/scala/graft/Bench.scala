@@ -113,6 +113,9 @@ object Bench {
     results("simhash") = time {
       graft.pipeline.Dedup.simhash48(docs, "doc_id", "text").count()
     }
+    results("simhash_direct") = time {
+      graft.pipeline.Dedup.simhash48Direct(docs, "doc_id", "text").count()
+    }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
       .select("embedding").collect()(0).getAs[scala.collection.Seq[Float]](0).toArray

@@ -253,6 +253,63 @@ case class MinHashSig(child: Expression, k: Int, as: Array[Long], bs: Array[Long
     copy(child = newChild)
 }
 
+/** 48-bit SimHash of a TOKEN array in one narrow pass: per-doc tf map, then
+  * per distinct term the md5-derived bit vector (bits j<24 from the first 4
+  * digest bytes, j>=24 from the next 4 — substr(hex,1,8)/substr(hex,9,8))
+  * weighted by tf with sign(2*bit - 1); fingerprint bit j = 1 iff the
+  * weight sum is > 0. Pure integer arithmetic — value-identical to the
+  * exploded tf -> termBits-join -> double-groupBy formulation while
+  * removing BOTH token-cardinality shuffles and the x48 bit-row blowup. */
+case class SimHash48(child: Expression)
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  @transient private lazy val md5 =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val tf = new java.util.HashMap[org.apache.spark.unsafe.types.UTF8String, Array[Long]]()
+    var i = 0
+    while (i < n) {
+      val t = arr.getUTF8String(i)
+      val c = tf.get(t)
+      if (c == null) tf.put(t.clone(), Array(1L)) else c(0) += 1L
+      i += 1
+    }
+    val w = new Array[Long](48)
+    val digest = md5.get()
+    val it = tf.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      digest.reset()
+      val d = digest.digest(e.getKey.getBytes)
+      val h1 = ((d(0) & 0xffL) << 24) | ((d(1) & 0xffL) << 16) | ((d(2) & 0xffL) << 8) | (d(3) & 0xffL)
+      val h2 = ((d(4) & 0xffL) << 24) | ((d(5) & 0xffL) << 16) | ((d(6) & 0xffL) << 8) | (d(7) & 0xffL)
+      val c = e.getValue()(0)
+      var j = 0
+      while (j < 48) {
+        val bit = if (j < 24) (h1 >> j) & 1L else (h2 >> (j - 24)) & 1L
+        w(j) += c * (bit * 2L - 1L)
+        j += 1
+      }
+    }
+    var fp = 0L
+    var j = 0
+    while (j < 48) { if (w(j) > 0) fp |= (1L << j); j += 1 }
+    fp
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}
+
 object VectorExpressions {
   /** cosine(embCol, q) as a codegen'd Column; `qNorm` precomputed once. */
   def cosineToQuery(emb: Column, q: Array[Float], qNorm: Double): Column =
@@ -278,4 +335,8 @@ object VectorExpressions {
     GraftColumnBridge.column(MinHashSig(
       GraftColumnBridge.expression(tokens),
       k, coeffs.map(_._1).toArray, coeffs.map(_._2).toArray, p))
+
+  /** 48-bit SimHash over a token-array column. */
+  def simHash48(tokens: Column): Column =
+    GraftColumnBridge.column(SimHash48(GraftColumnBridge.expression(tokens)))
 }

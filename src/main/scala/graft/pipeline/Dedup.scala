@@ -187,6 +187,17 @@ object Dedup {
       .agg(sum(expr("bitOut * cast(pow(2, j) as bigint)")).cast("long").as("simhash"))
   }
 
+  /** SimHash fingerprint in ONE NARROW PASS per doc (SimHash48 expression:
+    * local tf map + md5 bit weights) — value-identical to [[simhash48]]
+    * (pure integer arithmetic, same md5 bit extraction; MinHashDirectSpec
+    * pins equality) with no token-cardinality shuffles and no x48 bit-row
+    * blowup: the 100 TB fingerprint shape. */
+  def simhash48Direct(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), tokensCol(textCol).as("arr"))
+      .filter(size(col("arr")) >= 1) // token-less docs have no fingerprint, like the exploded form
+      .select(col("id"),
+        graft.functions.VectorExpressions.simHash48(col("arr")).as("simhash"))
+
   /** SimHash near-duplicate pairs: candidates share at least one of three
     * 16-bit bands (pigeonhole-COMPLETE only for hamming <= 2: a pair with
     * 3+ differing bits spread across all three bands is never a candidate —
@@ -198,7 +209,7 @@ object Dedup {
     */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int, maxBand: Int = 10000): DataFrame = {
-    val fp = simhash48(df, idCol, textCol) // (id, simhash)
+    val fp = simhash48Direct(df, idCol, textCol) // (id, simhash), narrow pass
     val banded0 = fp.select(col("id"), col("simhash"),
         explode(array(
           struct(lit(0).as("band"), expr("simhash % 65536").as("v")),

@@ -33,6 +33,15 @@ class MinHashDirectSpec extends AnyFunSuite {
     assert(!classic.exists(t => t._1 == 900L || t._1 == 901L))
   }
 
+  test("direct SimHash fingerprints equal the exploded-tf formulation exactly") {
+    val classic = Dedup.simhash48(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val direct = Dedup.simhash48Direct(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(direct == classic) // incl. dropping token-less docs (doc 901)
+    assert(classic.nonEmpty && !classic.contains(901L))
+  }
+
   test("nearDupPairs through the direct path equals the all-shingles formulation") {
     val sh = Dedup.shingles(docs, "doc_id", "text", 3)
     val classicPairs = Dedup.jaccardVerify(sh,
