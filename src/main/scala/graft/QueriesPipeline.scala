@@ -147,38 +147,81 @@ object QueriesPipeline {
       TextStats.mltFromVector(se, seg, doc, 5)
     }),
 
-    // ---- multimodal plumbing (binary column + batch decode stub)
+    // ---- multimodal columns: REAL JDK-codec decode over real encoded
+    // fixtures whose dims/colors are pure formulas of doc_id (so the DuckDB
+    // oracle recomputes every decoded value without an image library)
+
+    // real header+raster decode of PNG/BMP/GIF checkerboard fixtures: the
+    // reported dims/format come from ImageIO's matched reader, not the id
     "q_media_meta" -> ((s, dir) => {
-      val media = documents(s, dir)
-        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
+      val media = Multimodal.imageFixtures(
+        documents(s, dir).select("doc_id"), "doc_id", checker = true)
       Multimodal.extractMeta(s, media).toDF()
-        .select(col("id").as("doc_id"), col("nBytes").as("n_bytes"),
-          col("headByte").as("head_byte"), col("fakeWidth").as("fake_w"),
-          col("fakeHeight").as("fake_h"), col("format"))
+        .select(col("id").as("doc_id"), col("width"), col("height"), col("format"))
         .orderBy("doc_id")
     }),
 
-    // resize plumbing: dims clamp + deterministic thumb length (the real
-    // pixel kernel swaps in at Multimodal.resizeStub)
+    // real Graphics2D downscale: decode solid fixture -> clamp (exact
+    // integer arithmetic) -> draw -> PNG-encode thumb -> RE-decode the thumb
+    // and report its dims + corner pixel (solid in == solid out)
     "q_media_resize" -> ((s, dir) => {
-      val media = documents(s, dir)
-        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
-      Multimodal.resize(s, media, maxW = 128, maxH = 96)
-        .select(col("id").as("doc_id"), col("out_w"), col("out_h"), col("out_len"))
+      import s.implicits._
+      val media = Multimodal.imageFixtures(
+        documents(s, dir).select("doc_id"), "doc_id", checker = false)
+      Multimodal.resize(s, media, maxW = 32, maxH = 24)
+        .select(col("id"), col("out_w"), col("out_h"), col("thumb"))
+        .as[(Long, Int, Int, Array[Byte])]
+        .mapPartitions(_.map { case (id, ow, oh, thumb) =>
+          val Some((timg, _)) = Multimodal.decodeImage(thumb)
+          val p = timg.getRGB(0, 0)
+          (id, ow, oh, timg.getWidth, timg.getHeight,
+            (p >> 16) & 0xff, (p >> 8) & 0xff, p & 0xff)
+        })
+        .toDF("doc_id", "out_w", "out_h", "thumb_w", "thumb_h",
+          "thumb_r", "thumb_g", "thumb_b")
         .orderBy("doc_id")
     }),
 
-    // feature-extract plumbing: exact-integer fake embedding (dim 4) — the
-    // encoder swaps in at Multimodal.embedStub; downstream ANN reuses it
+    // real pixel-statistics embedding (dim 5: w, h, sumR, sumG, sumB —
+    // exact ints, float-lossless) from a full raster walk of the
+    // checkerboard fixtures; feeds Ann.cosineTopK downstream
     "q_media_embed" -> ((s, dir) => {
-      val media = documents(s, dir)
-        .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
-      Multimodal.embed(s, media, dim = 4)
+      val media = Multimodal.imageFixtures(
+        documents(s, dir).select("doc_id"), "doc_id", checker = true)
+      Multimodal.embed(s, media, dim = 5)
         .select(col("id").as("doc_id"),
           expr("cast(embedding[0] as double)").as("f0"),
           expr("cast(embedding[1] as double)").as("f1"),
           expr("cast(embedding[2] as double)").as("f2"),
-          expr("cast(embedding[3] as double)").as("f3"))
+          expr("cast(embedding[3] as double)").as("f3"),
+          expr("cast(embedding[4] as double)").as("f4"))
+        .orderBy("doc_id")
+    }),
+
+    // real animated-GIF multi-frame decode (2 + doc_id%3 frames per doc,
+    // frame f solid ((r+40f)%256, ...)): one row per decoded frame
+    "q_media_frames" -> ((s, dir) => {
+      import s.implicits._
+      val media = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id =>
+          (id, Multimodal.syntheticAnimatedGif(id, 2 + (id % 3).toInt))))
+        .toDF("id", "media")
+      Multimodal.gifFrames(s, media)
+        .select(col("id").as("doc_id"), col("frame_idx"), col("w"), col("h"),
+          col("r"), col("g"), col("b"))
+        .orderBy("doc_id", "frame_idx")
+    }),
+
+    // real WAV (RIFF/PCM) parse via javax.sound: header fields + unsigned
+    // payload byte sum (proves the PCM stream, not just the header, decoded)
+    "q_media_audio" -> ((s, dir) => {
+      import s.implicits._
+      val media = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticWav(id))))
+        .toDF("id", "media")
+      Multimodal.audioMeta(s, media)
+        .select(col("id").as("doc_id"), col("sample_rate"), col("channels"),
+          col("bits"), col("frames"), col("byte_sum"))
         .orderBy("doc_id")
     }),
 
@@ -879,41 +922,74 @@ object QueriesPipeline {
         |  WHERE t.doc_id = 0)
         |ORDER BY s DESC, term LIMIT 5""".stripMargin,
 
+    // oracle recomputes the decoded dims/format from the fixture formulas
+    // (w = 8 + id%57, h = 8 + 13id%41, format rotates png/bmp/gif)
     "q_media_meta" ->
       """SELECT doc_id,
-        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CASE WHEN length(text) = 0 THEN -1 ELSE ascii(substr(text, 1, 1)) END AS head_byte,
-        |  CAST(64 + octet_length(encode(text)) % 577 AS INT) AS fake_w,
-        |  CAST(64 + (octet_length(encode(text)) * 31
-        |    + (CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END)) % 417 AS INT) AS fake_h,
-        |  'raw' AS format
+        |  CAST(8 + doc_id % 57 AS INT) AS width,
+        |  CAST(8 + (doc_id * 13) % 41 AS INT) AS height,
+        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
+    // exact-integer aspect clamp to (32, 24) + solid-color round trip:
+    // thumb re-decode must yield the clamped dims and the fixture color
     "q_media_resize" ->
       """WITH m AS (SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
-        |    CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS hd
+        |    8 + doc_id % 57 AS w, 8 + (doc_id * 13) % 41 AS h,
+        |    doc_id % 256 AS r, (doc_id * 31) % 256 AS g, (doc_id * 77) % 256 AS b
         |  FROM documents),
-        |d AS (SELECT doc_id,
-        |    CASE WHEN nb = 0 THEN 0 ELSE least(64 + nb % 577, 128) END AS out_w,
-        |    CASE WHEN nb = 0 THEN 0 ELSE least(64 + (nb * 31 + hd) % 417, 96) END AS out_h,
-        |    nb FROM m)
+        |d AS (SELECT doc_id, r, g, b,
+        |    CASE WHEN w <= 32 AND h <= 24 THEN w
+        |         WHEN w * 24 >= h * 32 THEN 32
+        |         ELSE greatest(1, (w * 24) // h) END AS out_w,
+        |    CASE WHEN w <= 32 AND h <= 24 THEN h
+        |         WHEN w * 24 >= h * 32 THEN greatest(1, (h * 32) // w)
+        |         ELSE 24 END AS out_h
+        |  FROM m)
         |SELECT doc_id, CAST(out_w AS INT) AS out_w, CAST(out_h AS INT) AS out_h,
-        |  CAST(CASE WHEN nb = 0 THEN 0
-        |       ELSE greatest(1, (out_w * out_h) % 256) END AS INT) AS out_len
+        |  CAST(out_w AS INT) AS thumb_w, CAST(out_h AS INT) AS thumb_h,
+        |  CAST(r AS INT) AS thumb_r, CAST(g AS INT) AS thumb_g, CAST(b AS INT) AS thumb_b
         |FROM d ORDER BY doc_id""".stripMargin,
 
+    // checkerboard pixel sums: nEven = ceil(w*h/2) cells carry the base
+    // color, the rest its inverse — exact ints, float-lossless
     "q_media_embed" ->
       """WITH m AS (SELECT doc_id,
-        |    CAST(octet_length(encode(text)) AS BIGINT) AS nb,
-        |    CASE WHEN length(text) = 0 THEN 0 ELSE ascii(substr(text, 1, 1)) END AS hd
-        |  FROM documents)
+        |    8 + doc_id % 57 AS w, 8 + (doc_id * 13) % 41 AS h,
+        |    doc_id % 256 AS r, (doc_id * 31) % 256 AS g, (doc_id * 77) % 256 AS b
+        |  FROM documents),
+        |c AS (SELECT doc_id, w, h, r, g, b,
+        |    (w * h + 1) // 2 AS ne, (w * h) // 2 AS no FROM m)
         |SELECT doc_id,
-        |  CAST((nb * 38 + hd) % 211 AS DOUBLE) AS f0,
-        |  CAST((nb * 69 + hd) % 227 AS DOUBLE) AS f1,
-        |  CAST((nb * 100 + hd) % 243 AS DOUBLE) AS f2,
-        |  CAST((nb * 131 + hd) % 259 AS DOUBLE) AS f3
-        |FROM m ORDER BY doc_id""".stripMargin,
+        |  CAST(w AS DOUBLE) AS f0, CAST(h AS DOUBLE) AS f1,
+        |  CAST(ne * r + no * (255 - r) AS DOUBLE) AS f2,
+        |  CAST(ne * g + no * (255 - g) AS DOUBLE) AS f3,
+        |  CAST(ne * b + no * (255 - b) AS DOUBLE) AS f4
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_media_frames" ->
+      """WITH f AS (SELECT doc_id,
+        |    unnest(range(2 + doc_id % 3)) AS fi FROM documents)
+        |SELECT doc_id, CAST(fi AS INT) AS frame_idx,
+        |  CAST(8 + doc_id % 57 AS INT) AS w,
+        |  CAST(8 + (doc_id * 13) % 41 AS INT) AS h,
+        |  CAST((doc_id % 256 + 40 * fi) % 256 AS INT) AS r,
+        |  CAST(((doc_id * 31) % 256 + 40 * fi) % 256 AS INT) AS g,
+        |  CAST(((doc_id * 77) % 256 + 40 * fi) % 256 AS INT) AS b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+
+    "q_media_audio" ->
+      """WITH m AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sample_rate,
+        |    CAST(1 + doc_id % 2 AS INT) AS channels,
+        |    100 + (doc_id * 17) % 400 AS frames
+        |  FROM documents),
+        |b AS (SELECT doc_id, unnest(range(frames * channels * 2)) AS i FROM m),
+        |s AS (SELECT doc_id, sum((i * 7 + doc_id) % 256) AS byte_sum FROM b GROUP BY doc_id)
+        |SELECT m.doc_id, CAST(m.sample_rate AS INT) AS sample_rate, m.channels,
+        |  16 AS bits, CAST(m.frames AS BIGINT) AS frames,
+        |  CAST(s.byte_sum AS BIGINT) AS byte_sum
+        |FROM m JOIN s ON m.doc_id = s.doc_id ORDER BY m.doc_id""".stripMargin,
 
     "q_group_top" ->
       """SELECT lang, doc_id, rn FROM (

@@ -54,22 +54,25 @@ class AnnIvfSpec extends AnyFunSuite {
     import spark.implicits._
     import graft.pipeline.{Ann, Multimodal}
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select(col("doc_id").as("id"), col("text").cast("binary").as("media"))
-    val emb = Multimodal.embed(spark, docs, dim = 4)
-    val qv = Multimodal.embedStub("the query payload".getBytes("UTF-8"), 4)
+      .select(col("doc_id"))
+    // real decoded-pixel-stat embeddings over real encoded image fixtures
+    val media = Multimodal.imageFixtures(docs, "doc_id", checker = true)
+    val emb = Multimodal.embed(spark, media, dim = 5)
+    val qv = Multimodal.embedImage(Multimodal.syntheticImage(424242L, checker = true), 5)
     val got = Ann.cosineTopK(emb, "id", "embedding", qv, 5)
       .orderBy("rank").as[(Long, Int)].collect().toList
-    // hand-computed expectation over the same stub features
+    // hand-computed expectation over the same decode path, driver-side
     def cos(a: Array[Float], b: Array[Float]): Double = {
       var d = 0.0; var na = 0.0; var nb = 0.0
-      (0 until 4).foreach { i =>
+      (0 until 5).foreach { i =>
         d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i)
       }
       d / (math.sqrt(na) * math.sqrt(nb))
     }
-    val want = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
-      .select("doc_id", "text").as[(Long, String)].collect()
-      .map { case (id, t) => (id, cos(Multimodal.embedStub(t.getBytes("UTF-8"), 4), qv)) }
+    val want = docs.as[Long].collect()
+      .map { id =>
+        (id, cos(Multimodal.embedImage(Multimodal.syntheticImage(id, checker = true), 5), qv))
+      }
       .sortBy { case (id, c) => (-c, id) }.take(5).map(_._1).toList
     assert(got.map(_._1) == want)
   }
