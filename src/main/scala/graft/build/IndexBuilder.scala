@@ -209,9 +209,9 @@ object IndexBuilder {
   private def buildGroup(spark: SparkSession, pages: DataFrame, indexPath: String,
                          cfg: BuildConfig, group: Set[Int], alreadyDone: Set[Int]): Long = {
     val nSeg = cfg.numSegments
-    val segOf = udf((key: String) => Addressing.segmentOf(key, nSeg))
     val inGroup = pages
-      .withColumn("segmentId", segOf(col("url")))
+      .withColumn("segmentId",
+        graft.functions.ScalarExpressions.segmentOf(col("url"), nSeg))
       .filter(col("segmentId").isInCollection(group -- alreadyDone))
     writeSegments(spark, inGroup, indexPath, cfg.analyzerName, cfg.boost, cfg.flushTokens,
       group, cfg.extraFields, cfg.termVectors, cfg.indexSort, cfg.indexOffsets,

@@ -195,6 +195,71 @@ case class LshBucket(child: Expression, planes: Array[Array[Double]])
     copy(child = newChild)
 }
 
+/** IVF cell assignment in ONE narrow pass: the id of the nearest centroid
+  * by (squared L2 asc, cid asc) over a broadcast centroid matrix carried as
+  * a reference object — replaces the crossJoin(broadcast(centroids)) ×
+  * groupBy(id).agg(min(struct(d2, cid))) formulation, which exploded each
+  * vector × numCentroids rows AND shuffled the whole corpus through a hash
+  * aggregate just to take an argmin. Per-centroid distance math is
+  * bit-identical to [[L2SqPair]] (same min-length bound, same float->double
+  * cast points, same fold order); `cids` must be sorted ascending so a
+  * strict `<` improvement keeps the smallest cid on exact d2 ties — the
+  * lexicographic min(struct(d2, cid)) rule.
+  */
+case class ArgMinCentroid(child: Expression, cids: Array[Long], cents: Array[Array[Float]])
+    extends UnaryExpression {
+  require(cids.length == cents.length && cids.nonEmpty)
+  override def dataType: DataType = LongType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    var best = 0
+    var bestD2 = Double.MaxValue
+    var c = 0
+    while (c < cents.length) {
+      val ce = cents(c)
+      val len = math.min(a.numElements(), ce.length)
+      var s = 0.0; var i = 0
+      while (i < len) {
+        val d = a.getFloat(i).toDouble - ce(i).toDouble
+        s += d * d; i += 1
+      }
+      if (s < bestD2) { bestD2 = s; best = c }
+      c += 1
+    }
+    cids(best)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val cidRef = ctx.addReferenceObj("cids", cids, "long[]")
+    val ceRef = ctx.addReferenceObj("cents", cents, "float[][]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val best = ctx.freshName("best"); val bestD2 = ctx.freshName("bestD2")
+      val c = ctx.freshName("c"); val ce = ctx.freshName("ce")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val len = ctx.freshName("len"); val d = ctx.freshName("d")
+      s"""
+         |int $best = 0;
+         |double $bestD2 = Double.MAX_VALUE;
+         |for (int $c = 0; $c < $ceRef.length; $c++) {
+         |  float[] $ce = $ceRef[$c];
+         |  int $len = java.lang.Math.min($a.numElements(), $ce.length);
+         |  double $s = 0.0;
+         |  for (int $i = 0; $i < $len; $i++) {
+         |    double $d = (double) $a.getFloat($i) - (double) $ce[$i];
+         |    $s += $d * $d;
+         |  }
+         |  if ($s < $bestD2) { $bestD2 = $s; $best = $c; }
+         |}
+         |${ev.value} = $cidRef[$best];
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ArgMinCentroid =
+    copy(child = newChild)
+}
+
 /** MinHash signature of a TOKEN array in ONE narrow pass: for each of the
   * `as.length` hash functions, the minimum of ((h(shingle) * a_i + b_i) % p)
   * over every k-token shingle window — h(shingle) replicates
@@ -329,6 +394,12 @@ object VectorExpressions {
   def lshBucket(emb: Column, planes: Array[Array[Double]]): Column =
     GraftColumnBridge.column(LshBucket(
       GraftColumnBridge.expression(emb.cast("array<float>")), planes))
+
+  /** Nearest-centroid id over a broadcast centroid matrix, one fused pass;
+    * (cids, cents) must be parallel arrays sorted by cid ascending. */
+  def argMinCentroid(emb: Column, cids: Array[Long], cents: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(ArgMinCentroid(
+      GraftColumnBridge.expression(emb.cast("array<float>")), cids, cents))
 
   /** MinHash signature array over a token-array column. */
   def minHashSig(tokens: Column, k: Int, coeffs: Seq[(Long, Long)], p: Long): Column =

@@ -88,12 +88,32 @@ object Ann {
     emb.filter(col(idCol) % every === 0)
       .select(col(idCol).as("cid"), col(embCol).as("ce"))
 
-  /** Cell assignment: nearest centroid by (squared L2 asc, cid asc). One
-    * narrow pass over a broadcast centroid table — the bucketing that makes
-    * a 100 TB scan pruned: persist/partition by `cid` and a query touches
-    * only its probed cells.
+  /** Cell assignment: nearest centroid by (squared L2 asc, cid asc), ONE
+    * narrow fused-codegen pass — the centroid matrix rides into every task
+    * as a reference object (the broadcast), so the plan has ZERO Exchange:
+    * no per-centroid row blowup, no corpus-wide argmin aggregate. This is
+    * the bucketing that makes a 100 TB scan pruned: persist/partition by
+    * `cid` and a query touches only its probed cells.
     */
-  def ivfAssign(emb: DataFrame, idCol: String, embCol: String, every: Int): DataFrame =
+  def ivfAssign(emb: DataFrame, idCol: String, embCol: String, every: Int): DataFrame = {
+    val cents = ivfCentroids(emb, idCol, embCol, every)
+      .select(col("cid").cast("long"), col("ce").cast("array<float>"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1) // cid asc: strict-< scan keeps the smallest cid on d2 ties
+    if (cents.isEmpty) // no centroids -> empty assignment (join-formulation parity)
+      emb.select(col(idCol), lit(0L).as("cid")).filter(lit(false))
+    else
+      emb.select(col(idCol),
+        graft.functions.VectorExpressions
+          .argMinCentroid(col(embCol), cents.map(_._1), cents.map(_._2)).as("cid"))
+  }
+
+  /** The pre-fusion formulation (crossJoin × broadcast × min(struct)) kept
+    * as the spec parity baseline for [[ivfAssign]] — same (d2, cid)
+    * lexicographic argmin, expressed relationally.
+    */
+  def ivfAssignJoin(emb: DataFrame, idCol: String, embCol: String, every: Int): DataFrame =
     emb.crossJoin(broadcast(ivfCentroids(emb, idCol, embCol, every)))
       .withColumn("d2", l2sqCol(col(embCol), col("ce")))
       .groupBy(col(idCol))

@@ -1157,18 +1157,12 @@ final class Searcher(spark: SparkSession, indexPath: String,
     * the <= maxExpansions winners ever reach the driver, so a maxEdits=2
     * query against a web-scale dictionary cannot collect millions of
     * candidates. The boost float math stays bit-identical to the reference
-    * (float division, not double-div-then-round) via a tiny non-hot-path
-    * UDF over the already-filtered candidates.
+    * (float division, not double-div-then-round) via the native FuzzyBoost
+    * expression over the already-filtered candidates.
     */
   private def fuzzyExpand(field: String, term: String, maxEdits: Int,
                           maxExpansions: Int): Array[(String, Long, Float)] = {
     val qLen = term.codePointCount(0, term.length)
-    val boostU = udf((t: String, ed: Int) =>
-      if (ed == 0) 1f
-      else {
-        val cLen = t.codePointCount(0, t.length)
-        1f - ed.toFloat / math.min(cLen, qLen).toFloat
-      })
     val cap = math.min(maxExpansions, Query.MaxClauseCount)
     // length-band (Parquet-row-group-prunable via the dict's sorted `len`
     // column) + pigeonhole substring prune (the EDJoin/PassJoin filter)
@@ -1176,7 +1170,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
     fuzzyDictScan(field, term, maxEdits)
       .withColumn("ed", levenshtein(col("term"), lit(term)))
       .filter(col("ed") <= maxEdits)
-      .withColumn("boost", boostU(col("term"), col("ed")))
+      .withColumn("boost",
+        graft.functions.ScalarExpressions.fuzzyBoost(col("term"), col("ed"), qLen))
       .filter(col("boost") > 0f) // minSimilarity = 0 bound (ed==0 -> 1f)
       .orderBy(col("boost").desc, col("term").asc)
       .limit(cap)

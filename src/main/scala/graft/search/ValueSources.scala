@@ -151,10 +151,7 @@ object ValueSources {
     case NormVS =>
       // byte315 roundtrip of 1/sqrt(dl), evaluated through the same
       // SmallFloat tables the scorer uses (decode(encode(boost/sqrt(len)))).
-      val enc = udf((len: Int) => graft.codec.SmallFloat.byte315ToFloat(
-        graft.codec.SmallFloat.floatToByte315(
-          (1.0 / math.sqrt(len.toDouble)).toFloat)).toDouble)
-      (df, enc(col("fieldLen")))
+      (df, graft.functions.ScalarExpressions.byte315Norm(col("fieldLen")))
     case QueryVS(q, default) =>
       val c = fresh("q")
       val hits = se.compile(q).toDF("segmentId", "docId", c)

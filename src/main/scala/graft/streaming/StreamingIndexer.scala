@@ -5,7 +5,6 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 import graft.build.IndexBuilder
-import graft.model.Addressing
 import graft.search.Searcher
 
 /** Incremental (near-real-time) indexing via Structured Streaming — the
@@ -45,12 +44,12 @@ object StreamingIndexer {
       try Some(IndexBuilder.readConfig(spark, indexPath))
       catch { case _: Exception => None }
     val extraFields = idxCfg.map(_.extraFields).getOrElse(Nil)
-    val segOf = udf((key: String) => base + Addressing.segmentOf(key, nSeg))
     val indexSort = idxCfg.flatMap(_.indexSort)
     val cols = (Seq("url", "text") ++ extraFields.map(_._1) ++ indexSort.toSeq)
       .distinct.map(col)
     val withSeg = batch.select(cols: _*)
-      .withColumn("segmentId", segOf(col("url")))
+      .withColumn("segmentId",
+        graft.functions.ScalarExpressions.segmentOf(col("url"), nSeg) + lit(base))
     IndexBuilder.writeSegments(spark, withSeg, indexPath, analyzerName,
       boost = 1f, flushTokens = 8 * 1024 * 1024,
       group = (base until base + nSeg).toSet, extraFields = extraFields,

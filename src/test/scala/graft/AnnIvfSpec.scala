@@ -28,6 +28,17 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(self == 0)
   }
 
+  test("fused argmin assignment == crossJoin/min(struct) formulation, zero Exchange") {
+    val fused = Ann.ivfAssign(emb, "vec_id", "embedding", every = 10)
+    val joined = Ann.ivfAssignJoin(emb, "vec_id", "embedding", every = 10)
+    val a = fused.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    val b = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toList
+    assert(a == b)
+    // the fused plan is one narrow pass: no Exchange anywhere
+    val plan = fused.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("probing all cells reproduces brute-force top-k exactly") {
     val cellCount = Ann.ivfCentroids(emb, "vec_id", "embedding", 10).count().toInt
     val brute = Ann.cosineTopK(emb, "vec_id", "embedding", qv, 10, Some(1L))
