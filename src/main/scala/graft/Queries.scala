@@ -200,6 +200,16 @@ object Queries {
             col("sortKey").cast("long").as("n_chars")),
         10, Seq(col("n_chars").asc, col("doc_id").asc))),
 
+    // same early-terminated sorted collection AFTER a distributed sorted
+    // merge of the 4 segments (salted-shuffle path forced): the merge must
+    // preserve (sortKey, url) doc order exactly
+    "q_sorted_merged_topk" -> ((s, dir) =>
+      Ranks.rankTopK(
+        IndexCache.sortedMergedSearcher(s, dir).searchSortedEarly(TermQ("data"), 10)
+          .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"),
+            col("sortKey").cast("long").as("n_chars")),
+        10, Seq(col("n_chars").asc, col("doc_id").asc))),
+
     // --- time-limited collection (TimeLimitingCollector tick-clock analog):
     //     unlimited budget == plain top-k; budget 1 == first doc collected
     //     before the clock fires, with the partial-result flag surfaced
@@ -521,6 +531,12 @@ object Queries {
     "q_hunspell" -> ((s, dir) => idsOf(IndexCache.hunspellSearcher(s, dir), TermQ("walk"))),
     "q_hunspell_try" -> ((s, dir) =>
       idsOf(IndexCache.hunspellSearcher(s, dir), TermQ("try"))),
+    // ICONV: input ß-spelling indexes under the converted ss-form
+    "q_hunspell_iconv" -> ((s, dir) =>
+      idsOf(IndexCache.hunspellIconvSearcher(s, dir), TermQ("fussball"))),
+    // CIRCUMFIX: ge-…-t pair strips to the root (either half alone would not)
+    "q_hunspell_circumfix" -> ((s, dir) =>
+      idsOf(IndexCache.hunspellIconvSearcher(s, dir), TermQ("lauf"))),
     // HyphenationCompound: a compound is searchable by its hyphen-cut part
     "q_hyph_compound" -> ((s, dir) =>
       idsOf(IndexCache.hyphCompoundSearcher(s, dir), TermQ("spiel"))),
@@ -1335,6 +1351,14 @@ object Queries {
          |FROM documents d JOIN m ON m.doc_id = d.doc_id
          |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
 
+    // the distributed sorted merge is invisible to results: same oracle
+    "q_sorted_merged_topk" ->
+      s"""$P, m AS (SELECT DISTINCT doc_id FROM toks WHERE term = 'data')
+         |SELECT d.doc_id, d.n_chars,
+         |CAST(row_number() OVER (ORDER BY d.n_chars, d.doc_id) AS INT) AS rank
+         |FROM documents d JOIN m ON m.doc_id = d.doc_id
+         |ORDER BY d.n_chars, d.doc_id LIMIT 10""".stripMargin,
+
     // 'en' is never a text token and 'data' never a lang value, so the
     // four expanded leaves reduce to lang-BM25('en') + text-BM25('data')
     "q_multifield_parsed" ->
@@ -1589,6 +1613,10 @@ object Queries {
     "q_hunspell" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_hunspell_try" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+    "q_hunspell_iconv" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_hunspell_circumfix" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
     "q_hyph_compound" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",

@@ -105,6 +105,33 @@ object IndexCache {
   })
   private val sortCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Sorted-MERGE gate fixture: the 4-segment index-sorted index merged to
+    * one segment through the DISTRIBUTED sorted-merge path (broadcast
+    * budget forced to 0, so the permutation is a table, postings take the
+    * salted (field, term, salt) shuffle, and pieces stay bounded —
+    * merge/MergeJob.scala mergeSortedDistributed). A correct re-sorting
+    * merge (SortingMergePolicy semantics) must leave every sorted-collector
+    * result exactly as the unmerged index produced it.
+    */
+  def sortedMergedSearcher(spark: SparkSession, sfDir: String): Searcher =
+    smCache.getOrElseUpdate(sfDir, {
+      val path = indexPath(sfDir) + "_sortmerged"
+      if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+        val pages = spark.read.parquet(s"$sfDir/documents.parquet")
+          .select(format_string("doc%09d", col("doc_id")).as("url"),
+            col("text"), col("n_chars"))
+        IndexBuilder.build(spark, pages, path,
+          IndexBuilder.BuildConfig(numSegments = 4, analyzerName = "simple",
+            indexSort = Some("n_chars")))
+      }
+      if (IndexBuilder.statsGen(spark, path) == 0) { // merge not committed yet
+        val segs = IndexBuilder.completedSegments(spark, path).toList.sorted
+        graft.merge.MergeJob.merge(spark, path, segs, sortedPermBroadcastMax = 0)
+      }
+      new Searcher(spark, path, mode = ExactDouble)
+    })
+  private val smCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** LM Jelinek-Mercer (lambda=0.5) reader over the main gate index. */
   def lmJmSearcher(spark: SparkSession, sfDir: String): Searcher = jcache.getOrElseUpdate(sfDir, {
     searcher(spark, sfDir) // ensure the index is built
@@ -830,6 +857,15 @@ object IndexCache {
     langCache.getOrElseUpdate((sfDir, "hunspell"), langFixture(spark, sfDir, "hunspell", "hunspell_fixture",
       concat(when(col("doc_id") % 2 === 0, "rewalked").otherwise("tried"),
         lit(" zebra"))))
+
+  /** Hunspell ICONV/CIRCUMFIX fixture: even docs carry ß-spelled fußball
+    * (reaches the index as fussball via ICONV), odd docs carry the
+    * circumfix pair ge-lauf-t (stems to lauf only because BOTH circumfix
+    * halves strip together). */
+  def hunspellIconvSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "hunspelliconv"), langFixture(spark, sfDir, "hunspelliconv", "hunspell_iconv",
+      concat(when(col("doc_id") % 2 === 0, "fußball").otherwise("gelauft"),
+        lit(" heute"))))
 
   /** HyphenationCompound fixture: Liang-pattern decompounding against the
     * part dictionary — compounds searchable by their parts. */

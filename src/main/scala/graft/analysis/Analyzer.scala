@@ -341,6 +341,7 @@ object Analyzers {
     case "wikipedia_untok" => WikipediaUntokenizedAnalyzer // UNTOKENIZED_ONLY il+c collapse
     case "uax_url_email" => UaxUrlEmailAnalyzer // UAX29URLEmailAnalyzer: URLs/emails single tokens
     case "hunspell_fixture" => HunspellFixtureAnalyzer // Hunspell affix-dictionary stemming
+    case "hunspell_iconv" => HunspellIconvAnalyzer // ICONV + CIRCUMFIX machinery
     case "hyph_compound" => HyphCompoundFixtureAnalyzer // Liang hyphenation decompounding
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }

@@ -11,9 +11,14 @@ import java.util.regex.Pattern
   * text formats with PFX/SFX rule groups (flag, cross-product marker,
   * strip, append, condition char-class), continuation classes on the
   * append (`ing/B` — Dictionary.cs twoStageAffix), single-char flags,
-  * comments, and the per-entry `word/FLAGS` form. Out of scope (noted,
-  * rarely used by the shipped EN/DE/FR dictionaries this feature targets):
-  * COMPLEXPREFIXES, CIRCUMFIX, ICONV/OCONV input/output conversion,
+  * comments, the per-entry `word/FLAGS` form, ICONV/OCONV input/output
+  * conversion tables (longest-match-at-position rewriting, applied to
+  * input words AND dictionary entries / output stems — Dictionary.cs
+  * cleanInput/applyMappings, Stemmer.cs newStem), and the CIRCUMFIX flag
+  * (a circumfix-marked prefix yields stems only together with a
+  * circumfix-marked suffix and vice versa — Stemmer.cs applyAffix
+  * circumfix threading). Out of scope (noted, rarely used by the shipped
+  * EN/DE/FR dictionaries this feature targets): COMPLEXPREFIXES,
   * numeric/long flag modes, compounding directives — the reference parses
   * them in Dictionary.cs:284-575; the recursion below matches Stemmer.cs
   * for the complexPrefixes=false configuration.
@@ -41,7 +46,10 @@ object Hunspell {
 
   final class Dictionary(val words: Map[String, Set[Char]],
                          val prefixes: Map[String, List[AffixRule]],
-                         val suffixes: Map[String, List[AffixRule]]) extends Serializable {
+                         val suffixes: Map[String, List[AffixRule]],
+                         val iconv: List[(String, String)] = Nil,
+                         val oconv: List[(String, String)] = Nil,
+                         val circumfix: Option[Char] = None) extends Serializable {
     val twoStageAffix: Boolean =
       (prefixes.valuesIterator ++ suffixes.valuesIterator).flatten.exists(_.continuation.nonEmpty)
 
@@ -49,17 +57,58 @@ object Hunspell {
       words.get(word).exists(_.contains(flag))
   }
 
+  /** ICONV/OCONV table application (Dictionary.cs applyMappings): at each
+    * position the LONGEST matching `from` rewrites to its `to`; otherwise
+    * the character copies through. */
+  def applyConv(table: List[(String, String)], s: String): String = {
+    if (table.isEmpty) return s
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      var bestFrom: String = null
+      var bestTo: String = null
+      table.foreach { case (f, t) =>
+        if (f.nonEmpty && s.startsWith(f, i) &&
+            (bestFrom == null || f.length > bestFrom.length)) {
+          bestFrom = f; bestTo = t
+        }
+      }
+      if (bestFrom != null) { sb.append(bestTo); i += bestFrom.length }
+      else { sb.append(s.charAt(i)); i += 1 }
+    }
+    sb.toString
+  }
+
   /** Parse `.aff` + `.dic` content (Dictionary.cs readAffixFile/readDictionaryFiles).
     * Unknown directives are skipped, as the reference does. */
   def parse(aff: String, dic: String): Dictionary = {
     val prefixes = mutable.Map.empty[String, List[AffixRule]].withDefaultValue(Nil)
     val suffixes = mutable.Map.empty[String, List[AffixRule]].withDefaultValue(Nil)
+    val iconv = mutable.ListBuffer.empty[(String, String)]
+    val oconv = mutable.ListBuffer.empty[(String, String)]
+    var circumfix: Option[Char] = None
 
     val lines = aff.linesIterator.map(stripComment).filter(_.nonEmpty).toArray
     var i = 0
     while (i < lines.length) {
       val parts = lines(i).split("\\s+")
-      if ((parts(0) == "PFX" || parts(0) == "SFX") && parts.length >= 4) {
+      if ((parts(0) == "ICONV" || parts(0) == "OCONV") && parts.length == 2
+          && parts(1).forall(_.isDigit)) {
+        // table header: `ICONV n` then n `ICONV from to` lines
+        // (Dictionary.cs parseConversions)
+        val count = parts(1).toInt
+        val table = if (parts(0) == "ICONV") iconv else oconv
+        var k = 0
+        while (k < count && i + 1 + k < lines.length) {
+          val r = lines(i + 1 + k).split("\\s+")
+          if (r.length >= 3) table += ((r(1), r(2)))
+          k += 1
+        }
+        i += 1 + count
+      } else if (parts(0) == "CIRCUMFIX" && parts.length >= 2) {
+        circumfix = Some(parts(1).charAt(0))
+        i += 1
+      } else if ((parts(0) == "PFX" || parts(0) == "SFX") && parts.length >= 4) {
         val isPrefix = parts(0) == "PFX"
         val flag = parts(1).charAt(0)
         val crossProduct = parts(2) == "Y"
@@ -84,6 +133,7 @@ object Hunspell {
       } else i += 1
     }
 
+    val iconvT = iconv.toList
     val words = mutable.Map.empty[String, Set[Char]]
     val dicLines = dic.linesIterator.map(stripComment).filter(_.nonEmpty).toArray
     // first line is the entry count (advisory; Dictionary.cs skips it)
@@ -92,13 +142,16 @@ object Hunspell {
     while (j < dicLines.length) {
       val line = dicLines(j)
       val slash = line.indexOf('/')
-      val (w, flags) =
+      val (w0, flags) =
         if (slash < 0) (line, Set.empty[Char])
         else (line.substring(0, slash), line.substring(slash + 1).toSet)
+      // dictionary entries are input-cleaned too (readDictionaryFiles)
+      val w = applyConv(iconvT, w0)
       words(w) = words.getOrElse(w, Set.empty) ++ flags
       j += 1
     }
-    new Dictionary(words.toMap, prefixes.toMap, suffixes.toMap)
+    new Dictionary(words.toMap, prefixes.toMap, suffixes.toMap,
+      iconvT, oconv.toList, circumfix)
   }
 
   private def stripComment(s: String): String = {
@@ -121,19 +174,24 @@ object Hunspell {
     fixed.replace("(", "\\(").replace(")", "\\)").replace("{", "\\{")
   }
 
-  /** All stems of `word` (Stemmer.stem): dictionary identity + affix
-    * stripping; empty when the word is unknown AND nothing strips. */
-  def stem(dict: Dictionary, word: String): List[String] = {
+  /** All stems of `word` (Stemmer.stem): input conversion, dictionary
+    * identity + affix stripping, output conversion; empty when the word is
+    * unknown AND nothing strips. */
+  def stem(dict: Dictionary, word0: String): List[String] = {
+    val word = applyConv(dict.iconv, word0) // cleanInput
     val out = mutable.ListBuffer.empty[String]
     if (dict.words.contains(word)) out += word
     out ++= stemRec(dict, word, previous = null, prefixFlag = -1, depth = 0,
-      doPrefix = true, doSuffix = true)
-    out.toList.distinct
+      doPrefix = true, doSuffix = true, circumfix = false)
+    val stems = out.toList.distinct
+    if (dict.oconv.isEmpty) stems
+    else stems.map(applyConv(dict.oconv, _)).distinct // newStem cleanOutput
   }
 
   private def stemRec(dict: Dictionary, word: String, previous: AffixRule,
                       prefixFlag: Int, depth: Int,
-                      doPrefix: Boolean, doSuffix: Boolean): List[String] = {
+                      doPrefix: Boolean, doSuffix: Boolean,
+                      circumfix: Boolean): List[String] = {
     val out = mutable.ListBuffer.empty[String]
 
     if (doPrefix) {
@@ -150,7 +208,7 @@ object Hunspell {
           if (compatible) {
             val restored = rule.strip + word.substring(i)
             if (rule.condition == null || rule.condition.matcher(restored).matches()) {
-              out ++= applyAffix(dict, restored, rule, prefixFlag, depth)
+              out ++= applyAffix(dict, restored, rule, prefixFlag, depth, circumfix)
             }
           }
         }
@@ -176,7 +234,7 @@ object Hunspell {
           if (compatible) {
             val restored = word.substring(0, i) + rule.strip
             if (rule.condition == null || rule.condition.matcher(restored).matches()) {
-              out ++= applyAffix(dict, restored, rule, prefixFlag, depth)
+              out ++= applyAffix(dict, restored, rule, prefixFlag, depth, circumfix)
             }
           }
         }
@@ -188,26 +246,39 @@ object Hunspell {
 
   /** Stemmer.applyAffix: the de-affixed word is a stem when it is a
     * dictionary entry carrying the rule's flag (and the inner prefix's
-    * flag, when one was stripped); cross-product rules recurse one level. */
+    * flag, when one was stripped); with a CIRCUMFIX flag defined, the
+    * circumfix state set by the stripped prefix must agree with the
+    * current rule's circumfix continuation mark (Stemmer.cs:401-424);
+    * cross-product rules recurse one level. */
   private def applyAffix(dict: Dictionary, restored: String, rule: AffixRule,
-                         prefixFlag: Int, depth: Int): List[String] = {
+                         prefixFlag: Int, depth: Int,
+                         circumfix: Boolean): List[String] = {
     val out = mutable.ListBuffer.empty[String]
     dict.words.get(restored).foreach { wordFlags =>
       val flagOk = wordFlags.contains(rule.flag)
       val prefixOk = prefixFlag < 0 || wordFlags.contains(prefixFlag.toChar) ||
         rule.continuation.contains(prefixFlag.toChar)
-      if (flagOk && prefixOk) out += restored
+      // circumfix agreement: a circumfix-marked affix accepts only when the
+      // other side of the pair was circumfix-marked too, and vice versa
+      val circumOk = dict.circumfix.forall(cf =>
+        circumfix == rule.continuation.contains(cf))
+      if (flagOk && prefixOk && circumOk) out += restored
     }
+    // a circumfix-marked prefix arms the state for the suffix recursion
+    val circ2 =
+      if (!circumfix && rule.isPrefix)
+        dict.circumfix.exists(rule.continuation.contains)
+      else circumfix
     if (rule.crossProduct && depth == 0) {
       if (rule.isPrefix) {
         // prefix stripped: a cross-product suffix may follow (prefixFlag
         // re-checked against the entry in the inner applyAffix)
         out ++= stemRec(dict, restored, rule, rule.flag.toInt, depth + 1,
-          doPrefix = false, doSuffix = true)
+          doPrefix = false, doSuffix = true, circumfix = circ2)
       } else if (dict.twoStageAffix) {
         // suffix stripped: second suffix only through a continuation class
         out ++= stemRec(dict, restored, rule, prefixFlag, depth + 1,
-          doPrefix = false, doSuffix = true)
+          doPrefix = false, doSuffix = true, circumfix = circ2)
       }
     }
     out.toList
@@ -255,6 +326,36 @@ object HunspellFixtureAnalyzer extends Analyzer {
             |walk/ABC
             |try/B
             |drink
+            |""".stripMargin)
+
+  override def tokenize(text: String): Iterator[Token] =
+    Hunspell.stemFilter(
+      LangAnalyzers.StandardNoStop.tokenize(text), dict, longestOnly = true)
+}
+
+/** Gate fixture for ICONV input conversion + CIRCUMFIX pairing (the de_DE /
+  * pt_BR .aff machinery): ß→ss cleans both the input tokens and the
+  * dictionary entries, and ge-…-t strips to the root only as a PAIR —
+  * either half alone must NOT yield the stem (Stemmer.cs circumfix
+  * threading). The suffix continuation carries the prefix flag too, as
+  * Lucene's hasCrossCheckedFlag demands of non-empty continuation lists. */
+object HunspellIconvAnalyzer extends Analyzer {
+  val dict: Hunspell.Dictionary = Hunspell.parse(
+    aff = """SET UTF-8
+            |ICONV 1
+            |ICONV ß ss
+            |CIRCUMFIX X
+            |PFX P Y 1
+            |PFX P 0 ge/X .
+            |SFX S Y 1
+            |SFX S 0 t/XP .
+            |SFX E Y 1
+            |SFX E 0 en .
+            |""".stripMargin,
+    dic = """3
+            |fußball/E
+            |lauf/PS
+            |wetter
             |""".stripMargin)
 
   override def tokenize(text: String): Iterator[Token] =

@@ -87,4 +87,41 @@ class HunspellSpec extends AnyFunSuite {
       dic = "walk/B  # entry comment\n")
     assert(Hunspell.stem(d2, "walked") == List("walk"))
   }
+
+  // ---- ICONV/OCONV + CIRCUMFIX (HunspellIconvAnalyzer fixture dictionary)
+
+  private val di = HunspellIconvAnalyzer.dict
+
+  test("ICONV cleans input AND dictionary entries (ß -> ss, longest match)") {
+    // dic spells fußball with ß; both spellings stem to the converted form
+    assert(Hunspell.stem(di, "fußball") == List("fussball"))
+    assert(Hunspell.stem(di, "fussball") == List("fussball"))
+    assert(Hunspell.stem(di, "fußballen") == List("fussball"))
+  }
+
+  test("ICONV longest-match-at-position prefers the longer from-pattern") {
+    val d2 = Hunspell.parse(
+      aff = "ICONV 2\nICONV a x\nICONV ab yy\n",
+      dic = "1\nyyc\n")
+    // 'abc': 'ab' (len 2) beats 'a' (len 1) at position 0
+    assert(Hunspell.stem(d2, "abc") == List("yyc"))
+  }
+
+  test("OCONV rewrites emitted stems") {
+    val d2 = Hunspell.parse(
+      aff = "OCONV 1\nOCONV ss ß\nSFX B Y 1\nSFX B 0 ed .\n",
+      dic = "1\npass/B\n")
+    assert(Hunspell.stem(d2, "passed") == List("paß"))
+  }
+
+  test("CIRCUMFIX: the pair strips; either half alone is rejected") {
+    assert(Hunspell.stem(di, "gelauft") == List("lauf")) // ge- + -t together
+    assert(Hunspell.stem(di, "gelauf") == Nil) // circumfix prefix alone
+    assert(Hunspell.stem(di, "lauft") == Nil) // circumfix suffix alone
+  }
+
+  test("non-circumfix affixes still work in a CIRCUMFIX dictionary") {
+    assert(Hunspell.stem(di, "wetter") == List("wetter"))
+    assert(Hunspell.stem(di, "fußballen") == List("fussball")) // plain SFX E
+  }
 }
