@@ -434,6 +434,26 @@ object Queries {
     // --- second analyzer-catalog wave: each term exists only through the
     //     language chain's stem/normalize rules on even docs
     "q_lang_fi" -> ((s, dir) => idsOf(IndexCache.fiSearcher(s, dir), TermQ("talo"))),
+    // full-Snowball stop sets are LIVE: "welche"/"vaikka" (absent from the
+    // 3.x contrib cores) must vanish in the chain — if either survived the
+    // stop filter its stem would match every fixture doc and the empty
+    // oracle would fail
+    "q_lang_de_stop" -> ((s, dir) => {
+      val se = IndexCache.deSearcher(s, dir)
+      graft.analysis.Analyzers.byName("german").tokenize("welche")
+        .map(_.term).toList match {
+        case Nil => idsOf(se, TermQ("zz_never_indexed"))
+        case t :: _ => idsOf(se, TermQ(t))
+      }
+    }),
+    "q_lang_fi_stop" -> ((s, dir) => {
+      val se = IndexCache.fiSearcher(s, dir)
+      graft.analysis.Analyzers.byName("finnish").tokenize("vaikka")
+        .map(_.term).toList match {
+        case Nil => idsOf(se, TermQ("zz_never_indexed"))
+        case t :: _ => idsOf(se, TermQ(t))
+      }
+    }),
     "q_lang_hu" -> ((s, dir) => idsOf(IndexCache.huSearcher(s, dir), TermQ("ház"))),
     "q_lang_hu_light" -> ((s, dir) => idsOf(IndexCache.huLightSearcher(s, dir), TermQ("haz"))),
     "q_lang_cs" -> ((s, dir) => idsOf(IndexCache.csSearcher(s, dir), TermQ("student"))),
@@ -547,6 +567,11 @@ object Queries {
     // "tried" -> "try" (-ied rule + dictionary), "running" -> "run" (doubled C)
     "q_kstem_try" -> ((s, dir) => idsOf(IndexCache.kstemSearcher(s, dir), TermQ("try"))),
     "q_kstem_dict" -> ((s, dir) => idsOf(IndexCache.kstemSearcher(s, dir), TermQ("run"))),
+    // dictionary-gated derivational rules reachable only via the full
+    // head-word lexicon: brightness -> bright (-ness), announcement ->
+    // announce (-ment) — the ~300-word rule core lacks both roots
+    "q_kstem_ness" -> ((s, dir) => idsOf(IndexCache.kstemSearcher(s, dir), TermQ("bright"))),
+    "q_kstem_ment" -> ((s, dir) => idsOf(IndexCache.kstemSearcher(s, dir), TermQ("announce"))),
     // EnglishMinimalStem: cats -> cat (plural-only)
     "q_en_minimal" -> ((s, dir) => idsOf(IndexCache.enMinimalSearcher(s, dir), TermQ("cat"))),
     // EnglishPossessive: Bob’s (U+2019) -> bob
@@ -1507,6 +1532,10 @@ object Queries {
     "q_filter_compound_phrase" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
+    "q_lang_de_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_fi_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
     "q_lang_fi" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_hu" ->
@@ -1628,6 +1657,10 @@ object Queries {
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
     "q_kstem_dict" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_kstem_ness" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_kstem_ment" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
     "q_en_minimal" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_en_possessive" ->

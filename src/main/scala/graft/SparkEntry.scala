@@ -43,7 +43,7 @@ object IndexCache {
 
   /** Bump when the on-disk postings layout changes — stale caches from a
     * previous engine version must not be reused across driver runs. */
-  val FormatVersion = 10 // v10: finnish + hungarian chains = Snowball defaults
+  val FormatVersion = 11 // v11: full Snowball stop sets (de/es/it/pt/ru/no/fi/hu)
 
   def indexPath(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -358,7 +358,9 @@ object IndexCache {
         format_string("doc%09d", col("doc_id")).as("url"),
         concat(lit("Die Häuser und Gärten zeigen "),
           when(col("doc_id") % 2 === 0, "Felder").otherwise("Wälder"),
-          lit(" Bildern")).as("text"))
+          // "welche" stops only via the FULL Snowball german_stop.txt set
+          // (absent from the 3.x contrib core) — q_lang_de_stop pins it
+          lit(" Bildern welche")).as("text"))
       IndexBuilder.build(spark, pages, path,
         IndexBuilder.BuildConfig(numSegments = 1, analyzerName = "german"))
     }
@@ -588,8 +590,9 @@ object IndexCache {
     * on odd; "ja" stopped; vesi untouched (no case ending in R1). */
   def fiSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "fi"), langFixture(spark, sfDir, "fi", "finnish",
+      // trailing "vaikka" stops only via the full Snowball finnish list
       concat(when(col("doc_id") % 2 === 0, "talossa").otherwise("autossa"),
-        lit(" ja vesi"))))
+        lit(" ja vesi vaikka"))))
 
   /** Finnish light variant: kirjassa->kirj on even docs (the Snowball
     * default also reaches kirj; the light chain is pinned by its own
@@ -879,7 +882,11 @@ object IndexCache {
     * collapse to their dictionary roots. */
   def kstemSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "kstem"), langFixture(spark, sfDir, "kstem", "english_kstem",
-      concat(when(col("doc_id") % 2 === 0, "dying running").otherwise("tried walking"),
+      // brightness/announcement resolve only through the KStemLexicon
+      // head-word list (-ness/-ment restoration; roots absent from the
+      // rule-pinned core) — q_kstem_ness / q_kstem_ment pin them
+      concat(when(col("doc_id") % 2 === 0, "dying running brightness")
+          .otherwise("tried walking announcement"),
         lit(" zebra"))))
 
   /** EnglishMinimalStem fixture: plural-only stemming. */

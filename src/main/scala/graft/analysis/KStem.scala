@@ -226,8 +226,12 @@ object KStem {
     "main", "major", "minor", "senior", "junior", "proper", "bitter",
     "better", "clever", "eager", "tender", "slender", "agent")
 
-  /** The default dictionary: tables + default lexicon. */
-  lazy val defaultDict: Map[String, DictEntry] = buildDict(defaultLexicon)
+  /** The default dictionary: tables + rule-pinned core lexicon ∪ the
+    * general-English head-word list ([[KStemLexicon]], the KStemData1-8
+    * data-resource role) so dictionary-gated rules resolve against real
+    * vocabulary instead of the OOV defaults. */
+  lazy val defaultDict: Map[String, DictEntry] =
+    buildDict(defaultLexicon ++ KStemLexicon.words)
 
   /** Assemble the dictionary hash exactly as KStemmer.cs initializeDictHash
     * (exceptions first, then conflations, nationality, head words,

@@ -48,7 +48,7 @@ object LangAnalyzers {
 
   /** German stop words (Analysis/De/GermanAnalyzer.cs:69 GERMAN_STOP_WORDS —
     * replicated constants, required for match identity). */
-  val GermanStopWords: Set[String] = Set(
+  private val GermanStopWordsCore: Set[String] = Set(
     "einer", "eine", "eines", "einem", "einen", "der", "die", "das", "dass",
     "daß", "du", "er", "sie", "es", "was", "wer", "wie", "wir", "und",
     "oder", "ohne", "mit", "am", "im", "in", "aus", "auf", "ist", "sein",
@@ -271,7 +271,7 @@ object LangAnalyzers {
     * (Analysis/Es/SpanishAnalyzer.cs:55 DEFAULT_STOPWORD_FILE — the file is
     * absent from this source tree). DOCUMENTED SUBSET: the Snowball list's
     * long estar/haber/ser/tener conjugation tail is omitted. */
-  val SpanishStopWords: Set[String] = Set(
+  private val SpanishStopWordsCore: Set[String] = Set(
     "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
     "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
     "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque", "esta",
@@ -337,7 +337,7 @@ object LangAnalyzers {
     * italian_stop.txt (ItalianAnalyzer.cs DEFAULT_STOPWORD_FILE — embedded
     * resource absent from this tree; the conjugation tail of
     * essere/avere/stare/fare is omitted, a DOCUMENTED SUBSET). */
-  val ItalianStopWords: Set[String] = Set(
+  private val ItalianStopWordsCore: Set[String] = Set(
     "di", "a", "da", "in", "con", "su", "per", "tra", "fra", "il", "lo",
     "la", "i", "gli", "le", "un", "uno", "una", "e", "ed", "o", "ma", "se",
     "perché", "che", "chi", "cui", "non", "più", "quale", "quanto",
@@ -362,7 +362,7 @@ object LangAnalyzers {
     * portuguese_stop.txt (PortugueseAnalyzer DEFAULT_STOPWORD_FILE —
     * embedded resource absent; ser/estar/ter/haver conjugation tail
     * omitted, a DOCUMENTED SUBSET). */
-  val PortugueseStopWords: Set[String] = Set(
+  private val PortugueseStopWordsCore: Set[String] = Set(
     "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "é",
     "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as",
     "dos", "como", "mas", "foi", "ao", "ele", "das", "tem", "à", "seu",
@@ -533,7 +533,7 @@ object LangAnalyzers {
   /** Norwegian stop words: function-word core of the Snowball
     * norwegian_stop.txt (Analysis/No/NorwegianAnalyzer; DOCUMENTED
     * SUBSET). */
-  val NorwegianStopWords: Set[String] = Set(
+  private val NorwegianStopWordsCore: Set[String] = Set(
     "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er", "som",
     "på", "de", "med", "han", "av", "ikke", "ikkje", "der", "så", "var",
     "meg", "seg", "men", "ett", "har", "om", "vi", "min", "mitt", "ha",
@@ -553,7 +553,7 @@ object LangAnalyzers {
   /** Russian stop words: function-word core of the Snowball
     * russian_stop.txt (Analysis/Ru/RussianAnalyzer.cs stop set;
     * DOCUMENTED SUBSET). */
-  val RussianStopWords: Set[String] = Set(
+  private val RussianStopWordsCore: Set[String] = Set(
     "и", "в", "во", "не", "что", "он", "на", "я", "с", "со", "как", "а",
     "то", "все", "она", "так", "его", "но", "да", "ты", "к", "у", "же",
     "вы", "за", "бы", "по", "только", "ее", "мне", "было", "вот", "от",
@@ -564,6 +564,207 @@ object LangAnalyzers {
     "есть", "надо", "ней", "для", "мы", "тебя", "их", "чем", "была",
     "сам", "чтоб", "без", "будто", "чего", "раз", "тоже", "себе", "под",
     "будет", "ж", "тогда", "кто", "этот")
+
+  // ------------------------------------------------------ full stop sets
+  // The 4.8 analyzers default to the Snowball project's <lang>_stop.txt
+  // word lists (GermanAnalyzer.cs:73 DEFAULT_STOPWORD_FILE etc. — the .txt
+  // resources are NOT in the reference tree; they load at build time).
+  // These are the published snowballstem.org lists (public domain),
+  // unioned with the 3.x contrib inline constants above so both shipped
+  // variants' words stop.
+
+  /** Full Snowball german_stop.txt ∪ contrib GERMAN_STOP_WORDS. */
+  val GermanStopWords: Set[String] = GermanStopWordsCore ++ Set(
+    "aber", "alle", "allem", "allen", "aller", "alles", "also", "an",
+    "ander", "andere", "anderem", "anderen", "anderer", "anderes",
+    "anderm", "andern", "anderr", "anders", "auch", "bei", "bin", "bis",
+    "bist", "da", "damit", "dann", "den", "des", "dem", "derselbe",
+    "derselben", "denselben", "desselben", "demselben", "dieselbe",
+    "dieselben", "dasselbe", "dazu", "dein", "deine", "deinem", "deinen",
+    "deiner", "deines", "denn", "derer", "dessen", "dies", "diese",
+    "diesem", "diesen", "dieser", "dieses", "doch", "dort", "ein",
+    "einig", "einige", "einigem", "einigen", "einiger", "einiges",
+    "einmal", "ihn", "ihm", "etwas", "euer", "eure", "eurem", "euren",
+    "eurer", "eures", "gegen", "gewesen", "hab", "habe", "haben", "hat",
+    "hatte", "hatten", "hier", "hin", "hinter", "ich", "ihrem", "ihren",
+    "euch", "indem", "ins", "jede", "jedem", "jeden", "jeder", "jedes",
+    "jene", "jenem", "jenen", "jener", "jenes", "jetzt", "kann", "keine",
+    "keinem", "keinen", "keiner", "keines", "können", "könnte", "machen",
+    "man", "manche", "manchem", "manchen", "mancher", "manches", "meine",
+    "meinem", "meinen", "meiner", "meines", "muss", "musste", "nach",
+    "nicht", "nichts", "noch", "nun", "nur", "ob", "sehr", "seine",
+    "seinem", "seinen", "seiner", "seines", "selbst", "sich", "ihnen",
+    "sind", "so", "solche", "solchem", "solchen", "solcher", "solches",
+    "soll", "sollte", "sondern", "sonst", "über", "um", "uns", "unse",
+    "unsem", "unsen", "unser", "unses", "unter", "viel", "vom", "vor",
+    "während", "waren", "warst", "weg", "weil", "weiter", "welche",
+    "welchem", "welchen", "welcher", "welches", "wenn", "werde", "werden",
+    "wieder", "will", "wirst", "wo", "wollen", "wollte", "würde",
+    "würden", "zu", "zum", "zur", "zwar", "zwischen")
+
+  /** Full Snowball spanish_stop.txt ∪ contrib constants. */
+  val SpanishStopWords: Set[String] = SpanishStopWordsCore ++ Set(
+    "de", "la", "que", "el", "en", "y", "a", "los", "del", "se", "las",
+    "por", "un", "para", "con", "no", "una", "su", "al", "lo", "como",
+    "más", "pero", "sus", "le", "ya", "o", "este", "sí", "porque",
+    "esta", "entre", "cuando", "muy", "sin", "sobre", "también", "me",
+    "hasta", "hay", "donde", "quien", "desde", "todo", "nos", "durante",
+    "todos", "uno", "les", "ni", "contra", "otros", "ese", "eso", "ante",
+    "ellos", "e", "esto", "mí", "antes", "algunos", "qué", "unos", "yo",
+    "otro", "otras", "otra", "él", "tanto", "esa", "estos", "mucho",
+    "quienes", "nada", "muchos", "cual", "poco", "ella", "estar",
+    "estas", "algunas", "algo", "nosotros", "mi", "mis", "tú", "te",
+    "ti", "tu", "tus", "ellas", "nosotras", "vosotros", "vosotras",
+    "os", "mío", "mía", "míos", "mías", "tuyo", "tuya", "tuyos",
+    "tuyas", "suyo", "suya", "suyos", "suyas", "nuestro", "nuestra",
+    "nuestros", "nuestras", "vuestro", "vuestra", "vuestros",
+    "vuestras", "esos", "esas", "estoy", "estás", "está", "estamos",
+    "estáis", "están", "esté", "estés", "estemos", "estéis", "estén",
+    "estaré", "estarás", "estará", "estaremos", "estaréis", "estarán",
+    "estaría", "estarías", "estaríamos", "estaríais", "estarían",
+    "estaba", "estabas", "estábamos", "estabais", "estaban", "estuve",
+    "estuviste", "estuvo", "estuvimos", "estuvisteis", "estuvieron",
+    "estuviera", "estuvieras", "estuviéramos", "estuvierais",
+    "estuvieran", "estuviese", "estuvieses", "estuviésemos",
+    "estuvieseis", "estuviesen", "estando", "estado", "estada",
+    "estados", "estadas", "estad", "he", "has", "ha", "hemos", "habéis",
+    "han", "haya", "hayas", "hayamos", "hayáis", "hayan", "habré",
+    "habrás", "habrá", "habremos", "habréis", "habrán", "habría",
+    "habrías", "habríamos", "habríais", "habrían", "había", "habías",
+    "habíamos", "habíais", "habían", "hube", "hubiste", "hubo",
+    "hubimos", "hubisteis", "hubieron", "hubiera", "hubieras",
+    "hubiéramos", "hubierais", "hubieran", "hubiese", "hubieses",
+    "hubiésemos", "hubieseis", "hubiesen", "habiendo", "habido",
+    "habida", "habidos", "habidas", "soy", "eres", "es", "somos",
+    "sois", "son", "sea", "seas", "seamos", "seáis", "sean", "seré",
+    "serás", "será", "seremos", "seréis", "serán", "sería", "serías",
+    "seríamos", "seríais", "serían", "era", "eras", "éramos", "erais",
+    "eran", "fui", "fuiste", "fue", "fuimos", "fuisteis", "fueron",
+    "fuera", "fueras", "fuéramos", "fuerais", "fueran", "fuese",
+    "fueses", "fuésemos", "fueseis", "fuesen", "siendo", "sido",
+    "tengo", "tienes", "tiene", "tenemos", "tenéis", "tienen", "tenga",
+    "tengas", "tengamos", "tengáis", "tengan", "tendré", "tendrás",
+    "tendrá", "tendremos", "tendréis", "tendrán", "tendría", "tendrías",
+    "tendríamos", "tendríais", "tendrían", "tenía", "tenías",
+    "teníamos", "teníais", "tenían", "tuve", "tuviste", "tuvo",
+    "tuvimos", "tuvisteis", "tuvieron", "tuviera", "tuvieras",
+    "tuviéramos", "tuvierais", "tuvieran", "tuviese", "tuvieses",
+    "tuviésemos", "tuvieseis", "tuviesen", "teniendo", "tenido",
+    "tenida", "tenidos", "tenidas", "tened")
+
+  /** Full Snowball italian_stop.txt ∪ contrib constants. */
+  val ItalianStopWords: Set[String] = ItalianStopWordsCore ++ Set(
+    "ad", "al", "allo", "ai", "agli", "all", "agl", "alla", "alle",
+    "con", "col", "coi", "da", "dal", "dallo", "dai", "dagli", "dall",
+    "dagl", "dalla", "dalle", "di", "del", "dello", "dei", "degli",
+    "dell", "degl", "della", "delle", "in", "nel", "nello", "nei",
+    "negli", "nell", "negl", "nella", "nelle", "su", "sul", "sullo",
+    "sui", "sugli", "sull", "sugl", "sulla", "sulle", "per", "tra",
+    "contro", "io", "tu", "lui", "lei", "noi", "voi", "loro", "mio",
+    "mia", "miei", "mie", "tuo", "tua", "tuoi", "tue", "suo", "sua",
+    "suoi", "sue", "nostro", "nostra", "nostri", "nostre", "vostro",
+    "vostra", "vostri", "vostre", "mi", "ti", "ci", "vi", "lo", "la",
+    "li", "le", "gli", "ne", "il", "un", "uno", "una", "ma", "ed",
+    "se", "perché", "anche", "come", "dov", "dove", "che", "chi",
+    "cui", "non", "più", "quale", "quanto", "quanti", "quanta",
+    "quante", "quello", "quelli", "quella", "quelle", "questo",
+    "questi", "questa", "queste", "si", "tutto", "tutti", "a", "c",
+    "e", "i", "l", "o", "ho", "hai", "ha", "abbiamo", "avete", "hanno",
+    "abbia", "abbiate", "abbiano", "avrò", "avrai", "avrà", "avremo",
+    "avrete", "avranno", "avrei", "avresti", "avrebbe", "avremmo",
+    "avreste", "avrebbero", "avevo", "avevi", "aveva", "avevamo",
+    "avevate", "avevano", "ebbi", "avesti", "ebbe", "avemmo", "aveste",
+    "ebbero", "avessi", "avesse", "avessimo", "avessero", "avendo",
+    "avuto", "avuta", "avuti", "avute", "sono", "sei", "è", "siamo",
+    "siete", "sia", "siate", "siano", "sarò", "sarai", "sarà",
+    "saremo", "sarete", "saranno", "sarei", "saresti", "sarebbe",
+    "saremmo", "sareste", "sarebbero", "ero", "eri", "era", "eravamo",
+    "eravate", "erano", "fui", "fosti", "fu", "fummo", "foste",
+    "furono", "fossi", "fosse", "fossimo", "fossero", "essendo",
+    "faccio", "fai", "facciamo", "fanno", "faccia", "facciate",
+    "facciano", "farò", "farai", "farà", "faremo", "farete", "faranno",
+    "farei", "faresti", "farebbe", "faremmo", "fareste", "farebbero",
+    "facevo", "facevi", "faceva", "facevamo", "facevate", "facevano",
+    "feci", "facesti", "fece", "facemmo", "faceste", "fecero",
+    "facessi", "facesse", "facessimo", "facessero", "facendo", "sto",
+    "stai", "sta", "stiamo", "stanno", "stia", "stiate", "stiano",
+    "starò", "starai", "starà", "staremo", "starete", "staranno",
+    "starei", "staresti", "starebbe", "staremmo", "stareste",
+    "starebbero", "stavo", "stavi", "stava", "stavamo", "stavate",
+    "stavano", "stetti", "stesti", "stette", "stemmo", "steste",
+    "stettero", "stessi", "stesse", "stessimo", "stessero", "stando")
+
+  /** Full Snowball portuguese_stop.txt ∪ contrib constants. */
+  val PortugueseStopWords: Set[String] = PortugueseStopWordsCore ++ Set(
+    "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "é",
+    "com", "não", "uma", "os", "no", "se", "na", "por", "mais", "as",
+    "dos", "como", "mas", "foi", "ao", "ele", "das", "tem", "à", "seu",
+    "sua", "ou", "ser", "quando", "muito", "há", "nos", "já", "está",
+    "eu", "também", "só", "pelo", "pela", "até", "isso", "ela",
+    "entre", "era", "depois", "sem", "mesmo", "aos", "ter", "seus",
+    "quem", "nas", "me", "esse", "eles", "estão", "você", "tinha",
+    "foram", "essa", "num", "nem", "suas", "meu", "às", "minha",
+    "têm", "numa", "pelos", "elas", "havia", "seja", "qual", "será",
+    "nós", "tenho", "lhe", "deles", "essas", "esses", "pelas", "este",
+    "fosse", "dele", "tu", "te", "vocês", "vos", "lhes", "meus",
+    "minhas", "teu", "tua", "teus", "tuas", "nosso", "nossa",
+    "nossos", "nossas", "dela", "delas", "esta", "estes", "estas",
+    "aquele", "aquela", "aqueles", "aquelas", "isto", "aquilo",
+    "estou", "estamos", "estive", "esteve", "estivemos", "estiveram",
+    "estava", "estávamos", "estavam", "estivera", "estivéramos",
+    "esteja", "estejamos", "estejam", "estivesse", "estivéssemos",
+    "estivessem", "estiver", "estivermos", "estiverem", "hei",
+    "havemos", "hão", "houve", "houvemos", "houveram", "houvera",
+    "houvéramos", "haja", "hajamos", "hajam", "houvesse",
+    "houvéssemos", "houvessem", "houver", "houvermos", "houverem",
+    "houverei", "houverá", "houveremos", "houverão", "houveria",
+    "houveríamos", "houveriam", "sou", "somos", "são", "éramos",
+    "eram", "fui", "fomos", "fora", "fôramos", "sejamos", "sejam",
+    "fôssemos", "fossem", "for", "formos", "forem", "serei",
+    "seremos", "serão", "seria", "seríamos", "seriam", "temos",
+    "tém", "tínhamos", "tinham", "tive", "teve", "tivemos",
+    "tiveram", "tivera", "tivéramos", "tenha", "tenhamos", "tenham",
+    "tivesse", "tivéssemos", "tivessem", "tiver", "tivermos",
+    "tiverem", "terei", "terá", "teremos", "terão", "teria",
+    "teríamos", "teriam")
+
+  /** Full Snowball russian_stop.txt ∪ contrib constants. */
+  val RussianStopWords: Set[String] = RussianStopWordsCore ++ Set(
+    "того", "потому", "этого", "какой", "совсем", "ним", "здесь",
+    "этом", "один", "почти", "мой", "тем", "чтобы", "нее", "сейчас",
+    "были", "куда", "зачем", "всех", "никогда", "можно", "при",
+    "наконец", "два", "об", "другой", "хоть", "после", "над",
+    "больше", "тот", "через", "эти", "нас", "про", "всего", "них",
+    "какая", "много", "разве", "три", "эту", "моя", "впрочем",
+    "хорошо", "свою", "этой", "перед", "иногда", "лучше", "чуть",
+    "том", "нельзя", "такой", "им", "более", "всегда", "конечно",
+    "всю", "между")
+
+  /** Full Snowball norwegian_stop.txt ∪ contrib constants (bokmål +
+    * nynorsk forms). */
+  val NorwegianStopWords: Set[String] = NorwegianStopWordsCore ++ Set(
+    "og", "i", "jeg", "det", "at", "en", "et", "den", "til", "er",
+    "som", "på", "de", "med", "han", "av", "ikke", "ikkje", "der",
+    "så", "var", "meg", "seg", "men", "ett", "har", "om", "vi",
+    "min", "mitt", "ha", "hadde", "hun", "nå", "over", "da", "ved",
+    "fra", "du", "ut", "sin", "dem", "oss", "opp", "man", "kan",
+    "hans", "hvor", "eller", "hva", "skal", "selv", "sjøl", "her",
+    "alle", "vil", "bli", "ble", "blei", "blitt", "kunne", "inn",
+    "når", "være", "kom", "noen", "noe", "ville", "dere", "deres",
+    "kun", "ja", "etter", "ned", "skulle", "denne", "for", "deg",
+    "si", "sine", "sitt", "mot", "å", "meget", "hvorfor", "dette",
+    "disse", "uten", "hvordan", "ingen", "din", "ditt", "blir",
+    "samme", "hvilken", "hvilke", "sånn", "inni", "mellom", "vår",
+    "hver", "hvem", "vors", "hvis", "både", "bare", "enn", "fordi",
+    "før", "mange", "også", "slik", "vært", "båe", "begge", "siden",
+    "dykk", "dykkar", "dei", "deira", "deires", "deim", "di", "då",
+    "eg", "ein", "eit", "eitt", "elles", "honom", "hjå", "ho", "hoe",
+    "henne", "hennar", "hennes", "hoss", "hossen", "ingi", "inkje",
+    "korleis", "korso", "kva", "kvar", "kvarhelst", "kven", "kvi",
+    "kvifor", "me", "medan", "mi", "mine", "mykje", "no", "nokon",
+    "noka", "nokor", "noko", "nokre", "sia", "sidan", "so", "somt",
+    "somme", "um", "upp", "vere", "vore", "verte", "vort", "varte",
+    "vart")
 }
 
 /** German chain: classic grammar -> lowercase -> German stops ->

@@ -643,10 +643,11 @@ object LangAnalyzers2 {
     "ต้อง", "กว่า", "ถูก", "ทั้ง", "ด้วย", "เพราะ", "อย่าง", "ช่วง", "ตาม")
 
   // ------------------------------------------------------------ stop sets
-  // Function-word cores of the reference's embedded stopword resources
-  // (DOCUMENTED SUBSETS, per the LangAnalyzers convention).
+  // Finnish/Hungarian ship the FULL Snowball lists (cores below ∪ the
+  // expanded vals after them); the remaining sets are function-word cores
+  // of the reference's embedded stopword resources (DOCUMENTED SUBSETS).
 
-  val FinnishStopWords: Set[String] = Set(
+  private val FinnishStopWordsCore: Set[String] = Set(
     "ja", "on", "ei", "että", "oli", "hän", "se", "en", "ole", "mutta",
     "niin", "kuin", "minä", "sinä", "me", "te", "he", "tämä", "tuo",
     "joka", "mikä", "kun", "jos", "myös", "sen", "sitä", "siinä", "ovat",
@@ -654,13 +655,72 @@ object LangAnalyzers2 {
     "itse", "tai", "vaan", "koska", "kuten", "missä", "ne", "nämä",
     "näin", "siis", "sitten", "tässä", "yli", "ali")
 
-  val HungarianStopWords: Set[String] = Set(
+  private val HungarianStopWordsCore: Set[String] = Set(
     "a", "az", "és", "hogy", "nem", "is", "egy", "de", "ez", "azt",
     "van", "volt", "már", "csak", "meg", "ha", "mint", "el", "még",
     "mert", "vagy", "így", "aki", "ami", "ők", "mi", "te", "én", "ő",
     "ki", "be", "fel", "le", "majd", "után", "által", "arra", "erre",
     "ezt", "abban", "ebben", "akkor", "amely", "azok", "ezek", "lesz",
     "lett", "olyan", "ilyen", "itt", "ott", "pedig", "hát", "két")
+
+  /** Full Snowball finnish_stop.txt ∪ the core above (the 4.8
+    * FinnishAnalyzer default loads finnish_stop.txt at build time; the
+    * published snowballstem.org list is public domain). Dominated by the
+    * olla/minä/tämä/se/joka/mikä inflection paradigms. */
+  val FinnishStopWords: Set[String] = FinnishStopWordsCore ++ Set(
+    "olla", "olemme", "olette", "olisi", "olisit", "olisin", "olisimme",
+    "olisitte", "olisivat", "olit", "olin", "olimme", "olitte", "olivat",
+    "ollut", "olleet", "et", "emme", "ette", "eivät", "minun", "minut",
+    "minua", "minussa", "minusta", "minuun", "minulla", "minulta",
+    "minulle", "sinun", "sinut", "sinua", "sinussa", "sinusta", "sinuun",
+    "sinulla", "sinulta", "sinulle", "hänen", "hänet", "häntä",
+    "hänessä", "hänestä", "häneen", "hänellä", "häneltä", "hänelle",
+    "meidän", "meidät", "meitä", "meissä", "meistä", "meihin", "meillä",
+    "meiltä", "meille", "teidän", "teidät", "teitä", "teissä", "teistä",
+    "teihin", "teillä", "teiltä", "teille", "heidän", "heidät", "heitä",
+    "heissä", "heistä", "heihin", "heillä", "heiltä", "heille", "tämän",
+    "tätä", "tästä", "tähän", "tällä", "tältä", "tälle", "tänä",
+    "täksi", "tuon", "tuota", "tuossa", "tuosta", "tuohon", "tuolla",
+    "tuolta", "tuolle", "tuona", "tuoksi", "sitä", "siitä", "siihen",
+    "sillä", "siltä", "sille", "sinä", "siksi", "näiden", "näitä",
+    "näissä", "näistä", "näihin", "näillä", "näiltä", "näille", "näinä",
+    "näiksi", "nuo", "noiden", "noita", "noissa", "noista", "noihin",
+    "noilla", "noilta", "noille", "noina", "noiksi", "niiden", "niitä",
+    "niissä", "niistä", "niihin", "niillä", "niiltä", "niille", "niinä",
+    "niiksi", "kuka", "kenen", "kenet", "ketä", "kenessä", "kenestä",
+    "keneen", "kenellä", "keneltä", "kenelle", "kenenä", "keneksi",
+    "ketkä", "keiden", "keitä", "keissä", "keistä", "keihin", "keillä",
+    "keiltä", "keille", "keinä", "keiksi", "minkä", "mitkä", "jonka",
+    "jota", "jossa", "josta", "johon", "jolla", "jolta", "jolle",
+    "jona", "joksi", "jotka", "joiden", "joita", "joissa", "joista",
+    "joihin", "joilla", "joilta", "joille", "joina", "joiksi", "mihin",
+    "millä", "miltä", "mille", "minä", "miksi", "sekä", "vai", "vaikka",
+    "mukaan", "noin", "poikki")
+
+  /** Full Snowball hungarian_stop.txt ∪ the core above. */
+  val HungarianStopWords: Set[String] = HungarianStopWordsCore ++ Set(
+    "ahogy", "ahol", "akik", "alatt", "általában", "amelyek",
+    "amelyekben", "amelyeket", "amelyet", "amelynek", "amit", "amolyan",
+    "amíg", "amikor", "át", "ahhoz", "annak", "arról", "azzal", "azért",
+    "aztán", "azután", "azonban", "bár", "belül", "benne", "cikk",
+    "cikkek", "cikkeket", "eddig", "egész", "egyes", "egyetlen",
+    "egyéb", "egyik", "egyre", "ekkor", "elég", "ellen", "elő",
+    "először", "előtt", "első", "éppen", "ehhez", "emilyen", "ennek",
+    "ez", "ezen", "ezzel", "ezért", "hanem", "hiszen", "hogyan",
+    "igen", "illetve", "ill", "ilyenkor", "ismét", "jó", "jól",
+    "jobban", "kell", "kellett", "keresztül", "keressünk", "kívül",
+    "között", "közül", "legalább", "lehet", "lehetett", "legyen",
+    "lenne", "lenni", "maga", "magát", "más", "másik", "mellett",
+    "mely", "melyek", "mit", "míg", "miért", "milyen", "mikor",
+    "minden", "mindent", "mindenki", "mindig", "mintha", "mivel",
+    "most", "nagy", "nagyobb", "nagyon", "ne", "néha", "nekem", "neki",
+    "néhány", "nélkül", "nincs", "össze", "őket", "persze", "rá", "s",
+    "saját", "sem", "semmi", "sok", "sokat", "sokkal", "számára",
+    "szemben", "szerint", "szinte", "talán", "tehát", "teljes",
+    "tovább", "továbbá", "több", "úgy", "ugyanis", "új", "újabb",
+    "újra", "utána", "utolsó", "vagyis", "valaki", "valami", "valamint",
+    "való", "vagyok", "vannak", "voltam", "voltak", "voltunk", "vissza",
+    "vele", "viszont", "volna")
 
   val CzechStopWords: Set[String] = Set(
     "a", "v", "se", "na", "je", "že", "o", "s", "z", "do", "i", "to",
