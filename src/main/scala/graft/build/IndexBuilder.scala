@@ -163,16 +163,19 @@ object IndexBuilder {
     }
   }
 
-  /** Publish `dirName` as generation `gen` — ONE small-file create, the
-    * atomic commit point of the merge protocol. Idempotent (a crashed
-    * commit's retry recomputes the same generation and re-publishes). */
+  /** Publish `dirName` as generation `gen` — ONE small-object CAS create,
+    * the atomic commit point of the merge protocol (routed through
+    * [[SnapshotStore]]). Idempotent (a crashed commit's retry recomputes
+    * the same generation + content and re-publishes); a CONFLICTING
+    * publication at the same generation (another writer won the slot with
+    * different content) fails loudly instead of silently overwriting. */
   def commitPointer(spark: SparkSession, base: String, gen: Long, dirName: String): Unit = {
-    val dir = new org.apache.hadoop.fs.Path(commitsPath(base))
-    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.mkdirs(dir)
-    val out = fs.create(new org.apache.hadoop.fs.Path(dir, s"segments_$gen"), true)
-    out.write(dirName.getBytes("UTF-8"))
-    out.close()
+    val store = new HadoopSnapshotStore(spark, base)
+    if (!store.commitIfAbsent(gen, dirName))
+      throw new IllegalStateException(
+        s"commit conflict: generation $gen already published as " +
+          s"${store.resolve(gen).getOrElse("?")} (attempted $dirName) — " +
+          "a concurrent writer won this slot; re-plan against the new head")
   }
 
   /** Resolved path of the CURRENT stats generation. */
