@@ -85,6 +85,25 @@ object Bench {
       lucene.search(SpanScoreQ(SpanNearS(List(SpanTermS("hash"), SpanTermS("join")),
         slop = 2, inOrder = true)), 10).collect()
     }
+    // 2b. WARM serving-session paths: hot-term postings pinned in-session,
+    // zero Spark jobs per query (the search-node serving model) — pits the
+    // same cursors/scorers against the cold plans above
+    locally {
+      val session = new graft.search.ServingSession(lucene)
+      val f = lucene.defaultField
+      session.warm(Seq((f, "data"), (f, "vector"), (f, "stream")))
+      session.termTopK(f, "data", 10) // JIT + lazy-cache fill outside timing
+      session.wandOrTopK(f, List("vector", "stream", "data"), 10)
+      results("q_term_warm") = timeMedian(math.max(trials, 9)) {
+        session.termTopK(f, "data", 10)
+      }
+      results("q_and_warm") = timeMedian(math.max(trials, 9)) {
+        session.boolTopK(List((Occur.Must, f, "vector"), (Occur.Must, f, "stream")), 0, 10)
+      }
+      results("q_wand_warm") = timeMedian(math.max(trials, 9)) {
+        session.wandOrTopK(f, List("vector", "stream", "data"), 10)
+      }
+    }
     results("q_prefix") = timeMedian(trials) { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
     // scored fuzzy top-k through the pruned dictionary expansion
     // (length band + pigeonhole substring + in-plan top-maxExpansions)
@@ -109,6 +128,18 @@ object Bench {
     results("dedup_minhash_direct") = time {
       graft.pipeline.Dedup.lshCandidates(
         graft.pipeline.Dedup.minhashSignatureDirect(docs, "doc_id", "text", 3, 16), 4).count()
+    }
+    // adversarial skew: the corpus plus a boilerplate cluster far over the
+    // bucket cap — completes via the drop-with-accounting guard instead of
+    // a quadratic bucket join (PipelineMetrics surfaces the drop)
+    results("dedup_skew") = time {
+      import org.apache.spark.sql.functions.{col, lit}
+      val boiler = spark.range(0, 3000).select(
+        (col("id") + 10000000L).as("doc_id"),
+        lit("terms of service apply to all pages on this site").as("text"))
+      val skewed = docs.select("doc_id", "text").unionByName(boiler)
+      graft.pipeline.Dedup.nearDupPairs(skewed, "doc_id", "text", k = 3,
+        numHashes = 12, rowsPerBand = 3, tNum = 7, tDen = 10, maxBucket = 1000).count()
     }
     results("simhash") = time {
       graft.pipeline.Dedup.simhash48(docs, "doc_id", "text").count()

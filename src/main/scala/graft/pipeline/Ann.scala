@@ -159,9 +159,9 @@ object Ann {
     val withBucket =
       if (maxBucket == Int.MaxValue) withBucket0
       else {
-        val ok = withBucket0.groupBy(col("bucket"))
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
-          .select("bucket")
+        val ok = Dedup.keepUnderCap(
+          withBucket0.groupBy(col("bucket")).agg(count(lit(1)).as("bsz")),
+          Seq("bucket"), maxBucket, "embedDupPairs")
         withBucket0.join(ok, Seq("bucket"), "left_semi")
       }
     val a = withBucket.as("a")

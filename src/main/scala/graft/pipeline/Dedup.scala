@@ -20,7 +20,45 @@ import org.apache.spark.sql.functions._
   * on LSH candidate pairs. Hot buckets (boilerplate docs) are bounded by
   * banding; skew beyond that is AQE-handled.
   */
+/** Bucket-cap drop accounting — the "no silent caps" rule: every place a
+  * capped bucket is DROPPED rather than joined quadratically must surface
+  * how much was dropped (warn log + this queryable registry), so a capped
+  * run can never read as "covered everything".
+  */
+object PipelineMetrics {
+  final case class DropStats(buckets: Long, rows: Long)
+  private val drops = new java.util.concurrent.ConcurrentHashMap[String, DropStats]()
+
+  private[pipeline] def record(site: String, cap: Int, buckets: Long, rows: Long): Unit = {
+    drops.put(site, DropStats(buckets, rows))
+    if (buckets > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.pipeline")
+        .warn(s"$site: DROPPED $buckets over-cap buckets ($rows member rows) " +
+          s"above maxBucket=$cap — results exclude those groups; raise the cap " +
+          "or pre-dedup boilerplate to cover them")
+  }
+
+  /** Drop stats of the most recent run of `site` in this JVM (e.g.
+    * "lshCandidates", "simhashPairs", "embedDupPairs"). */
+  def lastDrops(site: String): DropStats =
+    drops.getOrDefault(site, DropStats(0L, 0L))
+}
+
 object Dedup {
+
+  /** Keep only buckets at-or-under the cap, SURFACING what was dropped:
+    * `sizes` is the (keys..., bsz) aggregate; the over-cap tally is
+    * collected eagerly (the aggregate is bucket-cardinality-sized, tiny
+    * next to the corpus) and recorded via [[PipelineMetrics]]. */
+  private[pipeline] def keepUnderCap(sizes: DataFrame, keyCols: Seq[String],
+                                     cap: Int, site: String): DataFrame = {
+    val s = sizes.persist()
+    val over = s.filter(col("bsz") > cap)
+      .agg(count(lit(1)).as("b"), coalesce(sum(col("bsz")), lit(0L)).as("r"))
+      .collect()(0)
+    PipelineMetrics.record(site, cap, over.getLong(0), over.getLong(1))
+    s.filter(col("bsz") <= cap).select(keyCols.map(col): _*)
+  }
 
   /** Tokens expression shared with the SQL oracle: [a-z0-9]+ runs of lower(text). */
   def tokensCol(textCol: String): Column =
@@ -114,9 +152,9 @@ object Dedup {
     val banded =
       if (maxBucket == Int.MaxValue) banded0
       else {
-        val ok = banded0.groupBy(col("band"), col("sig"))
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBucket)
-          .select("band", "sig")
+        val ok = keepUnderCap(
+          banded0.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bsz")),
+          Seq("band", "sig"), maxBucket, "lshCandidates")
         banded0.join(ok, Seq("band", "sig"), "left_semi")
       }
     val a = banded.as("a")
@@ -220,9 +258,9 @@ object Dedup {
     val banded =
       if (maxBand == Int.MaxValue) banded0
       else {
-        val ok = banded0.groupBy(col("band"), col("v"))
-          .agg(count(lit(1)).as("bsz")).filter(col("bsz") <= maxBand)
-          .select("band", "v")
+        val ok = keepUnderCap(
+          banded0.groupBy(col("band"), col("v")).agg(count(lit(1)).as("bsz")),
+          Seq("band", "v"), maxBand, "simhashPairs")
         banded0.join(ok, Seq("band", "v"), "left_semi")
       }
     val a = banded.as("a")

@@ -117,7 +117,7 @@ object Leapfrog {
   }
 
   /** Lazy per-segment match iterator. */
-  private def segmentHits(seg: Int, rows: Array[Wand.WandRow], specs: Array[ClauseSpec],
+  private[search] def segmentHits(seg: Int, rows: Array[Wand.WandRow], specs: Array[ClauseSpec],
                           scorers: Array[(Double, Int) => Double], needed: Int,
                           floatMode: Boolean, coords: Array[Double]): Iterator[Hit] = {
     val cursors = clauseCursors(rows, specs.map(s => (s.field, s.term)))

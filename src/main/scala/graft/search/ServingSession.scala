@@ -1,0 +1,189 @@
+package graft.search
+
+import scala.collection.mutable
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.functions._
+import graft.model.Hit
+
+/** Resident SERVING session — the SearcherManager-style warm path that
+  * amortizes Spark's ~0.3 s job-scheduling floor away from hot queries:
+  * compressed posting rows for hot (field, term) keys are pinned in the
+  * session (byte-capped LRU), collection stats are resolved once, and
+  * term / boolean / Block-Max-WAND top-k then evaluate IN-SESSION over the
+  * SAME cursors, scorers and collectors the distributed path ships to
+  * executors (Leapfrog.segmentHits, Wand.wandSegment, Searcher.makeScorer)
+  * — so warm results are identical to the cold plan's by construction,
+  * and a warm term query costs decode + heap work only (no Spark job).
+  *
+  * Scale shape: this is the search-node serving model — a 1000-executor
+  * cluster BUILDS the index; serving nodes pin the hot tail (Zipf: a few
+  * thousand terms dominate query logs) and fall back to the distributed
+  * plan for the cold tail. Pinned bytes are COMPRESSED posting rows (FOR
+  * blocks + skip tables), so the default 256 MB cap holds ~10^8 postings.
+  * A term whose rows exceed `maxTermBytes` is never pinned (stopword-scale
+  * lists stay on the cluster path).
+  *
+  * Reference seam: SearcherManager.acquire + the hot query path
+  * (Search/SearcherManager.cs); lifetime/refresh policy stays with
+  * [[SearcherLifetimeManager]].
+  */
+final class ServingSession(val searcher: Searcher,
+                           maxCacheBytes: Long = 256L << 20,
+                           maxTermBytes: Long = 64L << 20) {
+
+  private val spark = searcher.postingsRaw.sparkSession
+
+  // ---- pinned state -----------------------------------------------------
+  // LRU over (field, term) -> compressed rows across segments
+  private val pinned = new java.util.LinkedHashMap[(String, String), Array[Wand.WandRow]](64, 0.75f, true)
+  private var pinnedBytes = 0L
+  private val statsCache = mutable.Map.empty[(String, String), (Long, Long)]
+  private val absent = mutable.Set.empty[(String, String)] // known-absent keys
+
+  private def rowBytes(r: Wand.WandRow): Long =
+    r.docDeltas.length.toLong + r.tfs.length + r.lens.length + 64L * r.skips.length + 64L
+
+  /** Pin posting rows + stats for `keys` — ONE Spark job for all misses.
+    * Over-budget terms are recorded as unpinnable and left to the cluster
+    * path. Returns the keys now served warm. */
+  def warm(keys: Seq[(String, String)]): Set[(String, String)] = {
+    import spark.implicits._
+    val misses = keys.distinct.filterNot(k =>
+      pinned.containsKey(k) || absent.contains(k))
+    if (misses.nonEmpty) {
+      statsCache ++= searcher.fieldTermStats(misses.toSet)
+      val pred = misses.groupBy(_._1).map { case (f, ks) =>
+        col("field") === f && col("term").isInCollection(ks.map(_._2))
+      }.reduce(_ || _)
+      val fetched = searcher.postingsRaw
+        .filter(pred)
+        .select("segmentId", "field", "term", "df", "docDeltas", "tfs", "lens", "skips")
+        .as[Wand.WandRow]
+        .collect()
+        .groupBy(r => (r.field, r.term))
+      misses.foreach { k =>
+        fetched.get(k) match {
+          case None => absent += k
+          case Some(rows) =>
+            val b = rows.map(rowBytes).sum
+            if (b <= maxTermBytes) {
+              pinned.put(k, rows)
+              pinnedBytes += b
+              evictOverBudget()
+            } // else: stays cluster-path (never pinned)
+        }
+      }
+    }
+    keys.filter(k => pinned.containsKey(k)).toSet
+  }
+
+  private def evictOverBudget(): Unit = {
+    val it = pinned.entrySet().iterator()
+    while (pinnedBytes > maxCacheBytes && it.hasNext) {
+      val e = it.next()
+      pinnedBytes -= e.getValue.map(rowBytes).sum
+      it.remove()
+    }
+  }
+
+  def pinnedByteSize: Long = pinnedBytes
+
+  private def rowsOf(keys: Seq[(String, String)]): Array[Wand.WandRow] = {
+    warm(keys)
+    keys.distinct.flatMap(k => Option(pinned.get(k)).getOrElse(Array.empty[Wand.WandRow])).toArray
+  }
+
+  private def dropDeleted(hits: Iterator[Hit]): Iterator[Hit] = {
+    val del = searcher.deletedDocs
+    if (del.isEmpty) hits
+    else hits.filter(h => !del.get(h.segmentId).exists(a =>
+      java.util.Arrays.binarySearch(a, h.docId) >= 0))
+  }
+
+  private def topK(hits: Iterator[Hit], k: Int): Array[Hit] = {
+    // (score desc, segmentId asc, docId asc) — the HitQueue tie-break
+    val ord = Ordering.by[Hit, (Double, Int, Int)](h => (-h.score, h.segmentId, h.docId))
+    dropDeleted(hits).toArray.sorted(ord).take(k)
+  }
+
+  // ---- warm query paths ---------------------------------------------------
+
+  /** Warm BM25 term top-k — identical scoring to the cluster plan
+    * (same makeScorer constants, same segmentHits walk). */
+  def termTopK(field: String, term: String, k: Int): Array[Hit] =
+    boolTopK(List((Occur.Must, field, term)), msm = 0, k = k)
+
+  /** Warm boolean top-k over term clauses (MUST/SHOULD/MUST_NOT + minimum
+    * should match) — Leapfrog.segmentHits evaluated in-session. */
+  def boolTopK(clauses: List[(Occur.Value, String, String)], msm: Int, k: Int): Array[Hit] = {
+    val specs = clauses.map { case (o, f, t) =>
+      Leapfrog.ClauseSpec(o match {
+        case Occur.Must => 0
+        case Occur.Should => 1
+        case Occur.MustNot => 2
+      }, f, t)
+    }.toArray
+    val keys = specs.map(s => (s.field, s.term)).toSeq
+    warm(keys)
+    val stats = keys.flatMap(k0 => statsCache.get(k0).map(k0 -> _)).toMap
+    if (specs.exists(s => s.occur == 0 && !stats.contains((s.field, s.term))))
+      return Array.empty
+    val hasMust = specs.exists(_.occur == 0)
+    val shouldCount = specs.count(_.occur == 1)
+    val needed = math.max(msm, if (!hasMust && shouldCount > 0) 1 else 0)
+    if (needed > shouldCount && shouldCount > 0) return Array.empty
+    if (!hasMust && shouldCount == 0) return Array.empty
+
+    val scorers: Array[(Double, Int) => Double] = clauses.map { case (o, f, t) =>
+      if (o == Occur.MustNot) null
+      else stats.get((f, t)).map { case (df, ttf) =>
+        searcher.makeScorer(f, df, 1f, 1d, ttf = ttf)
+      }.orNull
+    }.toArray
+    val coords = Array.fill(specs.count(_.occur != 2) + 1)(1d)
+    val rows = rowsOf(keys)
+    val bySeg = rows.groupBy(_.segmentId)
+    val hits = bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
+      Leapfrog.segmentHits(seg, ps, specs, scorers,
+        needed, searcher.mode == LuceneFloat, coords)
+    }
+    topK(hits, k)
+  }
+
+  /** Warm Block-Max-WAND OR top-k — Wand.wandSegment in-session with the
+    * exact weights/norm-cache construction of Wand.searchOr. */
+  def wandOrTopK(field: String, terms: List[String], k: Int): Array[Hit] = {
+    val keys = terms.distinct.map((field, _))
+    warm(keys)
+    val stats: Map[String, (Long, Long)] =
+      keys.flatMap(k0 => statsCache.get(k0).map(k0._2 -> _)).toMap
+    val present = terms.filter(stats.contains)
+    if (present.isEmpty) return Array.empty
+    val bm25 = searcher.bm25
+    val maxDoc = searcher.maxDoc
+    val sttf = searcher.fieldSttf.getOrElse(field, 0L)
+    val weights: Map[String, Float] = present.groupBy(identity).map { case (t, dup) =>
+      t -> (bm25.idf(stats(t)._1, maxDoc) * (bm25.k1 + 1) * dup.size)
+    }
+    val avgdl = bm25.avgFieldLength(sttf, maxDoc)
+    val cache = new Array[Float](256)
+    var j = 0
+    while (j < 256) {
+      cache(j) = bm25.k1 * ((1 - bm25.b) + bm25.b * bm25.normTable(j) / avgdl); j += 1
+    }
+    val termOrder: Map[String, Int] = present.distinct.zipWithIndex.toMap
+    val del = searcher.deletedDocs
+    val heap = new java.util.PriorityQueue[Wand.WandHit](k + 1, Wand.heapComparator)
+    val rows = rowsOf(present.distinct.map((field, _)))
+    rows.groupBy(_.segmentId).toSeq.sortBy(_._1).foreach { case (seg, ps) =>
+      val cursors = ps.sortBy(p => termOrder(p.term))
+        .map(p => new Wand.TermCursor(p, weights(p.term), cache))
+      Wand.wandSegment(seg, cursors, k, heap, del.getOrElse(seg, Array.empty[Int]))
+    }
+    heap.iterator().asScala.toArray
+      .sortBy(h => (-h.score, h.segmentId, h.docId))
+      .take(k)
+      .map(h => Hit(h.segmentId, h.docId, h.score.toDouble))
+  }
+}

@@ -38,7 +38,7 @@ object Wand {
   /** Scoring wrapper over the shared block cursor (PostingCursor.scala):
     * adds the BM25 score + per-block score upper bounds for BMW.
     */
-  private final class TermCursor(p: WandRow, val weight: Float, cache: Array[Float]) {
+  private[search] final class TermCursor(p: WandRow, val weight: Float, cache: Array[Float]) {
     private val c = new PostingCursor(p.df, p.docDeltas, p.tfs, p.lens, p.skips)
 
     def doc: Int = c.doc
@@ -95,7 +95,7 @@ object Wand {
       (a.score == b.score && (a.segmentId < b.segmentId ||
         (a.segmentId == b.segmentId && a.docId < b.docId)))
 
-  private def heapComparator: java.util.Comparator[WandHit] =
+  private[search] def heapComparator: java.util.Comparator[WandHit] =
     (x: WandHit, y: WandHit) => if (better(x, y)) 1 else if (better(y, x)) -1 else 0
 
   /** Run BMW over one segment's term cursors, updating the shared heap.
@@ -103,7 +103,7 @@ object Wand {
     * checked before a hit can enter the heap, like every reference scorer
     * consults acceptDocs.
     */
-  private def wandSegment(segmentId: Int, cursors: Array[TermCursor], k: Int,
+  private[search] def wandSegment(segmentId: Int, cursors: Array[TermCursor], k: Int,
                           heap: java.util.PriorityQueue[WandHit],
                           deleted: Array[Int] = Array.empty): Unit = {
     cursors.foreach(_.next())

@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.search._
+
+/** ServingSession: warm in-session term/bool/WAND top-k must equal the
+  * distributed plans' results hit-for-hit (same cursors/scorers/collectors,
+  * different execution venue), and the warm path must run zero Spark jobs.
+  */
+class ServingSessionSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private lazy val se = IndexCache.searcher(spark, "/root/testdata/sf0.001")
+  private lazy val session = new ServingSession(se)
+
+  private def distributedTopK(q: Query, k: Int): List[(Int, Int, Double)] =
+    se.search(q, k).collect()
+      .map(r => (r.getInt(2), r.getInt(3), r.getDouble(1)))
+      .toList
+
+  private def warmHits(hits: Array[graft.model.Hit]): List[(Int, Int, Double)] =
+    hits.map(h => (h.segmentId, h.docId, h.score)).toList
+
+  test("warm term top-k == distributed term top-k (ids and scores)") {
+    val dist = distributedTopK(TermQ("data"), 10)
+    val warm = warmHits(session.termTopK(se.defaultField, "data", 10))
+    assert(warm == dist)
+  }
+
+  test("warm AND top-k == distributed bool top-k") {
+    val q = BoolQ(List(Occur.Must -> TermQ("data"), Occur.Must -> TermQ("search")))
+    val dist = distributedTopK(q, 10)
+    val warm = warmHits(session.boolTopK(
+      List((Occur.Must, se.defaultField, "data"), (Occur.Must, se.defaultField, "search")),
+      msm = 0, k = 10))
+    assert(warm == dist)
+  }
+
+  test("warm SHOULD+msm top-k == distributed") {
+    val q = BoolQ(List(Occur.Should -> TermQ("data"), Occur.Should -> TermQ("search"),
+      Occur.Should -> TermQ("index")), 2)
+    val dist = distributedTopK(q, 10)
+    val warm = warmHits(session.boolTopK(
+      List((Occur.Should, se.defaultField, "data"), (Occur.Should, se.defaultField, "search"),
+        (Occur.Should, se.defaultField, "index")), msm = 2, k = 10))
+    assert(warm == dist)
+  }
+
+  test("warm WAND OR top-k == Wand.searchOr (LuceneFloat scoring)") {
+    val fse = new Searcher(spark, IndexCache.indexPath("/root/testdata/sf0.001"))
+    val wandSession = new ServingSession(fse)
+    val dist = Wand.searchOr(fse, spark, IndexCache.indexPath("/root/testdata/sf0.001"),
+      fse.defaultField, List("data", "search", "index"), 10)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getDouble(1))).toList
+    val warm = wandSession.wandOrTopK(fse.defaultField, List("data", "search", "index"), 10)
+      .map(h => (h.segmentId, h.docId, h.score)).toList
+    assert(warm == dist)
+  }
+
+  test("warm queries run ZERO Spark jobs after the warm call") {
+    session.warm(Seq((se.defaultField, "data"), (se.defaultField, "search"),
+      (se.defaultField, "index")))
+    session.termTopK(se.defaultField, "data", 10) // fill any lazy caches
+    session.boolTopK(List((Occur.Must, se.defaultField, "data"),
+      (Occur.Must, se.defaultField, "search")), 0, 10)
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      session.termTopK(se.defaultField, "data", 10)
+      session.boolTopK(List((Occur.Must, se.defaultField, "data"),
+        (Occur.Must, se.defaultField, "search")), 0, 10)
+      Thread.sleep(200) // let any async job-start events land
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"warm path scheduled $jobs Spark jobs")
+  }
+
+  test("absent terms and byte caps: unknown term is empty; warm reports pinned set") {
+    assert(session.termTopK(se.defaultField, "zz_never_a_term", 5).isEmpty)
+    val tiny = new ServingSession(se, maxCacheBytes = 1L << 20, maxTermBytes = 1L)
+    // per-term cap 1 byte: nothing pinnable, warm returns empty set
+    assert(tiny.warm(Seq((se.defaultField, "data"))).isEmpty)
+  }
+}
