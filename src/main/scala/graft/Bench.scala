@@ -26,6 +26,9 @@ object Bench {
     ts(ts.length / 2)
   }
 
+  /** Median of pre-collected walls (upper middle, same convention). */
+  def median(walls: Seq[Double]): Double = { val s = walls.sorted; s(s.length / 2) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -40,28 +43,37 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // >= 9-trial medians for EVERY committed entry (VERDICT r4 #7: 3-trial
+    // runs compared rounds on scheduling-floor noise)
+    val trials = math.max(sys.env.getOrElse("SPARK_GRAFT_TRIALS", "9").toInt, 1)
 
-    // 1. index build throughput over the documents table (fresh dir each run)
-    val idxPath = java.nio.file.Files.createTempDirectory("graftbench").toString
+    // 1. index build throughput over the documents table: median of
+    // `trials` full builds, each into a FRESH directory (setup excluded)
     val pages = IndexCache.pagesFromDocuments(spark, sfDir)
     val nDocs = pages.count()
-    results("index_build") = time {
-      IndexBuilder.build(spark, pages, idxPath,
-        IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "simple", groupSize = 8))
-    }
+    var idxPath: String = null
+    results("index_build") = median((1 to trials).map { _ =>
+      idxPath = java.nio.file.Files.createTempDirectory("graftbench").toString
+      time {
+        IndexBuilder.build(spark, pages, idxPath,
+          IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "simple", groupSize = 8))
+      }
+    })
     // 1b. webtext ingestion: the same docs wrapped in markup, built through
     // HTMLStripCharFilter -> standard chain (tag/script strip + entity
     // decode + offset correction on every page — the web-page build path)
     locally {
       import org.apache.spark.sql.functions._
-      val htmlIdxPath = java.nio.file.Files.createTempDirectory("graftbenchhtml").toString
       val htmlPages = pages.withColumn("text",
         concat(lit("<html><body><h1>page</h1><p>"), col("text"),
           lit("</p><script>var x=1;</script></body></html>")))
-      results("index_build_html") = time {
-        IndexBuilder.build(spark, htmlPages, htmlIdxPath,
-          IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "html_strip", groupSize = 8))
-      }
+      results("index_build_html") = Bench.median((1 to trials).map { _ =>
+        val htmlIdxPath = java.nio.file.Files.createTempDirectory("graftbenchhtml").toString
+        time {
+          IndexBuilder.build(spark, htmlPages, htmlIdxPath,
+            IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "html_strip", groupSize = 8))
+        }
+      })
     }
 
     val lucene = new Searcher(spark, idxPath) // LuceneFloat serving mode
@@ -72,7 +84,6 @@ object Bench {
     // 2. serving-path latencies (full search incl. stats lookup + top-k)
     val orQ = BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"),
       Occur.Should -> TermQ("data")))
-    val trials = sys.env.getOrElse("SPARK_GRAFT_TRIALS", "3").toInt
     results("q_term_top10") = timeMedian(trials) { lucene.search(TermQ("data"), 10).collect() }
     results("q_or_top10_plan") = timeMedian(trials) { lucene.searchPlan(orQ, 10).collect() }
     results("q_or_top10_wand") = timeMedian(trials) { lucene.searchWand(orQ, 10).collect() }
@@ -94,13 +105,13 @@ object Bench {
       session.warm(Seq((f, "data"), (f, "vector"), (f, "stream")))
       session.termTopK(f, "data", 10) // JIT + lazy-cache fill outside timing
       session.wandOrTopK(f, List("vector", "stream", "data"), 10)
-      results("q_term_warm") = timeMedian(math.max(trials, 9)) {
+      results("q_term_warm") = timeMedian(trials) {
         session.termTopK(f, "data", 10)
       }
-      results("q_and_warm") = timeMedian(math.max(trials, 9)) {
+      results("q_and_warm") = timeMedian(trials) {
         session.boolTopK(List((Occur.Must, f, "vector"), (Occur.Must, f, "stream")), 0, 10)
       }
-      results("q_wand_warm") = timeMedian(math.max(trials, 9)) {
+      results("q_wand_warm") = timeMedian(trials) {
         session.wandOrTopK(f, List("vector", "stream", "data"), 10)
       }
     }
@@ -118,21 +129,21 @@ object Bench {
 
     // 3. pipeline operators at scale
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
-    results("dedup_minhash") = time {
+    results("dedup_minhash") = timeMedian(trials) {
       graft.pipeline.Dedup.lshCandidates(
         graft.pipeline.Dedup.minhashSignature(
           graft.pipeline.Dedup.shingles(docs, "doc_id", "text", 3), 16), 4).count()
     }
     // the one-narrow-pass signature (MinHashSig expression): same candidate
     // set with no shingle explode/distinct/groupBy shuffles
-    results("dedup_minhash_direct") = time {
+    results("dedup_minhash_direct") = timeMedian(trials) {
       graft.pipeline.Dedup.lshCandidates(
         graft.pipeline.Dedup.minhashSignatureDirect(docs, "doc_id", "text", 3, 16), 4).count()
     }
     // adversarial skew: the corpus plus a boilerplate cluster far over the
     // bucket cap — completes via the drop-with-accounting guard instead of
     // a quadratic bucket join (PipelineMetrics surfaces the drop)
-    results("dedup_skew") = time {
+    results("dedup_skew") = timeMedian(trials) {
       import org.apache.spark.sql.functions.{col, lit}
       val boiler = spark.range(0, 3000).select(
         (col("id") + 10000000L).as("doc_id"),
@@ -141,39 +152,45 @@ object Bench {
       graft.pipeline.Dedup.nearDupPairs(skewed, "doc_id", "text", k = 3,
         numHashes = 12, rowsPerBand = 3, tNum = 7, tDen = 10, maxBucket = 1000).count()
     }
-    results("simhash") = time {
+    results("simhash") = timeMedian(trials) {
       graft.pipeline.Dedup.simhash48(docs, "doc_id", "text").count()
     }
-    results("simhash_direct") = time {
+    results("simhash_direct") = timeMedian(trials) {
       graft.pipeline.Dedup.simhash48Direct(docs, "doc_id", "text").count()
     }
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
     val qv = emb.filter(org.apache.spark.sql.functions.col("vec_id") === 0)
       .select("embedding").collect()(0).getAs[scala.collection.Seq[Float]](0).toArray
-    results("ann_topk") = time {
+    results("ann_topk") = timeMedian(trials) {
       graft.pipeline.Ann.cosineTopK(emb, "vec_id", "embedding", qv, 10, Some(0L)).collect()
     }
     // IVF: cell assignment is a build-time pass (the persisted bucket layout
     // at scale) — timed separately from the per-query probe
+    results("ann_ivf_assign") = timeMedian(trials) {
+      graft.pipeline.Ann.ivfAssign(emb, "vec_id", "embedding", 20).count()
+    }
     val ivfAssigned = graft.pipeline.Ann.ivfAssign(emb, "vec_id", "embedding", 20).cache()
-    results("ann_ivf_assign") = time { ivfAssigned.count() }
+    ivfAssigned.count() // materialize outside the probe timing
     results("ann_ivf_probe") = timeMedian(trials) {
       graft.pipeline.Ann.ivfTopK(emb, "vec_id", "embedding", qv, 10,
         every = 20, nprobe = 3, excludeId = Some(0L), assignment = Some(ivfAssigned)).collect()
     }
     // 4. round-3 operators: early-terminating sorted collection over an
     //    index-SORTED build, and guarded percolation over the doc stream
-    val sortedPath = java.nio.file.Files.createTempDirectory("graftbenchsorted").toString
     val sortedPages = docs.select(
       org.apache.spark.sql.functions.format_string("doc%09d",
         org.apache.spark.sql.functions.col("doc_id")).as("url"),
       org.apache.spark.sql.functions.col("text"),
       org.apache.spark.sql.functions.col("n_chars"))
-    results("sorted_build") = time {
-      IndexBuilder.build(spark, sortedPages, sortedPath,
-        IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "simple", groupSize = 8,
-          indexSort = Some("n_chars")))
-    }
+    var sortedPath: String = null
+    results("sorted_build") = median((1 to trials).map { _ =>
+      sortedPath = java.nio.file.Files.createTempDirectory("graftbenchsorted").toString
+      time {
+        IndexBuilder.build(spark, sortedPages, sortedPath,
+          IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "simple", groupSize = 8,
+            indexSort = Some("n_chars")))
+      }
+    })
     val sortedSe = new Searcher(spark, sortedPath)
     sortedSe.maxDoc
     results("q_sorted_early") = timeMedian(trials) {
@@ -181,13 +198,22 @@ object Bench {
     }
     // fully distributed sorted-merge remap (permutation-as-table path,
     // forced below its size cutover): 8 sorted segments -> 1
-    results("sorted_merge_dist") = time {
-      graft.merge.MergeJob.mergeToPolicy(spark, sortedPath,
-        new graft.merge.TieredMergePolicy(segsPerTier = 1.0, maxMergeAtOnce = 8,
-          floorSegmentDocs = 1000),
-        sortedPermBroadcastMax = 0)
-    }
-    results("percolate") = time {
+    results("sorted_merge_dist") = median((1 to trials).map { _ =>
+      // fresh copy of the pristine sorted index per trial (merge mutates
+      // the commit log); the copy is setup, only the merge is timed
+      val p = java.nio.file.Files.createTempDirectory("graftbenchmerge").toString + "/idx"
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(sortedPath).getFileSystem(conf)
+      org.apache.hadoop.fs.FileUtil.copy(fs, new org.apache.hadoop.fs.Path(sortedPath),
+        fs, new org.apache.hadoop.fs.Path(p), false, true, conf)
+      time {
+        graft.merge.MergeJob.mergeToPolicy(spark, p,
+          new graft.merge.TieredMergePolicy(segsPerTier = 1.0, maxMergeAtOnce = 8,
+            floorSegmentDocs = 1000),
+          sortedPermBroadcastMax = 0)
+      }
+    })
+    results("percolate") = timeMedian(trials) {
       graft.pipeline.Percolator.percolate(docs, "doc_id", "text",
         Seq("data", "vector", "stream", "model", "query", "join", "hash",
           "sort", "window", "filter", "group", "row", "spark", "batch",
@@ -210,7 +236,7 @@ object Bench {
       }
     }
 
-    results("q1_agg") = time {
+    results("q1_agg") = timeMedian(trials) {
       Queries.all("q1_agg")(spark, sfDir).collect()
     }
 

@@ -225,6 +225,29 @@ object QueriesPipeline {
         .orderBy("doc_id")
     }),
 
+    // ---- north-rule per-row invariant: byte-identical extracted text per
+    // url — html BINARY wraps the text (the Common-Crawl input shape);
+    // HTMLStripCharFilter must recover the text exactly (modulo the
+    // block-tag newlines it inserts at the wrapper boundary, trimmed)
+    "q_webtext_extract" -> ((s, dir) => {
+      import s.implicits._
+      documents(s, dir)
+        .select(col("doc_id"), col("text"),
+          concat(lit("<html><body><p>"), col("text"),
+            lit("</p><script>var x=1;</script></body></html>"))
+            .cast("binary").as("html"))
+        .as[(Long, String, Array[Byte])]
+        .mapPartitions { rows =>
+          val strip = new graft.analysis.HtmlStripCharFilter()
+          rows.map { case (id, text, html) =>
+            val extracted = strip(new String(html, "UTF-8")).text
+            (id, if (extracted.trim == text.trim) 1 else 0)
+          }
+        }
+        .toDF("doc_id", "ok")
+        .orderBy("doc_id")
+    }),
+
     // ---- grouping / facet analogs (SURVEY.md §2.7) on documents metadata
     "q_group_top" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
@@ -921,6 +944,9 @@ object QueriesPipeline {
         |  FROM tfq t JOIN dfs d ON d.term = t.term CROSS JOIN n
         |  WHERE t.doc_id = 0)
         |ORDER BY s DESC, term LIMIT 5""".stripMargin,
+
+    "q_webtext_extract" ->
+      """SELECT doc_id, 1 AS ok FROM documents ORDER BY doc_id""",
 
     // oracle recomputes the decoded dims/format from the fixture formulas
     // (w = 8 + id%57, h = 8 + 13id%41, format rotates png/bmp/gif)

@@ -420,6 +420,331 @@ wary wield wily wince windfall wistful wither witty woe wrangle
 wrath wreak wrench wretched writhe yearn yonder zeal zealous zenith
 """
 
+  /** Second vocabulary wave: domain nouns/verbs/adjectives (animals,
+    * plants, food, anatomy, medicine, science, materials, occupations,
+    * tools, clothing, geography, music, mathematics, law, seafaring,
+    * weather, kinship) — same head-word discipline. */
+  private val block2: String = """
+aardvark albatross alligator antelope badger barnacle barracuda bat bison
+blackbird boar bobcat buffoon butterfly buzzard camel canary caribou carp
+caterpillar catfish centipede chameleon cheetah chimpanzee chipmunk cicada
+clam cobra cockatoo cod condor cougar coyote crane crayfish cricket
+crocodile cuckoo dingo dodo doe dragonfly eagle eel egret elk emu falcon
+ferret finch firefly flamingo flea flounder gazelle gecko gerbil gibbon
+gnat gopher gorilla grasshopper grouse gull guppy haddock halibut hamster
+hare hedgehog heron herring hippopotamus hornet hound hyena ibis iguana
+impala jackal jay jellyfish kangaroo kestrel kingfisher kiwi koala krill
+ladybug lark lemming lemur lizard llama lobster locust loon lynx mackerel
+magpie mallard mammoth manatee mantis marlin marmot meerkat millipede
+mink minnow mole mongoose moose moth mullet muskrat mussel newt
+nightingale ocelot octopus opossum orca oriole osprey otter owl ox panda
+panther parakeet partridge peacock pelican penguin perch pheasant pike
+piranha platypus plover porcupine porpoise possum prawn ptarmigan puffin
+puma python quail rat rattlesnake raven reindeer rhinoceros roach robin
+rooster salamander sardine scallop seahorse seal shark sheep shrew shrike
+skunk sloth slug snail sparrow sponge squid stallion starling stingray
+stork sturgeon swallow swan swordfish tadpole tapir tarantula termite
+tern toad toucan trout tuna vole vulture walrus warbler wasp weevil
+whale wildcat wolverine wombat woodpecker wren yak
+acacia acorn alfalfa almond aloe anemone apricot aspen aster azalea
+bamboo barley basil bayberry beech begonia birch blackberry blueberry
+bluebell bramble buttercup cactus camellia carnation cedar chestnut
+chrysanthemum clover columbine cowslip cranberry crocus cypress daffodil
+dahlia daisy dandelion dogwood elm eucalyptus fern fir foxglove freesia
+fungus gardenia geranium ginkgo gladiolus gooseberry gourd hawthorn hazel
+heather hemlock hibiscus holly honeysuckle hyacinth iris ivy jasmine
+juniper kelp lavender lichen lilac lily linden lotus lupine magnolia
+mahogany maple marigold mint mistletoe moss mulberry mushroom myrtle
+narcissus nettle nutmeg oleander orchid pansy papyrus parsley peony
+petunia pine poinsettia poplar poppy primrose raspberry redwood reed
+rhododendron rosemary rye saffron sagebrush sapling seaweed sequoia
+shrub snapdragon spruce strawberry sunflower sycamore thistle thyme
+tulip violet walnut willow wisteria yew zinnia
+anchovy artichoke asparagus avocado bagel baguette barbecue batter
+biscuit bisque bran brisket broccoli broth brownie burrito butterscotch
+caramel casserole cauliflower caviar celery cheddar chili chocolate
+chowder cider cinnamon clove cobbler cocoa coleslaw cookie cornbread
+crab cracker cranberry crepe croissant crouton cucumber cupcake curry
+custard dill doughnut dumpling eggplant enchilada fennel flan frosting
+fudge garbanzo gazpacho gelatin gherkin gingerbread gnocchi granola
+gravy gruel guacamole gumbo halibut ham hamburger hazelnut honeydew
+horseradish hummus icing jambalaya jerky kale kebab ketchup kiwi lasagna
+leek lentil licorice lime linguine liver loaf macaroni mango maple
+marinade marmalade marshmallow mayonnaise meatball meringue milkshake
+molasses mozzarella muffin mustard noodle nougat oatmeal okra omelet
+onion oregano oyster pancake paprika parfait parsnip pasta pastry peach
+pecan pepperoni pesto pickle pineapple pistachio pita plum pomegranate
+popcorn porridge pretzel prune pudding pumpernickel quiche radish raisin
+ravioli relish rhubarb risotto rutabaga salami salsa sandwich sardine
+sauerkraut scone sesame sherbet shortcake sirloin smoothie sorbet
+souffle spaghetti spinach sprout squash stew strudel sundae sushi syrup
+taco tamale tangerine tapioca tart toffee tofu tortilla truffle turnip
+vanilla vinegar waffle wasabi watercress watermelon yam yogurt zucchini
+abdomen adrenal ankle aorta appendix artery biceps bladder bronchus
+cartilage cerebellum cheekbone clavicle cochlea collarbone cornea cortex
+cranium dermis diaphragm eardrum earlobe elbow enamel epidermis
+esophagus eyebrow eyelash eyelid femur fibula follicle forearm forehead
+gland gum hamstring heel hormone humerus intestine iris jaw jugular
+kidney kneecap knuckle larynx ligament lip liver lung lymph mandible
+marrow membrane molar mucus muscle nostril ovary palate pancreas pelvis
+pituitary plasma platelet pore pupil retina rib sacrum saliva scalp
+scapula shin sinew sinus skeleton skull spine spleen sternum tendon
+thigh thorax throat thumb thyroid tibia tonsil torso trachea triceps
+uterus vein ventricle vertebra waist windpipe wrist
+ailment amputate anesthesia antibiotic antibody antidote antiseptic
+artery asthma bandage benign biopsy blister bruise capsule cardiac
+cataract catheter chickenpox cholera cholesterol chronic clinic clot
+colic coma concussion contagious convulsion cramp dehydrate delirium
+dementia dermatology diabetes diagnosis dialysis diarrhea diphtheria
+disinfect dislocate dosage dropsy dysentery eczema embolism epidemic
+epilepsy fracture gangrene gauze glaucoma hemorrhage hepatitis hernia
+hospice hygiene immunize incision incubate infect inflammation influenza
+inoculate insulin jaundice laceration larynx leukemia malaria malignant
+measles melanoma migraine mumps narcotic nausea neurology ointment
+oncology ophthalmology orthopedic osteoporosis outbreak pacemaker
+palliative pandemic paralysis pathology pediatric phlegm physician
+placebo plague pneumonia poultice prognosis prosthesis psychiatry quarantine
+rabies rash recuperation rehabilitation remission respiration resuscitate
+rheumatism salve sanitarium scarlet sciatica sedative seizure sepsis
+smallpox spasm splint sprain stethoscope stitches stroke surgeon suture
+symptom syringe tetanus therapy thermometer tonic tourniquet toxin
+transfusion transplant trauma tremor tuberculosis tumor typhoid ulcer
+vaccinate vaccine vertigo virus ward wheeze
+acceleration acid alkali alloy amplitude anode asteroid astronomy
+atmosphere aurora bacteria barometer beaker boson buoyancy calcium
+calculus capacitor carbohydrate catalyst cathode cellulose centrifuge
+chlorine chromosome circuitry combustion comet compression condensation
+conductor constellation convection cosmology crystalline current
+density dilution diode distillation eclipse ecosystem electrode
+electrolysis electromagnet electron element embryo entropy enzyme
+equation equinox erosion evaporation evolution experiment fahrenheit
+fermentation fission flask fluorescent formula fossil frequency
+friction fulcrum fusion galaxy generator genetics geology glacier
+gradient graphite gravitation habitat helium hemisphere humidity
+hydrogen hypothesis igneous inertia infrared insulator ion isotope
+kinetic laboratory laser latitude lens lever longitude magnetism
+mass matter meridian metabolism meteor microbe microscope mineral
+molecule momentum nebula neutron nitrogen nucleus orbit organism
+oscillation osmosis oxide ozone particle pendulum permafrost
+photosynthesis physics pigment pipette plankton plasma plateau
+polymer potassium precipitation pressure prism propulsion protein
+proton pulley quasar radiation radius reactor reagent refraction
+relativity resistor respiration rotation satellite sediment seismic
+semiconductor sodium solstice solvent spectrum stratosphere substrate
+sulfur supernova telescope temperature theorem thermal thermostat
+titration trajectory transistor turbine ultraviolet vacuum vapor
+velocity vertebrate voltage wavelength zoology
+acrylic aluminum asbestos asphalt basalt brass brick bronze canvas
+cardboard cashmere cellophane ceramic chalk charcoal chrome clay cobalt
+concrete copper cork corduroy denim ebony emerald enamel felt
+fiberglass flint foil gauze gravel granite gypsum iodine ivory jade
+kerosene lacquer laminate latex lead leather limestone linen linoleum
+lumber magnesium marble mercury mica mortar nickel nylon obsidian opal
+parchment pewter plaster platinum plywood polyester porcelain pumice
+quartz rayon resin rubber ruby sandstone sapphire satin shale silica
+silicon silk slate solder stucco suede tanzanite tar teak terracotta
+tin titanium topaz tungsten turquoise tweed twine uranium varnish
+veneer vinyl wax wool zinc
+accountant acrobat actor actuary admiral ambassador anthropologist
+apothecary appraiser archaeologist archer architect archivist artisan
+astronaut astronomer attorney auctioneer auditor aviator baker
+bailiff banker barber bartender beekeeper blacksmith bookbinder
+botanist brewer bricklayer butcher butler carpenter cartographer
+cashier cellist chancellor chaplain chauffeur chemist choreographer
+clown cobbler composer concierge conductor constable consul
+coppersmith coroner courier curator custodian dancer dean detective
+diplomat director dispatcher diver draftsman dramatist drummer
+economist editor electrician embalmer engraver entomologist
+executioner explorer falconer farmer farrier fisherman florist
+forester gardener gatekeeper gemologist geographer geologist
+gladiator glassblower goldsmith governess grocer groundskeeper guide
+gunsmith haberdasher hairdresser herbalist historian horticulturist
+hunter illustrator innkeeper inspector interpreter inventor janitor
+jester jeweler jockey journalist jurist lecturer librarian lifeguard
+linguist locksmith logger lumberjack magician magistrate mason
+mathematician mechanic merchant messenger meteorologist midwife
+milliner miner minstrel missionary musician navigator notary novelist
+nun nutritionist optician optometrist organist ornithologist painter
+paralegal pathologist pawnbroker pharmacist philosopher photographer
+physicist pianist playwright plumber porter postman potter preacher
+principal printer professor prophet prosecutor psychologist publisher
+rancher ranger referee registrar reporter sailor salesman scribe
+sculptor seamstress secretary senator sergeant sheriff shepherd
+shipwright shoemaker singer smith sociologist soldier sommelier
+stenographer steward stonemason surveyor tailor tanner taxidermist
+teacher telegrapher teller tinker treasurer trumpeter tutor typist
+umpire undertaker usher valet veterinarian vintner violinist waiter
+warden watchmaker weaver welder wheelwright zookeeper
+anvil auger awl axe barrow bellows billhook blowtorch bolt bracket
+brace caliper chisel clamp cleaver compass crowbar cultivator drill
+file forceps gimlet gouge grater grindstone hacksaw hatchet hoe jack
+jigsaw ladle lathe lever mallet mattock mower nail pickaxe pliers
+plow pruner pulley rake rasp ratchet razor reaper rivet sander saw
+scalpel scissors screw screwdriver scythe shears shovel sickle sieve
+sledgehammer spade spanner spatula sprocket stapler tongs trowel vise
+whetstone winch wrench
+anorak apron ascot beanie beret blazer blouse bodice bonnet boot
+bowtie bracelet breeches brooch buckle caftan camisole cap cape
+cardigan chemise cloak clog corset cravat cuff culottes cummerbund
+doublet dungarees earmuff earring epaulet fedora frock gaiter garter
+gauntlet girdle gown handkerchief headband hood hosiery jerkin jodhpurs
+kilt kimono lapel leggings leotard locket loafer mitten moccasin
+monocle muff necklace nightgown overalls overcoat pajamas parka
+pendant petticoat pinafore poncho pullover raincoat robe sandal sari
+sarong sash scarf shawl shirt slipper smock sneaker sock sombrero
+stocking suspender sweater swimsuit tiara tights toga trousers tunic
+turban tuxedo veil vest visor waistcoat wig
+archipelago atoll bayou bluff bog brook butte caldera canal cape
+cascade cavern channel chasm cliff coastline cove crag crater creek
+delta desert dune escarpment estuary fjord floodplain foothill ford
+geyser glen gorge grotto gulch gulf headland heath highland hillock
+hinterland iceberg inlet isthmus jungle knoll lagoon lakebed
+lowland marsh mesa moor moraine oasis outcrop oxbow peninsula
+plain prairie promontory quagmire ravine reef ridge riverbed
+salt savanna seabed shoal shore sierra sound steppe strait summit
+swale taiga terrace thicket tributary tundra upland vale veld
+volcano waterfall watershed wetland
+accordion anthem aria ballad banjo baritone bass bassoon baton bugle
+cadenza carol cello chord clarinet clef concerto crescendo cymbal
+drumstick duet dulcimer encore ensemble etude fanfare fiddle flute
+fugue glockenspiel gong harmonica harmony harp harpsichord hymn
+interlude jingle kazoo keyboard libretto lullaby lute lyre madrigal
+mandolin march melody metronome minuet nocturne oboe octave opera
+operetta oratorio orchestra organ overture piccolo pitch polka
+prelude quartet recital refrain requiem rhapsody riff saxophone
+scale serenade sitar solo sonata soprano staccato stanza symphony
+tambourine tempo tenor timbre timpani trombone tuba tune ukulele
+viola waltz xylophone yodel zither
+addend algorithm angle apex arc axiom binomial bisector chord
+circumference coefficient cone congruent cosine cube cylinder decimal
+denominator diagonal diameter dividend divisor ellipse equation
+exponent factorial fraction geometry helix heptagon hexagon hypotenuse
+integer intercept intersection locus logarithm median midpoint modulus
+monomial multiple numerator oblong octagon ordinate parabola
+parallelogram pentagon percentile perimeter perpendicular polygon
+polyhedron polynomial prime product proportion pyramid quadrant
+quadratic quotient radian ratio reciprocal rectangle remainder rhombus
+scalar secant sector semicircle sine slope solid sphere subset sum
+tangent tetrahedron theorem trapezoid triangle trigonometry variance
+vector vertex
+acquittal affidavit alibi alimony amnesty annulment appellate
+arraignment arson attorney bail barrister bequest bylaw chancery
+codicil contraband conviction custody decree deed defendant deposition
+docket easement embezzlement encumbrance extradition felony forfeiture
+gavel grievance habeas heist hearing indictment inheritance injunction
+inquest judiciary jurisprudence juror larceny lien litigant mandamus
+manslaughter misdemeanor mistrial notary ordinance parole perjury
+plaintiff plea precedent probate probation prosecution proviso proxy
+recidivism restitution statute subpoena summons testament testimony
+tort tribunal trustee usury verdict warrant will witness writ
+aft anchor ballast barge bilge binnacle boatswain bow bowsprit
+breakwater brig brigantine bulkhead bulwark buoy capsize capstan
+caravel cargo catamaran clipper coxswain crow cutter davit deck
+dinghy dock dredge ensign fathom ferry figurehead flagship flotilla
+forecastle frigate galleon galley gangway gunwale halyard harbor
+hatch helm hull jetty keel ketch knot lanyard lifeboat lighthouse
+mast mariner marina mooring oar outrigger pier pilot pontoon port
+porthole prow quay raft regatta rigging rudder sail schooner scow
+sextant shipyard skiff sloop sonar starboard stern stevedore tanker
+tiller trawler tug voyage wake wharf windlass yacht yawl
+blizzard breeze chinook cirrus cloudburst cumulus cyclone deluge dew
+downpour drizzle drought flurry fog gale gust hail haze hurricane
+lightning mist monsoon nimbus overcast precipitation rainbow sleet
+slush smog snowfall squall tempest thaw thundercloud tornado torrent
+tsunami typhoon whirlwind zephyr
+ancestor aunt bride bridegroom brethren clan cousin descendant dowry
+fiancee forebear godfather godmother grandchild granddaughter
+grandfather grandmother grandson heir heiress heirloom kin kinship
+matriarch nephew newlywed niece offspring orphan patriarch sibling
+spouse stepbrother stepdaughter stepfather stepmother stepsister
+stepson suitor twin widow widower
+ambush armada armistice armory arsenal artillery barracks bastion
+bayonet besiege blockade bombardment brigadier bunker cavalry citadel
+commando conscript convoy corporal countdown decoy detonate dragoon
+embattle ensign flank fortification fusillade garrison grenade
+guerrilla gunner helmet holster infantry insignia insurgent javelin
+lancer legion lieutenant maneuver mercenary militia mortar musket
+mutiny parapet phalanx platoon quiver raid rampart ransom recruit
+regiment reconnaissance salvo sapper scabbard sentry shrapnel siege
+skirmish sniper squadron standoff stockade stronghold tactician
+trench truce vanguard
+abbey alcove annex arcade architrave atrium awning balustrade
+banister basilica battlement belfry bungalow buttress casement
+cathedral cellar chapel chimney cloister colonnade column conservatory
+cornice courtyard cupola dome dormer drawbridge eaves facade foyer
+gable gargoyle gazebo girder hearth lattice lintel loft mansard
+mantel minaret mosaic niche obelisk pagoda pantry parapet pavilion
+pediment pergola pillar plinth portico rafter rotunda scaffold
+skylight spire staircase steeple threshold tower turret vestibule
+abbreviate abdicate abet abhor abscond absolve abstain accentuate
+acclimate accrue adjudicate admonish affix aggrieve allot amble
+amortize annex annotate appall append arbitrage atone attest augur
+avow babble badger balk banter barter beckon befriend begrudge
+belabor bemoan bequeath berate bestride bicker bifurcate blanch
+bluster bristle burnish canvass capitulate careen carouse castigate
+catapult cavort chide chortle cleave coddle commiserate concede
+confiscate congeal connote consign convoke corroborate counteract
+curtsy dawdle debark decant deign demarcate denote deplane despoil
+dether dignify disavow disburse discomfit disentangle dither divest
+dodder dote douse drawl drone ebb effuse egress elide embolden
+emote encamp encircle enjoin enliven ennoble enshrine ensnare enthrall
+entrench entwine espouse eulogize exhume expunge extrude exult
+festoon fidget flail flit flog flounce fluster foist forage foreclose
+forewarn founder fritter frolic gallivant galvanize gambol garble
+gesticulate glower gravitate grouse hanker harangue harken heave
+hobble hoodwink huddle hunker hurtle imbibe impale impinge implode
+importune impugn incant incense inculcate indemnify infringe ingest
+inoculate inure invoke jabber jettison jilt jockey lambaste languish
+lull lumber maraud meddle mete mince mollify moor mosey muddle mull
+muse muster natter nuzzle obfuscate officiate ogle opine ordain
+ossify oust pacify palpitate pander parry partake peck peddle peer
+permeate peruse pilfer pine pivot placate plod plummet poach pore
+posit pounce preen prance prattle precede preclude prod proffer
+prognosticate promulgate prostrate pulverize purloin quibble ramble
+rankle ransack ratify ration ravel recant reconnoiter redress
+regale relegate remit remonstrate renege repudiate rescind retort
+revile roam rove rummage rustle salivate sashay saunter scamper
+scavenge scoff scurry secrete sequester shirk shun sidle simper
+skulk slake slather slink slosh smite snicker snivel spar spelunk
+splurge spurt squabble squint stammer stoke stow strut stymie
+subjugate subsume sully swagger swoon tarry teeter temper tether
+throttle thump topple tout traipse trample transfix traverse trudge
+trundle unfetter unfurl unhinge untangle upbraid vacillate vanquish
+veer vilify violate vouchsafe waddle waft wallow waver wheedle whittle
+wrangle wrest yammer
+adroit affable aghast ajar akimbo amiss arable askew astir balmy
+bawdy bedraggled bemused bereft blase bombastic boorish brackish
+brawny brusque bucolic bulbous bumptious burnished buxom callow
+candid cantankerous capacious caustic cherubic choleric churlish
+comely congenital contrite convivial copacetic corpulent craven
+creaky crestfallen cryptic dank dapper dastardly debonair decrepit
+deft demure despondent diaphanous diffident dilatory dismissive
+dowdy drab draconian droll dulcet ebullient effete effusive elegiac
+emaciated ersatz erstwhile estimable facile fallow fastidious feckless
+fecund feral fetid flippant florid flush forlorn fractious fraught
+frumpy fulsome furtive gangly garish garrulous gaudy genteel
+ghoulish glib gnarly grandiose grizzled hackneyed haggard hale
+hapless harried hoary humdrum impervious impish inane incorrigible
+indolent inscrutable insipid intrepid irascible jaded jaunty jejune
+jocular kindred lackluster laconic lanky lascivious lavish listless
+livid loquacious lugubrious lurid mawkish mealy mercurial mirthful
+morose mottled murky nefarious nimble noisome nonplussed obtuse
+officious opulent ornery ostentatious palatial pallid paltry pasty
+peevish pensive peppery perfunctory pert petulant piquant pithy
+placid plaintive plucky plump pompous portly prim pristine prodigious
+puerile pugnacious punctilious quaint querulous quixotic rakish
+rancorous rapt raucous ravenous recalcitrant reclusive redolent
+resplendent restive ribald riotous rotund rowdy ruddy rueful
+sallow sanguine sardonic scraggly scrawny scurrilous sedate seedy
+serpentine shrill sinewy slipshod slothful snide sodden spry
+staid stalwart stately stodgy stolid strapping strident sublime
+sullen sultry supple surly svelte swarthy taciturn tawdry tepid
+threadbare timorous torpid tremulous truculent turbid turgid unctuous
+unkempt uppity urbane vapid venal verdant vexed vivacious voluble
+wan wanton winsome wistful wizened woeful wry zany
+"""
+
   /** Parsed head-word set (deduped; lowercase a-z only by construction). */
-  val words: Set[String] = block.split("\\s+").iterator.filter(_.nonEmpty).toSet
+  val words: Set[String] =
+    (block + " " + block2).split("\\s+").iterator.filter(_.nonEmpty).toSet
 }
