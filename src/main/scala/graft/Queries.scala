@@ -107,6 +107,22 @@ object Queries {
       BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))))),
     "q_bool_or_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
       BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream"))), 10))),
+    // Explain ≡ Score gated (CheckHits.VerifyExplanation): for each top-10
+    // hit of the OR query, the explanation tree's value must equal the
+    // compiled score EXACTLY — ok=1 rides next to the oracle-ranked rows,
+    // so any drift (or a non-match explanation) breaks the hash
+    "q_explain_parity" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val q = BoolQ(List(Occur.Should -> TermQ("vector"), Occur.Should -> TermQ("stream")))
+      val top = se.search(q, 10).collect() // (url, score, segmentId, docId)
+      val rows = top.zipWithIndex.map { case (r, i) =>
+        val ex = se.explain(q, r.getInt(2), r.getInt(3))
+        val ok = ex.matched && ex.value == r.getDouble(1)
+        (r.getString(0).drop(3).toLong, i + 1, if (ok) 1 else 0)
+      }
+      import s.implicits._
+      rows.toSeq.toDF("doc_id", "rank", "ok").orderBy("rank")
+    }),
     // ranked conjunction through the per-segment leapfrog path (Leapfrog.scala)
     "q_and_topk" -> ((s, dir) => ranked(searcher(s, dir).search(
       BoolQ(List(Occur.Must -> TermQ("vector"), Occur.Must -> TermQ("stream"))), 10))),
@@ -1241,6 +1257,15 @@ object Queries {
     "q_bool_or_topk" ->
       s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")}
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank FROM (
+         |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
+         |  FROM scores_a a FULL OUTER JOIN scores_b b ON a.doc_id = b.doc_id)
+         |ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_explain_parity" ->
+      s"""$P, ${scoreCte("a", "vector")}, ${scoreCte("b", "stream")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank,
+         |       1 AS ok FROM (
          |  SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
          |         (coalesce(a.s, 0) + coalesce(b.s, 0)) AS s
          |  FROM scores_a a FULL OUTER JOIN scores_b b ON a.doc_id = b.doc_id)

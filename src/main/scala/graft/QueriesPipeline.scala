@@ -151,11 +151,15 @@ object QueriesPipeline {
     // fixtures whose dims/colors are pure formulas of doc_id (so the DuckDB
     // oracle recomputes every decoded value without an image library)
 
-    // real header+raster decode of PNG/BMP/GIF checkerboard fixtures: the
-    // reported dims/format come from ImageIO's matched reader, not the id
+    // real header decode across the full JDK codec rotation incl. JPEG
+    // (lossy, so meta checks dims/format only; raster proofs ride on the
+    // lossless gates below) — dims/format come from ImageIO's matched
+    // reader, not the id
     "q_media_meta" -> ((s, dir) => {
-      val media = Multimodal.imageFixtures(
-        documents(s, dir).select("doc_id"), "doc_id", checker = true)
+      import s.implicits._
+      val media = documents(s, dir).select(col("doc_id")).as[Long]
+        .mapPartitions(_.map(id => (id, Multimodal.syntheticImage4(id))))
+        .toDF("id", "media")
       Multimodal.extractMeta(s, media).toDF()
         .select(col("id").as("doc_id"), col("width"), col("height"), col("format"))
         .orderBy("doc_id")
@@ -949,12 +953,13 @@ object QueriesPipeline {
       """SELECT doc_id, 1 AS ok FROM documents ORDER BY doc_id""",
 
     // oracle recomputes the decoded dims/format from the fixture formulas
-    // (w = 8 + id%57, h = 8 + 13id%41, format rotates png/bmp/gif)
+    // (w = 8 + id%57, h = 8 + 13id%41, format rotates png/bmp/gif/jpeg)
     "q_media_meta" ->
       """SELECT doc_id,
         |  CAST(8 + doc_id % 57 AS INT) AS width,
         |  CAST(8 + (doc_id * 13) % 41 AS INT) AS height,
-        |  CASE doc_id % 3 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp' ELSE 'gif' END AS format
+        |  CASE doc_id % 4 WHEN 0 THEN 'png' WHEN 1 THEN 'bmp'
+        |       WHEN 2 THEN 'gif' ELSE 'jpeg' END AS format
         |FROM documents ORDER BY doc_id""".stripMargin,
 
     // exact-integer aspect clamp to (32, 24) + solid-color round trip:

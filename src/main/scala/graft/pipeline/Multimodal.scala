@@ -62,6 +62,20 @@ object Multimodal {
     case _  => "gif"
   }
 
+  /** 4-format rotation for the header-decode (meta) gate: adds JPEG —
+    * lossy, so only dims/format are oracle-checked through it, never
+    * pixels (the lossless trio carries the raster proofs). */
+  def fixtureFormat4(id: Long): String = math.floorMod(id, 4L) match {
+    case 0L => "png"
+    case 1L => "bmp"
+    case 2L => "gif"
+    case _  => "jpeg"
+  }
+
+  /** Solid fixture in the 4-format rotation (real JPEG encode included). */
+  def syntheticImage4(id: Long): Array[Byte] =
+    encodeFixture(id, checker = false, fixtureFormat4(id))
+
   /** Encode a deterministic fixture image with a REAL JDK encoder.
     * `checker = false`: solid base color. `checker = true`: 1px checkerboard
     * of base color (at (x+y) even) and its inverse (at odd) — decode must
@@ -69,10 +83,12 @@ object Multimodal {
     * GIF frames draw into an indexed image with an exact 2-entry palette so
     * the palette quantizer cannot shift colors; PNG/BMP are 24-bit exact.
     */
-  def syntheticImage(id: Long, checker: Boolean): Array[Byte] = {
+  def syntheticImage(id: Long, checker: Boolean): Array[Byte] =
+    encodeFixture(id, checker, fixtureFormat(id))
+
+  private def encodeFixture(id: Long, checker: Boolean, fmt: String): Array[Byte] = {
     val (w, h) = fixtureDims(id)
     val (r, g, b) = fixtureColor(id)
-    val fmt = fixtureFormat(id)
     val rgbA = (r << 16) | (g << 8) | b
     val rgbB = ((255 - r) << 16) | ((255 - g) << 8) | (255 - b)
     val img =

@@ -39,6 +39,16 @@ class MultimodalSpec extends AnyFunSuite {
     }
   }
 
+  test("4-format rotation incl. JPEG: real header decode recovers dims + format") {
+    for (id <- 0L until 40L) {
+      val bytes = Multimodal.syntheticImage4(id)
+      val (w, h) = Multimodal.fixtureDims(id)
+      val Some((img, fmt)) = Multimodal.decodeImage(bytes)
+      assert((img.getWidth, img.getHeight) == ((w, h)), s"id=$id")
+      assert(fmt == Multimodal.fixtureFormat4(id), s"id=$id")
+    }
+  }
+
   test("clampDims: exact integer aspect-preserving clamp, never upscales") {
     assert(Multimodal.clampDims(64, 48, 128, 96) == ((64, 48)))
     assert(Multimodal.clampDims(256, 96, 128, 96) == ((128, 48)))
