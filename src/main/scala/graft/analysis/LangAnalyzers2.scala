@@ -728,7 +728,55 @@ object LangAnalyzers2 {
     "od", "jeho", "bude", "nebo", "již", "jen", "byl", "byla", "bylo",
     "což", "být", "před", "také", "jsou", "jsme", "jsem", "při", "až",
     "co", "tak", "má", "když", "než", "který", "která", "které",
-    "kteří", "ještě", "ani", "mezi", "tím", "tento", "pak", "u", "ke")
+    "kteří", "ještě", "ani", "mezi", "tím", "tento", "pak", "u", "ke") ++ Set(
+    "aby", "ale", "ani", "ano", "az", "bez",
+    "bude", "budem", "budes", "by", "byli", "bylia",
+    "byt", "ci", "clanek", "clanku", "clanky", "coz",
+    "cz", "dalsi", "design", "dnes", "email", "ho",
+    "jak", "jake", "jakmile", "jednim", "jej", "jeji",
+    "jejich", "jehoz", "jen", "jenz", "jeste", "ji",
+    "jine", "jiz", "jses", "jsi", "jste", "kam",
+    "kde", "kdo", "kdyz", "ke", "ktera", "ktere",
+    "kteri", "kterou", "ktery", "ku", "ma", "mate",
+    "me", "mezi", "mit", "mne", "mnou", "muj",
+    "muze", "my", "na", "nad", "nam", "napiste",
+    "nas", "nasi", "ne", "nejsou", "nez", "nic",
+    "nove", "novy", "o", "od", "ode", "pak",
+    "pod", "podle", "pokud", "pouze", "prave", "pred",
+    "pres", "pri", "pro", "proc", "proto", "protoze",
+    "prvni", "pta", "re", "si", "strana", "sve",
+    "svych", "svym", "svymi", "ta", "tak", "takze",
+    "tato", "te", "tedy", "ten", "tento", "teto",
+    "tim", "timto", "tipy", "to", "tohle", "toho",
+    "tohoto", "tom", "tomto", "tomuto", "tu", "tuto",
+    "ty", "tyto", "u", "uz", "vam", "vas",
+    "vase", "vice", "vsak", "ze", "zda", "zde",
+    "zpet", "zpravy", "jsem", "jsou", "jste", "aniž",
+    "ať", "během", "bez", "beze", "blízko", "bohužel",
+    "brzo", "což", "či", "článek", "článku", "články",
+    "dál", "dále", "děkovat", "děkujeme", "děkuji", "dnes",
+    "do", "ho", "hodně", "já", "jak", "jde",
+    "je", "jedna", "jedno", "jen", "ještě", "jí",
+    "jím", "jsme", "k", "každý", "kteří", "kvůli",
+    "má", "mají", "málo", "mám", "máme", "máš",
+    "mé", "mě", "mezi", "mí", "mít", "mně",
+    "mnou", "moc", "mohl", "mohou", "moje", "moji",
+    "možná", "můj", "musí", "my", "naše", "naši",
+    "nechť", "nejsi", "není", "nestačí", "nevadí", "než",
+    "nic", "nové", "nový", "nuže", "ok", "on",
+    "ona", "oni", "ono", "ony", "pak", "po",
+    "pouze", "práve", "pro", "proč", "prostě", "proti",
+    "první", "před", "přes", "přese", "s", "se",
+    "skoro", "smí", "smějí", "snad", "spolu", "strana",
+    "své", "svých", "svým", "svými", "ta", "tady",
+    "tak", "takhle", "taky", "tam", "tamhle", "tamhleto",
+    "tamto", "tato", "tebe", "tebou", "ted'", "tedy",
+    "ten", "ti", "to", "tobě", "tohle", "toto",
+    "třeba", "tu", "tuto", "ty", "tyto", "vám",
+    "vámi", "vás", "váš", "vaše", "vaši", "ve",
+    "večer", "vedle", "vlastně", "však", "všechno", "vy",
+    "vždy", "z", "za", "zač", "zatímco", "ze",
+    "že")
 
   val BulgarianStopWords: Set[String] = Set(
     "и", "в", "на", "с", "за", "да", "не", "се", "от", "е", "по", "че",
@@ -804,7 +852,46 @@ object LangAnalyzers2 {
     "ca", "că", "au", "fost", "fi", "el", "ea", "lor", "le", "al", "ale",
     "a", "acest", "această", "după", "prin", "dacă", "sau", "când",
     "cînd", "unde", "iar", "până", "pînă", "fără", "asupra", "acelaşi",
-    "același")
+    "același") ++ Set(
+    "acea", "aceasta", "această", "aceea", "acei", "aceia",
+    "acel", "acela", "acele", "acelea", "acest", "acesta",
+    "aceste", "acestea", "acești", "aceștia", "acolo", "acum",
+    "ai", "aia", "aibă", "aici", "al", "ăla",
+    "ale", "alea", "ălea", "altceva", "altcineva", "am",
+    "ar", "are", "așadar", "asemenea", "asta", "ăsta",
+    "astăzi", "astea", "ăstea", "ăștia", "asupra", "aţi",
+    "au", "avea", "avem", "aveţi", "azi", "bine",
+    "bucur", "bună", "ca", "că", "căci", "când",
+    "care", "cărei", "căror", "cărui", "cât", "câte",
+    "câţi", "către", "câtva", "ce", "cel", "ceva",
+    "chiar", "cînd", "cine", "cineva", "cît", "cîte",
+    "cîţi", "cîtva", "contra", "cu", "cum", "cumva",
+    "curând", "curînd", "da", "dă", "dacă", "dar",
+    "datorită", "de", "deci", "deja", "deoarece", "departe",
+    "deşi", "din", "dinaintea", "dintr", "dintre", "drept",
+    "după", "ea", "ei", "el", "ele", "eram",
+    "este", "eşti", "eu", "face", "fără", "fi",
+    "fie", "fiecare", "fii", "fim", "fiţi", "iar",
+    "ieri", "îi", "îl", "îmi", "împotriva", "în",
+    "înainte", "înaintea", "încât", "încît", "încotro", "între",
+    "întrucât", "întrucît", "îţi", "la", "lângă", "le",
+    "li", "lîngă", "lor", "lui", "mă", "mâine",
+    "mea", "mei", "mele", "mereu", "meu", "mi",
+    "mine", "mult", "multă", "mulţi", "ne", "nicăieri",
+    "nici", "nimeni", "nimic", "nişte", "noastră", "noastre",
+    "noi", "noştri", "nostru", "nu", "ori", "oricând",
+    "oricare", "oricât", "orice", "oricînd", "oricine", "oricît",
+    "oricum", "oriunde", "până", "pe", "pentru", "peste",
+    "pînă", "poate", "pot", "prea", "prima", "primul",
+    "prin", "printr", "sa", "să", "săi", "sale",
+    "sau", "său", "se", "şi", "sînt", "sîntem",
+    "sînteţi", "spre", "sub", "sunt", "suntem", "sunteţi",
+    "ta", "tăi", "tale", "tău", "te", "ţi",
+    "ţie", "tine", "toată", "toate", "tot", "toţi",
+    "totuşi", "tu", "un", "una", "unde", "undeva",
+    "unei", "unele", "uneori", "unor", "vă", "vi",
+    "voastră", "voastre", "voi", "voştri", "vostru", "vouă",
+    "vreo", "vreun")
 
   val IndonesianStopWords: Set[String] = Set(
     "yang", "dan", "di", "dari", "ini", "itu", "dengan", "untuk", "pada",
@@ -813,7 +900,67 @@ object LangAnalyzers2 {
     "telah", "sudah", "bisa", "karena", "oleh", "saat", "jika",
     "seperti", "sebagai", "tersebut", "harus", "para", "tetapi",
     "namun", "serta", "yaitu", "bahwa", "lebih", "masih", "secara",
-    "dapat", "hanya", "antara", "begitu")
+    "dapat", "hanya", "antara", "begitu") ++ Set(
+    "ada", "adanya", "adalah", "adapun", "agak", "agaknya",
+    "agar", "akan", "akankah", "akhirnya", "aku", "akulah",
+    "amat", "amatlah", "anda", "andalah", "antar", "diantaranya",
+    "antara", "antaranya", "diantara", "apa", "apaan", "mengapa",
+    "apabila", "apakah", "apalagi", "apatah", "atau", "ataukah",
+    "ataupun", "bagai", "bagaikan", "sebagai", "sebagainya", "bagaimana",
+    "bagaimanapun", "sebagaimana", "bagaimanakah", "bagi", "bahkan", "bahwa",
+    "bahwasanya", "sebaliknya", "banyak", "sebanyak", "beberapa", "seberapa",
+    "begini", "beginian", "beginikah", "beginilah", "sebegini", "begitu",
+    "begitukah", "begitulah", "begitupun", "sebegitu", "belum", "belumlah",
+    "sebelum", "sebelumnya", "sebenarnya", "berapa", "berapakah", "berapalah",
+    "berapapun", "betulkah", "sebetulnya", "biasa", "biasanya", "bila",
+    "bilakah", "bisa", "bisakah", "sebisanya", "boleh", "bolehkah",
+    "bolehlah", "buat", "bukan", "bukankah", "bukanlah", "bukannya",
+    "cuma", "percuma", "dahulu", "dalam", "dan", "dapat",
+    "dari", "daripada", "dekat", "demi", "demikian", "demikianlah",
+    "sedemikian", "dengan", "depan", "di", "dia", "dialah",
+    "dini", "diri", "dirinya", "terdiri", "dong", "dulu",
+    "enggak", "enggaknya", "entah", "entahlah", "terhadap", "terhadapnya",
+    "hal", "hampir", "hanya", "hanyalah", "harus", "haruslah",
+    "harusnya", "seharusnya", "hendak", "hendaklah", "hendaknya", "hingga",
+    "sehingga", "ia", "ialah", "ibarat", "ingin", "inginkah",
+    "inginkan", "ini", "inikah", "inilah", "itu", "itukah",
+    "itulah", "jangan", "jangankan", "janganlah", "jika", "jikalau",
+    "juga", "justru", "kala", "kalau", "kalaulah", "kalaupun",
+    "kalian", "kami", "kamilah", "kamu", "kamulah", "kan",
+    "kapan", "kapankah", "kapanpun", "dikarenakan", "karena", "karenanya",
+    "ke", "kecil", "kemudian", "kenapa", "kepada", "kepadanya",
+    "ketika", "seketika", "khususnya", "kini", "kinilah", "kiranya",
+    "sekiranya", "kita", "kitalah", "kok", "lagi", "lagian",
+    "selagi", "lah", "lain", "lainnya", "melainkan", "selaku",
+    "lalu", "melalui", "terlalu", "lama", "lamanya", "selama",
+    "selamanya", "lebih", "terlebih", "bermacam", "macam", "semacam",
+    "maka", "makanya", "makin", "malah", "malahan", "mampu",
+    "mampukah", "mana", "manakala", "manalagi", "masih", "masihkah",
+    "semasih", "masing", "mau", "maupun", "semaunya", "memang",
+    "mereka", "merekalah", "meski", "meskipun", "semula", "mungkin",
+    "mungkinkah", "nah", "namun", "nanti", "nantinya", "nyaris",
+    "oleh", "olehnya", "seorang", "seseorang", "pada", "padanya",
+    "padahal", "paling", "sepanjang", "pantas", "sepantasnya", "sepantasnyalah",
+    "para", "pasti", "pastilah", "per", "pernah", "pula",
+    "pun", "merupakan", "rupanya", "serupa", "saat", "saatnya",
+    "sesaat", "saja", "sajalah", "saling", "bersama", "sama",
+    "sesama", "sambil", "sampai", "sana", "sangat", "sangatlah",
+    "saya", "sayalah", "se", "sebab", "sebabnya", "sebuah",
+    "tersebut", "tersebutlah", "sedang", "sedangkan", "sedikit", "sedikitnya",
+    "segala", "segalanya", "segera", "sesegera", "sejak", "sejenak",
+    "sekali", "sekalian", "sekalipun", "sesekali", "sekaligus", "sekarang",
+    "sekitar", "sekitarnya", "sela", "selain", "selalu", "seluruh",
+    "seluruhnya", "semakin", "sementara", "sempat", "semua", "semuanya",
+    "sendiri", "sendirinya", "seolah", "seperti", "sepertinya", "sering",
+    "seringnya", "serta", "siapa", "siapakah", "siapapun", "disini",
+    "disinilah", "sini", "sinilah", "sesuatu", "sesuatunya", "suatu",
+    "sesudah", "sesudahnya", "sudah", "sudahkah", "sudahlah", "supaya",
+    "tadi", "tadinya", "tak", "tanpa", "setelah", "telah",
+    "tentang", "tentu", "tentulah", "tentunya", "tertentu", "seterusnya",
+    "tapi", "tetapi", "setiap", "tiap", "setidaknya", "tidak",
+    "tidakkah", "tidaklah", "toh", "waduh", "wah", "wahai",
+    "sewaktu", "walau", "walaupun", "wong", "yaitu", "yakni",
+    "yakin")
 }
 
 /** Finnish chain — the FinnishAnalyzer DEFAULT: classic grammar ->

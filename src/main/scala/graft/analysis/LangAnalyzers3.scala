@@ -330,7 +330,33 @@ object LangAnalyzers3 {
     "ar", "no", "uz", "par", "pēc", "pie", "bet", "vai", "ja", "kā",
     "šis", "šī", "tas", "tā", "to", "bija", "būs", "būt", "nav", "ne",
     "arī", "jau", "tikai", "vēl", "visi", "kur", "tad", "pat", "līdz",
-    "bez", "kad", "viņš", "viņa", "savu", "man", "mani", "tev", "jo")
+    "bez", "kad", "viņš", "viņa", "savu", "man", "mani", "tev", "jo") ++ Set(
+    "aiz", "ap", "apakš", "apakšpus", "ar", "arī",
+    "augšpus", "bet", "bez", "bija", "biji", "biju",
+    "bijām", "bijāt", "būs", "būsi", "būsiet", "būsim",
+    "būt", "būšu", "caur", "diemžēl", "diezin", "droši",
+    "dēļ", "esam", "esat", "esi", "esmu", "gan",
+    "gar", "gluži", "ik", "ir", "it", "itin",
+    "iz", "ja", "jau", "jeb", "jebšu", "jel",
+    "jo", "jā", "ka", "kamēr", "kaut", "kolīdz",
+    "kopš", "kā", "kļuva", "kļuvi", "kļuvu", "kļuvām",
+    "kļuvāt", "kļūs", "kļūsi", "kļūsiet", "kļūsim", "kļūst",
+    "kļūstam", "kļūstat", "kļūsti", "kļūstu", "kļūt", "kļūšu",
+    "labad", "lai", "lejpus", "līdz", "līdzko", "ne",
+    "nebūt", "nedz", "nekā", "nevis", "nezin", "no",
+    "nu", "nē", "otrpus", "pa", "par", "pat",
+    "pie", "pirms", "pret", "priekš", "pār", "pēc",
+    "starp", "tad", "tak", "tapi", "taps", "tapsi",
+    "tapsiet", "tapsim", "tapt", "tapāt", "taču", "te",
+    "tiek", "tiekam", "tiekat", "tieku", "tiec", "tik",
+    "tika", "tikai", "tiki", "tikko", "tiklab", "tiklīdz",
+    "tiks", "tiksiet", "tiksim", "tikt", "tiku", "tikvien",
+    "tikām", "tikāt", "tikšu", "tomēr", "topat", "turpretim",
+    "turpretī", "tā", "tādēļ", "tālab", "tāpēc", "un",
+    "uz", "vai", "var", "varat", "varēja", "varēji",
+    "varēju", "varējām", "varējāt", "varēs", "varēsi", "varēsiet",
+    "varēsim", "varēt", "varēšu", "vien", "virs", "virspus",
+    "vis", "viņpus", "zem", "ārpus", "šaipus")
 
   val BrazilianStopWords: Set[String] = Set(
     "de", "a", "o", "que", "e", "do", "da", "em", "um", "para", "com",
@@ -341,7 +367,29 @@ object LangAnalyzers3 {
     "aos", "seus", "quem", "nas", "me", "esse", "eles", "essa", "num",
     "nem", "suas", "meu", "às", "minha", "numa", "pelos", "elas",
     "qual", "nós", "lhe", "deles", "essas", "esses", "pelas", "este",
-    "dele")
+    "dele") ++ Set(
+    "a", "ainda", "alem", "ambas", "ambos", "antes",
+    "ao", "aonde", "aos", "apos", "aquele", "aqueles",
+    "as", "assim", "com", "como", "contra", "contudo",
+    "cuja", "cujas", "cujo", "cujos", "da", "das",
+    "de", "dela", "dele", "deles", "demais", "depois",
+    "desde", "desta", "deste", "dispoe", "dispoem", "diversa",
+    "diversas", "diversos", "do", "dos", "durante", "e",
+    "ela", "elas", "ele", "eles", "em", "entao",
+    "entre", "essa", "essas", "esse", "esses", "esta",
+    "estas", "este", "estes", "ha", "isso", "isto",
+    "logo", "mais", "mas", "mediante", "menos", "mesma",
+    "mesmas", "mesmo", "mesmos", "na", "nas", "nao",
+    "nas", "nem", "nesse", "neste", "nos", "o",
+    "os", "ou", "outra", "outras", "outro", "outros",
+    "pelas", "pelas", "pelo", "pelos", "perante", "pois",
+    "por", "porque", "portanto", "proprio", "propios", "quais",
+    "qual", "qualquer", "quando", "quanto", "que", "quem",
+    "quer", "se", "seja", "sem", "sendo", "seu",
+    "seus", "sob", "sobre", "sua", "suas", "tal",
+    "tambem", "teu", "teus", "toda", "todas", "todo",
+    "todos", "tua", "tuas", "tudo", "um", "uma",
+    "umas", "uns")
 
   val GalicianStopWords: Set[String] = Set(
     "a", "o", "e", "de", "do", "da", "que", "en", "un", "unha", "os",
@@ -350,7 +398,33 @@ object LangAnalyzers3 {
     "sobre", "entre", "ata", "desde", "onde", "todo", "toda", "todos",
     "todas", "outro", "outra", "era", "foi", "ser", "está", "hai",
     "lle", "nos", "vos", "eu", "ti", "el", "ela", "nós", "vós", "eles",
-    "elas", "isto", "iso", "aquilo", "este", "esta", "ese", "esa")
+    "elas", "isto", "iso", "aquilo", "este", "esta", "ese", "esa") ++ Set(
+    "a", "aínda", "alí", "aquel", "aquela", "aquelas",
+    "aqueles", "aquilo", "aquí", "ao", "aos", "as",
+    "así", "á", "ben", "cando", "che", "co",
+    "coa", "comigo", "con", "connosco", "contigo", "convosco",
+    "coas", "cos", "cun", "cuns", "cunha", "cunhas",
+    "da", "dalgunha", "dalgunhas", "dalgún", "dalgúns", "das",
+    "de", "del", "dela", "delas", "deles", "desde",
+    "deste", "do", "dos", "dun", "duns", "dunha",
+    "dunhas", "e", "el", "ela", "elas", "eles",
+    "en", "era", "eran", "esa", "esas", "ese",
+    "eses", "esta", "estar", "estaba", "está", "están",
+    "este", "estes", "estiven", "estou", "eu", "é",
+    "facer", "foi", "foron", "fun", "había", "hai",
+    "iso", "isto", "la", "las", "lle", "lles",
+    "lo", "los", "mais", "me", "meu", "meus",
+    "min", "miña", "miñas", "moi", "na", "nas",
+    "neste", "nin", "no", "nos", "nosa", "nosas",
+    "noso", "nosos", "nós", "nun", "nunha", "nuns",
+    "nunhas", "o", "os", "ou", "ó", "ós",
+    "para", "pero", "pode", "pois", "pola", "polas",
+    "polo", "polos", "por", "que", "se", "senón",
+    "ser", "seu", "seus", "sexa", "sido", "sobre",
+    "súa", "súas", "tamén", "tan", "te", "ten",
+    "teñen", "teño", "ter", "teu", "teus", "ti",
+    "tido", "tiña", "tiven", "túa", "túas", "un",
+    "unha", "unhas", "uns", "vos", "vós")
 }
 
 /** Latvian chain — Lv/LatvianAnalyzer.cs default: classic grammar ->
@@ -501,7 +575,26 @@ object LangAnalyzers3b {
     "sa", "san", "don", "den", "faoi", "chun", "thar", "trí", "ina",
     "lena", "dá", "ba", "níl", "bheith", "seo", "sin", "aon", "gach",
     "nach", "mé", "tú", "siad", "muid", "sibh", "é", "í", "iad", "cé",
-    "cad", "conas", "anseo", "ansin", "anois", "arís")
+    "cad", "conas", "anseo", "ansin", "anois", "arís") ++ Set(
+    "a", "ach", "ag", "agus", "an", "aon",
+    "ar", "arna", "as", "b'", "ba", "beirt",
+    "bhúr", "caoga", "ceathair", "ceathrar", "chomh", "chtó",
+    "chuig", "chun", "cois", "céad", "cúig", "cúigear",
+    "d'", "daichead", "dar", "de", "deich", "deichniúr",
+    "den", "dhá", "do", "don", "dtí", "dá",
+    "dár", "dó", "faoi", "faoin", "faoina", "faoinár",
+    "fara", "fiche", "gach", "gan", "go", "gur",
+    "haon", "hocht", "i", "iad", "idir", "in",
+    "ina", "ins", "inár", "is", "le", "leis",
+    "lena", "lenár", "m'", "mar", "mo", "mé",
+    "na", "nach", "naoi", "naonúr", "ná", "ní",
+    "níor", "nó", "nócha", "ocht", "ochtar", "os",
+    "roimh", "sa", "seacht", "seachtar", "seachtó", "seasca",
+    "seisear", "siad", "sibh", "sinn", "sna", "sé",
+    "sí", "tar", "thar", "thú", "triúr", "trí",
+    "trína", "trínár", "tríocha", "tú", "um", "ár",
+    "é", "éis", "í", "ó", "ón", "óna",
+    "ónár")
 
   /** Irish pre-lowercase hyphenation prefixes stopped as standalone
     * tokens (IrishAnalyzer.cs:53 HYPHENATIONS). */
@@ -516,7 +609,42 @@ object LangAnalyzers3b {
     "kadar", "her", "ne", "mi", "mı", "mu", "mü", "var", "yok", "ise",
     "şu", "ben", "sen", "biz", "siz", "onlar", "hem", "ya", "veya",
     "çünkü", "eğer", "diye", "böyle", "şöyle", "tüm", "bütün", "bazı",
-    "üzere", "yani", "dahi", "ait", "niye", "niçin", "nasıl", "hangi")
+    "üzere", "yani", "dahi", "ait", "niye", "niçin", "nasıl", "hangi") ++ Set(
+    "acaba", "altmış", "altı", "ama", "ancak", "arada",
+    "aslında", "ayrıca", "bana", "bazı", "belki", "ben",
+    "benden", "beni", "benim", "beri", "beş", "bile",
+    "bin", "bir", "birçok", "biri", "birkaç", "birkez",
+    "birşey", "birşeyi", "biz", "bize", "bizden", "bizi",
+    "bizim", "böyle", "böylece", "bu", "buna", "bunda",
+    "bundan", "bunlar", "bunları", "bunların", "bunu", "bunun",
+    "burada", "çok", "çünkü", "da", "daha", "dahi",
+    "de", "defa", "değil", "diğer", "diye", "doksan",
+    "dokuz", "dolayı", "dolayısıyla", "dört", "edecek", "eden",
+    "ederek", "edilecek", "ediliyor", "edilmesi", "ediyor", "eğer",
+    "elli", "en", "etmesi", "etti", "ettiği", "ettiğini",
+    "gibi", "göre", "halen", "hangi", "hatta", "hem",
+    "henüz", "hep", "hepsi", "her", "herhangi", "herkesin",
+    "hiç", "hiçbir", "için", "iki", "ile", "ilgili",
+    "ise", "işte", "itibaren", "itibariyle", "kadar", "karşın",
+    "katrilyon", "kendi", "kendilerine", "kendini", "kendisi", "kendisine",
+    "kendisini", "kez", "ki", "kim", "kimden", "kime",
+    "kimi", "kimse", "kırk", "milyar", "milyon", "mu",
+    "mü", "mı", "nasıl", "ne", "neden", "nedenle",
+    "nerde", "nerede", "nereye", "niye", "niçin", "o",
+    "olan", "olarak", "oldu", "olduğu", "olduğunu", "olduklarını",
+    "olmadı", "olmadığı", "olmak", "olması", "olmayan", "olmaz",
+    "olsa", "olsun", "olup", "olur", "olursa", "oluyor",
+    "on", "ona", "ondan", "onlar", "onlardan", "onları",
+    "onların", "onu", "onun", "otuz", "oysa", "öyle",
+    "pek", "rağmen", "sadece", "sanki", "sekiz", "seksen",
+    "sen", "senden", "seni", "senin", "siz", "sizden",
+    "sizi", "sizin", "şey", "şeyden", "şeyi", "şeyler",
+    "şöyle", "şu", "şuna", "şunda", "şundan", "şunları",
+    "şunu", "tarafından", "trilyon", "tüm", "üç", "üzere",
+    "var", "vardı", "ve", "veya", "ya", "yani",
+    "yapacak", "yapılan", "yapılması", "yapıyor", "yapmak", "yaptı",
+    "yaptığı", "yaptığını", "yaptıkları", "yedi", "yerine", "yetmiş",
+    "yine", "yirmi", "yoksa", "yüz", "zaten")
 
   val CatalanStopWords: Set[String] = Set(
     "i", "el", "la", "els", "les", "de", "del", "dels", "a", "al",
@@ -527,7 +655,44 @@ object LangAnalyzers3b {
     "allò", "seu", "seva", "seus", "seves", "molt", "fins", "des",
     "sense", "sobre", "entre", "o", "qui", "ell", "ella", "jo", "tu",
     "nosaltres", "vosaltres", "ells", "elles", "hem", "han", "ha",
-    "era", "ser", "estar", "hem", "us", "em", "et", "ens")
+    "era", "ser", "estar", "hem", "us", "em", "et", "ens") ++ Set(
+    "a", "abans", "ací", "ah", "així", "això",
+    "al", "als", "aleshores", "algun", "alguna", "algunes",
+    "alguns", "alhora", "allà", "allí", "allò", "altra",
+    "altre", "altres", "amb", "ambdós", "ambdues", "apa",
+    "aquell", "aquella", "aquelles", "aquells", "aquest", "aquesta",
+    "aquestes", "aquests", "aquí", "baix", "cada", "cadascú",
+    "cadascuna", "cadascunes", "cadascuns", "com", "contra", "d'un",
+    "d'una", "d'unes", "d'uns", "dalt", "de", "del",
+    "dels", "des", "després", "dins", "dintre", "donat",
+    "doncs", "durant", "e", "eh", "el", "els",
+    "em", "en", "encara", "ens", "entre", "érem",
+    "eren", "éreu", "es", "és", "esta", "està",
+    "estàvem", "estaven", "estàveu", "esteu", "et", "etc",
+    "ets", "fins", "fora", "gairebé", "ha", "han",
+    "has", "havia", "he", "hem", "heu", "hi",
+    "ho", "i", "igual", "iguals", "ja", "l'hi",
+    "la", "les", "li", "li'n", "llavors", "m'he",
+    "ma", "mal", "malgrat", "mateix", "mateixa", "mateixes",
+    "mateixos", "me", "mentre", "més", "meu", "meus",
+    "meva", "meves", "molt", "molta", "moltes", "molts",
+    "mon", "mons", "n'he", "n'hi", "ne", "ni",
+    "no", "nogensmenys", "només", "nosaltres", "nostra", "nostre",
+    "nostres", "o", "oh", "oi", "on", "pas",
+    "pel", "pels", "per", "però", "perquè", "poc",
+    "poca", "pocs", "poques", "potser", "propi", "qual",
+    "quals", "quan", "quant", "que", "què", "quelcom",
+    "qui", "quin", "quina", "quines", "quins", "s'ha",
+    "s'han", "sa", "semblant", "semblants", "ses", "seu",
+    "seus", "seva", "seves", "si", "sobre", "sobretot",
+    "sóc", "solament", "sols", "son", "són", "sons",
+    "sota", "sou", "t'ha", "t'han", "t'he", "ta",
+    "tal", "també", "tampoc", "tan", "tant", "tanta",
+    "tantes", "teu", "teus", "teva", "teves", "ton",
+    "tons", "tot", "tota", "totes", "tots", "un",
+    "una", "unes", "uns", "us", "va", "vaig",
+    "vam", "van", "vas", "veu", "vosaltres", "vostra",
+    "vostre", "vostres")
 
   /** Catalan elision articles (CatalanAnalyzer.cs:57 DEFAULT_ARTICLES). */
   val CatalanArticles: Set[String] = Set("d", "l", "m", "n", "s", "t")
@@ -539,7 +704,24 @@ object LangAnalyzers3b {
     "dute", "dira", "izan", "egin", "behar", "oso", "asko", "gutxi",
     "beste", "guztiak", "bai", "al", "ba", "gabe", "arte", "ondoren",
     "aurretik", "artean", "bidez", "baino", "zer", "nor", "non",
-    "noiz", "nola", "hemen", "hor", "han")
+    "noiz", "nola", "hemen", "hor", "han") ++ Set(
+    "al", "anitz", "arabera", "asko", "baina", "bat",
+    "batean", "batek", "bati", "batzuei", "batzuek", "batzuetan",
+    "batzuk", "bera", "beraiek", "berau", "berauek", "bere",
+    "berori", "beroriek", "beste", "bezala", "da", "dago",
+    "dira", "ditu", "du", "dute", "edo", "egin",
+    "ere", "eta", "eurak", "ez", "gainera", "gu",
+    "gutxi", "guzti", "haiei", "haiek", "haietan", "hainbeste",
+    "hala", "han", "handik", "hango", "hara", "hari",
+    "hark", "hartan", "hau", "hauei", "hauek", "hauetan",
+    "hemen", "hemendik", "hemengo", "hi", "hona", "honek",
+    "honela", "honetan", "honi", "hor", "hori", "horiei",
+    "horiek", "horietan", "horko", "horra", "horrek", "horrela",
+    "horretan", "horri", "hortik", "hura", "izan", "ni",
+    "noiz", "nola", "non", "nondik", "nongo", "nor",
+    "nora", "ze", "zein", "zen", "zenbait", "zenbat",
+    "zer", "zergatik", "ziren", "zituen", "zu", "zuek",
+    "zuen", "zuten")
 
   val ArmenianStopWords: Set[String] = Set(
     "եւ", "և", "է", "են", "էր", "էին", "որ", "այս", "այդ", "այն",
