@@ -154,6 +154,16 @@ object Queries {
     // index (required grams of the literal run), NOT a full dictionary scan
     "q_wildcard_lead" -> ((s, dir) => idsOf(searcher(s, dir), WildcardQ("*tion"))),
     "q_regexp" -> ((s, dir) => idsOf(searcher(s, dir), RegexpQ("st[aeiou]+.*"))),
+    // Lucene's OWN RegExp dialect (Util/Automaton/RegExp.cs): operators the
+    // Java dialect lacks — & intersection, ~ complement, <n-m> intervals
+    "q_lucene_regexp" -> ((s, dir) =>
+      idsOf(searcher(s, dir), LuceneRegexpQ("dat.&.{4}"))),
+    // concatenated complement: la~(ne) keeps "late", drops "lane"
+    "q_lucene_regexp_compl" -> ((s, dir) =>
+      idsOf(IndexCache.luceneRegexSearcher(s, dir), LuceneRegexpQ("la~(ne)"))),
+    // numeric interval: 7 ∈ [1,30] (even docs), 42 ∉ (odd docs)
+    "q_lucene_regexp_interval" -> ((s, dir) =>
+      idsOf(IndexCache.luceneRegexSearcher(s, dir), LuceneRegexpQ("<1-30>"))),
     // mandatory literals {st, eam} -> dict_grams candidate fetch, rlike verify
     "q_regexp_gram" -> ((s, dir) => idsOf(searcher(s, dir), RegexpQ("st.*eam.?"))),
     "q_fuzzy" -> ((s, dir) => idsOf(searcher(s, dir), FuzzyQ("joins", 1))),
@@ -1345,6 +1355,17 @@ object Queries {
     "q_regexp" ->
       s"""$P SELECT DISTINCT doc_id FROM tf
          |WHERE regexp_matches(term, '^st[aeiou]+.*$$') ORDER BY doc_id""".stripMargin,
+
+    "q_lucene_regexp" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE regexp_matches(term, '^dat.$$') AND length(term) = 4
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_lucene_regexp_compl" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+
+    "q_lucene_regexp_interval" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
 
     "q_regexp_gram" ->
       s"""$P SELECT DISTINCT doc_id FROM tf

@@ -861,6 +861,14 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "rewalked").otherwise("tried"),
         lit(" zebra"))))
 
+  /** Lucene-RegExp-dialect fixture: numeric tokens for `<n-m>` intervals
+    * (7 in range on even docs, 42 out of range on odd) and a la<ne|te>
+    * minimal pair for concatenated complements. */
+  def luceneRegexSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "lregex"), langFixture(spark, sfDir, "lregex", "simple",
+      concat(when(col("doc_id") % 2 === 0, "item 7 lane ready")
+        .otherwise("item 42 late ready"), lit(""))))
+
   /** Hunspell ICONV/CIRCUMFIX fixture: even docs carry ß-spelled fußball
     * (reaches the index as fussball via ICONV), odd docs carry the
     * circumfix pair ge-lauf-t (stems to lauf only because BOTH circumfix

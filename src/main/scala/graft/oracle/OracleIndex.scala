@@ -178,6 +178,14 @@ final class OracleIndex(pages: Seq[(String, String)], numSegments: Int,
       val re = Query.wildcardRegex(pat).r
       if (d.positions.keys.exists(t => re.matches(t))) Some(1.0f) else None
 
+    case RegexpQ(pat) =>
+      val re = ("^" + pat + "$").r
+      if (d.positions.keys.exists(t => re.matches(t))) Some(1.0f) else None
+
+    case LuceneRegexpQ(pat) =>
+      val ast = LuceneRegExp.parse(pat)
+      if (d.positions.keys.exists(t => LuceneRegExp.matches(ast, t))) Some(1.0f) else None
+
     case FuzzyQ(t, maxEdits) =>
       val ms = d.positions.keys.exists(term => OracleIndex.levenshtein(term, t) <= maxEdits)
       if (ms) Some(1.0f) else None

@@ -52,8 +52,15 @@ final case class RangeQ(lo: String, hi: String, includeLo: Boolean = true, inclu
 final case class WildcardQ(pattern: String) extends Query
 /** Regular-expression dictionary scan (RegexpQuery.cs; matching is anchored
   * over the whole term exactly like the reference's automaton intersection —
-  * dialect here is Java/Spark rlike rather than Lucene's RegExp class). */
+  * dialect here is Java/Spark rlike rather than Lucene's RegExp class;
+  * [[LuceneRegexpQ]] carries the faithful Lucene dialect). */
 final case class RegexpQ(pattern: String) extends Query
+/** RegexpQuery in Lucene's OWN RegExp dialect (Util/Automaton/RegExp.cs
+  * grammar incl. `~` complement, `&` intersection, `<n-m>` intervals, `@`
+  * any-string, `#` empty, `"..."` literals): parsed by
+  * [[LuceneRegExp.parse]], pruned in-plan by a sargable over-approximation,
+  * decided exactly by the span matcher. */
+final case class LuceneRegexpQ(pattern: String) extends Query
 /** Terms within Levenshtein distance maxEdits, CONSTANT_SCORE_FILTER rewrite
   * (doc-set semantics; FuzzyQuery.cs:57-85 with a filter rewrite). */
 final case class FuzzyQ(term: String, maxEdits: Int = 2) extends Query

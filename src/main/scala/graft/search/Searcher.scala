@@ -1017,6 +1017,53 @@ final class Searcher(spark: SparkSession, indexPath: String,
       dictSource = wildcardGramCandidates(field, pat))
     case RegexpQ(re) => constantScoreOver(col("term").rlike("^" + re + "$"), field,
       dictSource = regexpGramCandidates(field, re))
+    case LuceneRegexpQ(pattern) =>
+      // Lucene's own RegExp dialect: sargable over-approximation prunes
+      // (gram index + rlike), the memoized span matcher DECIDES — exactly
+      // the automaton-intersects-dictionary split of the reference
+      val ast = LuceneRegExp.parse(pattern)
+      val relaxed = LuceneRegExp.relaxedJavaRegex(ast)
+      val relaxedPred = col("term").rlike("^" + relaxed + "$")
+      val src = regexpGramCandidates(field, relaxed)
+      val expanded: Option[Array[String]] = {
+        val cands = src match {
+          case Some(s) => s.filter(relaxedPred)
+          case None => dictTable match {
+            case Some(dict) => dict.filter(col("field") === field && relaxedPred)
+            case None => null
+          }
+        }
+        if (cands == null) None
+        else {
+          val terms = cands.select("term").limit(ConstantScoreTermBudget + 1)
+            .as[String].collect()
+          if (terms.length <= ConstantScoreTermBudget) Some(terms) else None
+        }
+      }
+      expanded match {
+        case Some(terms) =>
+          val exact = terms.filter(LuceneRegExp.matches(ast, _))
+          if (exact.isEmpty) spark.emptyDataset[Hit]
+          else postingsSlim
+            .filter(col("field") === field && col("term").isInCollection(exact))
+            .flatMap { p =>
+              val (docIds, _, _) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
+              docIds.map(id => (p.segmentId, id))
+            }.distinct().map { case (s, d) => Hit(s, d, 1.0d) }
+        case None =>
+          // over-budget/stale-dict fallback: relaxed prune in-plan, exact
+          // decision on EXECUTORS (the AST serializes with the closure) —
+          // no driver collect scales with the expansion
+          postingsSlim
+            .filter(col("field") === field && relaxedPred)
+            .flatMap { p =>
+              if (!LuceneRegExp.matches(ast, p.term)) Iterator.empty
+              else {
+                val (docIds, _, _) = PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
+                docIds.iterator.map(id => (p.segmentId, id))
+              }
+            }.distinct().map { case (s, d) => Hit(s, d, 1.0d) }
+      }
     case FuzzyQ(t, maxEdits) =>
       val qLen = t.codePointCount(0, t.length)
       constantScoreOver(
@@ -1695,6 +1742,16 @@ final class Searcher(spark: SparkSession, indexPath: String,
           .limit(ConstantScoreTermBudget).as[String].collect().map((field, _)).toSet
         case None => expandDict(field, pred)
       }
+    case LuceneRegexpQ(pattern) =>
+      val ast = LuceneRegExp.parse(pattern)
+      val relaxed = LuceneRegExp.relaxedJavaRegex(ast)
+      val pred = col("term").rlike("^" + relaxed + "$")
+      val sup = regexpGramCandidates(field, relaxed) match {
+        case Some(src) => src.filter(pred).select("term")
+          .limit(ConstantScoreTermBudget).as[String].collect().map((field, _)).toSet
+        case None => expandDict(field, pred)
+      }
+      sup.filter { case (_, t) => LuceneRegExp.matches(ast, t) }
     case FuzzyQ(t, me) =>
       fuzzyDictScan(field, t, me)
         .filter(levenshtein(col("term"), lit(t)) <= me)
@@ -1861,7 +1918,8 @@ final class Searcher(spark: SparkSession, indexPath: String,
       else Explanation(hits(0).score,
         s"PayloadNearQuery, span weight x payload $fn function")
 
-    case mtq @ (PrefixQ(_) | RangeQ(_, _, _, _) | WildcardQ(_) | RegexpQ(_) | FuzzyQ(_, _)) =>
+    case mtq @ (PrefixQ(_) | RangeQ(_, _, _, _) | WildcardQ(_) | RegexpQ(_) |
+                LuceneRegexpQ(_) | FuzzyQ(_, _)) =>
       // constant-score dictionary queries: matched iff the doc holds any of
       // THIS node's expanded terms (expansions were folded into the doc view)
       val own = explainKeys(mtq, field, stats)

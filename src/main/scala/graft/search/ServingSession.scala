@@ -28,6 +28,27 @@ import graft.model.Hit
   * (Search/SearcherManager.cs); lifetime/refresh policy stays with
   * [[SearcherLifetimeManager]].
   */
+/** NRT-aware serving: wraps [[graft.streaming.SearcherManager]] so the warm
+  * session survives UNCHANGED commits (pinned rows retained across
+  * acquire()s) and is rebuilt — pins dropped, stats re-resolved — exactly
+  * when the index changed (append/merge/delete), the
+  * SearcherManager.MaybeRefresh contract extended to the serving tier.
+  */
+final class ServingManager(spark: org.apache.spark.sql.SparkSession, indexPath: String,
+                           maxCacheBytes: Long = 256L << 20,
+                           maxTermBytes: Long = 64L << 20) {
+  private val mgr = new graft.streaming.SearcherManager(spark, indexPath)
+  @volatile private var session: ServingSession = _
+
+  /** Current warm session; same instance while the index is unchanged. */
+  def acquire(): ServingSession = synchronized {
+    val changed = mgr.maybeRefresh()
+    if (session == null || changed)
+      session = new ServingSession(mgr.acquire(), maxCacheBytes, maxTermBytes)
+    session
+  }
+}
+
 final class ServingSession(val searcher: Searcher,
                            maxCacheBytes: Long = 256L << 20,
                            maxTermBytes: Long = 64L << 20) {

@@ -77,6 +77,34 @@ class ServingSessionSpec extends AnyFunSuite {
     assert(jobs == 0, s"warm path scheduled $jobs Spark jobs")
   }
 
+  test("ServingManager: session survives unchanged commits, rebuilds on change") {
+    import graft.build.{Deletes, IndexBuilder, PagesGen}
+    val base = java.nio.file.Files.createTempDirectory("graftservemgr").toString
+    val df = spark.createDataFrame(PagesGen.local(300)).toDF("url", "text")
+    IndexBuilder.build(spark, df, base,
+      IndexBuilder.BuildConfig(numSegments = 2, analyzerName = "simple", groupSize = 2))
+    val mgr = new ServingManager(spark, base)
+    val s1 = mgr.acquire()
+    val field = s1.searcher.defaultField
+    val freq = PagesGen.word(2)
+    val before = s1.termTopK(field, freq, 5)
+    assert(before.nonEmpty)
+    // unchanged index: same session object (pins retained)
+    assert(mgr.acquire() eq s1)
+    // delete the current top hit -> index changed -> session rebuilt
+    val topUrl = s1.searcher.docs
+      .filter(org.apache.spark.sql.functions.col("segmentId") === before.head.segmentId &&
+        org.apache.spark.sql.functions.col("docId") === before.head.docId)
+      .select("url").collect().head.getString(0)
+    import spark.implicits._
+    Deletes.deleteUrls(spark, base, Seq(topUrl).toDF("url"))
+    val s2 = mgr.acquire()
+    assert(!(s2 eq s1))
+    val after = s2.termTopK(field, freq, 5)
+    assert(!after.map(h => (h.segmentId, h.docId)).contains(
+      (before.head.segmentId, before.head.docId)))
+  }
+
   test("absent terms and byte caps: unknown term is empty; warm reports pinned set") {
     assert(session.termTopK(se.defaultField, "zz_never_a_term", 5).isEmpty)
     val tiny = new ServingSession(se, maxCacheBytes = 1L << 20, maxTermBytes = 1L)
