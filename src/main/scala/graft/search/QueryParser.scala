@@ -66,6 +66,13 @@ object QueryParser {
           else i += 1
         }
         out += Phrase(body, slop)
+      } else if (c == '/') {
+        // REGEXPTERM: "/" (~["/"] | "\\/")* "/" — regex metachars do not
+        // break the token; emitted WITH slashes, unwrapped by the parser
+        var j = i + 1
+        while (j < n && !(s.charAt(j) == '/' && s.charAt(j - 1) != '\\')) j += 1
+        out += Word(s.substring(i, math.min(j + 1, n)), None, None)
+        i = j + 1
       } else if (c == '[' || c == '{') {
         val close = s.indexWhere(ch => ch == ']' || ch == '}', i)
         val stop = if (close < 0) n else close
@@ -80,7 +87,9 @@ object QueryParser {
       } else {
         var j = i
         while (j < n && !Character.isWhitespace(s.charAt(j)) &&
-               "()\"[]{}^".indexOf(s.charAt(j)) < 0) j += 1
+               "()\"[]{}^".indexOf(s.charAt(j)) < 0 &&
+               // `field:` stops before a '/' so the regexp lexes whole
+               !(s.charAt(j) == '/' && j > i && s.charAt(j - 1) == ':')) j += 1
         val raw = s.substring(i, j)
         i = j
         raw match {
@@ -101,6 +110,10 @@ object QueryParser {
               // bare `field:` — the operand follows (`"phrase"`, `(...)` or
               // a spaced term); round 2 dropped the binding silently here
               out += FieldBind(fieldOpt.get)
+            } else if (w.startsWith("/")) {
+              // /regexp/ term (REGEXPTERM) — no fuzzy-~ splitting inside;
+              // the parser unwraps the slashes and builds a LuceneRegexpQ
+              out += Word(w, None, fieldOpt)
             } else {
               val ti = w.indexOf('~')
               if (ti > 0) {
@@ -222,7 +235,11 @@ object QueryParser {
           val q: Option[Query] =
             // `term~N` = the reference's SCORED FuzzyQuery default (top-terms
             // rewrite), not the constant-score filter (FuzzyQuery.cs:106)
-            if (fuzzy.isDefined) Some(FuzzyTopQ(lowerRaw(w), fuzzy.get))
+            if (w.length > 1 && w.startsWith("/") && w.endsWith("/"))
+              // Lucene RegExp dialect term (QueryParserBase.NewRegexpQuery;
+              // lowercased per lowercaseExpandedTerms default)
+              Some(LuceneRegexpQ(lowerRaw(w.substring(1, w.length - 1).replace("\\/", "/"))))
+            else if (fuzzy.isDefined) Some(FuzzyTopQ(lowerRaw(w), fuzzy.get))
             else if (w.endsWith("*") && w.count(ch => ch == '*' || ch == '?') == 1 && w.length > 1)
               Some(PrefixQ(lowerRaw(w.dropRight(1))))
             else if (w.exists(ch => ch == '*' || ch == '?')) Some(WildcardQ(lowerRaw(w)))

@@ -73,6 +73,21 @@ class LuceneRegExpSpec extends AnyFunSuite {
     }
   }
 
+  test("classic parser: /regexp/ terms build LuceneRegexpQ, field-scoped too") {
+    import graft.search._
+    val a = graft.analysis.Analyzers.byName("simple")
+    assert(QueryParser.parse("/dat.&.{4}/", a) == LuceneRegexpQ("dat.&.{4}"))
+    QueryParser.parse("title:/ab~(c)/", a) match {
+      case FieldQ("title", LuceneRegexpQ("ab~(c)")) => ()
+      case other => fail(other.toString)
+    }
+    // escaped slash unwraps; surrounding clauses still parse
+    QueryParser.parse("data AND /a\\/b/", a) match {
+      case BoolQ(List((Occur.Must, TermQ("data", _)), (Occur.Must, LuceneRegexpQ("a/b"))), _) => ()
+      case other => fail(other.toString)
+    }
+  }
+
   test("engine path: LuceneRegexpQ == RegexpQ on the shared dialect subset") {
     val spark = SparkTestSession.spark
     val se = IndexCache.searcher(spark, "/root/testdata/sf0.001")
