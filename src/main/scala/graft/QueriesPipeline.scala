@@ -121,6 +121,19 @@ object QueriesPipeline {
       Ann.ivfTopK(emb, "vec_id", "embedding", q, 10, every = 20, nprobe = 3, excludeId = Some(0L))
     }),
 
+    // the PERSISTED bucket layout (vectors partitioned by cell id): the
+    // probe reads only its nprobe cells' partitions and must reproduce the
+    // in-memory IVF result exactly (same oracle as q_ann_ivf)
+    "q_ann_ivf_indexed" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getAs[scala.collection.Seq[Float]](0).toArray
+      val path = java.nio.file.Files.createTempDirectory("graftivfgate").toString
+      Ann.writeIvfIndex(emb, "vec_id", "embedding", every = 20, path)
+      Ann.ivfTopKIndexed(s, path, "vec_id", "embedding", q, 10, nprobe = 3,
+        excludeId = Some(0L))
+    }),
+
     // ---- text analysis family
     "q_quality" -> ((s, dir) =>
       TextStats.quality(documents(s, dir), "doc_id", "text").orderBy("doc_id")),
@@ -841,6 +854,40 @@ object QueriesPipeline {
         |SELECT ida, idb FROM scored WHERE cos >= 0.1 ORDER BY ida, idb""".stripMargin,
 
     "q_ann_ivf" ->
+      """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+        |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 20 = 0),
+        |probed AS (
+        |  SELECT cid FROM cents CROSS JOIN q
+        |  ORDER BY list_reduce(list_transform(list_zip(ce, q.qe),
+        |    x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |    (a, b) -> a + b) ASC, cid ASC
+        |  LIMIT 3),
+        |dists AS (
+        |  SELECT e.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(e.embedding, c.ce),
+        |      x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE)) * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))),
+        |      (a, b) -> a + b) AS d2
+        |  FROM embeddings e CROSS JOIN cents c),
+        |assign AS (
+        |  SELECT vec_id, cid FROM (
+        |    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cid ASC) AS rn
+        |    FROM dists) WHERE rn = 1),
+        |cand AS (
+        |  SELECT e.* FROM embeddings e JOIN assign a USING (vec_id)
+        |  WHERE a.cid IN (SELECT cid FROM probed) AND e.vec_id <> 0),
+        |scored AS (
+        |  SELECT e.vec_id,
+        |    list_reduce(list_transform(list_zip(e.embedding, q.qe),
+        |      x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (a, b) -> a + b)
+        |    / (sqrt(list_reduce(list_transform(e.embedding,
+        |         x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))
+        |       * sqrt(list_reduce(list_transform(q.qe,
+        |           x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (a, b) -> a + b))) AS cos
+        |  FROM cand e CROSS JOIN q)
+        |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
+        |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    "q_ann_ivf_indexed" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
         |cents AS (SELECT vec_id AS cid, embedding AS ce FROM embeddings WHERE vec_id % 20 = 0),
         |probed AS (

@@ -144,6 +144,43 @@ object Ann {
     cosineTopK(cand, idCol, embCol, q, k, excludeId)
   }
 
+  /** PERSIST the IVF layout: vectors written as parquet PARTITIONED BY
+    * cell id, plus a `_centroids` side table — the build-time pass that
+    * makes 100 TB ANN serving a pruned scan: a probe reads only its
+    * nprobe cells' directories (Spark partition pruning; see
+    * [[ivfTopKIndexed]] and the PartitionFilters assertion in AnnIvfSpec).
+    */
+  def writeIvfIndex(emb: DataFrame, idCol: String, embCol: String,
+                    every: Int, path: String): Unit = {
+    val assigned = ivfAssign(emb, idCol, embCol, every)
+    emb.join(assigned, Seq(idCol))
+      .select(col(idCol), col(embCol).cast("array<float>").as(embCol), col("cid"))
+      .write.mode("overwrite").partitionBy("cid").parquet(s"$path/vectors")
+    ivfCentroids(emb, idCol, embCol, every)
+      .select(col("cid"), col("ce").cast("array<float>").as("ce"))
+      .write.mode("overwrite").parquet(s"$path/centroids")
+  }
+
+  /** Pruned top-k over a PERSISTED layout: centroid probe (tiny side
+    * table) -> cid-filtered scan of the partitioned vectors (only the
+    * probed cells' files are listed/read) -> fused cosine top-k. Results
+    * are identical to [[ivfTopK]] over the same (corpus, every, nprobe).
+    */
+  def ivfTopKIndexed(spark: org.apache.spark.sql.SparkSession, path: String,
+                     idCol: String, embCol: String, q: Array[Float],
+                     k: Int, nprobe: Int, excludeId: Option[Long] = None): DataFrame = {
+    import spark.implicits._
+    val qArr = array(q.toIndexedSeq.map(v => lit(v)): _*)
+    val probed: Array[Long] = spark.read.parquet(s"$path/centroids")
+      .withColumn("d2", l2sqCol(col("ce"), qArr))
+      .orderBy(col("d2").asc, col("cid").asc)
+      .limit(nprobe)
+      .select(col("cid").cast("long")).as[Long].collect()
+    val cand = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isInCollection(probed)) // partition-pruned
+    cosineTopK(cand, idCol, embCol, q, k, excludeId)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared
     * hyperplane-LSH buckets, verified by exact cosine — the embedding analog
     * of Dedup.nearDupPairs. `maxBucket` caps bucket sizes (a dominant-

@@ -61,6 +61,23 @@ class AnnIvfSpec extends AnyFunSuite {
     assert(cellsOfResults <= 2)
   }
 
+  test("persisted IVF layout: indexed probe == in-memory probe, scan is partition-pruned") {
+    val path = java.nio.file.Files.createTempDirectory("graftivf").toString
+    Ann.writeIvfIndex(emb, "vec_id", "embedding", every = 10, path)
+    val fromIndex = Ann.ivfTopKIndexed(spark, path, "vec_id", "embedding", qv,
+      10, nprobe = 2, excludeId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    val inMemory = Ann.ivfTopK(emb, "vec_id", "embedding", qv, 10, every = 10,
+      nprobe = 2, excludeId = Some(1L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(fromIndex == inMemory)
+    // the probed scan lists only the probed cells' partitions
+    val plan = spark.read.parquet(s"$path/vectors")
+      .filter(col("cid").isInCollection(Seq(0L, 10L)))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("cid"), plan)
+  }
+
   test("media embeddings feed the real ANN cosine top-k (brute == hand-computed)") {
     import spark.implicits._
     import graft.pipeline.{Ann, Multimodal}
