@@ -34,6 +34,17 @@ object Queries {
   }
 
   /** Engine hits -> sorted doc_id set. */
+  /** Stop-list-is-LIVE proof: `word` must vanish in the named chain — if
+    * it survived the stop filter its stem would match every fixture doc
+    * and the empty oracle would fail; if stopped we query a term that is
+    * never indexed so the result is empty like the oracle. */
+  private def stopProof(se: Searcher, analyzerName: String, word: String): DataFrame =
+    graft.analysis.Analyzers.byName(analyzerName).tokenize(word)
+      .map(_.term).toList match {
+      case Nil => idsOf(se, TermQ("zz_never_indexed"))
+      case t :: _ => idsOf(se, TermQ(t))
+    }
+
   private def idsOf(s: Searcher, q: Query): DataFrame = {
     val hits = s.compile(q)
     hits.join(s.docs.select("segmentId", "docId", "url"), Seq("segmentId", "docId"))
@@ -480,6 +491,18 @@ object Queries {
         case t :: _ => idsOf(se, TermQ(t))
       }
     }),
+    // completed stop lists are LIVE (each fixture text CONTAINS the probe
+    // word, so a survivor would match every doc and fail the empty oracle):
+    // Arabic = full in-tree contrib list ("سنوات"), Greek = full in-tree
+    // GREEK_STOP_WORDS ("εκείνος"), Thai/Bulgarian/Hindi/Persian/Sorani =
+    // reconstructed published lists
+    "q_lang_ar_stop" -> ((s, dir) => stopProof(IndexCache.arSearcher(s, dir), "arabic", "سنوات")),
+    "q_lang_el_stop" -> ((s, dir) => stopProof(IndexCache.elSearcher(s, dir), "greek", "εκείνος")),
+    "q_lang_th_stop" -> ((s, dir) => stopProof(IndexCache.thSearcher(s, dir), "thai", "เพื่อ")),
+    "q_lang_bg_stop" -> ((s, dir) => stopProof(IndexCache.bgSearcher(s, dir), "bulgarian", "обаче")),
+    "q_lang_hi_stop" -> ((s, dir) => stopProof(IndexCache.hiSearcher(s, dir), "hindi", "लेकिन")),
+    "q_lang_fa_stop" -> ((s, dir) => stopProof(IndexCache.faSearcher(s, dir), "persian", "درباره")),
+    "q_lang_ckb_stop" -> ((s, dir) => stopProof(IndexCache.ckbSearcher(s, dir), "sorani", "چونکە")),
     "q_lang_hu" -> ((s, dir) => idsOf(IndexCache.huSearcher(s, dir), TermQ("ház"))),
     "q_lang_hu_light" -> ((s, dir) => idsOf(IndexCache.huLightSearcher(s, dir), TermQ("haz"))),
     "q_lang_cs" -> ((s, dir) => idsOf(IndexCache.csSearcher(s, dir), TermQ("student"))),
@@ -1581,6 +1604,20 @@ object Queries {
     "q_lang_de_stop" ->
       """SELECT doc_id FROM documents WHERE 1 = 0""",
     "q_lang_fi_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_ar_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_el_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_th_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_bg_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_hi_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_fa_stop" ->
+      """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_ckb_stop" ->
       """SELECT doc_id FROM documents WHERE 1 = 0""",
     "q_lang_fi" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",

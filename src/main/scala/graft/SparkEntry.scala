@@ -43,7 +43,7 @@ object IndexCache {
 
   /** Bump when the on-disk postings layout changes — stale caches from a
     * previous engine version must not be reused across driver runs. */
-  val FormatVersion = 11 // v11: full Snowball stop sets (de/es/it/pt/ru/no/fi/hu)
+  val FormatVersion = 12 // v12: completed ar/el/th/bg/hi/fa/ckb stop lists + stop-proof fixture words
 
   def indexPath(sfDir: String): String = {
     val tag = sfDir.replaceAll("[^a-zA-Z0-9.]", "_")
@@ -622,39 +622,40 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "studentech").otherwise("městech"),
         lit(" a škola"))))
 
-  /** Bulgarian stem: градовете->град / книгите->книг; "на" stopped. */
+  /** Bulgarian stem: градовете->град / книгите->книг; "на" stopped;
+    * "обаче" stops only via the full published list (q_lang_bg_stop). */
   def bgSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "bg"), langFixture(spark, sfDir, "bg", "bulgarian",
       concat(when(col("doc_id") % 2 === 0, "градовете").otherwise("книгите"),
-        lit(" на страна"))))
+        lit(" на страна обаче"))))
 
   /** Hindi normalize+stem: किताबें->किताब / कमरे->कमर; "और" stopped
     * (matched post-normalization as ओर). */
   def hiSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "hi"), langFixture(spark, sfDir, "hi", "hindi",
       concat(when(col("doc_id") % 2 === 0, "किताबें").otherwise("कमरे"),
-        lit(" और कलम"))))
+        lit(" और कलम लेकिन"))))
 
   /** Arabic stem: الكتاب->كتاب / والقلم->قلم; "في" stopped (surface form,
     * before normalization — ArabicAnalyzer.cs chain order). */
   def arSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "ar"), langFixture(spark, sfDir, "ar", "arabic",
       concat(when(col("doc_id") % 2 === 0, "الكتاب").otherwise("والقلم"),
-        lit(" في البيت"))))
+        lit(" في البيت سنوات"))))
 
   /** Persian normalization: کتابی (farsi yeh + keheh) -> كتابي on even
     * docs; "در" stopped post-normalization. */
   def faSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "fa"), langFixture(spark, sfDir, "fa", "persian",
       concat(when(col("doc_id") % 2 === 0, "کتابی").otherwise("قلمها"),
-        lit(" در خانه"))))
+        lit(" در خانه درباره"))))
 
   /** Sorani stem: پیاوەکان (definite plural) -> پیاو / کتێبەکە (definite
     * singular) -> کتێب; "لە" stopped. */
   def ckbSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "ckb"), langFixture(spark, sfDir, "ckb", "sorani",
       concat(when(col("doc_id") % 2 === 0, "پیاوەکان").otherwise("کتێبەکە"),
-        lit(" لە شار"))))
+        lit(" لە شار چونکە"))))
 
   /** Romanian (Snowball): studenţilor -> studenţ / oraşelor -> oraş;
     * "în" stopped. */
@@ -668,14 +669,14 @@ object IndexCache {
   def elSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "el"), langFixture(spark, sfDir, "el", "greek",
       concat(when(col("doc_id") % 2 === 0, "Υπολογιστές").otherwise("Θάλασσα"),
-        lit(" και δεδομένα"))))
+        lit(" και δεδομένα εκείνος"))))
 
   /** Thai segmentation: ภาษาไทย splits to ภาษา|ไทย at consecutive
     * positions (BreakIterator dictionary word-break); และ stopped. */
   def thSearcher(spark: SparkSession, sfDir: String): Searcher =
     langCache.getOrElseUpdate((sfDir, "th"), langFixture(spark, sfDir, "th", "thai",
       concat(when(col("doc_id") % 2 === 0, "ภาษาไทย").otherwise("โรงเรียน"),
-        lit(" และ หนังสือ"))))
+        lit(" และ หนังสือ เพื่อ"))))
 
   /** Indonesian stem: membaca->baca / berjalan->jalan; "yang" stopped. */
   def idSearcher(spark: SparkSession, sfDir: String): Searcher =

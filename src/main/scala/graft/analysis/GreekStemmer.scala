@@ -424,16 +424,20 @@ object GreekStemmer {
   * (Analysis/El/GreekAnalyzer.cs createComponents order: lowercase runs
   * FIRST, stem last). */
 object GreekAnalyzer extends Analyzer {
-  /** DOCUMENTED SUBSET of the GreekAnalyzer stop set (already in the
-    * post-lowercase sigma-folded form the filter sees). */
+  /** FULL GreekAnalyzer stop set — all 75 entries of the in-tree
+    * GREEK_STOP_WORDS array (contrib/Analyzers/El/GreekAnalyzer.cs:48)
+    * verbatim (already in the post-lowercase sigma-folded form the filter
+    * sees). */
   val GreekStopWords: Set[String] = Set(
     "ο", "η", "το", "οι", "τα", "του", "τησ", "των", "τον", "την", "και",
     "κι", "κ", "ειμαι", "εισαι", "ειναι", "ειμαστε", "ειστε", "στο",
     "στον", "στη", "στην", "μα", "αλλα", "απο", "για", "προσ", "με", "σε",
     "ωσ", "παρα", "αντι", "κατα", "μετα", "θα", "να", "δε", "δεν", "μη",
-    "μην", "επι", "ενω", "εαν", "αν", "τοτε", "που", "πωσ", "αυτοσ",
-    "αυτη", "αυτο", "αυτοι", "αυτων", "αυτουσ", "αυτεσ", "αυτα", "οπωσ",
-    "ομωσ", "ισωσ", "οσο", "οτι")
+    "μην", "επι", "ενω", "εαν", "αν", "τοτε", "που", "πωσ", "ποιοσ",
+    "ποια", "ποιο", "ποιοι", "ποιεσ", "ποιων", "ποιουσ", "αυτοσ",
+    "αυτη", "αυτο", "αυτοι", "αυτων", "αυτουσ", "αυτεσ", "αυτα",
+    "εκεινοσ", "εκεινη", "εκεινο", "εκεινοι", "εκεινεσ", "εκεινα",
+    "εκεινων", "εκεινουσ", "οπωσ", "ομωσ", "ισωσ", "οσο", "οτι")
   override def tokenize(text: String): Iterator[Token] =
     LangAnalyzers.StandardNoStop.tokenize(text)
       .map(t => t.copy(term = GreekStemmer.greekLowerCase(t.term)))

