@@ -928,7 +928,7 @@ object LangAnalyzers2 {
     "ژوورەوە", "ناوەوە"
   ).map(soraniNormalize)
 
-  /** DOCUMENTED SUBSET of the RomanianAnalyzer stop set (both comma-below
+  /** RomanianAnalyzer stop set — the full published list (both comma-below
     * and cedilla spellings of s/t included — the stemmer normalizes, the
     * stop filter runs on surface forms). */
   val RomanianStopWords: Set[String] = Set(
