@@ -496,6 +496,13 @@ object Queries {
     // Arabic = full in-tree contrib list ("سنوات"), Greek = full in-tree
     // GREEK_STOP_WORDS ("εκείνος"), Thai/Bulgarian/Hindi/Persian/Sorani =
     // reconstructed published lists
+    // full contrib Snowball programs (SnowballAnalyzer dispatch): each stem
+    // exists only through the full program, not the analyzer-default light
+    // stems
+    "q_lang_de_sb" -> ((s, dir) => idsOf(IndexCache.deSbSearcher(s, dir), TermQ("haus"))),
+    "q_lang_de2_sb" -> ((s, dir) => idsOf(IndexCache.de2SbSearcher(s, dir), TermQ("haus"))),
+    "q_lang_es_sb" -> ((s, dir) => idsOf(IndexCache.esSbSearcher(s, dir), TermQ("cancion"))),
+    "q_lang_it_sb" -> ((s, dir) => idsOf(IndexCache.itSbSearcher(s, dir), TermQ("abbandon"))),
     "q_lang_ar_stop" -> ((s, dir) => stopProof(IndexCache.arSearcher(s, dir), "arabic", "سنوات")),
     "q_lang_el_stop" -> ((s, dir) => stopProof(IndexCache.elSearcher(s, dir), "greek", "εκείνος")),
     "q_lang_th_stop" -> ((s, dir) => stopProof(IndexCache.thSearcher(s, dir), "thai", "เพื่อ")),
@@ -1605,6 +1612,14 @@ object Queries {
       """SELECT doc_id FROM documents WHERE 1 = 0""",
     "q_lang_fi_stop" ->
       """SELECT doc_id FROM documents WHERE 1 = 0""",
+    "q_lang_de_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_de2_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_es_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_it_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_ar_stop" ->
       """SELECT doc_id FROM documents WHERE 1 = 0""",
     "q_lang_el_stop" ->

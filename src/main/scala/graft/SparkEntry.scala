@@ -460,6 +460,34 @@ object IndexCache {
         when(col("doc_id") % 2 === 0, "running").otherwise("walking"),
         lit(" systems joined quickly"))))
 
+  /** Snowball-German gate fixture (full program, not the light default):
+    * häuser->haus / bücher->buch; "und" stopped. */
+  def deSbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "desb"), langFixture(spark, sfDir, "desb", "german_snowball",
+      concat(when(col("doc_id") % 2 === 0, "häuser").otherwise("bücher"),
+        lit(" und wasser"))))
+
+  /** Snowball-German2 gate fixture: ae/oe/ue folding makes haeuser->haus
+    * / buecher->buch, which plain German cannot reach. */
+  def de2SbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "de2sb"), langFixture(spark, sfDir, "de2sb", "german2_snowball",
+      concat(when(col("doc_id") % 2 === 0, "haeuser").otherwise("buecher"),
+        lit(" und wasser"))))
+
+  /** Snowball-Spanish gate fixture (full program, not the light default):
+    * canciones->cancion / corriendo->corr; "y" stopped. */
+  def esSbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "essb"), langFixture(spark, sfDir, "essb", "spanish_snowball",
+      concat(when(col("doc_id") % 2 === 0, "canciones").otherwise("corriendo"),
+        lit(" y niños"))))
+
+  /** Snowball-Italian gate fixture (full program, not the light default):
+    * abbandonata->abbandon / caratteristiche->caratterist; "e" stopped. */
+  def itSbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "itsb"), langFixture(spark, sfDir, "itsb", "italian_snowball",
+      concat(when(col("doc_id") % 2 === 0, "abbandonata").otherwise("caratteristiche"),
+        lit(" e libri"))))
+
   /** Dutch (Snowball DutchStemmer) gate fixture:
     *   "De katten en boeken lopen {huizen|straten}"
     * => kat@1 boek@3 lop@4 {huiz|strat}@5 (de@0, en@2 stopped). */

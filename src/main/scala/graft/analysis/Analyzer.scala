@@ -310,6 +310,10 @@ object Analyzers {
     case "commongrams" => CommonGramsAnalyzer // simple -> common-word bigram overlays
     case "compound_fixture" => CompoundFixtureAnalyzer // simple -> dictionary decompounding
     case "german" => GermanAnalyzer // classic -> German stops -> normalize -> light stem
+    case "german_snowball" => GermanSnowballAnalyzer // full Snowball German (contrib SnowballAnalyzer("German"))
+    case "german2_snowball" => German2SnowballAnalyzer // Snowball German2 (ae/oe/ue folding)
+    case "spanish_snowball" => SpanishSnowballAnalyzer // full Snowball Spanish
+    case "italian_snowball" => ItalianSnowballAnalyzer // full Snowball Italian
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant
     case "spanish" => SpanishAnalyzer // classic -> Spanish stops -> light stem

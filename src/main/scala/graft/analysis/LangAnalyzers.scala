@@ -777,6 +777,29 @@ object GermanAnalyzer extends Analyzer {
       .map(t => t.copy(term = germanLightStem(germanNormalize(t.term))))
 }
 
+/** SnowballAnalyzer("German") chain: classic grammar -> lowercase ->
+  * German stops -> full Snowball GermanStemmer (contrib/Snowball/
+  * SnowballAnalyzer + SF/Snowball/Ext/GermanStemmer.cs). Distinct from
+  * [[GermanAnalyzer]], which keeps the De analyzer default (normalize +
+  * Savoy light stem). */
+object GermanSnowballAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => GermanStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.germanStem(t.term)))
+}
+
+/** SnowballAnalyzer("German2") chain — the ae/oe/ue-folding Snowball
+  * variant (SF/Snowball/Ext/German2Stemmer.cs). */
+object German2SnowballAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => GermanStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.german2Stem(t.term)))
+}
+
 /** French chain: classic grammar -> elision -> lowercase -> French stops ->
   * LIGHT stem (FrenchAnalyzer.cs default chain with FrenchLightStemFilter). */
 object FrenchAnalyzer extends Analyzer {
@@ -809,6 +832,17 @@ object SpanishAnalyzer extends Analyzer {
       .map(t => t.copy(term = spanishLightStem(t.term)))
 }
 
+/** SnowballAnalyzer("Spanish") chain — the full Snowball program
+  * (SF/Snowball/Ext/SpanishStemmer.cs), distinct from [[SpanishAnalyzer]]'s
+  * Savoy light stem default. */
+object SpanishSnowballAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => SpanishStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.spanishStem(t.term)))
+}
+
 /** Italian chain: classic grammar -> elision (Italian articles) ->
   * lowercase -> Italian stops -> light stem (Analysis/It/
   * ItalianAnalyzer.cs createComponents chain). */
@@ -819,6 +853,17 @@ object ItalianAnalyzer extends Analyzer {
       .map(t => t.copy(term = elideItalian(t.term)))
       .filterNot(t => ItalianStopWords.contains(t.term))
       .map(t => t.copy(term = italianLightStem(t.term)))
+}
+
+/** SnowballAnalyzer("Italian") chain — the full Snowball program
+  * (SF/Snowball/Ext/ItalianStemmer.cs); no elision, per the contrib
+  * SnowballAnalyzer's plain classic->lowercase->stop->stem pipeline. */
+object ItalianSnowballAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => ItalianStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.italianStem(t.term)))
 }
 
 /** Portuguese chain: classic grammar -> lowercase -> Portuguese stops ->

@@ -1,0 +1,69 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.analysis._
+import graft.analysis.SnowballStemmers3._
+
+/** Vectors for the third Snowball wave (contrib SnowballAnalyzer programs).
+  * Each expected value is derived by hand-executing the in-tree generated
+  * program's rules (see SnowballStemmers3.scala header). */
+class SnowballStemmers3Spec extends AnyFunSuite {
+
+  test("Snowball German: suffix steps and regions") {
+    assert(germanStem("häuser") == "haus")       // step1 er in R1, postlude ä->a
+    assert(germanStem("bücher") == "buch")       // step1 er, ü->u
+    assert(germanStem("katzen") == "katz")       // step1 en
+    assert(germanStem("glaubst") == "glaub")     // step2 st after valid st-ending b
+    assert(germanStem("kleinste") == "klein")    // step1 e, then step2 st (n-ending)
+    assert(germanStem("bedeutung") == "bedeut")  // step3 ung in R2
+    assert(germanStem("schönheit") == "schonheit") // heit starts before R2: kept
+    assert(germanStem("daß") == "dass")          // prelude ß->ss; s-ending s invalid
+  }
+
+  test("Snowball German: R1 floor of 3") {
+    // "äße" -> prelude "ässe": first nonvowel-after-vowel region would start
+    // at 2; the 3-letter floor moves R1 to 3, so only "e" (pos 3) deletes
+    assert(germanStem("äße") == "ass")
+  }
+
+  test("Snowball German2: ae/oe/ue folding with qu protection") {
+    assert(german2Stem("mueller") == "mull")     // ue->ü then er, postlude ü->u
+    assert(germanStem("mueller") == "muell")     // plain German keeps ue
+    assert(german2Stem("quelle") == "quell")     // qu protected from ue folding
+    assert(german2Stem("haeuser") == "haus")     // ae->ä: same result as häuser
+    assert(german2Stem("häuser") == "haus")
+  }
+
+  test("Snowball Spanish: pronoun, standard, verb and residual steps") {
+    assert(spanishStem("niños") == "niñ")          // residual os in RV
+    assert(spanishStem("canciones") == "cancion")  // verb es (no gu)
+    assert(spanishStem("corriendo") == "corr")     // verb iendo in RV
+    assert(spanishStem("llegue") == "lleg")        // residual e + gu drops u
+    assert(spanishStem("atacados") == "atac")      // verb ados
+    assert(spanishStem("pudiéramos") == "pud")     // verb iéramos, accent in suffix
+    assert(spanishStem("felizmente") == "feliz")   // mente in R2
+    assert(spanishStem("rápidamente") == "rapid")  // amente in R1, postlude á->a
+    assert(spanishStem("generosidad") == "gener")  // idad in R2, then residual os
+    assert(spanishStem("curativas") == "curat")    // ivas; at NOT in R2: kept
+    assert(spanishStem("cantándolo") == "cant")    // pronoun lo after ándo->ando, then verb
+    assert(spanishStem("paciencia") == "pacienci") // encia starts before R2: residual a only
+    assert(spanishStem("tecnologías") == "tecnolog") // logías fails R2 -> verb ías in RV
+  }
+
+  test("Snowball Italian: pronoun, standard, verb and vowel steps") {
+    assert(italianStem("abbandonata") == "abbandon")  // verb ata in RV
+    assert(italianStem("caratteristiche") == "caratterist") // iche in R2
+    assert(italianStem("velocemente") == "veloc")     // mente R2, then final e
+    assert(italianStem("mangiarlo") == "mang")        // pronoun lo: ar->e, verb are, final i
+    assert(italianStem("quando") == "quand")          // qU protection, final o
+    assert(italianStem("felicità") == "felic")        // ità in R2
+    assert(italianStem("luoghi") == "luog")           // final i, then h after g
+  }
+
+  test("German chains registered") {
+    val de = Analyzers.byName("german_snowball").tokenize("die Häuser und Bücher").map(_.term).toList
+    assert(de == List("haus", "buch")) // die/und stopped
+    val de2 = Analyzers.byName("german2_snowball").tokenize("die Haeuser").map(_.term).toList
+    assert(de2 == List("haus"))
+  }
+}
