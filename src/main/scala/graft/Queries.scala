@@ -503,6 +503,8 @@ object Queries {
     "q_lang_de2_sb" -> ((s, dir) => idsOf(IndexCache.de2SbSearcher(s, dir), TermQ("haus"))),
     "q_lang_es_sb" -> ((s, dir) => idsOf(IndexCache.esSbSearcher(s, dir), TermQ("cancion"))),
     "q_lang_it_sb" -> ((s, dir) => idsOf(IndexCache.itSbSearcher(s, dir), TermQ("abbandon"))),
+    "q_lang_pt_sb" -> ((s, dir) => idsOf(IndexCache.ptSbSearcher(s, dir), TermQ("primeir"))),
+    "q_lang_fr_sb" -> ((s, dir) => idsOf(IndexCache.frSbSearcher(s, dir), TermQ("don"))),
     "q_lang_ar_stop" -> ((s, dir) => stopProof(IndexCache.arSearcher(s, dir), "arabic", "سنوات")),
     "q_lang_el_stop" -> ((s, dir) => stopProof(IndexCache.elSearcher(s, dir), "greek", "εκείνος")),
     "q_lang_th_stop" -> ((s, dir) => stopProof(IndexCache.thSearcher(s, dir), "thai", "เพื่อ")),
@@ -1619,6 +1621,10 @@ object Queries {
     "q_lang_es_sb" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_it_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_pt_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_fr_sb" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_ar_stop" ->
       """SELECT doc_id FROM documents WHERE 1 = 0""",

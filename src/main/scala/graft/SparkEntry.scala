@@ -488,6 +488,22 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "abbandonata").otherwise("caratteristiche"),
         lit(" e libri"))))
 
+  /** Snowball-Portuguese gate fixture (full program, not the light
+    * default): primeira->primeir (the eira->eir rule) /
+    * grandeza->grandez; "e" stopped. */
+  def ptSbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ptsb"), langFixture(spark, sfDir, "ptsb", "portuguese_snowball",
+      concat(when(col("doc_id") % 2 === 0, "primeira").otherwise("grandeza"),
+        lit(" e livros"))))
+
+  /** Snowball-French gate fixture (full program, not the light default):
+    * donnerait->don (verb erait + onn undouble) / heureuse->heureux;
+    * "et" stopped. */
+  def frSbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "frsb"), langFixture(spark, sfDir, "frsb", "french_snowball",
+      concat(when(col("doc_id") % 2 === 0, "donnerait").otherwise("heureuse"),
+        lit(" et maisons"))))
+
   /** Dutch (Snowball DutchStemmer) gate fixture:
     *   "De katten en boeken lopen {huizen|straten}"
     * => kat@1 boek@3 lop@4 {huiz|strat}@5 (de@0, en@2 stopped). */

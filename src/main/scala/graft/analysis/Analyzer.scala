@@ -314,6 +314,8 @@ object Analyzers {
     case "german2_snowball" => German2SnowballAnalyzer // Snowball German2 (ae/oe/ue folding)
     case "spanish_snowball" => SpanishSnowballAnalyzer // full Snowball Spanish
     case "italian_snowball" => ItalianSnowballAnalyzer // full Snowball Italian
+    case "portuguese_snowball" => PortugueseSnowballAnalyzer // full Snowball Portuguese
+    case "french_snowball" => FrenchSnowballAnalyzer // full Snowball French
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant
     case "spanish" => SpanishAnalyzer // classic -> Spanish stops -> light stem

@@ -877,6 +877,29 @@ object PortugueseAnalyzer extends Analyzer {
       .map(t => t.copy(term = portugueseLightStem(t.term)))
 }
 
+/** SnowballAnalyzer("Portuguese") chain — the full Snowball program
+  * (SF/Snowball/Ext/PortugueseStemmer.cs), distinct from
+  * [[PortugueseAnalyzer]]'s Savoy light stem default. */
+object PortugueseSnowballAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => PortugueseStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.portugueseStem(t.term)))
+}
+
+/** SnowballAnalyzer("French") chain — the full Snowball program
+  * (SF/Snowball/Ext/FrenchStemmer.cs); no elision, per the contrib
+  * SnowballAnalyzer's plain classic->lowercase->stop->stem pipeline
+  * (distinct from [[FrenchAnalyzer]]'s elision + Savoy light default). */
+object FrenchSnowballAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => FrenchStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.frenchStem(t.term)))
+}
+
 /** SNOWBALL English (Porter2) chain: classic grammar -> possessive strip
   * (StandardFilter) -> lowercase -> English stops -> EnglishStemmer — the
   * SnowballAnalyzer("English") / SnowballFilter(EnglishStemmer) chain

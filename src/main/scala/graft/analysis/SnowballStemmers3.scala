@@ -494,4 +494,338 @@ object SnowballStemmers3 {
     // postlude: unmark I/U
     w.map { case 'I' => 'i'; case 'U' => 'u'; case c => c }
   }
+
+  // ---------------------------------------------------------- Portuguese
+  // PortugueseStemmer.cs: prelude marks nasal tildes (ã -> a~, õ -> o~) so
+  // '~' reads as a consonant; standard OR verb suffixes (a trailing i after
+  // c in RV drops when either fired); residual vowel; residual form
+  // (final e/é/ê with gu/ci absorption, ç -> c); postlude restores tildes.
+
+  @inline private def ptVowel(c: Char): Boolean =
+    "aeiouáâéêíóôú".indexOf(c) >= 0
+
+  private val PtStd1 = Set(
+    "ica", "icas", "ico", "icos", "ância", "adora", "adoras", "ador",
+    "adores", "osa", "osas", "oso", "osos", "ista", "istas", "eza",
+    "ezas", "ismo", "ismos", "ante", "antes", "amento", "amentos",
+    "imento", "imentos", "ável", "ível", "aça~o", "aço~es")
+  private val PtStdAll: Seq[String] = (PtStd1 ++ Set(
+    "logía", "logías", "ución", "uciones", "ência", "ências",
+    "amente", "mente", "idade", "idades", "iva", "ivas", "ivo", "ivos",
+    "ira", "iras")).toSeq
+  private val PtVerb: Seq[String] = Seq(
+    "ada", "ida", "ia", "aria", "eria", "iria", "ara", "era", "ira",
+    "ava", "asse", "esse", "isse", "aste", "este", "iste", "ei", "arei",
+    "erei", "irei", "am", "iam", "ariam", "eriam", "iriam", "aram",
+    "eram", "iram", "avam", "em", "arem", "erem", "irem", "assem",
+    "essem", "issem", "ado", "ido", "ando", "endo", "indo", "ara~o",
+    "era~o", "ira~o", "ar", "er", "ir", "as", "adas", "idas", "ias",
+    "arias", "erias", "irias", "aras", "eras", "iras", "avas", "es",
+    "ardes", "erdes", "irdes", "ares", "eres", "ires", "asses",
+    "esses", "isses", "astes", "estes", "istes", "is", "ais", "eis",
+    "areis", "ereis", "ireis", "áreis", "éreis", "íreis", "ásseis",
+    "ésseis", "ísseis", "áveis", "íeis", "aríeis", "eríeis", "iríeis",
+    "ados", "idos", "amos", "áramos", "éramos", "íramos", "ávamos",
+    "íamos", "aríamos", "eríamos", "iríamos", "emos", "aremos",
+    "eremos", "iremos", "ássemos", "êssemos", "íssemos", "imos",
+    "armos", "ermos", "irmos", "ámos", "arás", "erás", "irás", "eu",
+    "iu", "ou", "ará", "erá", "irá")
+
+  /** Snowball Portuguese (the SnowballAnalyzer("Portuguese") program). */
+  def portugueseStem(word: String): String = {
+    // prelude: nasal tilde marking
+    var w = word.replace("ã", "a~").replace("õ", "o~")
+
+    val rv = romanceRV(w, ptVowel)
+    val r1 = standardR(w, 0, ptVowel)
+    val r2 = standardR(w, r1, ptVowel)
+    def fits(sufLen: Int, region: Int): Boolean = w.length - sufLen >= region
+
+    // step 1: standard suffixes (succeeds only with its region test;
+    // a longest match failing its condition means NO retry with shorter)
+    val step1Done: Boolean = locate(w, PtStdAll) match {
+      case Some(s) if PtStd1(s) && fits(s.length, r2) =>
+        w = w.dropRight(s.length); true
+      case Some(s @ ("logía" | "logías")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length) + "log"; true
+      case Some(s @ ("ución" | "uciones")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length) + "u"; true
+      case Some(s @ ("ência" | "ências")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length) + "ente"; true
+      case Some("amente") if fits(6, r1) =>
+        w = w.dropRight(6)
+        locate(w, Seq("ic", "ad", "os", "iv")) match {
+          case Some(p) if fits(p.length, r2) =>
+            val wasIv = p == "iv"
+            w = w.dropRight(p.length)
+            if (wasIv && w.endsWith("at") && fits(2, r2)) w = w.dropRight(2)
+          case _ => ()
+        }
+        true
+      case Some("mente") if fits(5, r2) =>
+        w = w.dropRight(5)
+        locate(w, Seq("ante", "avel", "ível")) match {
+          case Some(p) if fits(p.length, r2) => w = w.dropRight(p.length)
+          case _ => ()
+        }
+        true
+      case Some(s @ ("idade" | "idades")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length)
+        locate(w, Seq("ic", "abil", "iv")) match {
+          case Some(p) if fits(p.length, r2) => w = w.dropRight(p.length)
+          case _ => ()
+        }
+        true
+      case Some(s @ ("iva" | "ivas" | "ivo" | "ivos")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length)
+        if (w.endsWith("at") && fits(2, r2)) w = w.dropRight(2)
+        true
+      case Some(s @ ("ira" | "iras")) if fits(s.length, rv) &&
+          w.length - s.length >= 1 && w.charAt(w.length - s.length - 1) == 'e' =>
+        w = w.dropRight(s.length) + "ir"; true
+      case _ => false
+    }
+
+    // step 2 (only when step 1 did nothing): verb suffixes wholly in RV
+    var step2Done = false
+    if (!step1Done) {
+      locateWithin(w, PtVerb, rv).foreach { s =>
+        w = w.dropRight(s.length); step2Done = true
+      }
+    }
+
+    // when either fired: a trailing i after c, the i in RV, drops
+    if ((step1Done || step2Done) && w.endsWith("ci") && fits(1, rv))
+      w = w.dropRight(1)
+
+    // residual vowel (only when neither standard nor verb fired)
+    if (!step1Done && !step2Done) {
+      locate(w, Seq("os", "a", "i", "o", "á", "í", "ó")) match {
+        case Some(s) if fits(s.length, rv) => w = w.dropRight(s.length)
+        case _ => ()
+      }
+    }
+
+    // residual form: final e/é/ê in RV, then gu/ci absorb u/i in RV; ç -> c
+    if (w.nonEmpty && "eéê".indexOf(w.last) >= 0 && fits(1, rv)) {
+      w = w.dropRight(1)
+      if (w.endsWith("gu") && fits(1, rv)) w = w.dropRight(1)
+      else if (w.endsWith("ci") && fits(1, rv)) w = w.dropRight(1)
+    } else if (w.nonEmpty && w.last == 'ç') {
+      w = w.dropRight(1) + "c"
+    }
+
+    // postlude: restore nasal tildes
+    w.replace("a~", "ã").replace("o~", "õ")
+  }
+
+  // -------------------------------------------------------------- French
+  // FrenchStemmer.cs: prelude marks intervocalic u/i, y beside a vowel and
+  // u-after-q as U/I/Y consonants; RV = after char 3 when the word opens
+  // with two vowels, else after the first vowel past position 0; standard
+  // OR i-verb OR verb suffixes (then a final Y -> i / ç -> c); residual;
+  // un_double; un_accent; postlude unmarks.
+
+  @inline private def frVowel(c: Char): Boolean =
+    "aeiouyàâèéêëîïôùû".indexOf(c) >= 0
+  // g_keep_with_s (chars that protect a final s)
+  @inline private def frKeepS(c: Char): Boolean = "aiouès".indexOf(c) >= 0
+
+  private def frRV(w: String): Int = {
+    if (w.length >= 3 && frVowel(w.charAt(0)) && frVowel(w.charAt(1))) return 3
+    var i = 1
+    while (i < w.length && !frVowel(w.charAt(i))) i += 1
+    if (i < w.length) i + 1 else w.length
+  }
+
+  private val FrStd1 = Set(
+    "iqUe", "iqUes", "ance", "ances", "able", "ables", "isme", "ismes",
+    "iste", "istes", "eux")
+  private val FrStd2 = Set(
+    "atrice", "atrices", "ation", "ations", "ateur", "ateurs")
+  private val FrStdAll: Seq[String] = (FrStd1 ++ FrStd2 ++ Set(
+    "logie", "logies", "usion", "usions", "ution", "utions", "ence",
+    "ences", "ement", "ements", "ité", "ités", "if", "ifs", "ive",
+    "ives", "eaux", "aux", "euse", "euses", "issement", "issements",
+    "amment", "emment", "ment", "ments")).toSeq
+  private val FrIVerb = Seq(
+    "îmes", "ît", "îtes", "i", "ie", "ies", "ir", "ira", "irai",
+    "iraIent", "irais", "irait", "iras", "irent", "irez", "iriez",
+    "irions", "irons", "iront", "is", "issaIent", "issais", "issait",
+    "issant", "issante", "issantes", "issants", "isse", "issent",
+    "isses", "issez", "issiez", "issions", "issons", "it")
+  private val FrVerb2 = Set(
+    "era", "ée", "erai", "er", "eras", "ées", "erais", "erions",
+    "erons", "és", "erait", "eraIent", "èrent", "eront", "ez", "iez",
+    "eriez", "erez", "é")
+  private val FrVerb3 = Set(
+    "a", "asse", "ante", "ai", "as", "âmes", "asses", "antes", "âtes",
+    "ais", "assions", "ants", "ait", "ant", "aIent", "assent", "ât",
+    "assiez")
+  private val FrVerbAll: Seq[String] = (FrVerb2 ++ FrVerb3 + "ions").toSeq
+
+  /** Snowball French (the SnowballAnalyzer("French") program). */
+  def frenchStem(word: String): String = {
+    // prelude: at a vowel, mark a following intervocalic u/i or a
+    // following y; a y itself before a vowel; u after q
+    val sb = new StringBuilder(word)
+    var i = 0
+    while (i < sb.length) {
+      val c = sb.charAt(i)
+      if (frVowel(c) && i + 1 < sb.length) {
+        val n1 = sb.charAt(i + 1)
+        if ((n1 == 'u' || n1 == 'i') && i + 2 < sb.length && frVowel(sb.charAt(i + 2)))
+          sb.setCharAt(i + 1, if (n1 == 'u') 'U' else 'I')
+        else if (n1 == 'y') sb.setCharAt(i + 1, 'Y')
+        else if (c == 'y') sb.setCharAt(i, 'Y')
+      } else if (c == 'q' && i + 1 < sb.length && sb.charAt(i + 1) == 'u')
+        sb.setCharAt(i + 1, 'U')
+      i += 1
+    }
+    var w = sb.toString
+
+    val rv = frRV(w)
+    val r1 = standardR(w, 0, frVowel)
+    val r2 = standardR(w, r1, frVowel)
+    def fits(sufLen: Int, region: Int): Boolean = w.length - sufLen >= region
+
+    // step 1: standard suffixes (longest match; a failing condition means
+    // the whole routine fails — no shorter retry)
+    val step1Done: Boolean = locate(w, FrStdAll) match {
+      case Some(s) if FrStd1(s) && fits(s.length, r2) =>
+        w = w.dropRight(s.length); true
+      case Some(s) if FrStd2(s) && fits(s.length, r2) =>
+        w = w.dropRight(s.length)
+        if (w.endsWith("ic")) {
+          if (fits(2, r2)) w = w.dropRight(2) else w = w.dropRight(2) + "iqU"
+        }
+        true
+      case Some(s @ ("logie" | "logies")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length) + "log"; true
+      case Some(s @ ("usion" | "usions" | "ution" | "utions")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length) + "u"; true
+      case Some(s @ ("ence" | "ences")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length) + "ent"; true
+      case Some(s @ ("ement" | "ements")) if fits(s.length, rv) =>
+        w = w.dropRight(s.length)
+        locate(w, Seq("iqU", "abl", "Ièr", "ièr", "eus", "iv")) match {
+          case Some("iv") if fits(2, r2) =>
+            w = w.dropRight(2)
+            if (w.endsWith("at") && fits(2, r2)) w = w.dropRight(2)
+          case Some("eus") =>
+            if (fits(3, r2)) w = w.dropRight(3)
+            else if (fits(3, r1)) w = w.dropRight(3) + "eux"
+          case Some(p @ ("iqU" | "abl")) if fits(p.length, r2) =>
+            w = w.dropRight(p.length)
+          case Some(p @ ("Ièr" | "ièr")) if fits(p.length, rv) =>
+            w = w.dropRight(p.length) + "i"
+          case _ => ()
+        }
+        true
+      case Some(s @ ("ité" | "ités")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length)
+        locate(w, Seq("ic", "abil", "iv")) match {
+          case Some("abil") =>
+            if (fits(4, r2)) w = w.dropRight(4) else w = w.dropRight(4) + "abl"
+          case Some("ic") =>
+            if (fits(2, r2)) w = w.dropRight(2) else w = w.dropRight(2) + "iqU"
+          case Some("iv") if fits(2, r2) => w = w.dropRight(2)
+          case _ => ()
+        }
+        true
+      case Some(s @ ("if" | "ifs" | "ive" | "ives")) if fits(s.length, r2) =>
+        w = w.dropRight(s.length)
+        if (w.endsWith("at") && fits(2, r2)) {
+          w = w.dropRight(2)
+          if (w.endsWith("ic")) {
+            if (fits(2, r2)) w = w.dropRight(2) else w = w.dropRight(2) + "iqU"
+          }
+        }
+        true
+      case Some("eaux") =>
+        w = w.dropRight(4) + "eau"; true
+      case Some("aux") if fits(3, r1) =>
+        w = w.dropRight(3) + "al"; true
+      case Some(s @ ("euse" | "euses")) if fits(s.length, r2) || fits(s.length, r1) =>
+        if (fits(s.length, r2)) w = w.dropRight(s.length)
+        else w = w.dropRight(s.length) + "eux"
+        true
+      case Some(s @ ("issement" | "issements")) if fits(s.length, r1) &&
+          w.length - s.length >= 1 && !frVowel(w.charAt(w.length - s.length - 1)) =>
+        w = w.dropRight(s.length); true
+      // the ment family edits then FAILS the routine (`fail` in the
+      // program), so the verb steps still run on the shortened word
+      case Some("amment") if fits(6, rv) =>
+        w = w.dropRight(6) + "ant"; false
+      case Some("emment") if fits(6, rv) =>
+        w = w.dropRight(6) + "ent"; false
+      case Some(s @ ("ment" | "ments")) if w.length - s.length >= rv + 1 &&
+          frVowel(w.charAt(w.length - s.length - 1)) =>
+        w = w.dropRight(s.length); false
+      case _ => false
+    }
+
+    // step 2a (only when step 1 failed): i-verb suffix wholly in RV,
+    // preceded by a non-vowel also in RV
+    var step2aDone = false
+    if (!step1Done) {
+      locateWithin(w, FrIVerb, rv) match {
+        case Some(s) if w.length - s.length >= rv + 1 &&
+            !frVowel(w.charAt(w.length - s.length - 1)) =>
+          w = w.dropRight(s.length); step2aDone = true
+        case _ => ()
+      }
+    }
+
+    // step 2b (when 2a failed too): verb suffixes wholly in RV
+    var step2bDone = false
+    if (!step1Done && !step2aDone) {
+      locateWithin(w, FrVerbAll, rv) match {
+        case Some("ions") if fits(4, r2) =>
+          w = w.dropRight(4); step2bDone = true
+        case Some(s) if FrVerb2(s) =>
+          w = w.dropRight(s.length); step2bDone = true
+        case Some(s) if FrVerb3(s) =>
+          w = w.dropRight(s.length)
+          if (w.nonEmpty && w.last == 'e' && fits(1, rv)) w = w.dropRight(1)
+          step2bDone = true
+        case _ => ()
+      }
+    }
+
+    if (step1Done || step2aDone || step2bDone) {
+      // step 3: a final marked Y -> i, a final ç -> c
+      if (w.nonEmpty && w.last == 'Y') w = w.dropRight(1) + "i"
+      else if (w.nonEmpty && w.last == 'ç') w = w.dropRight(1) + "c"
+    } else {
+      // step 4 residual: final s drops unless kept by a/i/o/u/è/s; then
+      // ion (R2, after s/t), ier-family -> i, e, guë — all inside RV
+      if (w.length >= 2 && w.last == 's' && !frKeepS(w.charAt(w.length - 2)))
+        w = w.dropRight(1)
+      locateWithin(w, Seq("e", "Ière", "ière", "ion", "Ier", "ier", "ë"), rv) match {
+        case Some("ion") if fits(3, r2) && w.length - 3 >= rv + 1 &&
+            (w.charAt(w.length - 4) == 's' || w.charAt(w.length - 4) == 't') =>
+          w = w.dropRight(3)
+        case Some(s @ ("Ière" | "ière" | "Ier" | "ier")) =>
+          w = w.dropRight(s.length) + "i"
+        case Some("e") => w = w.dropRight(1)
+        case Some("ë") if w.length - 1 >= rv + 2 && w.endsWith("guë") =>
+          w = w.dropRight(1)
+        case _ => ()
+      }
+    }
+
+    // step 5 un_double: enn/onn/ett/ell/eill lose the last letter
+    if (Seq("enn", "onn", "ett", "ell", "eill").exists(w.endsWith(_)))
+      w = w.dropRight(1)
+
+    // step 6 un_accent: é/è before a final run of one-plus non-vowels -> e
+    var j = w.length - 1
+    while (j >= 0 && !frVowel(w.charAt(j))) j -= 1
+    if (j >= 0 && j < w.length - 1 && (w.charAt(j) == 'é' || w.charAt(j) == 'è'))
+      w = w.substring(0, j) + "e" + w.substring(j + 1)
+
+    // postlude: unmark I/U/Y
+    w.map { case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c }
+  }
 }

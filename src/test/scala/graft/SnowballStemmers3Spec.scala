@@ -60,10 +60,54 @@ class SnowballStemmers3Spec extends AnyFunSuite {
     assert(italianStem("luoghi") == "luog")           // final i, then h after g
   }
 
+  test("Snowball Portuguese: standard, verb, residual and nasal steps") {
+    assert(portugueseStem("gato") == "gat")          // residual o in RV
+    assert(portugueseStem("gatos") == "gat")         // residual os
+    assert(portugueseStem("felizmente") == "feliz")  // mente in R2
+    assert(portugueseStem("grandeza") == "grandez")  // eza fails R2 -> residual a
+    assert(portugueseStem("vivacidade") == "vivac")  // idade in R2
+    assert(portugueseStem("quilométricas") == "quilométr") // icas in R2
+    assert(portugueseStem("falaremos") == "fal")     // verb aremos in RV
+    assert(portugueseStem("cantando") == "cant")     // verb ando
+    assert(portugueseStem("falou") == "fal")         // verb ou
+    assert(portugueseStem("primeira") == "primeir")  // eira -> eir (case 9)
+    assert(portugueseStem("anunciava") == "anunc")   // verb ava, then ci drops i
+    assert(portugueseStem("grande") == "grand")      // residual-form e in RV
+    assert(portugueseStem("chegue") == "cheg")       // residual e, gu absorbs u
+    assert(portugueseStem("criança") == "crianc")    // residual a, then ç -> c
+    assert(portugueseStem("emergência") == "emergent") // ência -> ente, then e
+    assert(portugueseStem("ações") == "açõ")         // nasal prelude + verb es + postlude
+  }
+
+  test("Snowball French: standard, verb, residual, undouble, unaccent") {
+    assert(frenchStem("majestueux") == "majestu")      // eux in R2
+    assert(frenchStem("volontairement") == "volontair") // ement in RV
+    assert(frenchStem("possibilité") == "possibil")    // ité in R2
+    assert(frenchStem("information") == "inform")      // ation in R2
+    assert(frenchStem("fabrication") == "fabriqu")     // ation, ic -> iqU outside R2
+    assert(frenchStem("heureuse") == "heureux")        // euse -> eux via R1
+    assert(frenchStem("voudriez") == "voudr")          // verb iez in RV
+    assert(frenchStem("donnerait") == "don")           // verb erait, then onn undoubles
+    assert(frenchStem("mangea") == "mang")             // verb a + soft-g e absorbed
+    assert(frenchStem("essayait") == "essai")          // Y marking, verb ait, Y -> i
+    assert(frenchStem("commença") == "commenc")        // verb a, then ç -> c
+    assert(frenchStem("chienne") == "chien")           // residual e, enn undoubles
+    assert(frenchStem("perfection") == "perfect")      // residual ion after t in R2
+    assert(frenchStem("complètement") == "complet")    // ement, then è unaccents
+    assert(frenchStem("finissait") == "fin")           // i-verb issait after non-vowel
+  }
+
   test("German chains registered") {
     val de = Analyzers.byName("german_snowball").tokenize("die Häuser und Bücher").map(_.term).toList
     assert(de == List("haus", "buch")) // die/und stopped
     val de2 = Analyzers.byName("german2_snowball").tokenize("die Haeuser").map(_.term).toList
     assert(de2 == List("haus"))
+  }
+
+  test("Portuguese and French snowball chains registered") {
+    val pt = Analyzers.byName("portuguese_snowball").tokenize("a primeira e grandeza").map(_.term).toList
+    assert(pt == List("primeir", "grandez")) // a/e stopped
+    val fr = Analyzers.byName("french_snowball").tokenize("le donnerait et heureuse").map(_.term).toList
+    assert(fr == List("don", "heureux")) // le/et stopped
   }
 }
