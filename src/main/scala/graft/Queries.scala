@@ -505,6 +505,9 @@ object Queries {
     "q_lang_it_sb" -> ((s, dir) => idsOf(IndexCache.itSbSearcher(s, dir), TermQ("abbandon"))),
     "q_lang_pt_sb" -> ((s, dir) => idsOf(IndexCache.ptSbSearcher(s, dir), TermQ("primeir"))),
     "q_lang_fr_sb" -> ((s, dir) => idsOf(IndexCache.frSbSearcher(s, dir), TermQ("don"))),
+    "q_lang_porter_sb" -> ((s, dir) => idsOf(IndexCache.porterSbSearcher(s, dir), TermQ("hop"))),
+    "q_lang_lovins_sb" -> ((s, dir) => idsOf(IndexCache.lovinsSbSearcher(s, dir), TermQ("belief"))),
+    "q_lang_kp_sb" -> ((s, dir) => idsOf(IndexCache.kpSbSearcher(s, dir), TermQ("loop"))),
     "q_lang_ar_stop" -> ((s, dir) => stopProof(IndexCache.arSearcher(s, dir), "arabic", "سنوات")),
     "q_lang_el_stop" -> ((s, dir) => stopProof(IndexCache.elSearcher(s, dir), "greek", "εκείνος")),
     "q_lang_th_stop" -> ((s, dir) => stopProof(IndexCache.thSearcher(s, dir), "thai", "เพื่อ")),
@@ -1625,6 +1628,12 @@ object Queries {
     "q_lang_pt_sb" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_fr_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_porter_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_lovins_sb" ->
+      """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "q_lang_kp_sb" ->
       """SELECT doc_id FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "q_lang_ar_stop" ->
       """SELECT doc_id FROM documents WHERE 1 = 0""",

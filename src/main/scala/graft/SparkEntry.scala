@@ -504,6 +504,27 @@ object IndexCache {
       concat(when(col("doc_id") % 2 === 0, "donnerait").otherwise("heureuse"),
         lit(" et maisons"))))
 
+  /** Snowball-Porter (classic 1980 program) gate fixture:
+    * hopping->hop (1b undouble) / troubling->troubl; "the" stopped. */
+  def porterSbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "ptrsb"), langFixture(spark, sfDir, "ptrsb", "porter_snowball",
+      concat(when(col("doc_id") % 2 === 0, "hopping").otherwise("troubling"),
+        lit(" the systems"))))
+
+  /** Snowball-Lovins gate fixture: believes->belief (ending retry + iev
+    * recode) / nationally->nat; "the" stopped. */
+  def lovinsSbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "lovsb"), langFixture(spark, sfDir, "lovsb", "lovins_snowball",
+      concat(when(col("doc_id") % 2 === 0, "believes").otherwise("nationally"),
+        lit(" the systems"))))
+
+  /** Snowball-Kp (Kraaij-Pohlmann) gate fixture: lopen->loop (vowel
+    * lengthening) / huizen->huis (z->s); "en" stopped. */
+  def kpSbSearcher(spark: SparkSession, sfDir: String): Searcher =
+    langCache.getOrElseUpdate((sfDir, "kpsb"), langFixture(spark, sfDir, "kpsb", "kp_snowball",
+      concat(when(col("doc_id") % 2 === 0, "lopen").otherwise("maten"),
+        lit(" en huizen"))))
+
   /** Dutch (Snowball DutchStemmer) gate fixture:
     *   "De katten en boeken lopen {huizen|straten}"
     * => kat@1 boek@3 lop@4 {huiz|strat}@5 (de@0, en@2 stopped). */

@@ -316,6 +316,9 @@ object Analyzers {
     case "italian_snowball" => ItalianSnowballAnalyzer // full Snowball Italian
     case "portuguese_snowball" => PortugueseSnowballAnalyzer // full Snowball Portuguese
     case "french_snowball" => FrenchSnowballAnalyzer // full Snowball French
+    case "porter_snowball" => PorterSnowballAnalyzer // generated classic-1980 Porter program
+    case "lovins_snowball" => LovinsSnowballAnalyzer // Lovins (1968) program
+    case "kp_snowball" => KpSnowballAnalyzer // Kraaij-Pohlmann Dutch program
     case "french" => FrenchAnalyzer // classic -> elision -> French stops -> light stem
     case "french_minimal" => FrenchMinimalAnalyzer // FrenchMinimalStemFilter variant
     case "spanish" => SpanishAnalyzer // classic -> Spanish stops -> light stem

@@ -900,6 +900,37 @@ object FrenchSnowballAnalyzer extends Analyzer {
       .map(t => t.copy(term = SnowballStemmers3.frenchStem(t.term)))
 }
 
+/** SnowballAnalyzer("Porter") chain — the generated classic-1980 Porter
+  * program (SF/Snowball/Ext/PorterStemmer.cs), distinct from Porter2 in
+  * [[EnglishSnowballAnalyzer]] and from the core En/PorterStemmer default
+  * of [[EnglishAnalyzer]] (same algorithm, Snowball Y-marking rendering). */
+object PorterSnowballAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => StandardAnalyzer.EnglishStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.snowballPorter(t.term)))
+}
+
+/** SnowballAnalyzer("Lovins") chain — the Lovins (1968) program
+  * (SF/Snowball/Ext/LovinsStemmer.cs). */
+object LovinsSnowballAnalyzer extends Analyzer {
+  override def tokenize(text: String): Iterator[Token] =
+    LangAnalyzers.StandardNoStop.tokenize(text)
+      .filterNot(t => StandardAnalyzer.EnglishStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.lovinsStem(t.term)))
+}
+
+/** SnowballAnalyzer("Kp") chain — the Kraaij-Pohlmann Dutch program
+  * (SF/Snowball/Ext/KpStemmer.cs); Dutch stop set, per the contrib
+  * SnowballAnalyzer's user-supplied-stops convention. */
+object KpSnowballAnalyzer extends Analyzer {
+  import LangAnalyzers._
+  override def tokenize(text: String): Iterator[Token] =
+    StandardNoStop.tokenize(text)
+      .filterNot(t => DutchStopWords.contains(t.term))
+      .map(t => t.copy(term = SnowballStemmers3.kpStem(t.term)))
+}
+
 /** SNOWBALL English (Porter2) chain: classic grammar -> possessive strip
   * (StandardFilter) -> lowercase -> English stops -> EnglishStemmer — the
   * SnowballAnalyzer("English") / SnowballFilter(EnglishStemmer) chain

@@ -828,4 +828,542 @@ object SnowballStemmers3 {
     // postlude: unmark I/U/Y
     w.map { case 'I' => 'i'; case 'U' => 'u'; case 'Y' => 'y'; case c => c }
   }
+
+  // ------------------------------------------------------ Porter (1980)
+  // PorterStemmer.cs — the generated Snowball rendering of the classic
+  // 1980 algorithm (distinct from Porter2/"English" in
+  // SnowballStemmers.porter2): y counts as a vowel unless marked Y by the
+  // prelude (word-initial y, or y right after a vowel); m-counts become
+  // R1/R2 positions; `atmark p1` + shortv reproduces the (m=1 and *o)
+  // rule.
+
+  @inline private def enVowel(c: Char): Boolean = "aeiouy".indexOf(c) >= 0
+
+  /** The *o shape on the tail of `s`: non-vowel (nor w/x/Y) after vowel
+    * after non-vowel. */
+  private def enShortV(s: String): Boolean = {
+    val n = s.length
+    n >= 3 && "aeiouywxY".indexOf(s.charAt(n - 1)) < 0 &&
+      enVowel(s.charAt(n - 2)) && !enVowel(s.charAt(n - 3))
+  }
+
+  private val PorterStep2: Seq[(String, String)] = Seq(
+    "ational" -> "ate", "tional" -> "tion", "enci" -> "ence",
+    "anci" -> "ance", "abli" -> "able", "entli" -> "ent", "eli" -> "e",
+    "ization" -> "ize", "izer" -> "ize", "ation" -> "ate",
+    "ator" -> "ate", "alli" -> "al", "alism" -> "al", "aliti" -> "al",
+    "fulness" -> "ful", "ousli" -> "ous", "ousness" -> "ous",
+    "iveness" -> "ive", "iviti" -> "ive", "biliti" -> "ble")
+  private val PorterStep3: Seq[(String, String)] = Seq(
+    "icate" -> "ic", "ative" -> "", "alize" -> "al", "iciti" -> "ic",
+    "ical" -> "ic", "ful" -> "", "ness" -> "")
+  private val PorterStep4 = Seq(
+    "ement", "ance", "ence", "able", "ible", "ment", "ant", "ent",
+    "ion", "ism", "ate", "iti", "ous", "ive", "ize", "al", "er", "ic",
+    "ou")
+
+  /** Snowball Porter (the SnowballAnalyzer("Porter") program). */
+  def snowballPorter(word: String): String = {
+    // prelude: word-initial y and y-after-vowel become consonant Y
+    var yFound = false
+    val sb = new StringBuilder(word)
+    if (sb.nonEmpty && sb.charAt(0) == 'y') { sb.setCharAt(0, 'Y'); yFound = true }
+    var i = 1
+    while (i < sb.length) {
+      if (sb.charAt(i) == 'y' && enVowel(sb.charAt(i - 1))) {
+        sb.setCharAt(i, 'Y'); yFound = true
+      }
+      i += 1
+    }
+    var w = sb.toString
+    val r1 = standardR(w, 0, enVowel)
+    val r2 = standardR(w, r1, enVowel)
+    def fits(sufLen: Int, region: Int): Boolean = w.length - sufLen >= region
+
+    // step 1a: plural s
+    locate(w, Seq("sses", "ies", "ss", "s")).foreach {
+      case "sses" => w = w.dropRight(4) + "ss"
+      case "ies" => w = w.dropRight(3) + "i"
+      case "ss" => ()
+      case _ => w = w.dropRight(1) // s
+    }
+
+    // step 1b: eed (R1) -> ee; ed/ing after a vowel -> delete, then mend
+    locate(w, Seq("eed", "ed", "ing")) match {
+      case Some("eed") =>
+        if (fits(3, r1)) w = w.dropRight(3) + "ee"
+      case Some(s @ ("ed" | "ing")) if w.substring(0, w.length - s.length).exists(enVowel) =>
+        w = w.dropRight(s.length)
+        locate(w, Seq("at", "bl", "iz", "bb", "dd", "ff", "gg", "mm",
+          "nn", "pp", "rr", "tt")) match {
+          case Some("at" | "bl" | "iz") => w = w + "e"
+          case Some(_) => w = w.dropRight(1) // undouble
+          case None => if (w.length == r1 && enShortV(w)) w = w + "e"
+        }
+      case _ => ()
+    }
+
+    // step 1c: final y/Y with a vowel somewhere before -> i
+    if (w.nonEmpty && (w.last == 'y' || w.last == 'Y') &&
+        w.substring(0, w.length - 1).exists(enVowel))
+      w = w.dropRight(1) + "i"
+
+    // step 2 (R1): -ance/-ence/-ize/... respellings
+    locate(w, PorterStep2.map(_._1)).foreach { s =>
+      if (fits(s.length, r1))
+        w = w.dropRight(s.length) + PorterStep2.find(_._1 == s).get._2
+    }
+
+    // step 3 (R1)
+    locate(w, PorterStep3.map(_._1)).foreach { s =>
+      if (fits(s.length, r1))
+        w = w.dropRight(s.length) + PorterStep3.find(_._1 == s).get._2
+    }
+
+    // step 4 (R2): bare suffix removal; ion only after s/t
+    locate(w, PorterStep4).foreach { s =>
+      if (fits(s.length, r2)) {
+        if (s != "ion") w = w.dropRight(s.length)
+        else if (w.length - 3 >= 1 &&
+            (w.charAt(w.length - 4) == 's' || w.charAt(w.length - 4) == 't'))
+          w = w.dropRight(3)
+      }
+    }
+
+    // step 5a: final e in R2, or in R1 when the stem is not *o-shaped
+    if (w.nonEmpty && w.last == 'e' &&
+        (fits(1, r2) || (fits(1, r1) && !enShortV(w.dropRight(1)))))
+      w = w.dropRight(1)
+
+    // step 5b: ll in R2 -> l
+    if (w.endsWith("ll") && fits(1, r2)) w = w.dropRight(1)
+
+    // postlude
+    if (yFound) w.map(c => if (c == 'Y') 'y' else c) else w
+  }
+
+  // -------------------------------------------------------------- Lovins
+  // LovinsStemmer.cs — the generated Snowball rendering of Lovins (1968):
+  // one pass removing the longest of 293 endings whose letter condition
+  // holds on the remaining stem (a failing condition RETRIES shorter
+  // endings, unlike the romance programs — among-with-routine semantics),
+  // then an undouble pass and the 34 recode rules.
+
+  /** (ending, condition) table, length-descending (a_1 in the program). */
+  private val LovinsEndings: Seq[(String, String)] = Seq(
+    ("alistically", "B"), ("arizability", "A"), ("izationally", "B"), ("antialness", "A"),
+    ("arisations", "A"), ("arizations", "A"), ("entialness", "A"), ("allically", "C"),
+    ("antaneous", "A"), ("antiality", "A"), ("arisation", "A"), ("arization", "A"),
+    ("ationally", "B"), ("ativeness", "A"), ("eableness", "E"), ("entations", "A"),
+    ("entiality", "A"), ("entialize", "A"), ("entiation", "A"), ("ionalness", "A"),
+    ("istically", "A"), ("itousness", "A"), ("izability", "A"), ("izational", "A"),
+    ("ableness", "A"), ("arizable", "A"), ("entation", "A"), ("entially", "A"),
+    ("eousness", "A"), ("ibleness", "A"), ("icalness", "A"), ("ionalism", "A"),
+    ("ionality", "A"), ("ionalize", "A"), ("iousness", "A"), ("izations", "A"),
+    ("lessness", "A"), ("ability", "A"), ("aically", "A"), ("alistic", "B"),
+    ("alities", "A"), ("ariness", "E"), ("aristic", "A"), ("arizing", "A"),
+    ("ateness", "A"), ("atingly", "A"), ("ational", "B"), ("atively", "A"),
+    ("ativism", "A"), ("elihood", "E"), ("encible", "A"), ("entally", "A"),
+    ("entials", "A"), ("entiate", "A"), ("entness", "A"), ("fulness", "A"),
+    ("ibility", "A"), ("icalism", "A"), ("icalist", "A"), ("icality", "A"),
+    ("icalize", "A"), ("ication", "G"), ("icianry", "A"), ("ination", "A"),
+    ("ingness", "A"), ("ionally", "A"), ("isation", "A"), ("ishness", "A"),
+    ("istical", "A"), ("iteness", "A"), ("iveness", "A"), ("ivistic", "A"),
+    ("ivities", "A"), ("ization", "F"), ("izement", "A"), ("oidally", "A"),
+    ("ousness", "A"), ("aceous", "A"), ("acious", "B"), ("action", "G"),
+    ("alness", "A"), ("ancial", "A"), ("ancies", "A"), ("ancing", "B"),
+    ("ariser", "A"), ("arized", "A"), ("arizer", "A"), ("atable", "A"),
+    ("ations", "B"), ("atives", "A"), ("eature", "Z"), ("efully", "A"),
+    ("encies", "A"), ("encing", "A"), ("ential", "A"), ("enting", "C"),
+    ("entist", "A"), ("eously", "A"), ("ialist", "A"), ("iality", "A"),
+    ("ialize", "A"), ("ically", "A"), ("icance", "A"), ("icians", "A"),
+    ("icists", "A"), ("ifully", "A"), ("ionals", "A"), ("ionate", "D"),
+    ("ioning", "A"), ("ionist", "A"), ("iously", "A"), ("istics", "A"),
+    ("izable", "E"), ("lessly", "A"), ("nesses", "A"), ("oidism", "A"),
+    ("acies", "A"), ("acity", "A"), ("aging", "B"), ("aical", "A"),
+    ("alism", "B"), ("alist", "A"), ("ality", "A"), ("alize", "A"),
+    ("allic", "BB"), ("anced", "B"), ("ances", "B"), ("antic", "C"),
+    ("arial", "A"), ("aries", "A"), ("arily", "A"), ("arity", "B"),
+    ("arize", "A"), ("aroid", "A"), ("ately", "A"), ("ating", "I"),
+    ("ation", "B"), ("ative", "A"), ("ators", "A"), ("atory", "A"),
+    ("ature", "E"), ("early", "Y"), ("ehood", "A"), ("eless", "A"),
+    ("elity", "A"), ("ement", "A"), ("enced", "A"), ("ences", "A"),
+    ("eness", "E"), ("ening", "E"), ("ental", "A"), ("ented", "C"),
+    ("ently", "A"), ("fully", "A"), ("ially", "A"), ("icant", "A"),
+    ("ician", "A"), ("icide", "A"), ("icism", "A"), ("icist", "A"),
+    ("icity", "A"), ("idine", "I"), ("iedly", "A"), ("ihood", "A"),
+    ("inate", "A"), ("iness", "A"), ("ingly", "B"), ("inism", "J"),
+    ("inity", "CC"), ("ional", "A"), ("ioned", "A"), ("ished", "A"),
+    ("istic", "A"), ("ities", "A"), ("itous", "A"), ("ively", "A"),
+    ("ivity", "A"), ("izers", "F"), ("izing", "F"), ("oidal", "A"),
+    ("oides", "A"), ("otide", "A"), ("ously", "A"), ("able", "A"),
+    ("ably", "A"), ("ages", "B"), ("ally", "B"), ("ance", "B"),
+    ("ancy", "B"), ("ants", "B"), ("aric", "A"), ("arly", "K"),
+    ("ated", "I"), ("ates", "A"), ("atic", "B"), ("ator", "A"),
+    ("ealy", "Y"), ("edly", "E"), ("eful", "A"), ("eity", "A"),
+    ("ence", "A"), ("ency", "A"), ("ened", "E"), ("enly", "E"),
+    ("eous", "A"), ("hood", "A"), ("ials", "A"), ("ians", "A"),
+    ("ible", "A"), ("ibly", "A"), ("ical", "A"), ("ides", "L"),
+    ("iers", "A"), ("iful", "A"), ("ines", "M"), ("ings", "N"),
+    ("ions", "B"), ("ious", "A"), ("isms", "B"), ("ists", "A"),
+    ("itic", "H"), ("ized", "F"), ("izer", "F"), ("less", "A"),
+    ("lily", "A"), ("ness", "A"), ("ogen", "A"), ("ward", "A"),
+    ("wise", "A"), ("ying", "B"), ("yish", "A"), ("acy", "A"),
+    ("age", "B"), ("aic", "A"), ("als", "BB"), ("ant", "B"),
+    ("ars", "O"), ("ary", "F"), ("ata", "A"), ("ate", "A"),
+    ("eal", "Y"), ("ear", "Y"), ("ely", "E"), ("ene", "E"),
+    ("ent", "C"), ("ery", "E"), ("ese", "A"), ("ful", "A"),
+    ("ial", "A"), ("ian", "A"), ("ics", "A"), ("ide", "L"),
+    ("ied", "A"), ("ier", "A"), ("ies", "P"), ("ily", "A"),
+    ("ine", "M"), ("ing", "N"), ("ion", "Q"), ("ish", "C"),
+    ("ism", "B"), ("ist", "A"), ("ite", "AA"), ("ity", "A"),
+    ("ium", "A"), ("ive", "A"), ("ize", "F"), ("oid", "A"),
+    ("ous", "A"), ("'s", "A"), ("ae", "A"), ("al", "BB"),
+    ("ar", "X"), ("as", "B"), ("ed", "E"), ("en", "F"),
+    ("es", "E"), ("ia", "A"), ("ic", "A"), ("is", "A"),
+    ("ly", "B"), ("on", "S"), ("or", "T"), ("s'", "A"),
+    ("um", "U"), ("us", "V"), ("yl", "R"), ("a", "A"),
+    ("e", "A"), ("i", "A"), ("o", "A"), ("s", "W"),
+    ("y", "B"))
+
+  /** Lovins letter conditions A..Z/AA/BB/CC over the candidate stem. */
+  private def lovinsCond(cond: String, s: String): Boolean = {
+    val L = s.length
+    def last = s.charAt(L - 1)
+    def at(k: Int) = s.charAt(L - k) // 1-based from the end
+    cond match {
+      case "A" => L >= 2
+      case "B" => L >= 3
+      case "C" => L >= 4
+      case "D" => L >= 5
+      case "E" => L >= 2 && last != 'e'
+      case "F" => L >= 3 && last != 'e'
+      case "G" => L >= 3 && last == 'f'
+      case "H" => L >= 2 && (last == 't' || s.endsWith("ll"))
+      case "I" => L >= 2 && last != 'o' && last != 'e'
+      case "J" => L >= 2 && last != 'a' && last != 'e'
+      case "K" => L >= 3 && (last == 'l' || last == 'i' || (last == 'e' && at(3) == 'u'))
+      case "L" => L >= 2 && last != 'u' && last != 'x' && !(last == 's' && at(2) != 'o')
+      case "M" => L >= 2 && last != 'a' && last != 'c' && last != 'e' && last != 'm'
+      case "N" => L >= 3 && (at(3) != 's' || L >= 4)
+      case "O" => L >= 2 && (last == 'l' || last == 'i')
+      case "P" => L >= 2 && last != 'c'
+      case "Q" => L >= 3 && last != 'l' && last != 'n'
+      case "R" => L >= 2 && (last == 'n' || last == 'r')
+      case "S" => L >= 2 && (s.endsWith("dr") || (last == 't' && at(2) != 't'))
+      case "T" => L >= 2 && (last == 's' || (last == 't' && at(2) != 'o'))
+      case "U" => L >= 2 && "lmnr".indexOf(last) >= 0
+      case "V" => L >= 2 && last == 'c'
+      case "W" => L >= 2 && last != 's' && last != 'u'
+      case "X" => L >= 2 && (last == 'l' || last == 'i' || (L >= 3 && last == 'e' && at(3) == 'u'))
+      case "Y" => L >= 2 && s.endsWith("in")
+      case "Z" => L >= 2 && last != 'f'
+      case "AA" => L >= 2 && (last == 'd' || last == 'f' || s.endsWith("ph") ||
+        s.endsWith("th") || last == 'l' || s.endsWith("er") || s.endsWith("or") ||
+        s.endsWith("es") || last == 't')
+      case "BB" => L >= 3 && !s.endsWith("met") && !s.endsWith("ryst")
+      case _ => L >= 2 && last == 'l' // CC
+    }
+  }
+
+  /** The 34 recode rules (a_3): suffix -> replacement, with an optional
+    * test on the char before the suffix (0-char when at the word start —
+    * the program's eq_s_b fails there, so each `not` passes). */
+  private val LovinsRespell: Seq[(String, String, Char => Boolean)] = {
+    val always = (_: Char) => true
+    Seq(
+      ("istr", "ister", always), ("metr", "meter", always),
+      ("erid", "eris", always), ("pand", "pans", always),
+      ("umpt", "um", always),
+      ("iev", "ief", always), ("uct", "uc", always), ("rpt", "rb", always),
+      ("urs", "ur", always), ("olv", "olut", always), ("uad", "uas", always),
+      ("vad", "vas", always), ("cid", "cis", always), ("lid", "lis", always),
+      ("end", "ens", (p: Char) => p != 's'), ("ond", "ons", always),
+      ("lud", "lus", always), ("rud", "rus", always),
+      ("her", "hes", (p: Char) => p != 'p' && p != 't'),
+      ("mit", "mis", always), ("ent", "ens", (p: Char) => p != 'm'),
+      ("ert", "ers", always), ("bex", "bic", always), ("dex", "dic", always),
+      ("pex", "pic", always), ("tex", "tic", always), ("lux", "luc", always),
+      ("ul", "l", (p: Char) => p != 'a' && p != 'i' && p != 'o'),
+      ("et", "es", (p: Char) => p != 'n'), ("yt", "ys", always),
+      ("ax", "ac", always), ("ex", "ec", always), ("ix", "ic", always),
+      ("yz", "ys", always)
+    ).sortBy(-_._1.length)
+  }
+
+  /** Snowball Lovins (the SnowballAnalyzer("Lovins") program). */
+  def lovinsStem(word: String): String = {
+    var w = word
+
+    // endings pass: longest ending whose condition accepts the stem
+    val it = LovinsEndings.iterator
+    var done = false
+    while (it.hasNext && !done) {
+      val (e, c) = it.next()
+      if (w.endsWith(e) && lovinsCond(c, w.substring(0, w.length - e.length))) {
+        w = w.dropRight(e.length); done = true
+      }
+    }
+
+    // undouble: a final double b/d/g/l/m/n/p/r/s/t loses one letter
+    if (w.length >= 2 && w.charAt(w.length - 1) == w.charAt(w.length - 2) &&
+        "bdglmnprst".indexOf(w.charAt(w.length - 1)) >= 0)
+      w = w.dropRight(1)
+
+    // recode: longest rule suffix; a failing pre-char test recodes nothing
+    val rit = LovinsRespell.iterator
+    var recoded = false
+    while (rit.hasNext && !recoded) {
+      val (suf, rep, ok) = rit.next()
+      if (w.endsWith(suf)) {
+        val start = w.length - suf.length
+        val pre = if (start > 0) w.charAt(start - 1) else '\u0000'
+        if (ok(pre)) w = w.substring(0, start) + rep
+        recoded = true // among committed: no shorter retry either way
+      }
+    }
+    w
+  }
+
+  // ------------------------------------------------ Kraaij-Pohlmann (Kp)
+  // KpStemmer.cs — the generated Snowball rendering of the Kraaij-Pohlmann
+  // Dutch stemmer: y-marking prelude; a measure where "ij" counts as one
+  // vowel unit; four suffix steps plus vowel re-lengthening (lop -> loop)
+  // and re-attachment (le/ene); ge- prefix and infix removal with
+  // re-measuring; final kt/ft/pt and undouble/v->f/z->s normalization.
+  // One port quirk kept deliberately: Step_4's or-structure in the
+  // generated code runs its big among as a try and then REQUIRES the
+  // ig/iger/igst among for the step to count as "stemmed" — we reproduce
+  // that, since the in-tree program is the contract.
+
+  @inline private def kpVowel(c: Char): Boolean = "aeiouy".indexOf(c) >= 0
+
+  /** measure: p1/p2 after (C* (ij|v)+ C) once resp. twice; limit when
+    * absent. */
+  private def kpMeasure(w: String): (Int, Int) = {
+    val n = w.length
+    var p1 = n; var p2 = n
+    var i = 0
+    def vowelUnits(): Int = {
+      var count = 0
+      var more = true
+      while (more) {
+        if (i + 1 < n && w.charAt(i) == 'i' && w.charAt(i + 1) == 'j') { i += 2; count += 1 }
+        else if (i < n && kpVowel(w.charAt(i))) { i += 1; count += 1 }
+        else more = false
+      }
+      count
+    }
+    while (i < n && !kpVowel(w.charAt(i))) i += 1
+    if (vowelUnits() >= 1 && i < n && !kpVowel(w.charAt(i))) {
+      i += 1; p1 = i
+      while (i < n && !kpVowel(w.charAt(i))) i += 1
+      if (vowelUnits() >= 1 && i < n && !kpVowel(w.charAt(i))) { i += 1; p2 = i }
+    }
+    (p1, p2)
+  }
+
+  /** lengthen_V at the end of `s`: double a short a/o/u/e before a final
+    * consonant (not w/x) when the program's context conditions hold. */
+  private def kpLengthenV(s: String): String = {
+    val n = s.length
+    if (n < 2) return s
+    val fin = s.charAt(n - 1)
+    if ("aeiouwxy".indexOf(fin) >= 0) return s // g_v_WX (marked Y passes)
+    val v = s.charAt(n - 2)
+    if (v == 'a' || v == 'o' || v == 'u') {
+      if (n - 2 == 0 || !kpVowel(s.charAt(n - 3)))
+        s.substring(0, n - 1) + v + fin
+      else s
+    } else if (v == 'e') {
+      val atStart = n - 2 == 0
+      if (!atStart && kpVowel(s.charAt(n - 3))) return s
+      // not AIOU two back; not (skip one, AIOU, then non-vowel)
+      if (!atStart) {
+        if (n >= 4 && "aiou".indexOf(s.charAt(n - 4)) >= 0) return s
+        if (n >= 6 && "aiou".indexOf(s.charAt(n - 5)) >= 0 && !kpVowel(s.charAt(n - 6))) return s
+      }
+      s.substring(0, n - 1) + "e" + fin
+    } else s
+  }
+
+  /** Snowball Kp (the SnowballAnalyzer("Kp") program). */
+  def kpStem(word: String): String = {
+    var yFound = false; var stemmed = false; var geRemoved = false
+    val sb = new StringBuilder(word)
+    if (sb.nonEmpty && sb.charAt(0) == 'y') { sb.setCharAt(0, 'Y'); yFound = true }
+    var k = 1
+    while (k < sb.length) {
+      if (sb.charAt(k) == 'y' && kpVowel(sb.charAt(k - 1))) { sb.setCharAt(k, 'Y'); yFound = true }
+      k += 1
+    }
+    var w = sb.toString
+    var p1 = 0; var p2 = 0
+    def measure(): Unit = { val m = kpMeasure(w); p1 = m._1; p2 = m._2 }
+    measure()
+
+    // position-based conditions (pos = suffix start in the current w)
+    def R1(pos: Int) = pos >= p1
+    def R2(pos: Int) = pos >= p2
+    def isIj(pos: Int) = pos >= 2 && w.charAt(pos - 2) == 'i' && w.charAt(pos - 1) == 'j'
+    def V(pos: Int) = pos >= 1 && (kpVowel(w.charAt(pos - 1)) || isIj(pos))
+    def VX(pos: Int) = pos >= 2 && (kpVowel(w.charAt(pos - 2)) ||
+      (pos >= 3 && w.charAt(pos - 3) == 'i' && w.charAt(pos - 2) == 'j'))
+    def C(pos: Int) = pos >= 1 && !isIj(pos) && !kpVowel(w.charAt(pos - 1))
+    def drop(n: Int): String = w.substring(0, w.length - n)
+
+    def step1(): Boolean = locate(w, Seq("'s", "s", "ies", "es", "aus", "en", "nde")) match {
+      case Some("'s") => w = drop(2); true
+      case Some("ies") if R1(w.length - 3) => w = drop(3) + "ie"; true
+      case Some("aus") if R1(w.length - 3) && V(w.length - 3) => w = drop(3) + "au"; true
+      case Some("es") =>
+        val p = w.length - 2
+        if (w.endsWith("ares") && R1(p - 2) && C(p - 2)) { w = kpLengthenV(drop(4)); true }
+        else if (w.endsWith("eres") && R1(p - 2) && C(p - 2)) { w = drop(4); true }
+        else if (R1(p) && C(p)) { w = drop(2) + "e"; true }
+        else false
+      case Some("s") =>
+        val p = w.length - 1
+        if (R1(p) && !(p >= 1 && w.charAt(p - 1) == 't' && R1(p - 1)) && C(p)) { w = drop(1); true }
+        else false
+      case Some("en") =>
+        val p = w.length - 2
+        if (w.endsWith("heden") && R1(p - 3)) { w = drop(5) + "heid"; true }
+        else if (w.endsWith("nden")) { w = drop(2); true }
+        else if (w.endsWith("den") && R1(p - 1) && C(p - 1)) { w = drop(3); true }
+        else if ((w.endsWith("ien") || w.endsWith("jen")) && V(p - 1)) { w = drop(2); true }
+        else if (R1(p) && C(p)) { w = kpLengthenV(drop(2)); true }
+        else false
+      case Some("nde") => w = drop(3) + "nd"; true
+      case _ => false
+    }
+
+    def step2(): Boolean = locate(w, Seq("je", "de", "ge", "ische", "lijke",
+        "le", "ene", "re", "se", "te", "ieve")) match {
+      case Some("je") =>
+        val p = w.length - 2
+        if (w.endsWith("'tje")) { w = drop(4); true }
+        else if (w.endsWith("etje") && R1(p - 2) && C(p - 2)) { w = drop(4); true }
+        else if (w.endsWith("rntje")) { w = drop(5) + "rn"; true }
+        else if (w.endsWith("tje") && R1(p - 1) && VX(p - 1)) { w = drop(3); true }
+        else if (w.endsWith("inkje")) { w = drop(5) + "ing"; true }
+        else if (w.endsWith("mpje")) { w = drop(4) + "m"; true }
+        else if (w.endsWith("'je") && R1(p - 1)) { w = drop(3); true }
+        else if (R1(p) && C(p)) { w = drop(2); true }
+        else false
+      case Some("de") if R1(w.length - 2) && C(w.length - 2) => w = drop(2); true
+      case Some("ge") if R1(w.length - 2) => w = drop(2) + "g"; true
+      case Some("lijke") if R1(w.length - 5) => w = drop(5) + "lijk"; true
+      case Some("ische") if R1(w.length - 5) => w = drop(5) + "isch"; true
+      case Some("te") if R1(w.length - 2) => w = drop(2) + "t"; true
+      case Some("se") if R1(w.length - 2) => w = drop(2) + "s"; true
+      case Some("re") if R1(w.length - 2) => w = drop(2) + "r"; true
+      case Some("le") if R1(w.length - 2) => w = kpLengthenV(drop(2) + "l"); true
+      case Some("ene") if R1(w.length - 3) && C(w.length - 3) =>
+        w = kpLengthenV(drop(3) + "en"); true
+      case Some("ieve") if R1(w.length - 4) && C(w.length - 4) => w = drop(4) + "ief"; true
+      case _ => false
+    }
+
+    def step3(): Boolean = locate(w, Seq("heid", "fie", "gie", "atie", "isme",
+        "ing", "arij", "erij", "sel", "rder", "ster", "iteit", "dst", "tst")) match {
+      case Some("atie") if R1(w.length - 4) => w = drop(4) + "eer"; true
+      case Some("iteit") if R1(w.length - 5) => w = kpLengthenV(drop(5)); true
+      case Some(s @ ("heid" | "sel" | "ster")) if R1(w.length - s.length) =>
+        w = drop(s.length); true
+      case Some("rder") => w = drop(4) + "r"; true
+      case Some(s @ ("isme" | "ing" | "erij")) if R1(w.length - s.length) =>
+        w = kpLengthenV(drop(s.length)); true
+      case Some("arij") if R1(w.length - 4) && C(w.length - 4) => w = drop(4) + "aar"; true
+      case Some("fie") if R2(w.length - 3) => w = kpLengthenV(drop(3) + "f"); true
+      case Some("gie") if R2(w.length - 3) => w = kpLengthenV(drop(3) + "g"); true
+      case Some("tst") if R1(w.length - 3) && C(w.length - 3) => w = drop(3) + "t"; true
+      case Some("dst") if R1(w.length - 3) && C(w.length - 3) => w = drop(3) + "d"; true
+      case _ => false
+    }
+
+    def step4(): Boolean = {
+      // part A runs as a try (the port collapses the or; see header note)
+      locate(w, Seq("end", "atief", "erig", "achtig", "ioneel", "baar",
+          "laar", "naar", "raar", "eriger", "achtiger", "lijker", "tant",
+          "erigst", "achtigst", "lijkst")) match {
+        case Some("ioneel") if R1(w.length - 6) => w = drop(6) + "ie"
+        case Some("atief") if R1(w.length - 5) => w = drop(5) + "eer"
+        case Some("baar") if R1(w.length - 4) => w = drop(4)
+        case Some("naar") if R1(w.length - 4) && V(w.length - 4) => w = drop(4) + "n"
+        case Some("laar") if R1(w.length - 4) && V(w.length - 4) => w = drop(4) + "l"
+        case Some("raar") if R1(w.length - 4) && V(w.length - 4) => w = drop(4) + "r"
+        case Some("tant") if R1(w.length - 4) => w = drop(4) + "teer"
+        case Some(s @ ("lijker" | "lijkst")) if R1(w.length - s.length) =>
+          w = drop(s.length) + "lijk"
+        case Some(s @ ("achtig" | "achtiger" | "achtigst")) if R1(w.length - s.length) =>
+          w = drop(s.length)
+        case Some(s @ ("end" | "erig" | "eriger" | "erigst")) if
+            R1(w.length - s.length) && C(w.length - s.length) =>
+          w = kpLengthenV(drop(s.length))
+        case _ => ()
+      }
+      // part B is what the routine's success reports
+      locate(w, Seq("ig", "iger", "igst")) match {
+        case Some(s) if R1(w.length - s.length) && C(w.length - s.length) =>
+          w = kpLengthenV(drop(s.length)); true
+        case _ => false
+      }
+    }
+
+    def step1c(): Boolean = locate(w, Seq("d", "t")) match {
+      case Some("d") if R1(w.length - 1) && C(w.length - 1) &&
+          !(w.length >= 2 && w.charAt(w.length - 2) == 'n' && R1(w.length - 2)) =>
+        w = drop(1); true
+      case Some("t") if R1(w.length - 1) && C(w.length - 1) &&
+          !(w.length >= 2 && w.charAt(w.length - 2) == 'h' && R1(w.length - 2)) =>
+        w = drop(1); true
+      case _ => false
+    }
+
+    def vowelThenCons(from: Int): Boolean = {
+      var i = from
+      while (i < w.length && !kpVowel(w.charAt(i))) i += 1
+      if (i >= w.length) return false
+      while (i < w.length && kpVowel(w.charAt(i))) i += 1
+      i < w.length
+    }
+
+    if (step1()) stemmed = true
+    if (step2()) stemmed = true
+    if (step3()) stemmed = true
+    if (step4()) stemmed = true
+
+    geRemoved = false
+    if (w.startsWith("ge") && w.length >= 5 && vowelThenCons(2)) {
+      w = w.substring(2); geRemoved = true; measure()
+    }
+    if (geRemoved) step1c()
+
+    geRemoved = false
+    val gi = w.indexOf("ge", 1)
+    if (gi >= 1 && gi + 5 <= w.length && vowelThenCons(gi + 2)) {
+      w = w.substring(0, gi) + w.substring(gi + 2); geRemoved = true; measure()
+    }
+    if (geRemoved) step1c()
+
+    locate(w, Seq("kt", "ft", "pt")) match {
+      case Some("kt") => w = drop(2) + "k"; stemmed = true
+      case Some("ft") => w = drop(2) + "f"; stemmed = true
+      case Some("pt") => w = drop(2) + "p"; stemmed = true
+      case _ => ()
+    }
+    if (stemmed || geRemoved) {
+      locate(w, Seq("bb", "cc", "dd", "ff", "gg", "hh", "jj", "kk", "ll",
+          "mm", "nn", "pp", "qq", "rr", "ss", "tt", "vv", "ww", "xx", "zz",
+          "v", "z")) match {
+        case Some(s) if s.length == 2 => w = drop(1)
+        case Some("v") => w = drop(1) + "f"
+        case Some("z") => w = drop(1) + "s"
+        case _ => ()
+      }
+    }
+
+    if (yFound) w.map(c => if (c == 'Y') 'y' else c) else w
+  }
 }

@@ -97,11 +97,68 @@ class SnowballStemmers3Spec extends AnyFunSuite {
     assert(frenchStem("finissait") == "fin")           // i-verb issait after non-vowel
   }
 
+  test("Snowball Porter (1980): all steps") {
+    assert(snowballPorter("caresses") == "caress")   // 1a sses -> ss
+    assert(snowballPorter("ponies") == "poni")       // 1a ies -> i
+    assert(snowballPorter("cats") == "cat")          // 1a s
+    assert(snowballPorter("feed") == "feed")         // 1b eed outside R1
+    assert(snowballPorter("agreed") == "agre")       // 1b eed in R1, 5a drops e
+    assert(snowballPorter("bled") == "bled")         // 1b ed without prior vowel
+    assert(snowballPorter("conflated") == "conflat") // 1b at -> ate, 5a drops e
+    assert(snowballPorter("troubling") == "troubl")  // 1b bl -> ble, 5a drops e
+    assert(snowballPorter("hopping") == "hop")       // 1b undouble pp
+    assert(snowballPorter("filing") == "file")       // 1b atmark-p1 + shortv adds e
+    assert(snowballPorter("falling") == "fall")      // ll never undoubles in 1b
+    assert(snowballPorter("sized") == "size")        // 5a keeps e after shortv stem
+    assert(snowballPorter("happy") == "happi")       // 1c y after consonant
+    assert(snowballPorter("sky") == "sky")           // 1c needs an earlier vowel
+    assert(snowballPorter("relational") == "relat")  // 2 ational->ate, 5a e
+    assert(snowballPorter("electriciti") == "electr") // 3 iciti->ic, 4 ic
+    assert(snowballPorter("feudalism") == "feudal")  // 2 alism->al, 4 al outside R2
+    assert(snowballPorter("adoption") == "adopt")    // 4 ion after t in R2
+    assert(snowballPorter("controlling") == "control") // 1b ing, 5b ll
+    assert(snowballPorter("operator") == "oper")     // 2 ator->ate, 4 ate
+  }
+
+  test("Snowball Lovins: endings with retry, undouble, recode") {
+    assert(lovinsStem("nationally") == "nat")   // ationally fails B, ionally passes A
+    assert(lovinsStem("sitting") == "sit")      // ing (N), undouble tt
+    assert(lovinsStem("believes") == "belief")  // es (E), recode iev -> ief
+    assert(lovinsStem("analyzed") == "analys")  // ed (E), recode yz -> ys
+    assert(lovinsStem("matrix") == "matric")    // recode ix -> ic
+    assert(lovinsStem("induction") == "induc")  // ion (Q), recode uct -> uc
+    assert(lovinsStem("assumption") == "assum") // ion (Q), recode umpt -> um
+  }
+
+  test("Snowball Kp: suffix steps, lengthening, ge-removal, normalize") {
+    assert(kpStem("lopen") == "loop")        // en, o lengthens
+    assert(kpStem("spelen") == "speel")      // en, e lengthens
+    assert(kpStem("legen") == "leeg")        // en, e lengthens at word head
+    assert(kpStem("wandelingen") == "wandel") // en then ing; e-lengthen vetoed
+    assert(kpStem("maten") == "maat")        // en, a lengthens
+    assert(kpStem("huizen") == "huis")       // en, then final z -> s
+    assert(kpStem("geven") == "geef")        // en, e lengthens, v -> f
+    assert(kpStem("gelukkig") == "luk")      // ig, ge- prefix, kk undoubles
+    assert(kpStem("boompje") == "boom")      // diminutive mpje -> m
+    assert(kpStem("koninkje") == "koon")     // inkje -> ing, then step-3 ing
+    assert(kpStem("koning") == "koon")       // same stem as its diminutive
+    assert(kpStem("fotografie") == "fotograaf") // fie -> f attach + lengthen
+  }
+
   test("German chains registered") {
     val de = Analyzers.byName("german_snowball").tokenize("die Häuser und Bücher").map(_.term).toList
     assert(de == List("haus", "buch")) // die/und stopped
     val de2 = Analyzers.byName("german2_snowball").tokenize("die Haeuser").map(_.term).toList
     assert(de2 == List("haus"))
+  }
+
+  test("Porter, Lovins and Kp snowball chains registered") {
+    val po = Analyzers.byName("porter_snowball").tokenize("the hopping troubling").map(_.term).toList
+    assert(po == List("hop", "troubl"))
+    val lo = Analyzers.byName("lovins_snowball").tokenize("the believes nationally").map(_.term).toList
+    assert(lo == List("belief", "nat"))
+    val kp = Analyzers.byName("kp_snowball").tokenize("de lopen en huizen").map(_.term).toList
+    assert(kp == List("loop", "huis")) // de/en stopped
   }
 
   test("Portuguese and French snowball chains registered") {
