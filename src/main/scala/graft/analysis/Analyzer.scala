@@ -354,4 +354,32 @@ object Analyzers {
     case "hyph_compound" => HyphCompoundFixtureAnalyzer // Liang hyphenation decompounding
     case other => throw new IllegalArgumentException(s"unknown analyzer: $other")
   }
+
+  /** The contrib SnowballAnalyzer's reflection dispatch: program NAME ->
+    * chain (contrib/Snowball/Lucene.Net.Snowball/SnowballAnalyzer.cs
+    * instantiates `SF.Snowball.Ext.{name}Stemmer` by reflection). Every
+    * generated program the reference ships resolves here; names are the
+    * exact .cs class prefixes. */
+  def snowball(program: String): Analyzer = program match {
+    case "Danish" => DanishAnalyzer
+    case "Dutch" => DutchAnalyzer
+    case "English" => EnglishSnowballAnalyzer // Porter2
+    case "Finnish" => FinnishAnalyzer
+    case "French" => FrenchSnowballAnalyzer
+    case "German" => GermanSnowballAnalyzer
+    case "German2" => German2SnowballAnalyzer
+    case "Hungarian" => HungarianAnalyzer
+    case "Italian" => ItalianSnowballAnalyzer
+    case "Kp" => KpSnowballAnalyzer
+    case "Lovins" => LovinsSnowballAnalyzer
+    case "Norwegian" => NorwegianAnalyzer
+    case "Porter" => PorterSnowballAnalyzer
+    case "Portuguese" => PortugueseSnowballAnalyzer
+    case "Romanian" => RomanianAnalyzer
+    case "Russian" => RussianAnalyzer
+    case "Spanish" => SpanishSnowballAnalyzer
+    case "Swedish" => SwedishAnalyzer
+    case "Turkish" => TurkishAnalyzer
+    case other => throw new IllegalArgumentException(s"unknown Snowball program: $other")
+  }
 }

@@ -152,6 +152,19 @@ class SnowballStemmers3Spec extends AnyFunSuite {
     assert(de2 == List("haus"))
   }
 
+  test("SnowballAnalyzer program-name dispatch resolves all 19 programs") {
+    val programs = Seq("Danish", "Dutch", "English", "Finnish", "French",
+      "German", "German2", "Hungarian", "Italian", "Kp", "Lovins",
+      "Norwegian", "Porter", "Portuguese", "Romanian", "Russian",
+      "Spanish", "Swedish", "Turkish")
+    programs.foreach { p =>
+      assert(Analyzers.snowball(p).tokenize("wasser bücher").nonEmpty, p)
+    }
+    assert(Analyzers.snowball("French").tokenize("heureuse").map(_.term).toList == List("heureux"))
+    assert(Analyzers.snowball("Kp").tokenize("lopen").map(_.term).toList == List("loop"))
+    assertThrows[IllegalArgumentException](Analyzers.snowball("Klingon"))
+  }
+
   test("Porter, Lovins and Kp snowball chains registered") {
     val po = Analyzers.byName("porter_snowball").tokenize("the hopping troubling").map(_.term).toList
     assert(po == List("hop", "troubl"))
