@@ -112,6 +112,9 @@ object Queries {
         .orderBy("doc_id")
     }),
     "q_term_topk" -> ((s, dir) => ranked(searcher(s, dir).search(TermQ("data"), 10))),
+    // IndexSplitter analog: the re-sharded (1 -> 3 segment) copy must score
+    // identically to the source index, so it shares q_term_topk's oracle
+    "q_split_topk" -> ((s, dir) => ranked(IndexCache.splitSearcher(s, dir).search(TermQ("data"), 10))),
 
     // --- boolean algebra (BooleanQuery/ConjunctionScorer/DisjunctionSumScorer/ReqExclScorer)
     "q_bool_and" -> ((s, dir) => idsOf(searcher(s, dir),
@@ -1291,6 +1294,11 @@ object Queries {
       s"""$P SELECT doc_id, tf FROM tf WHERE term = 'data' ORDER BY doc_id""",
 
     "q_term_topk" ->
+      s"""$P, ${scoreCte("a", "data")}
+         |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
+         |FROM scores_a ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_split_topk" ->
       s"""$P, ${scoreCte("a", "data")}
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
          |FROM scores_a ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,

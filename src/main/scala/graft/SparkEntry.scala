@@ -75,6 +75,18 @@ object IndexCache {
   })
   private val tcache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Re-sharded copy of the main gate index (MergeJob.splitIndex, 1 -> 3
+    * segments — the IndexSplitter analog): query results must be identical
+    * to the source index, so its gate shares q_term_topk's oracle. */
+  def splitSearcher(spark: SparkSession, sfDir: String): Searcher = splitCache.getOrElseUpdate(sfDir, {
+    searcher(spark, sfDir) // ensure the source index is built
+    val dst = indexPath(sfDir) + "_split3"
+    if (IndexBuilder.completedSegments(spark, dst).isEmpty)
+      graft.merge.MergeJob.splitIndex(spark, indexPath(sfDir), dst, 3)
+    new Searcher(spark, dst, mode = ExactDouble)
+  })
+  private val splitCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** LM-Dirichlet (mu=2000) reader over the main gate index
     * (Search/Similarities/LMDirichletSimilarity.cs), ExactDouble for the
     * oracle. */

@@ -445,7 +445,7 @@ object IndexBuilder {
     } catch { case _: Exception => Set.empty }
   }
 
-  private def writeConfig(spark: SparkSession, indexPath: String, cfg: BuildConfig): Unit = {
+  private[graft] def writeConfig(spark: SparkSession, indexPath: String, cfg: BuildConfig): Unit = {
     // the config round-trip packs extraFields as `f:a,f2:a2` — reject names
     // that would corrupt it on readback (and brick every later readConfig)
     (cfg.fieldList :+ (cfg.analyzerName -> cfg.analyzerName)).foreach { case (f, a) =>

@@ -791,4 +791,208 @@ object MergeJob {
     }
     merges
   }
+
+  /** IndexSplitter / MultiPassIndexSplitter analog
+    * (/root/reference/src/Lucene.Net.Misc/Index/IndexSplitter.cs,
+    * MultiPassIndexSplitter.cs), Spark-native and RE-ANALYSIS-FREE:
+    * re-shard a committed index into `parts` segments at `dstPath` — the
+    * resharding-for-parallelism maintenance op of a large deployment.
+    *
+    * Docs route by the builder's own hash
+    * (ScalarExpressions.segmentOf(url, parts)) and docIds are assigned in
+    * the builder's per-segment (sortKey, url) order, so the OUTPUT is
+    * content-identical to a fresh numSegments=parts build of the same live
+    * corpus — but produced by decoding + re-encoding the existing postings
+    * (one explode -> permutation join -> salted (seg, field, term) shuffle
+    * with bounded piece rows, the distributed-merge machinery) instead of
+    * re-running tokenization, the expensive stage at 100 TB. Deletes are
+    * APPLIED: the split output starts tombstone-free. Term vectors and
+    * term blooms regenerate when the source carries them. Single-writer
+    * discipline, like merges. Returns the live doc count.
+    */
+  def splitIndex(spark: SparkSession, srcPath: String, dstPath: String,
+                 parts: Int,
+                 pieceEntries: Int = SortedMergePieceEntries): Long = {
+    import spark.implicits._
+    require(parts >= 1, s"parts must be >= 1 (got $parts)")
+    val t0 = System.nanoTime()
+    val cfg = IndexBuilder.readConfig(spark, srcPath)
+    val newCfg = cfg.copy(numSegments = parts)
+    IndexBuilder.writeConfig(spark, dstPath, newCfg)
+    val sorted = cfg.indexSort.isDefined
+    val staging = s"$dstPath/.staging/split"
+
+    val liveSrc = spark.read.parquet(IndexBuilder.statsPath(spark, srcPath))
+      .select("segmentId").distinct().as[Int].collect().toSet
+    val docsSrc = spark.read.parquet(IndexBuilder.docsPath(srcPath))
+      .filter(col("segmentId").isInCollection(liveSrc))
+    val liveDocs = docsSrc
+      .join(graft.build.Deletes.deletedDf(spark, srcPath),
+        Seq("segmentId", "docId"), "left_anti")
+    val sortKeyCol =
+      if (sorted) col("sortKey") else lit(0d).as("sortKey")
+    val routed = liveDocs.withColumn("newSeg",
+      graft.functions.ScalarExpressions.segmentOf(col("url"), parts))
+
+    // permutation table: a GLOBAL contiguous rank in (newSeg, sortKey, url)
+    // minus each segment's offset — per-segment builder docId order with no
+    // per-segment window funnel (offsets are `parts` driver-side longs)
+    val ranked = graft.Ranks.appendRank(
+      routed.select(col("segmentId"), col("docId"), col("newSeg"),
+        sortKeyCol, col("url")),
+      "rank", Seq(col("newSeg").asc, col("sortKey").asc, col("url").asc))
+    val counts = routed.groupBy("newSeg").count()
+      .as[(Int, Long)].collect().sortBy(_._1)
+    val segOff: Map[Int, Long] = {
+      var acc = 0L
+      counts.map { case (s, n) => val o = s -> acc; acc += n; o }.toMap
+    }
+    val offDf = broadcast(spark.createDataset(segOff.toSeq).toDF("newSeg", "segOff"))
+    ranked.join(offDf, "newSeg")
+      .withColumn("newId", (col("rank") - 1 - col("segOff")).cast("int"))
+      .select("segmentId", "docId", "newSeg", "newId")
+      .write.mode(SaveMode.Overwrite).parquet(s"$staging/perm")
+    val permDf = spark.read.parquet(s"$staging/perm")
+
+    // doc store: join-rebase into the new shards
+    val docCols = Seq(col("newSeg").as("segmentId"), col("newId").as("docId"),
+      col("url"), col("fieldLen"), col("normByte")) ++
+      (if (sorted) Seq(col("sortKey")) else Nil)
+    liveDocs.join(permDf, Seq("segmentId", "docId"))
+      .select(docCols: _*)
+      .write.mode(SaveMode.Overwrite)
+      .partitionBy("segmentId").parquet(IndexBuilder.docsPath(dstPath))
+
+    // term vectors ride along when present
+    if (graft.build.TermVectors.enabled(spark, srcPath)) {
+      spark.read.parquet(graft.build.TermVectors.vectorsPath(srcPath))
+        .filter(col("segmentId").isInCollection(liveSrc))
+        .join(permDf, Seq("segmentId", "docId"))
+        .select(col("newSeg").as("segmentId"), col("newId").as("docId"),
+          col("field"), col("term"), col("tf"), col("positions"),
+          col("starts"), col("ends"))
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("segmentId").parquet(graft.build.TermVectors.vectorsPath(dstPath))
+    }
+
+    // postings: explode to per-(term, doc) entries, route through the
+    // permutation (deleted docs fall out of the inner join), regroup per
+    // (newSeg, field, term) in newId order with the salt-bucket discipline
+    // of the distributed sorted merge, stream-encode bounded pieces
+    val entries = spark.read.parquet(IndexBuilder.postingsPath(srcPath))
+      .filter(col("segmentId").isInCollection(liveSrc))
+      .transform(IndexBuilder.withPayloadsCol)
+      .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs",
+        "positions", "lens", "skips", "payloads", "offsets")
+      .as[PostingRow]
+      .flatMap { p =>
+        val d = PostingsCodec.decode(p.df, p.docDeltas, p.tfs, p.positions, p.lens)
+        val pays = payloadSlices(d.tfs, d.posStart, p.payloads)
+        val offs = if (p.offsets == null) null
+          else PostingsCodec.decodeOffsets(d.tfs, p.offsets)
+        Iterator.tabulate(d.docIds.length) { i =>
+          val ps = java.util.Arrays.copyOfRange(d.posFlat, d.posStart(i), d.posStart(i + 1))
+          val pl = if (pays == null) null
+            else frameEntryPayload(pays, d.posStart(i), d.posStart(i + 1))
+          val of = if (offs == null) null
+            else flatOffsets(offs._1, offs._2, d.posStart(i), d.posStart(i + 1))
+          SortedEntryRow(p.field, p.term, p.segmentId, d.docIds(i), d.tfs(i),
+            ps, d.lens(i), pl, of)
+        }
+      }
+    val shardRows: Dataset[PostingRow] = entries.toDF()
+      .join(permDf, Seq("segmentId", "docId"))
+      .select(col("newSeg"), col("field"), col("term"), col("newId"),
+        col("tf"), col("positions"), col("fieldLen"), col("payload"), col("offsets"))
+      .withColumn("salt", (col("newId").cast("long") / pieceEntries).cast("int"))
+      .repartition(col("newSeg"), col("field"), col("term"), col("salt"))
+      .sortWithinPartitions(col("newSeg"), col("field"), col("term"), col("newId"))
+      .select(col("newSeg"), col("field"), col("term"), col("newId"),
+        col("tf"), col("positions"), col("fieldLen"), col("payload"), col("offsets"))
+      .as[(Int, String, String, Int, Int, Array[Int], Int, Array[Byte], Array[Int])]
+      .mapPartitions { rows =>
+        val it = rows.buffered
+        new Iterator[PostingRow] {
+          private var nextRow: PostingRow = null
+          private def advance(): Unit = {
+            if (nextRow != null || !it.hasNext) return
+            val seg = it.head._1
+            val field = it.head._2
+            val term = it.head._3
+            val salt = it.head._4 / pieceEntries
+            val enc = new PostingsCodec.Encoder
+            var n = 0
+            while (n < pieceEntries && it.hasNext && it.head._1 == seg &&
+              it.head._2 == field && it.head._3 == term &&
+              it.head._4 / pieceEntries == salt) {
+              val e = it.next()
+              enc.add(e._4, e._5, e._6, e._7, unframeEntryPayload(e._5, e._8), e._9)
+              n += 1
+            }
+            val enc2 = enc.finish()
+            nextRow = PostingRow(seg, field, term, enc2.df, enc2.ttf,
+              enc2.docDeltas, enc2.tfs, enc2.positions, enc2.lens,
+              enc2.skips.map(s => SkipRow(s.lastDoc, s.docOff, s.tfOff,
+                s.posOff, s.cumDocs, s.maxTf, s.minLen)),
+              enc2.payloads, enc2.offsets)
+          }
+          override def hasNext: Boolean = { advance(); nextRow != null }
+          override def next(): PostingRow = {
+            advance(); val r = nextRow; nextRow = null; r
+          }
+        }
+      }
+    shardRows.toDF().write.mode(SaveMode.Overwrite)
+      .partitionBy("segmentId").parquet(IndexBuilder.postingsPath(dstPath))
+
+    // term blooms regenerate when the source used them
+    if (cfg.bloomFilter) {
+      spark.read.parquet(IndexBuilder.postingsPath(dstPath))
+        .select(col("segmentId").cast("int").as("segmentId"), col("field"), col("term"))
+        .as[(Int, String, String)]
+        .groupByKey(r => (r._1, r._2))
+        .mapGroups { (key: (Int, String), rs: Iterator[(Int, String, String)]) =>
+          val (mask, bits) = graft.codec.TermBloom.build(
+            rs.map(r => graft.codec.TermBloom.hash(r._3)))
+          graft.codec.BloomRow(key._1, key._2, mask, bits)
+        }
+        .write.mode(SaveMode.Overwrite).parquet(IndexBuilder.bloomsPath(dstPath))
+    }
+
+    // stats (generation 0 of the fresh index) + manifest, builder formula
+    val fieldNames = IndexBuilder.DefaultField +: cfg.extraFields.map(_._1)
+    val segDocs = spark.read.parquet(IndexBuilder.docsPath(dstPath))
+      .groupBy(col("segmentId"))
+      .agg(count(lit(1)).as("maxDoc"), sum(col("fieldLen")).as("defaultSttf"))
+    val segFieldTerms = spark.read.parquet(IndexBuilder.postingsPath(dstPath))
+      .groupBy(col("segmentId"), col("field"))
+      .agg(count(lit(1)).as("sumDocFreq"), sum(col("ttf")).as("postSttf"))
+    val stats = segDocs.crossJoin(fieldNames.toDF("field"))
+      .join(segFieldTerms, Seq("segmentId", "field"), "left")
+      .select(col("segmentId").cast("int").as("segmentId"), col("field"),
+        col("maxDoc").cast("long").as("maxDoc"),
+        when(col("field") === IndexBuilder.DefaultField, col("defaultSttf"))
+          .otherwise(coalesce(col("postSttf"), lit(0L)))
+          .cast("long").as("sumTotalTermFreq"),
+        coalesce(col("sumDocFreq"), lit(0L)).cast("long").as("sumDocFreq"))
+      .as[SegmentStats].collect()
+    spark.createDataset(stats.toSeq).write.mode(SaveMode.Overwrite)
+      .parquet(s"$dstPath/stats")
+    val numDocs = stats.filter(_.field == IndexBuilder.DefaultField).map(_.maxDoc).sum
+    val elapsed = (System.nanoTime() - t0) / 1e9
+    val now = System.currentTimeMillis()
+    val manifest = (0 until parts).map { seg =>
+      val st = stats.find(s => s.segmentId == seg && s.field == IndexBuilder.DefaultField)
+      graft.model.ManifestRow(seg, "done", st.map(_.maxDoc).getOrElse(0L),
+        st.map(_.sumDocFreq).getOrElse(0L), numDocs / math.max(elapsed, 1e-9),
+        1, now - (elapsed * 1000).toLong, now)
+    }
+    spark.createDataset(manifest).write.mode(SaveMode.Overwrite)
+      .parquet(IndexBuilder.manifestPath(dstPath))
+    graft.build.DictTable.write(spark, dstPath)
+
+    val fs = new Path(dstPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new Path(staging), true)
+    numDocs
+  }
 }
