@@ -76,6 +76,13 @@ object Bench {
       })
     }
 
+    // 1c. re-shard (IndexSplitter analog): 8 -> 16 segments with no
+    // re-analysis — the postings decode/re-encode maintenance path
+    results("index_split") = median((1 to trials).map { _ =>
+      val splitPath = java.nio.file.Files.createTempDirectory("graftbenchsplit").toString
+      time { graft.merge.MergeJob.splitIndex(spark, idxPath, splitPath, 16) }
+    })
+
     val lucene = new Searcher(spark, idxPath) // LuceneFloat serving mode
     // warm the stats caches outside the timed region (Lucene's IndexReader
     // open is likewise amortized outside per-query latency)
