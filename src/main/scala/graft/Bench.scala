@@ -51,8 +51,15 @@ object Bench {
     // `trials` full builds, each into a FRESH directory (setup excluded)
     val pages = IndexCache.pagesFromDocuments(spark, sfDir)
     val nDocs = pages.count()
+    // per-trial dirs are deleted as soon as a trial's wall is taken — at
+    // trials=9 the leaked indexes of repeated runs otherwise fill /tmp
+    def rmdir(path: String): Unit =
+      new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .delete(new org.apache.hadoop.fs.Path(path), true)
     var idxPath: String = null
     results("index_build") = median((1 to trials).map { _ =>
+      if (idxPath != null) rmdir(idxPath) // keep only the last (serving below)
       idxPath = java.nio.file.Files.createTempDirectory("graftbench").toString
       time {
         IndexBuilder.build(spark, pages, idxPath,
@@ -69,10 +76,12 @@ object Bench {
           lit("</p><script>var x=1;</script></body></html>")))
       results("index_build_html") = Bench.median((1 to trials).map { _ =>
         val htmlIdxPath = java.nio.file.Files.createTempDirectory("graftbenchhtml").toString
-        time {
+        val w = time {
           IndexBuilder.build(spark, htmlPages, htmlIdxPath,
             IndexBuilder.BuildConfig(numSegments = 8, analyzerName = "html_strip", groupSize = 8))
         }
+        rmdir(htmlIdxPath)
+        w
       })
     }
 
@@ -80,7 +89,9 @@ object Bench {
     // re-analysis — the postings decode/re-encode maintenance path
     results("index_split") = median((1 to trials).map { _ =>
       val splitPath = java.nio.file.Files.createTempDirectory("graftbenchsplit").toString
-      time { graft.merge.MergeJob.splitIndex(spark, idxPath, splitPath, 16) }
+      val w = time { graft.merge.MergeJob.splitIndex(spark, idxPath, splitPath, 16) }
+      rmdir(splitPath)
+      w
     })
 
     val lucene = new Searcher(spark, idxPath) // LuceneFloat serving mode

@@ -44,6 +44,11 @@ object BenchScale {
     IndexBuilder.build(spark, pages, idx,
       IndexBuilder.BuildConfig(numSegments = 64, analyzerName = "standard", groupSize = 64))
     val sec = (System.nanoTime() - t0) / 1e9
+    // delete the trial index before the next run — ~20 such builds per
+    // invocation otherwise fill /tmp
+    new org.apache.hadoop.fs.Path(idx)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(new org.apache.hadoop.fs.Path(idx), true)
     spark.stop()
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()

@@ -115,6 +115,9 @@ object Queries {
     // IndexSplitter analog: the re-sharded (1 -> 3 segment) copy must score
     // identically to the source index, so it shares q_term_topk's oracle
     "q_split_topk" -> ((s, dir) => ranked(IndexCache.splitSearcher(s, dir).search(TermQ("data"), 10))),
+    // PKIndexSplitter analog: the even-doc_id partition serves exactly the
+    // even-id matches
+    "q_split_pk" -> ((s, dir) => idsOf(IndexCache.pkSearcher(s, dir), TermQ("data"))),
 
     // --- boolean algebra (BooleanQuery/ConjunctionScorer/DisjunctionSumScorer/ReqExclScorer)
     "q_bool_and" -> ((s, dir) => idsOf(searcher(s, dir),
@@ -1302,6 +1305,10 @@ object Queries {
       s"""$P, ${scoreCte("a", "data")}
          |SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id) AS INT) AS rank
          |FROM scores_a ORDER BY s DESC, doc_id LIMIT 10""".stripMargin,
+
+    "q_split_pk" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf
+         |WHERE term = 'data' AND doc_id % 2 = 0 ORDER BY doc_id""".stripMargin,
 
     "q_bool_and" ->
       s"""$P SELECT DISTINCT a.doc_id FROM tf a JOIN tf b USING (doc_id)

@@ -87,6 +87,21 @@ object IndexCache {
   })
   private val splitCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** Even-doc_id half of a PK-partitioned copy of the main gate index
+    * (MergeJob.partitionIndex — the PKIndexSplitter analog): membership is
+    * the oracle-checkable contract (ids only; each half carries its own
+    * collection stats, as in the reference). */
+  def pkSearcher(spark: SparkSession, sfDir: String): Searcher = pkCache.getOrElseUpdate(sfDir, {
+    searcher(spark, sfDir) // ensure the source index is built
+    val a = indexPath(sfDir) + "_pk_even"
+    val b = indexPath(sfDir) + "_pk_odd"
+    if (IndexBuilder.completedSegments(spark, a).isEmpty)
+      graft.merge.MergeJob.partitionIndex(spark, indexPath(sfDir), a, b,
+        expr("cast(substring(url, 4) as bigint) % 2 = 0"))
+    new Searcher(spark, a, mode = ExactDouble)
+  })
+  private val pkCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** LM-Dirichlet (mu=2000) reader over the main gate index
     * (Search/Similarities/LMDirichletSimilarity.cs), ExactDouble for the
     * oracle. */

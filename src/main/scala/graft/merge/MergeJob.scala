@@ -812,7 +812,12 @@ object MergeJob {
     */
   def splitIndex(spark: SparkSession, srcPath: String, dstPath: String,
                  parts: Int,
-                 pieceEntries: Int = SortedMergePieceEntries): Long = {
+                 pieceEntries: Int = SortedMergePieceEntries,
+                 /** Doc-store predicate restricting which live docs reach
+                   * the output — the PKIndexSplitter seam (see
+                   * [[partitionIndex]]); columns of the docs table
+                   * (url, fieldLen, ...) are in scope. */
+                 docFilter: org.apache.spark.sql.Column = lit(true)): Long = {
     import spark.implicits._
     require(parts >= 1, s"parts must be >= 1 (got $parts)")
     val t0 = System.nanoTime()
@@ -829,6 +834,7 @@ object MergeJob {
     val liveDocs = docsSrc
       .join(graft.build.Deletes.deletedDf(spark, srcPath),
         Seq("segmentId", "docId"), "left_anti")
+      .filter(docFilter)
     val sortKeyCol =
       if (sorted) col("sortKey") else lit(0d).as("sortKey")
     val routed = liveDocs.withColumn("newSeg",
@@ -994,5 +1000,22 @@ object MergeJob {
     val fs = new Path(dstPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new Path(staging), true)
     numDocs
+  }
+
+  /** PKIndexSplitter analog
+    * (/root/reference/src/Lucene.Net.Misc/Index/PKIndexSplitter.cs:30-43 —
+    * split one index into two by a primary-key predicate, docs passing the
+    * filter in the first output): two [[splitIndex]] passes with the
+    * predicate and its complement. Both outputs are complete standalone
+    * indexes (own stats/dict/config); deletes resolve before the partition
+    * so neither side resurrects a deleted doc. Returns (docsA, docsB).
+    */
+  def partitionIndex(spark: SparkSession, srcPath: String,
+                     dstA: String, dstB: String,
+                     urlPredicate: org.apache.spark.sql.Column,
+                     partsA: Int = 1, partsB: Int = 1): (Long, Long) = {
+    val a = splitIndex(spark, srcPath, dstA, partsA, docFilter = urlPredicate)
+    val b = splitIndex(spark, srcPath, dstB, partsB, docFilter = !urlPredicate)
+    (a, b)
   }
 }

@@ -80,6 +80,32 @@ class SplitIndexSpec extends AnyFunSuite {
     assert(resultSet(s, bool, 15) == resultSet(r, bool, 15))
   }
 
+  test("partitionIndex: PK predicate split is exhaustive, exclusive and searchable") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val base = env._1
+    val mid = PagesGen.local(N).map(_._1).sorted.apply(N / 2)
+    val (a, b) = MergeJob.partitionIndex(spark, s"$base/src",
+      s"$base/pkA", s"$base/pkB", col("url") < mid)
+    assert(a + b == N - Dropped)
+    val urlsA = spark.read.parquet(IndexBuilder.docsPath(s"$base/pkA"))
+      .select("url").as[String].collect().toSet
+    val urlsB = spark.read.parquet(IndexBuilder.docsPath(s"$base/pkB"))
+      .select("url").as[String].collect().toSet
+    assert(urlsA.forall(_ < mid) && urlsB.forall(_ >= mid))
+    assert((urlsA & urlsB).isEmpty)
+    // match SETS union to the source (scores legitimately differ: each
+    // partition carries its own collection stats, as in the reference)
+    val q = TermQ(PagesGen.word(5))
+    def matchUrls(path: String): Set[String] = {
+      val s = new Searcher(spark, path)
+      s.search(q, N).collect().map(_.getString(0)).toSet
+    }
+    val src = new Searcher(spark, s"$base/src")
+    val srcUrls = src.search(q, N).collect().map(_.getString(0)).toSet
+    assert((matchUrls(s"$base/pkA") ++ matchUrls(s"$base/pkB")) == srcUrls)
+  }
+
   test("deleted urls are gone from the split output") {
     import spark.implicits._
     val urls = spark.read.parquet(IndexBuilder.docsPath(s"${env._1}/dst"))
