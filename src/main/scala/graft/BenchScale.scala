@@ -52,6 +52,11 @@ object BenchScale {
     spark.stop()
     org.apache.spark.sql.SparkSession.clearActiveSession()
     org.apache.spark.sql.SparkSession.clearDefaultSession()
+    // flush dirty pages OUTSIDE the timed region: without this a trial's
+    // writeback bleeds into the NEXT trial's wall (observed as bimodal
+    // local[8] walls, 35 s then 45 s, in same-config back-to-back runs)
+    try { new ProcessBuilder("sync").inheritIO().start().waitFor() }
+    catch { case _: Exception => () }
     (sec, n / sec)
   }
 
