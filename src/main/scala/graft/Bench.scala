@@ -132,6 +132,11 @@ object Bench {
       results("q_wand_warm") = timeMedian(trials) {
         session.wandOrTopK(f, List("vector", "stream", "data"), 10)
       }
+      session.warmFull(Seq((f, "hash"), (f, "join")))
+      session.phraseTopK(f, List("hash" -> 0, "join" -> 1), 10)
+      results("q_phrase_warm") = timeMedian(trials) {
+        session.phraseTopK(f, List("hash" -> 0, "join" -> 1), 10)
+      }
     }
     results("q_prefix") = timeMedian(trials) { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
     // scored fuzzy top-k through the pruned dictionary expansion

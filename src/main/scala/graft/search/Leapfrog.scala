@@ -330,13 +330,15 @@ object Leapfrog {
     * groupByKey — frequent-term positions dominated the shuffle (VERDICT r1
     * #2); this one shuffles compressed posting rows only.
     */
-  def phraseSlots(searcher: Searcher, spark: SparkSession, field: String,
-                  slots: List[(Set[String], Int)], boost: Float,
-                  stats: Map[(String, String), (Long, Long)], slop: Int,
-                  qn: Double = 1d): Dataset[Hit] = {
-    import spark.implicits._
+  /** Phrase weight construction shared by the cluster and warm-serving
+    * paths: present-alternative groups, slot offsets and the scorer.
+    * None when some slot has no present alternative (no match possible). */
+  def phrasePlan(searcher: Searcher, field: String,
+                 slots: List[(Set[String], Int)], boost: Float,
+                 stats: Map[(String, String), (Long, Long)], qn: Double)
+      : Option[(Array[Array[String]], Array[Int], (Double, Int) => Double)] = {
     if (slots.exists { case (ts, _) => ts.forall(t => !stats.contains((field, t))) })
-      return spark.emptyDataset[Hit] // a slot with no present alternative
+      return None // a slot with no present alternative
 
     // idf over all alternatives of all slots (IdfExplain(termStats[]));
     // per-similarity idf formula
@@ -347,32 +349,49 @@ object Leapfrog {
     val lmTtfs = Some(allTerms.map(t => stats.get((field, t)).map(_._2).getOrElse(0L)))
     val scorer = searcher.makeScorer(field, 0L, boost, qn, Some(idfSumF), Some(idfSumD),
       lmTtfs = lmTtfs, lmDfs = Some(allTerms.map(dfOf)))
-
     val groups: Array[Array[String]] = slots.map(_._1.filter(t => stats.contains((field, t))).toArray).toArray
-    val offsets = slots.map(_._2).toArray
-    val present = groups.flatten.toSet.map((t: String) => (field, t))
+    Some((groups, slots.map(_._2).toArray, scorer))
+  }
 
-    postingRows(searcher, present).mapPartitions { rows =>
-      val bySeg = rows.toArray.groupBy(_.segmentId)
-      bySeg.toSeq.sortBy(_._1).iterator.flatMap { case (seg, ps) =>
-        val cursors = groups.map(g => slotCursor(ps, g))
-        if (cursors.exists(_ == null)) Iterator.empty
-        else candidateDocs(cursors).flatMap { cand =>
-          val nSlots = cursors.length
-          val posBySlot = new Array[Array[Int]](nSlots)
-          var fieldLen = 0
-          var i = 0
-          while (i < nSlots) {
-            posBySlot(i) = cursors(i).positionsMerged()
-            fieldLen = cursors(i).len
-            i += 1
-          }
-          val freq: Double =
-            if (slop > 0) SloppyMatcher.phraseFreq(posBySlot, offsets, slop).toDouble
-            else exactPhraseFreq(posBySlot, offsets).toDouble
-          if (freq == 0d) None else Some(Hit(seg, cand, scorer(freq, fieldLen)))
-        }
+  /** One segment's phrase hits over its posting rows — the shared kernel of
+    * the distributed partition body below and ServingSession.phraseTopK
+    * (identical results by construction). */
+  def phraseSegmentHits(seg: Int, ps: Array[PostingRow], groups: Array[Array[String]],
+                        offsets: Array[Int], slop: Int,
+                        scorer: (Double, Int) => Double): Iterator[Hit] = {
+    val cursors = groups.map(g => slotCursor(ps, g))
+    if (cursors.exists(_ == null)) Iterator.empty
+    else candidateDocs(cursors).flatMap { cand =>
+      val nSlots = cursors.length
+      val posBySlot = new Array[Array[Int]](nSlots)
+      var fieldLen = 0
+      var i = 0
+      while (i < nSlots) {
+        posBySlot(i) = cursors(i).positionsMerged()
+        fieldLen = cursors(i).len
+        i += 1
       }
+      val freq: Double =
+        if (slop > 0) SloppyMatcher.phraseFreq(posBySlot, offsets, slop).toDouble
+        else exactPhraseFreq(posBySlot, offsets).toDouble
+      if (freq == 0d) None else Some(Hit(seg, cand, scorer(freq, fieldLen)))
+    }
+  }
+
+  def phraseSlots(searcher: Searcher, spark: SparkSession, field: String,
+                  slots: List[(Set[String], Int)], boost: Float,
+                  stats: Map[(String, String), (Long, Long)], slop: Int,
+                  qn: Double = 1d): Dataset[Hit] = {
+    import spark.implicits._
+    phrasePlan(searcher, field, slots, boost, stats, qn) match {
+      case None => spark.emptyDataset[Hit]
+      case Some((groups, offsets, scorer)) =>
+        val present = groups.flatten.toSet.map((t: String) => (field, t))
+        postingRows(searcher, present).mapPartitions { rows =>
+          rows.toArray.groupBy(_.segmentId).toSeq.sortBy(_._1).iterator.flatMap {
+            case (seg, ps) => phraseSegmentHits(seg, ps, groups, offsets, slop, scorer)
+          }
+        }
     }
   }
 

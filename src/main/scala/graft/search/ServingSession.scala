@@ -110,6 +110,58 @@ final class ServingSession(val searcher: Searcher,
 
   def pinnedByteSize: Long = pinnedBytes
 
+  // ---- full rows (positions included) for the warm PHRASE path ----------
+  // separate LRU under the same byte budget: position streams are larger
+  // than scoring rows, so phrase keys pin independently of term/bool keys
+  private val pinnedFull = new java.util.LinkedHashMap[(String, String), Array[graft.model.PostingRow]](16, 0.75f, true)
+  private var pinnedFullBytes = 0L
+
+  private def fullRowBytes(r: graft.model.PostingRow): Long = {
+    def len(a: Array[Byte]) = if (a == null) 0L else a.length.toLong
+    len(r.docDeltas) + len(r.tfs) + len(r.positions) + len(r.lens) +
+      len(r.payloads) + len(r.offsets) + 64L * r.skips.length + 64L
+  }
+
+  /** Pin FULL posting rows (positions included) + stats for `keys` — one
+    * Spark job for all misses; over-budget terms stay on the cluster path. */
+  def warmFull(keys: Seq[(String, String)]): Set[(String, String)] = {
+    import spark.implicits._
+    val misses = keys.distinct.filterNot(k =>
+      pinnedFull.containsKey(k) || absent.contains(k))
+    if (misses.nonEmpty) {
+      statsCache ++= searcher.fieldTermStats(misses.toSet)
+      val pred = misses.groupBy(_._1).map { case (f, ks) =>
+        col("field") === f && col("term").isInCollection(ks.map(_._2))
+      }.reduce(_ || _)
+      val fetched = searcher.postingsRaw
+        .filter(pred)
+        .transform(graft.build.IndexBuilder.withPayloadsCol)
+        .select("segmentId", "field", "term", "df", "ttf", "docDeltas", "tfs",
+          "positions", "lens", "skips", "payloads", "offsets")
+        .as[graft.model.PostingRow]
+        .collect()
+        .groupBy(r => (r.field, r.term))
+      misses.foreach { k =>
+        fetched.get(k) match {
+          case None => absent += k
+          case Some(rows) =>
+            val b = rows.map(fullRowBytes).sum
+            if (b <= maxTermBytes) {
+              pinnedFull.put(k, rows)
+              pinnedFullBytes += b
+              val it = pinnedFull.entrySet().iterator()
+              while (pinnedFullBytes > maxCacheBytes && it.hasNext) {
+                val e = it.next()
+                pinnedFullBytes -= e.getValue.map(fullRowBytes).sum
+                it.remove()
+              }
+            }
+        }
+      }
+    }
+    keys.filter(k => pinnedFull.containsKey(k)).toSet
+  }
+
   private def rowsOf(keys: Seq[(String, String)]): Array[Wand.WandRow] = {
     warm(keys)
     keys.distinct.flatMap(k => Option(pinned.get(k)).getOrElse(Array.empty[Wand.WandRow])).toArray
@@ -170,6 +222,28 @@ final class ServingSession(val searcher: Searcher,
         needed, searcher.mode == LuceneFloat, coords)
     }
     topK(hits, k)
+  }
+
+  /** Warm exact/sloppy PHRASE top-k — Leapfrog.phraseSegmentHits (the
+    * distributed partition kernel) evaluated in-session over pinned FULL
+    * posting rows; scoring identical to the cluster plan by construction.
+    * `terms` carries (term, slot offset) pairs like PhraseQ. */
+  def phraseTopK(field: String, terms: List[(String, Int)], k: Int,
+                 slop: Int = 0): Array[Hit] = {
+    val slots = terms.map { case (t, off) => (Set(t), off) }
+    val keys = terms.map(t => (field, t._1))
+    warmFull(keys)
+    val stats = keys.flatMap(k0 => statsCache.get(k0).map(k0 -> _)).toMap
+    Leapfrog.phrasePlan(searcher, field, slots, 1f, stats, 1d) match {
+      case None => Array.empty
+      case Some((groups, offsets, scorer)) =>
+        val rows = keys.distinct.flatMap(k0 =>
+          Option(pinnedFull.get(k0)).getOrElse(Array.empty[graft.model.PostingRow])).toArray
+        val hits = rows.groupBy(_.segmentId).toSeq.sortBy(_._1).iterator.flatMap {
+          case (seg, ps) => Leapfrog.phraseSegmentHits(seg, ps, groups, offsets, slop, scorer)
+        }
+        topK(hits, k)
+    }
   }
 
   /** Warm Block-Max-WAND OR top-k — Wand.wandSegment in-session with the

@@ -56,12 +56,23 @@ class ServingSessionSpec extends AnyFunSuite {
     assert(warm == dist)
   }
 
+  test("warm phrase top-k == distributed phrase (exact and sloppy)") {
+    val exact = PhraseQ(List("hash" -> 0, "join" -> 1))
+    assert(warmHits(session.phraseTopK(se.defaultField, List("hash" -> 0, "join" -> 1), 10))
+      == distributedTopK(exact, 10))
+    val sloppy = PhraseQ(List("hash" -> 0, "join" -> 1), 1f, 3)
+    assert(warmHits(session.phraseTopK(se.defaultField, List("hash" -> 0, "join" -> 1), 10, slop = 3))
+      == distributedTopK(sloppy, 10))
+  }
+
   test("warm queries run ZERO Spark jobs after the warm call") {
     session.warm(Seq((se.defaultField, "data"), (se.defaultField, "search"),
       (se.defaultField, "index")))
+    session.warmFull(Seq((se.defaultField, "hash"), (se.defaultField, "join")))
     session.termTopK(se.defaultField, "data", 10) // fill any lazy caches
     session.boolTopK(List((Occur.Must, se.defaultField, "data"),
       (Occur.Must, se.defaultField, "search")), 0, 10)
+    session.phraseTopK(se.defaultField, List("hash" -> 0, "join" -> 1), 10)
     var jobs = 0
     val listener = new org.apache.spark.scheduler.SparkListener {
       override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
@@ -72,6 +83,7 @@ class ServingSessionSpec extends AnyFunSuite {
       session.termTopK(se.defaultField, "data", 10)
       session.boolTopK(List((Occur.Must, se.defaultField, "data"),
         (Occur.Must, se.defaultField, "search")), 0, 10)
+      session.phraseTopK(se.defaultField, List("hash" -> 0, "join" -> 1), 10)
       Thread.sleep(200) // let any async job-start events land
     } finally spark.sparkContext.removeSparkListener(listener)
     assert(jobs == 0, s"warm path scheduled $jobs Spark jobs")
