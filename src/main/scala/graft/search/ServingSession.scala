@@ -111,8 +111,9 @@ final class ServingSession(val searcher: Searcher,
   def pinnedByteSize: Long = pinnedBytes
 
   // ---- full rows (positions included) for the warm PHRASE path ----------
-  // separate LRU under the same byte budget: position streams are larger
-  // than scoring rows, so phrase keys pin independently of term/bool keys
+  // separate LRU with its own budget of the same size: position streams are
+  // larger than scoring rows, so phrase keys pin and evict independently of
+  // term/bool keys instead of thrashing them
   private val pinnedFull = new java.util.LinkedHashMap[(String, String), Array[graft.model.PostingRow]](16, 0.75f, true)
   private var pinnedFullBytes = 0L
 
