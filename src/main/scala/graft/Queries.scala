@@ -753,6 +753,23 @@ object Queries {
       idsOf(se, SurroundParser.parse("4n(data, stream)", se))
     }),
 
+    // --- PrecedenceQueryParser (QueryParser/Flexible/Precedence/): AND binds
+    //     tighter than OR — (vector AND stream) OR (hash AND join), where the
+    //     classic parser would flatten to all-four-MUST
+    "q_precedence_parsed" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      idsOf(se, PrecedenceQueryParser.parse("vector AND stream OR hash AND join", se.analyzer))
+    }),
+
+    // --- ExtendableQueryParser (QueryParser/Ext/): `:pfx:que` dispatches the
+    //     registered prefix extension; `-vector` stays a classic clause
+    "q_ext_parsed" -> ((s, dir) => {
+      val se = searcher(s, dir)
+      val exts: Map[String, ExtendableQueryParser.ParserExtension] =
+        Map("pfx" -> ((_, term) => PrefixQ(term.toLowerCase)))
+      idsOf(se, ExtendableQueryParser.parse(":pfx:que -vector", se.analyzer, exts))
+    }),
+
     // --- Expressions module (Lucene.Net.Expressions/ExpressionSortField.cs
     //     + JS/JavascriptCompiler.cs): a string expression over _score and
     //     bound doc values ranks the matches — compiled through Catalyst
@@ -1957,6 +1974,22 @@ object Queries {
       s"""$P SELECT DISTINCT a.doc_id FROM toks a JOIN toks b
          |  ON a.doc_id = b.doc_id AND abs(a.pos - b.pos) <= 4
          |WHERE a.term = 'data' AND b.term = 'stream' ORDER BY 1""".stripMargin,
+
+    // precedence grammar: (vector AND stream) OR (hash AND join)
+    "q_precedence_parsed" ->
+      s"""$P SELECT DISTINCT doc_id FROM (
+         |  SELECT a.doc_id FROM tf a JOIN tf b USING (doc_id)
+         |  WHERE a.term = 'vector' AND b.term = 'stream'
+         |  UNION
+         |  SELECT a.doc_id FROM tf a JOIN tf b USING (doc_id)
+         |  WHERE a.term = 'hash' AND b.term = 'join')
+         |ORDER BY doc_id""".stripMargin,
+
+    // extension dispatch: prefix(que) minus docs containing 'vector'
+    "q_ext_parsed" ->
+      s"""$P SELECT DISTINCT doc_id FROM tf WHERE term LIKE 'que%'
+         |AND doc_id NOT IN (SELECT doc_id FROM tf WHERE term = 'vector')
+         |ORDER BY doc_id""".stripMargin,
 
     // Expressions twin: bm25 score * ln(1 + n_chars) ranks the matches
     "q_expr_sort" ->

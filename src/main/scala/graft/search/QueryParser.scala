@@ -18,7 +18,7 @@ import graft.analysis.Analyzer
   */
 object QueryParser {
 
-  private sealed trait Tok
+  private[search] sealed trait Tok
   private case object LParen extends Tok
   private case object RParen extends Tok
   private case object AndOp extends Tok
@@ -152,18 +152,51 @@ object QueryParser {
     q
   }
 
+  /** One parsed clause with its leading context: the conjunction token that
+    * joined it to the previous clause (AND/OR, if any) and an explicit
+    * occur modifier (`+`/`-`/NOT, if any). The combiner — classic flat
+    * clause list vs precedence AND-grouping — runs over this list.
+    */
+  private[search] final case class ClauseUnit(joiner: Option[Tok],
+                                              explicit: Option[Occur.Value],
+                                              q: Query)
+
   /** Parse a clause sequence up to EOF or an unmatched ')'. `ctxField` is
     * the enclosing `field:(...)` binding: it selects the analyzer for
     * unqualified words inside the group (the FieldQ wrap itself happens at
-    * the binding site).
+    * the binding site). `precedence` selects the combiner used for NESTED
+    * parenthesized groups (the outer combine happens at the caller).
     */
   private def parseGroup(toks0: List[Tok], analyzer: Analyzer,
                          perField: Map[String, Analyzer],
                          ctxField: Option[String],
                          lowerMultiTerm: Boolean = true): (Query, List[Tok]) = {
+    val (units, rest) = parseUnits(toks0, analyzer, perField, ctxField,
+      lowerMultiTerm, precedence = false)
+    (combineClassic(units), rest)
+  }
+
+  /** Lex + unit parse + dangling-token check — the entry point shared with
+    * PrecedenceQueryParser (which applies its own combiner). */
+  private[search] def parseUnitsTop(query: String, analyzer: Analyzer,
+                                    perField: Map[String, Analyzer],
+                                    lowerMultiTerm: Boolean,
+                                    precedence: Boolean): List[ClauseUnit] = {
+    val (units, rest) = parseUnits(lex(query), analyzer, perField, None,
+      lowerMultiTerm, precedence)
+    require(rest.isEmpty || rest == List(RParen), s"dangling tokens in query: $query")
+    units
+  }
+
+  /** The token→clause loop shared by the classic and precedence parsers. */
+  private[search] def parseUnits(toks0: List[Tok], analyzer: Analyzer,
+                                 perField: Map[String, Analyzer],
+                                 ctxField: Option[String],
+                                 lowerMultiTerm: Boolean,
+                                 precedence: Boolean): (List[ClauseUnit], List[Tok]) = {
     def lowerRaw(s: String): String = if (lowerMultiTerm) s.toLowerCase else s
     var toks = toks0
-    val clauses = scala.collection.mutable.ListBuffer.empty[(Occur.Value, Query)]
+    val clauses = scala.collection.mutable.ListBuffer.empty[ClauseUnit]
     var pendingConj: Option[Tok] = None
     var pendingOccur: Option[Occur.Value] = None
     var pendingField: Option[String] = None
@@ -176,13 +209,7 @@ object QueryParser {
     var lastClauseDropped = false
 
     def addClause(q: Query): Unit = {
-      // QueryParserBase.AddClause analog: AND promotes the previous SHOULD
-      if (pendingConj.contains(AndOp) && clauses.nonEmpty && clauses.last._1 == Occur.Should) {
-        val (_, prev) = clauses.remove(clauses.length - 1)
-        clauses += ((Occur.Must, prev))
-      }
-      val occ = pendingOccur.getOrElse(if (pendingConj.contains(AndOp)) Occur.Must else Occur.Should)
-      clauses += ((occ, q))
+      clauses += ClauseUnit(pendingConj, pendingOccur, q)
       pendingConj = None
       pendingOccur = None
       pendingField = None
@@ -204,14 +231,16 @@ object QueryParser {
           // boost the clause just parsed; after a DROPPED clause (stopword
           // analyzed away) the boost vanishes with it, like the reference
           if (clauses.nonEmpty && !lastClauseDropped) {
-            val (occ, q) = clauses.remove(clauses.length - 1)
-            clauses += ((occ, Query.withBoost(q, b)))
+            val u = clauses.remove(clauses.length - 1)
+            clauses += u.copy(q = Query.withBoost(u.q, b))
           }
           toks = toks.tail
         case LParen =>
           val bind = pendingField
-          val (inner, rest) = parseGroup(toks.tail, analyzer, perField,
-            bind.orElse(ctxField), lowerMultiTerm)
+          val (innerUnits, rest) = parseUnits(toks.tail, analyzer, perField,
+            bind.orElse(ctxField), lowerMultiTerm, precedence)
+          val inner =
+            if (precedence) combinePrecedence(innerUnits) else combineClassic(innerUnits)
           toks = rest match {
             case RParen :: t => t
             case t => t
@@ -257,12 +286,59 @@ object QueryParser {
         case RParen => // handled by loop guard
       }
     }
-    val q = clauses.toList match {
+    (clauses.toList, toks)
+  }
+
+  /** QueryParserBase.AddClause analog — flat clause list, AND promotes its
+    * adjacent clauses (including the PREVIOUS clause if it was SHOULD) to
+    * MUST; explicit `+`/`-`/NOT modifiers win over the conjunction.
+    */
+  private[search] def combineClassic(units: List[ClauseUnit]): Query = {
+    val clauses = scala.collection.mutable.ListBuffer.empty[(Occur.Value, Query)]
+    units.foreach { u =>
+      if (u.joiner.contains(AndOp) && clauses.nonEmpty && clauses.last._1 == Occur.Should) {
+        val (_, prev) = clauses.remove(clauses.length - 1)
+        clauses += ((Occur.Must, prev))
+      }
+      val occ = u.explicit.getOrElse(
+        if (u.joiner.contains(AndOp)) Occur.Must else Occur.Should)
+      clauses += ((occ, u.q))
+    }
+    clauses.toList match {
       case (Occur.Should, single) :: Nil => single
       case (Occur.Must, single) :: Nil => single
       case cs => BoolQ(cs)
     }
-    (q, toks)
+  }
+
+  /** PrecedenceQueryParser combiner (reference: Flexible/Precedence/
+    * Processors/BooleanModifiersQueryNodeProcessor.cs over the Standard
+    * grammar's ConjQuery/DisjQuery nesting): AND binds TIGHTER than OR /
+    * juxtaposition, so `a AND b OR c AND d` parses to `(+a +b) (+c +d)`
+    * instead of the classic flat `+a +b +c +d`. Within an AND run every
+    * child without an explicit modifier becomes MUST; the runs themselves
+    * join as SHOULD (default operator OR, as in StandardQueryParser).
+    */
+  private[search] def combinePrecedence(units: List[ClauseUnit]): Query = {
+    // split the clause sequence into maximal AND-joined runs (ConjQuery)
+    val runs = scala.collection.mutable.ListBuffer.empty[List[ClauseUnit]]
+    units.foreach { u =>
+      if (u.joiner.contains(AndOp) && runs.nonEmpty) runs += (runs.remove(runs.length - 1) :+ u)
+      else runs += List(u)
+    }
+    val clauses: List[(Occur.Value, Query)] = runs.toList.map {
+      case single :: Nil =>
+        (single.explicit.getOrElse(Occur.Should), single.q)
+      case run =>
+        // AndQueryNode: MOD_NONE children become MOD_REQ; explicit +/- kept
+        val inner = BoolQ(run.map(u => (u.explicit.getOrElse(Occur.Must), u.q)))
+        (Occur.Should, inner: Query)
+    }
+    clauses match {
+      case (Occur.Should, single) :: Nil => single
+      case (Occur.Must, single) :: Nil => single
+      case cs => BoolQ(cs)
+    }
   }
 
   // Wildcard/prefix/fuzzy terms are lowercased (not analyzed) by default —
