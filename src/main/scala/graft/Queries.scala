@@ -344,6 +344,19 @@ object Queries {
         .orderBy("doc_id")
     }),
 
+    // --- FastVectorHighlighter PHRASE semantics (contrib/
+    //     FastVectorHighlighter/FieldPhraseList.cs): only COMPLETE
+    //     consecutive-position phrase matches highlight — terms-apart and
+    //     reversed docs yield nothing; the best fragment is the window
+    //     holding the most complete matches (two, here), not the earliest
+    "q_fvh_phrase" -> ((s, dir) => {
+      val se = IndexCache.fvhSearcher(s, dir)
+      Highlighter.phraseVectorSnippet(se, IndexCache.fvhFixturePages(s, dir),
+          "url", "text", Seq("alpha", "beta"), 21)
+        .select(expr("cast(substring(url, 4) as bigint)").as("doc_id"), col("snippet"))
+        .orderBy("doc_id")
+    }),
+
     // --- NRT refresh (Search/SearcherManager.cs MaybeRefresh): the served
     //     reader came from the SAME manager across build -> query -> append
     //     + delete -> refresh (IndexCache.nrtSearcher asserts the refresh
@@ -1568,6 +1581,16 @@ object Queries {
         |  substring(concat(repeat('x', CAST(5 + doc_id % 11 AS INT)), ' target finale'),
         |            CAST(7 + doc_id % 11 AS INT), 12) AS snippet
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // FVH phrase: only doc_id%3==0 docs carry the complete phrase; the best
+    // 21-char window anchors at the SECOND match (it holds matches 2 and 3),
+    // start offset = (doc_id%7) + 16 zero-based -> +17 one-based
+    "q_fvh_phrase" ->
+      """SELECT doc_id,
+        |  substring(concat(repeat('y', CAST(doc_id % 7 AS INT)),
+        |                   ' alpha beta end alpha beta alpha beta'),
+        |            CAST(doc_id % 7 + 17 AS INT), 21) AS snippet
+        |FROM documents WHERE doc_id % 3 = 0 ORDER BY doc_id""".stripMargin,
 
     // NRT refresh: final view = full corpus appended, src1 docs deleted
     // (markers, not purged — matches vanish, the live set shrinks)

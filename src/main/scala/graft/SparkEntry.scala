@@ -1068,6 +1068,34 @@ object IndexCache {
   })
   private val offCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
 
+  /** FastVectorHighlighter PHRASE gate fixture — analytic in doc_id so the
+    * oracle recomputes snippets by string arithmetic. Three doc classes:
+    * doc_id%3==0 carries the phrase "alpha beta" three times (the middle
+    * window holds TWO complete matches — the phrase-scored best fragment);
+    * %3==1 has the terms apart, %3==2 reversed — both must produce NOTHING
+    * under phrase highlighting though term highlighting would fire. */
+  def fvhFixturePages(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read.parquet(s"$sfDir/documents.parquet").select(
+      format_string("doc%09d", col("doc_id")).as("url"),
+      expr("""concat(repeat('y', cast(doc_id % 7 as int)),
+             |  case cast(doc_id % 3 as int)
+             |    when 0 then ' alpha beta end alpha beta alpha beta'
+             |    when 1 then ' alpha end beta'
+             |    else ' beta alpha end' end)""".stripMargin).as("text"))
+
+  /** Term-vector-enabled index over the FVH phrase fixture (two segments so
+    * vector fetch crosses segment boundaries). */
+  def fvhSearcher(spark: SparkSession, sfDir: String): Searcher = fvhCache.getOrElseUpdate(sfDir, {
+    val path = indexPath(sfDir) + "_fvh"
+    if (IndexBuilder.completedSegments(spark, path).isEmpty) {
+      IndexBuilder.build(spark, fvhFixturePages(spark, sfDir), path,
+        IndexBuilder.BuildConfig(numSegments = 2, analyzerName = "simple",
+          termVectors = true))
+    }
+    new Searcher(spark, path, mode = ExactDouble)
+  })
+  private val fvhCache = scala.collection.concurrent.TrieMap.empty[String, Searcher]
+
   /** NRT-REFRESH gate fixture (VERDICT r3 #4): batch-build docs >= 50, open
     * a [[graft.streaming.SearcherManager]], query it, then APPEND docs < 50
     * through the streaming band and DELETE source='src1' docs — and serve

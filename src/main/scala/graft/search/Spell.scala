@@ -326,6 +326,62 @@ object Highlighter {
     snippetFromOffsets(se, m, pages, urlCol, textCol, width)
   }
 
+  /** PHRASE-aware FastVectorHighlighter — the FieldPhraseList semantics
+    * (/root/reference/src/contrib/FastVectorHighlighter/FieldPhraseList.cs:40-76
+    * over FieldTermStack.cs): a fragment highlights only where the COMPLETE
+    * phrase matches at consecutive positions — docs containing the terms
+    * apart (or reversed) produce nothing, where term-based highlighting
+    * would still fire. Each complete match is a WeightedPhraseInfo spanning
+    * [start of first term, end of last term] in character offsets; candidate
+    * fragments are `width`-char windows anchored at each match start, scored
+    * by the number of matches FULLY inside the window (the totalBoost sum
+    * with unit boosts, ScoreOrderFragmentsBuilder discipline), best per doc
+    * by (matches desc, earliest anchor).
+    *
+    * Spark shape: per phrase slot i, vector rows for term_i explode to
+    * (pos - i, charStart, charEnd); one groupBy on (segment, doc, base)
+    * finds complete runs (countDistinct(slot) == phrase length) — a single
+    * shuffle keyed by doc, no self-join per adjacent pair, so a 20-term
+    * phrase costs the same exchange as a 2-term one.
+    */
+  def phraseVectorSnippet(se: Searcher, pages: DataFrame, urlCol: String, textCol: String,
+                          phrase: Seq[String], width: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(phrase.nonEmpty, "empty phrase")
+    val occ = phrase.zipWithIndex.map { case (t, i) =>
+      se.termVectors
+        .filter(col("field") === se.defaultField && col("term") === t)
+        .select(col("segmentId"), col("docId"),
+          explode(arrays_zip(col("positions"), col("starts"), col("ends"))).as("z"))
+        .select(col("segmentId"), col("docId"), lit(i).as("slot"),
+          (col("z.positions") - i).as("base"),
+          col("z.starts").as("cstart"), col("z.ends").as("cend"))
+    }.reduce(_ unionByName _)
+    // complete runs only: slots 0..L-1 all present at the same base position
+    val matches = occ.groupBy(col("segmentId"), col("docId"), col("base"))
+      .agg(countDistinct(col("slot")).as("nslot"),
+        min(struct(col("slot"), col("cstart"))).getField("cstart").as("pstart"),
+        max(struct(col("slot"), col("cend"))).getField("cend").as("pend"))
+      .filter(col("nslot") === phrase.length)
+    val cand = matches.select(col("segmentId").as("cseg"), col("docId").as("cdoc"),
+      col("pstart").as("anchor"))
+    val scored = cand.join(matches,
+        col("segmentId") === col("cseg") && col("docId") === col("cdoc") &&
+          col("pstart") >= col("anchor") && col("pend") <= col("anchor") + width)
+      .groupBy(col("cseg").as("segmentId"), col("cdoc").as("docId"), col("anchor"))
+      .agg(count(lit(1)).as("nmatch"))
+    val best = scored.withColumn("rn", row_number().over(
+        Window.partitionBy(col("segmentId"), col("docId"))
+          .orderBy(col("nmatch").desc, col("anchor").asc)))
+      .filter(col("rn") === 1)
+      .select(col("segmentId"), col("docId"), col("anchor"))
+    best.join(se.docs.select(col("segmentId"), col("docId"), col("url")),
+        Seq("segmentId", "docId"))
+      .join(pages.select(col(urlCol).as("url"), col(textCol).as("fvh_text")), Seq("url"))
+      .withColumn("snippet", expr(s"substring(fvh_text, anchor + 1, $width)"))
+      .select(col("url").as(urlCol), col("snippet"))
+  }
+
   /** PostingsHighlighter analog proper (/root/reference/src/
     * Lucene.Net.Highlighter/Postingshighlight/PostingsHighlighter.cs):
     * character offsets come from the POSTINGS' offset stream (IndexOptions

@@ -104,6 +104,28 @@ class TermVectorsSpec extends AnyFunSuite {
     }
   }
 
+  test("phrase snippet: only complete consecutive matches, best window by match count") {
+    import spark.implicits._
+    val b = Files.createTempDirectory("graftfvh").toString
+    val df = Seq(
+      // two complete matches sit in one 21-char window starting at 16
+      ("u0", "yyy alpha beta end alpha beta alpha beta"),
+      ("u1", "alpha end beta"),        // terms apart -> no fragment
+      ("u2", "beta alpha end"),        // reversed    -> no fragment
+      ("u3", "alpha beta tail")        // single match at offset 0
+    ).toDF("url", "text")
+    IndexBuilder.build(spark, df, b,
+      IndexBuilder.BuildConfig(2, "simple", groupSize = 2, termVectors = true))
+    val s = new Searcher(spark, b)
+    val out = Highlighter.phraseVectorSnippet(s, df, "url", "text", Seq("alpha", "beta"), 21)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("u0", "u3"), s"phrase-less docs highlighted: $out")
+    // u0's text shifts the pattern by 4 ("yyy "): matches at 4, 19, 30;
+    // window at 19 holds matches 2 and 3 -> beats the earlier single-match one
+    assert(out("u0") == "alpha beta alpha beta")
+    assert(out("u3") == "alpha beta tail")
+  }
+
   test("termVector(seg, doc) is partition-pruned and exact") {
     val one = se.docs.select("segmentId", "docId").limit(1).collect().head
     val (seg, doc) = (one.getInt(0), one.getInt(1))
