@@ -175,6 +175,13 @@ object Bench {
       graft.pipeline.Dedup.nearDupPairs(skewed, "doc_id", "text", k = 3,
         numHashes = 12, rowsPerBand = 3, tNum = 7, tDen = 10, maxBucket = 1000).count()
     }
+    // duplicate clustering: connected components (hash-min rounds) over the
+    // near-dup pair graph — the post-pairs "keep one representative" step
+    results("dedup_clusters") = timeMedian(trials) {
+      val pairs = graft.pipeline.Dedup.nearDupPairs(docs, "doc_id", "text",
+        k = 3, numHashes = 12, rowsPerBand = 3, tNum = 7, tDen = 10)
+      graft.pipeline.Dedup.dupClusters(pairs).count()
+    }
     results("simhash") = timeMedian(trials) {
       graft.pipeline.Dedup.simhash48(docs, "doc_id", "text").count()
     }

@@ -89,6 +89,14 @@ object QueriesPipeline {
         k = 3, numHashes = 16, rowsPerBand = 4, tNum = 1, tDen = 2,
         maxBucket = Int.MaxValue).orderBy("ida", "idb")),
 
+    // duplicate CLUSTERS: connected components over the Jaccard pair graph
+    // (hash-min label propagation) — chains collapse to one representative,
+    // where per-pair dedup would keep two of three
+    "q_dedup_clusters" -> ((s, dir) => {
+      val sh = Dedup.shingles(documents(s, dir), "doc_id", "text", 3)
+      Dedup.dupClusters(Dedup.jaccardPairs(sh, 1, 2)).orderBy("doc_id")
+    }),
+
     // ---- similarity search family
     "q_ann_topk" -> ((s, dir) => {
       val emb = s.read.parquet(s"$dir/embeddings.parquet")
@@ -696,6 +704,28 @@ object QueriesPipeline {
          |FROM banded a JOIN banded b
          |  ON a.band = b.band AND a.sig = b.sig AND a.id < b.id
          |ORDER BY ida, idb""".stripMargin,
+
+    // transitive closure via recursive CTE: cluster = min reachable id
+    "q_dedup_clusters" ->
+      s"""${SH.replaceFirst("WITH ", "WITH RECURSIVE ")},
+         |sizes AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+         |inter AS (
+         |  SELECT a.id AS ida, b.id AS idb, count(*) AS i
+         |  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.id < b.id
+         |  GROUP BY a.id, b.id),
+         |pairs AS (
+         |  SELECT ida, idb FROM inter
+         |  JOIN sizes sa ON sa.id = ida JOIN sizes sb ON sb.id = idb
+         |  WHERE i * 2 >= (sa.n + sb.n - i) * 1),
+         |edges AS (
+         |  SELECT ida AS a, idb AS b FROM pairs
+         |  UNION SELECT idb, ida FROM pairs),
+         |reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+         |SELECT a AS doc_id, least(a, min(b)) AS cluster
+         |FROM reach GROUP BY a ORDER BY doc_id""".stripMargin,
 
     "q_dedup_simhash" ->
       """WITH toks AS (

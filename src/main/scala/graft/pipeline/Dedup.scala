@@ -200,6 +200,50 @@ object Dedup {
     jaccardVerify(sh, cands, tNum, tDen)
   }
 
+  /** Connected-component clustering of duplicate pairs — the step after
+    * pair generation in a training-data pipeline: near-dup pairs are
+    * transitive in intent ("these are all the same page"), so keeping one
+    * representative per PAIR under-deduplicates chains (a~b, b~c keeps two
+    * of three). Labels every doc that appears in a pair with its
+    * component's minimum id (the canonical representative): (doc_id,
+    * cluster). Docs with no duplicate pair are their own cluster and are
+    * not emitted.
+    *
+    * Algorithm: hash-min label propagation. Every node starts labeled with
+    * its own id; each round labels flow across edges and nodes keep the
+    * minimum seen; at fixpoint the label is the component min. Each round
+    * is one join keyed by node id + one groupBy(min) — two shuffles over
+    * |E|+|V| rows, no driver-side graph state, lineage truncated per round
+    * (localCheckpoint) so rounds don't stack plans. Rounds = graph
+    * diameter; LSH candidate clusters are near-cliques (2-3 rounds in
+    * practice). Non-convergence within `maxIter` THROWS rather than
+    * returning silently wrong labels (the no-silent-caps rule). At 100 TB
+    * swap localCheckpoint for a reliable checkpoint dir; the per-round
+    * shape is unchanged.
+    */
+  def dupClusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("ida").cast("long").as("a"), col("idb").cast("long").as("b"))
+      .unionByName(pairs.select(col("idb").cast("long").as("a"), col("ida").cast("long").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .select(col("id"), col("id").as("comp")).localCheckpoint()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("a") === labels("id"))
+        .select(edges("b").as("id"), col("comp"))
+      val next = labels.unionByName(prop)
+        .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
+        .filter(col("comp") < col("prev")).isEmpty
+      labels = next
+      iter += 1
+    }
+    require(converged, s"dupClusters did not converge in $maxIter rounds " +
+      "(component diameter exceeds maxIter) — raise maxIter")
+    labels.select(col("id").as("doc_id"), col("comp").as("cluster"))
+  }
+
   /** 48-bit SimHash per doc from term tfs: bit j of the fingerprint is
     * sign(sum_t tf(t) * (2*bit_j(H(t)) - 1)). Term-hash bits come from two
     * 32-bit md5-derived ints (j<24 from H1, else H2) — SQL-replicable.
