@@ -137,6 +137,12 @@ object Bench {
       results("q_phrase_warm") = timeMedian(trials) {
         session.phraseTopK(f, List("hash" -> 0, "join" -> 1), 10)
       }
+      // warm prefix: pinned dictionary binary search + pinned expansions
+      session.warmDict(f)
+      session.prefixTopK(f, "s", 10)
+      results("q_prefix_warm") = timeMedian(trials) {
+        session.prefixTopK(f, "s", 10)
+      }
     }
     results("q_prefix") = timeMedian(trials) { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
     // scored fuzzy top-k through the pruned dictionary expansion

@@ -247,6 +247,56 @@ final class ServingSession(val searcher: Searcher,
     }
   }
 
+  // ---- pinned term dictionary (the .tip-in-RAM analog) -------------------
+  private val pinnedDicts = mutable.Map.empty[String, Array[String]]
+  private var pinnedDictBytes = 0L
+
+  /** Pin `field`'s sorted term dictionary in the session (ONE Spark job;
+    * later prefix expansions are a driver-side binary search — Lucene keeps
+    * the .tip term index memory-resident for the same reason). Returns
+    * false, pinning nothing, if the dictionary would blow the session byte
+    * budget — such fields stay on the cluster path. */
+  def warmDict(field: String): Boolean = pinnedDicts.contains(field) || {
+    import spark.implicits._
+    val terms = searcher.dictionary(field).select("term").as[String].collect().sorted
+    val bytes = terms.foldLeft(0L)((a, t) => a + 40L + 2L * t.length)
+    if (pinnedDictBytes + bytes > maxCacheBytes) false
+    else { pinnedDicts(field) = terms; pinnedDictBytes += bytes; true }
+  }
+
+  /** Warm constant-score PREFIX top-k — rank-identical to the cluster
+    * plan for ConstantScoreQ(PrefixQ(prefix), boost): expansion terms come
+    * from the pinned dictionary (binary-searched lower bound, then the
+    * startsWith run), hits are the distinct union of the expansions'
+    * pinned postings at score = boost, ranked by the HitQueue tie-break.
+    * Expansion terms too large to pin (per-term byte cap) make the query
+    * unservable warm — that THROWS rather than silently dropping docs. */
+  def prefixTopK(field: String, prefix: String, k: Int, boost: Float = 1f): Array[Hit] = {
+    require(warmDict(field),
+      s"dictionary for '$field' exceeds the session byte budget — use the cluster path")
+    val dict = pinnedDicts(field)
+    var lo = 0; var hi = dict.length
+    while (lo < hi) { val m = (lo + hi) >>> 1; if (dict(m) < prefix) lo = m + 1 else hi = m }
+    val terms = mutable.ArrayBuffer.empty[String]
+    var i = lo
+    while (i < dict.length && dict(i).startsWith(prefix)) { terms += dict(i); i += 1 }
+    if (terms.isEmpty) return Array.empty
+    val keys: Seq[(String, String)] = terms.map(t => (field, t)).toSeq
+    val served = warm(keys)
+    val unservable = keys.filterNot(k0 => served(k0) || absent.contains(k0))
+    require(unservable.isEmpty, "expansion terms exceed the per-term pin " +
+      s"budget (cluster path): ${unservable.map(_._2).take(3).mkString(", ")}")
+    val bd = boost.toDouble
+    val seen = new java.util.HashSet[Long]()
+    val hits = rowsOf(keys).iterator.flatMap { p =>
+      val (docIds, _, _) = graft.codec.PostingsCodec.decodeDocs(p.df, p.docDeltas, p.tfs, p.lens)
+      docIds.iterator
+        .filter(d => seen.add((p.segmentId.toLong << 32) | (d & 0xffffffffL)))
+        .map(d => Hit(p.segmentId, d, bd))
+    }
+    topK(hits, k)
+  }
+
   /** Warm Block-Max-WAND OR top-k — Wand.wandSegment in-session with the
     * exact weights/norm-cache construction of Wand.searchOr. */
   def wandOrTopK(field: String, terms: List[String], k: Int): Array[Hit] = {

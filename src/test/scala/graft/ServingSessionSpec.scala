@@ -65,6 +65,29 @@ class ServingSessionSpec extends AnyFunSuite {
       == distributedTopK(sloppy, 10))
   }
 
+  test("warm prefix top-k == distributed constant-score prefix") {
+    val dist = distributedTopK(ConstantScoreQ(PrefixQ("dat"), 1f), 10)
+    val warm = warmHits(session.prefixTopK(se.defaultField, "dat", 10))
+    assert(warm == dist)
+    // a prefix matching nothing is empty, not an error
+    assert(session.prefixTopK(se.defaultField, "zzzzqq", 10).isEmpty)
+  }
+
+  test("warm prefix runs ZERO Spark jobs once dict and expansions are pinned") {
+    session.prefixTopK(se.defaultField, "dat", 10) // pins dict + expansions
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      session.prefixTopK(se.defaultField, "dat", 10)
+      Thread.sleep(200)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"warm prefix scheduled $jobs Spark jobs")
+  }
+
   test("warm queries run ZERO Spark jobs after the warm call") {
     session.warm(Seq((se.defaultField, "data"), (se.defaultField, "search"),
       (se.defaultField, "index")))
