@@ -594,8 +594,76 @@ object QueriesPipeline {
         .groupBy(col("user_id"))
         .agg(sum(col("newSess")).cast("long").as("n_sessions"))
         .orderBy("user_id")
-    })
+    }),
+
+    // ---- webtext curation family: repeated-span mining, line-level dedup,
+    // benchmark decontamination, URL canonicalization + URL dedup
+
+    // boilerplate span mining: 3-token shingles shared by >= 2 docs, with
+    // doc frequency — one partial-aggregated shuffle, no pair join
+    "q_dedup_spans" -> ((s, dir) =>
+      Dedup.repeatedSpans(documents(s, dir), "doc_id", "text", k = 3, minDocs = 2)
+        .orderBy("span")),
+
+    // line-level dedup over a deterministic 6-line fixture (line text is a
+    // pure formula of (doc_id, pos) the DuckDB twin recomputes): first
+    // occurrence of each exact line survives; per-doc counts + content digest
+    "q_dedup_lines" -> ((s, dir) => {
+      val lineExprs = (0 until 6).map(i =>
+        expr(s"concat('w', CAST((doc_id * 7 + $i * 13) % 9 AS STRING), " +
+          s"' content ', CAST((doc_id + $i) % 23 AS STRING))"))
+      val fix = documents(s, dir)
+        .select(col("doc_id"), concat_ws("\n", lineExprs: _*).as("text"))
+      Dedup.lineDedup(fix, "doc_id", "text")
+        .select(col("id").as("doc_id"), col("kept"), col("total"), col("dedup_digest"))
+        .orderBy("doc_id")
+    }),
+
+    // decontamination: probes = doc 0's own 3-gram shingles (the "benchmark"
+    // side, collected driver-side and broadcast); hits = distinct probes
+    // contained per doc
+    "q_decontaminate" -> ((s, dir) => {
+      val probes = Dedup.shingles(
+          documents(s, dir).filter(col("doc_id") === 0), "doc_id", "text", 3)
+        .select("shingle").collect().map(_.getString(0)).toSeq
+      Dedup.contamination(documents(s, dir), "doc_id", "text", probes, 3)
+        .orderBy("doc_id")
+    }),
+
+    // URL canonicalization over deterministic raw-URL fixtures (mixed-case
+    // scheme/host, default ports, trailing slashes, utm params, fragments —
+    // all pure formulas of doc_id)
+    "q_url_canon" -> ((s, dir) =>
+      TextStats.canonicalUrl(
+          documents(s, dir).selectExpr("doc_id", UrlFixture("STRING") + " AS url"),
+          "doc_id", "url")
+        .orderBy("doc_id")),
+
+    // URL dedup: group by the canonical form — raw variants that differ only
+    // in case/port/trailing-slash/tracking-params collapse to one group
+    "q_url_dedup" -> ((s, dir) =>
+      TextStats.canonicalUrl(
+          documents(s, dir).selectExpr("doc_id", UrlFixture("STRING") + " AS url"),
+          "doc_id", "url")
+        .groupBy("canon")
+        .agg(count(lit(1)).as("cnt"), min(col("doc_id")).as("min_id"))
+        .filter(col("cnt") > 1)
+        .orderBy("canon"))
   )
+
+  /** Raw-URL fixture: a pure formula of doc_id shared verbatim with the
+    * DuckDB oracle (`t` = the dialect's string type name). Exercises every
+    * canonicalization rule: mixed-case scheme+host, default ports on both
+    * schemes, trailing slash, utm_ tracking param, unsorted params, fragment.
+    */
+  private def UrlFixture(t: String): String =
+    "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'httpS://' END) || " +
+      s"'ExAmple' || CAST(doc_id % 5 AS $t) || '.COM' || " +
+      "(CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END) || " +
+      s"'/Path' || CAST(doc_id % 3 AS $t) || " +
+      "(CASE WHEN doc_id % 4 = 0 THEN '/' ELSE '' END) || " +
+      s"'?utm_source=x&b=' || CAST(doc_id % 5 AS $t) || '&a=' || CAST(doc_id % 2 AS $t) || " +
+      "(CASE WHEN doc_id % 5 = 0 THEN '#frag' ELSE '' END)"
 
   // ------------------------------------------------------------------ SQL
 
@@ -1263,6 +1331,77 @@ object QueriesPipeline {
         |  FROM events)
         |SELECT user_id, CAST(sum(CASE WHEN prev IS NULL
         |  OR (epoch(ts) - epoch(prev)) > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS n_sessions
-        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin
+        |FROM x GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q_dedup_spans" ->
+      s"""$SH
+         |SELECT shingle AS span, count(*) AS n_docs, min(id) AS min_id
+         |FROM sh GROUP BY shingle HAVING count(*) >= 2 ORDER BY span""".stripMargin,
+
+    "q_dedup_lines" ->
+      """WITH lines AS (
+        |  SELECT doc_id AS id, i AS pos,
+        |    'w' || CAST((doc_id * 7 + i * 13) % 9 AS VARCHAR)
+        |      || ' content ' || CAST((doc_id + i) % 23 AS VARCHAR) AS line
+        |  FROM documents, unnest(generate_series(0, 5)) AS g(i)),
+        |firsts AS (
+        |  SELECT line, id, pos FROM (
+        |    SELECT line, id, pos,
+        |      row_number() OVER (PARTITION BY line ORDER BY id, pos) AS rn
+        |    FROM lines) WHERE rn = 1),
+        |marked AS (
+        |  SELECT l.id, l.pos, l.line, (f.id = l.id AND f.pos = l.pos) AS keep
+        |  FROM lines l JOIN firsts f USING (line))
+        |SELECT id AS doc_id,
+        |  CAST(sum(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS kept,
+        |  count(*) AS total,
+        |  md5(coalesce(string_agg(line, chr(10) ORDER BY pos) FILTER (WHERE keep), ''))
+        |    AS dedup_digest
+        |FROM marked GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""$SH, probes AS (SELECT DISTINCT shingle FROM sh WHERE id = 0)
+         |SELECT id AS doc_id, count(*) AS hits
+         |FROM sh JOIN probes USING (shingle)
+         |GROUP BY id ORDER BY doc_id""".stripMargin,
+
+    "q_url_canon" ->
+      s"""$UrlCanonSql
+         |SELECT doc_id, canon FROM canon ORDER BY doc_id""".stripMargin,
+
+    "q_url_dedup" ->
+      s"""$UrlCanonSql
+         |SELECT canon, count(*) AS cnt, min(doc_id) AS min_id
+         |FROM canon GROUP BY canon HAVING count(*) > 1 ORDER BY canon""".stripMargin
   )
+
+  /** DuckDB twin of [[TextStats.canonicalUrl]] over the [[UrlFixture]] raw
+    * URLs — same regexes (char-class `[?]` keeps the pattern text identical
+    * across both dialects' string escaping), same default-port / utm_ /
+    * trailing-slash / param-sort rules.
+    */
+  private def UrlCanonSql: String =
+    s"""WITH raw AS (SELECT doc_id, ${UrlFixture("VARCHAR")} AS url FROM documents),
+       |p1 AS (SELECT doc_id, regexp_replace(url, '#.*$$', '') AS base FROM raw),
+       |p2 AS (SELECT doc_id,
+       |  lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1)) AS scheme,
+       |  lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1)) AS hostport,
+       |  regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1) AS rawpath,
+       |  regexp_extract(base, '[?](.*)$$', 1) AS query FROM p1),
+       |p3 AS (SELECT doc_id, scheme, hostport, query,
+       |  CASE WHEN regexp_replace(rawpath, '/+$$', '') = '' THEN '/'
+       |       ELSE regexp_replace(rawpath, '/+$$', '') END AS path,
+       |  array_to_string(list_sort(list_filter(string_split(query, '&'),
+       |    x -> x <> '' AND NOT starts_with(x, 'utm_'))), '&') AS params
+       |  FROM p2),
+       |canon AS (SELECT doc_id,
+       |  scheme || '://' ||
+       |  (CASE WHEN scheme = 'http' AND hostport LIKE '%:80'
+       |        THEN substr(hostport, 1, length(hostport) - 3)
+       |        WHEN scheme = 'https' AND hostport LIKE '%:443'
+       |        THEN substr(hostport, 1, length(hostport) - 4)
+       |        ELSE hostport END) ||
+       |  path ||
+       |  (CASE WHEN params = '' THEN '' ELSE '?' || params END) AS canon
+       |  FROM p3)""".stripMargin
 }

@@ -323,4 +323,76 @@ object Dedup {
     val spark = org.apache.spark.sql.SparkSession.active
     spark.range(0, 48).toDF("j")
   }
+
+  /** Repeated k-gram span mining — the token-level analog of repeated-
+    * substring detection (boilerplate navigation text, licence blocks,
+    * memorization-risk spans): k-token shingles appearing in at least
+    * `minDocs` DISTINCT documents, with their document frequency and first
+    * containing doc. Output: (span, n_docs, min_id).
+    *
+    * One hash shuffle with map-side partial aggregation: a span repeated a
+    * billion times combines to one row per map partition before the
+    * exchange, so frequency mining stays linear in corpus size no matter
+    * how hot a span is — no pair join ever runs.
+    */
+  def repeatedSpans(df: DataFrame, idCol: String, textCol: String, k: Int,
+                    minDocs: Int): DataFrame =
+    shingles(df, idCol, textCol, k)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_docs"), min(col("id")).as("min_id"))
+      .filter(col("n_docs") >= minDocs)
+      .select(col("shingle").as("span"), col("n_docs"), col("min_id"))
+
+  /** Line-level exact deduplication across the corpus (the web-pipeline
+    * "remove repeated lines" pass that strips boilerplate headers/footers
+    * shared across pages of a site): a line INSTANCE survives iff it is the
+    * first occurrence of that exact line in (doc, position) order. Returns
+    * per doc the surviving-line count, total line count, and the md5 digest
+    * of the deduplicated text (kept lines re-joined in order) so callers
+    * verify content, not just counts: (id, kept, total, dedup_digest).
+    *
+    * Shape: posexplode → groupBy(line).min(struct(id, pos)) with map-side
+    * partial aggregation (a boilerplate line repeated 10^9 times combines
+    * to ONE candidate per map partition before the shuffle) → join back on
+    * line (AQE splits the hot-line skew) → groupBy(id). No window over an
+    * unbounded partition; no all-pairs; nothing scales with line frequency.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = df.select(col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val firsts = lines.groupBy("line")
+      .agg(min(struct(col("id"), col("pos"))).as("first"))
+    lines.join(firsts, "line")
+      .withColumn("keep",
+        col("id") === col("first.id") && col("pos") === col("first.pos"))
+      .groupBy(col("id"))
+      .agg(
+        sum(when(col("keep"), lit(1L)).otherwise(lit(0L))).as("kept"),
+        count(lit(1)).as("total"),
+        md5(concat_ws("\n", expr(
+          "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, line) END)), x -> x.line)"
+        )).cast("binary")).as("dedup_digest"))
+  }
+
+  /** Benchmark decontamination probe — the test-set-overlap check a
+    * training-data pipeline runs before training: which documents contain
+    * any of the probe k-gram phrases, and how many distinct probes each
+    * hits. Output: (doc_id, hits), contaminated docs only.
+    *
+    * The probe side (the benchmark) is small by construction, so it ships
+    * as a broadcast list; corpus shingles stream through the broadcast hash
+    * join without a corpus-wide shuffle — only MATCHING rows reach the
+    * id-keyed count.
+    */
+  def contamination(df: DataFrame, idCol: String, textCol: String,
+                    probes: Seq[String], k: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val p = broadcast(probes.distinct.toDF("shingle"))
+    shingles(df, idCol, textCol, k)
+      .join(p, "shingle")
+      .groupBy("id")
+      .agg(count(lit(1)).as("hits"))
+      .select(col("id").as("doc_id"), col("hits"))
+  }
 }

@@ -88,6 +88,43 @@ object TextStats {
       .select(col("term"), col("rank"))
   }
 
+  /** URL canonicalization — the web-pipeline normalization pass that runs
+    * before URL-level dedup of a crawl: lowercase scheme and host, strip
+    * the fragment, drop default ports (http:80 / https:443), drop `utm_*`
+    * tracking params, sort surviving query params, collapse trailing path
+    * slashes (empty path → "/"). Output: (idCol, canon).
+    *
+    * Pure codegen'd string/array expressions (regexp_extract / filter /
+    * array_sort — no UDF), replicable in a SQL oracle with the same
+    * regexes; `[?]` is used instead of `\?` so the pattern text survives
+    * both SQL dialects' string escaping identically. One narrow projection,
+    * zero shuffles — dedup on the canon column is then one hash groupBy.
+    */
+  def canonicalUrl(df: DataFrame, idCol: String, urlCol: String): DataFrame =
+    df.select(col(idCol), expr(s"regexp_replace($urlCol, '#.*$$', '')").as("base"))
+      .select(
+        col(idCol),
+        expr("lower(regexp_extract(base, '^([A-Za-z][A-Za-z0-9+.-]*)://', 1))").as("scheme"),
+        expr("lower(regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)', 1))").as("hostport"),
+        expr("regexp_extract(base, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1)").as("rawpath"),
+        expr("regexp_extract(base, '[?](.*)$', 1)").as("query"))
+      .select(
+        col(idCol),
+        concat(
+          col("scheme"), lit("://"),
+          when(col("scheme") === "http" && col("hostport").endsWith(":80"),
+            expr("substr(hostport, 1, length(hostport) - 3)"))
+            .when(col("scheme") === "https" && col("hostport").endsWith(":443"),
+              expr("substr(hostport, 1, length(hostport) - 4)"))
+            .otherwise(col("hostport")),
+          when(expr("regexp_replace(rawpath, '/+$', '')") === "", lit("/"))
+            .otherwise(expr("regexp_replace(rawpath, '/+$', '')")),
+          when(expr("array_join(array_sort(filter(split(query, '&'), " +
+              "x -> x != '' AND NOT startswith(x, 'utm_'))), '&')") === "", lit(""))
+            .otherwise(concat(lit("?"), expr("array_join(array_sort(filter(split(query, '&'), " +
+              "x -> x != '' AND NOT startswith(x, 'utm_'))), '&')")))
+        ).as("canon"))
+
   /** MoreLikeThis over INDEX-TIME term vectors — the reference's preferred
     * path (Queries/Mlt/MoreLikeThis.cs:736 RetrieveTerms uses
     * reader.GetTermVector when vectors were stored): the doc is never
