@@ -143,6 +143,12 @@ object Bench {
       results("q_prefix_warm") = timeMedian(trials) {
         session.prefixTopK(f, "s", 10)
       }
+      // warm fuzzy: pinned-dictionary band scan + driver Levenshtein +
+      // TopTermsRewrite selection over pinned postings
+      session.fuzzyTopK(f, "datq", 2, 50, 10)
+      results("q_fuzzy_warm") = timeMedian(trials) {
+        session.fuzzyTopK(f, "datq", 2, 50, 10)
+      }
     }
     results("q_prefix") = timeMedian(trials) { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
     // scored fuzzy top-k through the pruned dictionary expansion

@@ -88,6 +88,54 @@ case class FuzzyBoost(term: Expression, ed: Expression, qLen: Int)
     copy(term = l, ed = r)
 }
 
+/** DirectSpellChecker distance of a candidate term against the fixed query
+  * string — the last remaining per-row UDF family, now a native expression:
+  * the query ships as a codegen reference object and each row is one static
+  * call, keeping the (budget-capped) candidate scan inside whole-stage
+  * codegen with no boxing or safe/unsafe conversion.
+  */
+case class SpellDistance(kind: String, query: String, child: Expression)
+    extends UnaryExpression {
+  override def dataType: DataType = DoubleType
+
+  private val fn: (String, String) => Double = kind match {
+    case "jarowinkler" => SpellDistanceOps.jaroWinkler
+    case "ngram" => SpellDistanceOps.nGram
+    case "lucenelevenshtein" => SpellDistanceOps.luceneLevenshtein
+    case other => throw new IllegalArgumentException(s"unknown distance: $other")
+  }
+
+  private val methodName: String = kind match {
+    case "jarowinkler" => "jaroWinkler"
+    case "ngram" => "nGram"
+    case "lucenelevenshtein" => "luceneLevenshtein"
+  }
+
+  override protected def nullSafeEval(input: Any): Any =
+    fn(query, input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val q = ctx.addReferenceObj("spellQuery", query, "java.lang.String")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.SpellDistanceOps.$methodName($q, $c.toString());")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SpellDistance =
+    copy(child = newChild)
+}
+
+/** Static-forwarder surface for [[SpellDistance]] codegen (no default-arg
+  * forwarders to fight in generated Java).
+  */
+object SpellDistanceOps {
+  def jaroWinkler(a: String, b: String): Double =
+    graft.search.StringDistances.jaroWinkler(a, b)
+  def nGram(a: String, b: String): Double =
+    graft.search.StringDistances.nGram(a, b)
+  def luceneLevenshtein(a: String, b: String): Double =
+    graft.search.StringDistances.luceneLevenshtein(a, b)
+}
+
 object ScalarExpressions {
   /** segmentOf(key, n) as a codegen'd Column. */
   def segmentOf(key: Column, numSegments: Int): Column =
@@ -104,4 +152,10 @@ object ScalarExpressions {
     GraftColumnBridge.column(FuzzyBoost(
       GraftColumnBridge.expression(term.cast("string")),
       GraftColumnBridge.expression(ed.cast("int")), qLen))
+
+  /** Spell distance ("jarowinkler" | "ngram" | "lucenelevenshtein") of a
+    * term column against a fixed query string, codegen-fused. */
+  def spellDistance(kind: String, query: String, term: Column): Column =
+    GraftColumnBridge.column(SpellDistance(kind, query,
+      GraftColumnBridge.expression(term.cast("string"))))
 }

@@ -297,6 +297,58 @@ final class ServingSession(val searcher: Searcher,
     topK(hits, k)
   }
 
+  /** Warm FUZZY top-k — rank-identical to the distributed FuzzyTopQ plan:
+    * expansion terms come from the pinned dictionary (length band +
+    * code-point Levenshtein, exact — the cluster path's gram/pigeonhole
+    * prunes are performance-only), boosted with the FuzzyTermsEnum float
+    * math (ed == 0 → 1f, else 1f - ed / min(candLen, qLen) in FLOAT
+    * division), top-maxExpansions by (boost desc, term asc) — the
+    * TopTermsRewrite bounded PQ — then evaluated as a SHOULD-disjunction in
+    * term order over pinned postings with clause boost = boost * expansion
+    * boost and the expansion-stats override (ttf = 0) the compile path
+    * applies. Unpinnable expansions THROW (cluster path), never drop docs.
+    */
+  def fuzzyTopK(field: String, term: String, maxEdits: Int, maxExpansions: Int,
+                k: Int, boost: Float = 1f): Array[Hit] = {
+    require(warmDict(field),
+      s"dictionary for '$field' exceeds the session byte budget — use the cluster path")
+    val qLen = term.codePointCount(0, term.length)
+    val cap = math.min(maxExpansions, Query.MaxClauseCount)
+    val cands = mutable.ArrayBuffer.empty[(String, Float)]
+    for (t <- pinnedDicts(field)) {
+      val tLen = t.codePointCount(0, t.length)
+      if (math.abs(tLen - qLen) <= maxEdits) {
+        val ed = ServingSession.levenshtein(term, t)
+        if (ed <= maxEdits) {
+          val b = if (ed == 0) 1f else 1f - ed.toFloat / math.min(tLen, qLen).toFloat
+          if (b > 0f) cands += ((t, b))
+        }
+      }
+    }
+    if (cands.isEmpty) return Array.empty
+    val expanded = cands.sortBy { case (t, b) => (-b, t) }.take(cap)
+      .sortBy(_._1) // clause assembly in term order, like fuzzyExpand
+    val keys: Seq[(String, String)] = expanded.map(e => (field, e._1)).toSeq
+    val served = warm(keys)
+    val unservable = keys.filterNot(k0 => served(k0) || absent.contains(k0))
+    require(unservable.isEmpty, "expansion terms exceed the per-term pin " +
+      s"budget (cluster path): ${unservable.map(_._2).take(3).mkString(", ")}")
+    val specs = expanded.map(e => Leapfrog.ClauseSpec(1, field, e._1)).toArray
+    val scorers: Array[(Double, Int) => Double] = expanded.map { case (t, b) =>
+      statsCache.get((field, t)).map { case (df, _) =>
+        searcher.makeScorer(field, df, boost * b, 1d, ttf = 0L)
+      }.orNull
+    }.toArray
+    val coords = Array.fill(expanded.size + 1)(1d)
+    val rows = rowsOf(keys)
+    val hits = rows.groupBy(_.segmentId).toSeq.sortBy(_._1).iterator.flatMap {
+      case (seg, ps) =>
+        Leapfrog.segmentHits(seg, ps, specs, scorers,
+          1, searcher.mode == LuceneFloat, coords)
+    }
+    topK(hits, k)
+  }
+
   /** Warm Block-Max-WAND OR top-k — Wand.wandSegment in-session with the
     * exact weights/norm-cache construction of Wand.searchOr. */
   def wandOrTopK(field: String, terms: List[String], k: Int): Array[Hit] = {
@@ -331,5 +383,32 @@ final class ServingSession(val searcher: Searcher,
       .sortBy(h => (-h.score, h.segmentId, h.docId))
       .take(k)
       .map(h => Hit(h.segmentId, h.docId, h.score.toDouble))
+  }
+}
+
+object ServingSession {
+  /** Plain code-point Levenshtein (no transpositions) — the driver-side
+    * twin of Spark's `levenshtein` function used by the distributed fuzzy
+    * expansion, so warm and cluster candidate sets agree exactly. */
+  private[search] def levenshtein(a: String, b: String): Int = {
+    val s = a.codePoints().toArray
+    val t = b.codePoints().toArray
+    if (s.isEmpty) return t.length
+    if (t.isEmpty) return s.length
+    var prev = Array.tabulate(t.length + 1)(identity)
+    var cur = new Array[Int](t.length + 1)
+    var i = 1
+    while (i <= s.length) {
+      cur(0) = i
+      var j = 1
+      while (j <= t.length) {
+        val cost = if (s(i - 1) == t(j - 1)) 0 else 1
+        cur(j) = math.min(math.min(prev(j) + 1, cur(j - 1) + 1), prev(j - 1) + cost)
+        j += 1
+      }
+      val tmp = prev; prev = cur; cur = tmp
+      i += 1
+    }
+    prev(t.length)
   }
 }

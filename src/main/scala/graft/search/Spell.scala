@@ -183,20 +183,16 @@ object StringDistances {
     * (DirectSpellChecker.Distance + SuggestWordQueue comparer: score desc,
     * freq desc, term asc; `accuracy` is the default 0.5 score floor):
     * candidates within `maxEdits`, scored by `distanceName`
-    * ("jarowinkler" | "ngram"), top-k. The distance UDF runs only over the
-    * already levenshtein-filtered candidate set — not a hot scan path. */
+    * ("jarowinkler" | "ngram" | "lucenelevenshtein"), top-k. The distance
+    * is a native codegen'd expression (SpellDistance) over the already
+    * levenshtein-filtered candidate set. */
   def suggestScored(dictionary: DataFrame, input: String, maxEdits: Int, k: Int,
                     distanceName: String, accuracy: Double = 0.5): DataFrame = {
-    val distU = distanceName match {
-      case "jarowinkler" => udf((t: String) => StringDistances.jaroWinkler(input, t))
-      case "ngram" => udf((t: String) => StringDistances.nGram(input, t))
-      case "lucenelevenshtein" => udf((t: String) => StringDistances.luceneLevenshtein(input, t))
-      case other => throw new IllegalArgumentException(s"unknown distance: $other")
-    }
     val cands = dictionary
       .withColumn("ed", levenshtein(col("term"), lit(input)))
       .filter(col("ed") <= maxEdits && col("term") =!= input)
-      .withColumn("score", distU(col("term")))
+      .withColumn("score",
+        graft.functions.ScalarExpressions.spellDistance(distanceName, input, col("term")))
       .filter(col("score") >= accuracy)
     graft.Ranks.rankTopK(cands, k,
         Seq(col("score").desc, col("df").desc, col("term").asc))

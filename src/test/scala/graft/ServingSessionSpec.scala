@@ -73,6 +73,38 @@ class ServingSessionSpec extends AnyFunSuite {
     assert(session.prefixTopK(se.defaultField, "zzzzqq", 10).isEmpty)
   }
 
+  test("warm fuzzy top-k == distributed FuzzyTopQ (ids and scores)") {
+    val dist = distributedTopK(FuzzyTopQ("datq", 2), 10)
+    val warm = warmHits(session.fuzzyTopK(se.defaultField, "datq", 2, 50, 10))
+    assert(warm == dist)
+    // maxEdits=1 narrows the expansion set — still identical
+    assert(warmHits(session.fuzzyTopK(se.defaultField, "datq", 1, 50, 10))
+      == distributedTopK(FuzzyTopQ("datq", 1), 10))
+    // no candidate within the band: empty, not an error
+    assert(session.fuzzyTopK(se.defaultField, "zzzzqqxx", 1, 50, 10).isEmpty)
+  }
+
+  test("warm fuzzy respects maxExpansions like the TopTermsRewrite PQ") {
+    val dist = distributedTopK(FuzzyTopQ("datq", 2, maxExpansions = 2), 10)
+    val warm = warmHits(session.fuzzyTopK(se.defaultField, "datq", 2, 2, 10))
+    assert(warm == dist)
+  }
+
+  test("warm fuzzy runs ZERO Spark jobs once dict and expansions are pinned") {
+    session.fuzzyTopK(se.defaultField, "datq", 2, 50, 10) // pins dict + expansions
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      session.fuzzyTopK(se.defaultField, "datq", 2, 50, 10)
+      Thread.sleep(200)
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"warm fuzzy scheduled $jobs Spark jobs")
+  }
+
   test("warm prefix runs ZERO Spark jobs once dict and expansions are pinned") {
     session.prefixTopK(se.defaultField, "dat", 10) // pins dict + expansions
     var jobs = 0

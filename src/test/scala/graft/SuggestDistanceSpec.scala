@@ -43,6 +43,39 @@ class SuggestDistanceSpec extends AnyFunSuite {
     assert(got.map(_._2) == (1 to got.size).toList)
   }
 
+  test("native SpellDistance expression is bit-identical to the direct functions") {
+    import spark.implicits._
+    val terms = Seq("martha", "marhta", "dixon", "model", "modal", "a", "", "algorithms")
+    val df = terms.toDF("term")
+    for ((kind, f) <- Seq[(String, (String, String) => Double)](
+        "jarowinkler" -> ((a, b) => StringDistances.jaroWinkler(a, b)),
+        "ngram" -> ((a, b) => StringDistances.nGram(a, b)),
+        "lucenelevenshtein" -> ((a, b) => StringDistances.luceneLevenshtein(a, b)))) {
+      val got = df.select(col("term"),
+          graft.functions.ScalarExpressions.spellDistance(kind, "madel", col("term")).as("d"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      for (t <- terms)
+        assert(got(t) == f("madel", t), s"$kind($t)")
+    }
+  }
+
+  test("SpellDistance stays inside whole-stage codegen") {
+    // a range source (not a LocalRelation, which the optimizer would
+    // constant-fold away) so the executed plan carries a codegen stage
+    val df = spark.range(4).selectExpr("concat('mode', cast(id as string)) AS term")
+      .select(graft.functions.ScalarExpressions.spellDistance("ngram", "madel", col("term")).as("d"))
+    // the "*(n)" prefix marks operators fused into a WholeStageCodegen stage
+    val fused = df.queryExecution.executedPlan.collect {
+      case w: org.apache.spark.sql.execution.WholeStageCodegenExec => w
+    }
+    assert(fused.nonEmpty && df.queryExecution.executedPlan.toString.startsWith("*(1) Project"),
+      df.queryExecution.executedPlan.toString)
+    // and the codegen'd values equal the direct function
+    val got = df.collect().map(_.getDouble(0)).toSeq
+    val want = (0 until 4).map(i => StringDistances.nGram("madel", s"mode$i"))
+    assert(got == want)
+  }
+
   test("completeAnalyzed matches on the analyzed form, returns the surface") {
     import spark.implicits._
     val sugg = Seq(
