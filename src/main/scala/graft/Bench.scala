@@ -149,6 +149,12 @@ object Bench {
       results("q_fuzzy_warm") = timeMedian(trials) {
         session.fuzzyTopK(f, "datq", 2, 50, 10)
       }
+      // warm leading wildcard: pinned-dictionary regex scan (the cold plan
+      // needs the gram index for this shape)
+      session.wildcardTopK(f, "*ream", 10)
+      results("q_wildcard_warm") = timeMedian(trials) {
+        session.wildcardTopK(f, "*ream", 10)
+      }
     }
     results("q_prefix") = timeMedian(trials) { lucene.search(ConstantScoreQ(PrefixQ("s"), 1f), 10).collect() }
     // scored fuzzy top-k through the pruned dictionary expansion

@@ -280,8 +280,75 @@ final class ServingSession(val searcher: Searcher,
     val terms = mutable.ArrayBuffer.empty[String]
     var i = lo
     while (i < dict.length && dict(i).startsWith(prefix)) { terms += dict(i); i += 1 }
+    expansionTopK(field, terms.toSeq, k, boost)
+  }
+
+  /** Warm constant-score RANGE top-k — [lo, hi] bounds located by binary
+    * search in the pinned sorted dictionary (null = unbounded, inclusivity
+    * per flag, like RangeQ). */
+  def rangeTopK(field: String, lo: String, hi: String, incLo: Boolean, incHi: Boolean,
+                k: Int, boost: Float = 1f): Array[Hit] = {
+    require(warmDict(field),
+      s"dictionary for '$field' exceeds the session byte budget — use the cluster path")
+    val dict = pinnedDicts(field)
+    def lowerBound(key: String, strict: Boolean): Int = {
+      var l = 0; var h = dict.length
+      while (l < h) {
+        val m = (l + h) >>> 1
+        val cmp = dict(m).compareTo(key)
+        if (cmp < 0 || (strict && cmp == 0)) l = m + 1 else h = m
+      }
+      l
+    }
+    val from = if (lo == null) 0 else lowerBound(lo, strict = !incLo)
+    val until = if (hi == null) dict.length else lowerBound(hi, strict = incHi)
+    if (from >= until) return Array.empty
+    expansionTopK(field, dict.slice(from, until).toSeq, k, boost)
+  }
+
+  /** Warm constant-score WILDCARD top-k — the pinned dictionary filtered by
+    * the SAME anchored Java regex the cluster plan's rlike verifies
+    * (Query.wildcardRegex), then the distinct union of the expansions'
+    * pinned postings at score = boost. */
+  def wildcardTopK(field: String, pattern: String, k: Int, boost: Float = 1f): Array[Hit] =
+    regexExpansionTopK(field, Query.wildcardRegex(pattern), k, boost)
+
+  /** Warm constant-score REGEXP (Java-dialect) top-k — anchored like the
+    * cluster plan's `rlike("^" + re + "$")`. */
+  def regexpTopK(field: String, re: String, k: Int, boost: Float = 1f): Array[Hit] =
+    regexExpansionTopK(field, re, k, boost)
+
+  /** Warm Lucene-RegExp-dialect top-k — the pinned dictionary decided
+    * directly by the memoized span matcher (the cluster plan's gram/rlike
+    * prunes are over-approximations; LuceneRegExp.matches DECIDES there
+    * too, so the expansion sets agree exactly). */
+  def luceneRegexpTopK(field: String, pattern: String, k: Int, boost: Float = 1f): Array[Hit] = {
+    require(warmDict(field),
+      s"dictionary for '$field' exceeds the session byte budget — use the cluster path")
+    val ast = LuceneRegExp.parse(pattern)
+    expansionTopK(field, pinnedDicts(field).iterator
+      .filter(t => LuceneRegExp.matches(ast, t)).toSeq, k, boost)
+  }
+
+  private def regexExpansionTopK(field: String, re: String, k: Int,
+                                 boost: Float): Array[Hit] = {
+    require(warmDict(field),
+      s"dictionary for '$field' exceeds the session byte budget — use the cluster path")
+    // rlike semantics: find() over the anchored pattern == full match
+    val p = java.util.regex.Pattern.compile("^" + re + "$")
+    expansionTopK(field, pinnedDicts(field).iterator
+      .filter(t => p.matcher(t).find()).toSeq, k, boost)
+  }
+
+  /** Distinct union of the expansion terms' pinned postings at score =
+    * boost, ranked by the HitQueue tie-break — the in-session body of every
+    * constant-score MultiTermQuery. Expansion terms too large to pin (the
+    * per-term byte cap) make the query unservable warm — that THROWS rather
+    * than silently dropping docs. */
+  private def expansionTopK(field: String, terms: Seq[String], k: Int,
+                            boost: Float): Array[Hit] = {
     if (terms.isEmpty) return Array.empty
-    val keys: Seq[(String, String)] = terms.map(t => (field, t)).toSeq
+    val keys: Seq[(String, String)] = terms.map(t => (field, t))
     val served = warm(keys)
     val unservable = keys.filterNot(k0 => served(k0) || absent.contains(k0))
     require(unservable.isEmpty, "expansion terms exceed the per-term pin " +

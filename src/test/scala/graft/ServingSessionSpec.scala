@@ -90,6 +90,31 @@ class ServingSessionSpec extends AnyFunSuite {
     assert(warm == dist)
   }
 
+  test("warm wildcard / regexp / Lucene-RegExp == distributed constant-score plans") {
+    // leading wildcard — the case the cluster path needs the gram index for;
+    // warm scans the pinned dictionary, results must agree exactly
+    assert(warmHits(session.wildcardTopK(se.defaultField, "*ream", 10))
+      == distributedTopK(ConstantScoreQ(WildcardQ("*ream"), 1f), 10))
+    assert(warmHits(session.wildcardTopK(se.defaultField, "dat?", 10))
+      == distributedTopK(ConstantScoreQ(WildcardQ("dat?"), 1f), 10))
+    assert(warmHits(session.regexpTopK(se.defaultField, "st.*am.?", 10))
+      == distributedTopK(ConstantScoreQ(RegexpQ("st.*am.?"), 1f), 10))
+    assert(warmHits(session.luceneRegexpTopK(se.defaultField, "dat.&.{4}", 10))
+      == distributedTopK(ConstantScoreQ(LuceneRegexpQ("dat.&.{4}"), 1f), 10))
+    assert(session.wildcardTopK(se.defaultField, "zzqq*", 10).isEmpty)
+  }
+
+  test("warm range == distributed constant-score range (all bound shapes)") {
+    for ((lo, hi, il, ih) <- Seq(
+        ("data", "dup", true, true), ("data", "dup", false, false),
+        (null, "batch", true, true), ("window", null, true, true))) {
+      val dist = distributedTopK(ConstantScoreQ(RangeQ(lo, hi, il, ih), 1f), 10)
+      val warm = warmHits(session.rangeTopK(se.defaultField, lo, hi, il, ih, 10))
+      assert(warm == dist, s"range [$lo, $hi] incLo=$il incHi=$ih")
+    }
+    assert(session.rangeTopK(se.defaultField, "zzz", "zza", true, true, 10).isEmpty)
+  }
+
   test("warm fuzzy runs ZERO Spark jobs once dict and expansions are pinned") {
     session.fuzzyTopK(se.defaultField, "datq", 2, 50, 10) // pins dict + expansions
     var jobs = 0
