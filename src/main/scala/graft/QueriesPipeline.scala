@@ -129,6 +129,16 @@ object QueriesPipeline {
       Ann.ivfTopK(emb, "vec_id", "embedding", q, 10, every = 20, nprobe = 3, excludeId = Some(0L))
     }),
 
+    // TRAINED coarse quantizer: one deterministic Lloyd iteration over the
+    // integer-quantized view (exact arithmetic — sums commute, so training
+    // is bit-stable under any partitioning and the oracle replays it);
+    // output = every vector's trained-cell assignment
+    "q_ann_kmeans" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      Ann.kmeansAssign(emb, "vec_id", "embedding", every = 20, iters = 1)
+        .orderBy("vec_id")
+    }),
+
     // the PERSISTED bucket layout (vectors partitioned by cell id): the
     // probe reads only its nprobe cells' partitions and must reproduce the
     // in-memory IVF result exactly (same oracle as q_ann_ivf)
@@ -984,6 +994,42 @@ object QueriesPipeline {
         |  FROM cand e CROSS JOIN q)
         |SELECT vec_id, CAST(row_number() OVER (ORDER BY cos DESC, vec_id) AS INT) AS rank
         |FROM scored ORDER BY cos DESC, vec_id LIMIT 10""".stripMargin,
+
+    // one Lloyd update in exact integer arithmetic, then the final argmin:
+    // quantize -> assign to seeds -> per-(cell, dim) integer-floor means ->
+    // re-assign; row_number (d2 asc, cid asc) is the ArgMinCentroid tie rule
+    "q_ann_kmeans" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, qe AS ce FROM q WHERE vec_id % 20 = 0),
+        |d1 AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(v.qe, c.ce),
+        |      x -> CAST(x[1] - x[2] AS DOUBLE) * CAST(x[1] - x[2] AS DOUBLE)),
+        |      (a, b) -> a + b) AS d2
+        |  FROM q v CROSS JOIN c0 c),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM d1) WHERE rn = 1),
+        |x1 AS (
+        |  SELECT a1.cid, g.i, q.qe[g.i] AS qv
+        |  FROM a1 JOIN q USING (vec_id), unnest(generate_series(1, len(q.qe))) AS g(i)),
+        |c1 AS (
+        |  SELECT cid, list(CAST(floor(CAST(s AS DOUBLE) / n) AS BIGINT) ORDER BY i) AS ce
+        |  FROM (SELECT cid, i, sum(qv) AS s, count(*) AS n FROM x1 GROUP BY cid, i)
+        |  GROUP BY cid),
+        |dt AS (
+        |  SELECT v.vec_id, c.cid,
+        |    list_reduce(list_transform(list_zip(v.qe, c.ce),
+        |      x -> CAST(x[1] - x[2] AS DOUBLE) * CAST(x[1] - x[2] AS DOUBLE)),
+        |      (a, b) -> a + b) AS d2
+        |  FROM q v CROSS JOIN c1 c)
+        |SELECT vec_id, cid FROM (
+        |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        |  FROM dt) WHERE rn = 1
+        |ORDER BY vec_id""".stripMargin,
 
     "q_ann_ivf_indexed" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -181,6 +181,96 @@ object Ann {
     cosineTopK(cand, idCol, embCol, q, k, excludeId)
   }
 
+  /** Quantized view for exact-arithmetic k-means: component floor(v * scale)
+    * as an integer-valued FLOAT (float*scale is exact in double, floor is
+    * exact, and the integer magnitudes stay far below 2^24 so the float
+    * carries them losslessly). Integer sums commute EXACTLY, so the trained
+    * centroids are bit-identical under any partitioning/row order — and an
+    * external SQL oracle reproduces them. */
+  def quantized(emb: DataFrame, idCol: String, embCol: String, scale: Int): DataFrame =
+    emb.select(col(idCol),
+      expr(s"transform($embCol, x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS FLOAT))").as("qe"))
+
+  /** Deterministic Lloyd k-means over the quantized view: seeds = every
+    * `every`-th vector (the ivfCentroids rule), each iteration assigns with
+    * the fused ArgMinCentroid pass (zero Exchange) and re-centers cells at
+    * floor(sum / count) per dimension — INTEGER arithmetic throughout, so
+    * training is reproducible to the bit on any cluster. Cells that lose
+    * all members drop (classic Lloyd). Returns (cid, centroid) sorted by
+    * cid; cid keeps the seed's id label.
+    *
+    * Scale shape per iteration: one narrow assignment pass over the corpus
+    * plus ONE (cid, dim)-keyed aggregation whose map-side combine reduces
+    * every partition to at most numCells x dim rows before the exchange —
+    * no corpus-sized shuffle, no driver-side data beyond numCells x dim.
+    */
+  def kmeansCentroids(emb: DataFrame, idCol: String, embCol: String,
+                      every: Int, iters: Int, scale: Int = 1000): Array[(Long, Array[Float])] = {
+    val q = quantized(emb, idCol, embCol, scale)
+    var cents = q.filter(col(idCol) % every === 0)
+      .select(col(idCol).cast("long").as("cid"), col("qe"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    var it = 0
+    while (it < iters && cents.nonEmpty) {
+      val assigned = q.select(
+        graft.functions.VectorExpressions
+          .argMinCentroid(col("qe"), cents.map(_._1), cents.map(_._2)).as("cid"),
+        col("qe"))
+      val sums = assigned
+        .select(col("cid"), posexplode(col("qe")).as(Seq("i", "qv")))
+        .groupBy(col("cid"), col("i"))
+        .agg(sum(col("qv").cast("long")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      cents = sums.groupBy(_.getLong(0)).toArray.map { case (cid, rows) =>
+        val arr = new Array[Float](rows.map(_.getInt(1)).max + 1)
+        rows.foreach { r =>
+          arr(r.getInt(1)) = math.floor(r.getLong(2).toDouble / r.getLong(3)).toFloat
+        }
+        (cid, arr)
+      }.sortBy(_._1)
+      it += 1
+    }
+    cents
+  }
+
+  /** Cell assignment under TRAINED centroids ([[kmeansCentroids]]) — same
+    * zero-Exchange fused argmin as [[ivfAssign]], same (d2 asc, cid asc)
+    * tie rule, over the quantized view the training used. */
+  def kmeansAssign(emb: DataFrame, idCol: String, embCol: String,
+                   every: Int, iters: Int, scale: Int = 1000): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, embCol, every, iters, scale)
+    val q = quantized(emb, idCol, embCol, scale)
+    if (cents.isEmpty)
+      q.select(col(idCol), lit(0L).as("cid")).filter(lit(false))
+    else
+      q.select(col(idCol),
+        graft.functions.VectorExpressions
+          .argMinCentroid(col("qe"), cents.map(_._1), cents.map(_._2)).as("cid"))
+  }
+
+  /** IVF top-k under TRAINED centroids: the probe ranks centroids against
+    * the quantized query DRIVER-SIDE (centroids are already in memory — no
+    * Spark job), the probed cells' members come from [[kmeansAssign]], and
+    * final scoring is exact cosine over the ORIGINAL float embeddings. */
+  def kmeansIvfTopK(emb: DataFrame, idCol: String, embCol: String, qv: Array[Float],
+                    k: Int, every: Int, iters: Int, nprobe: Int,
+                    excludeId: Option[Long] = None, scale: Int = 1000,
+                    assignment: Option[DataFrame] = None): DataFrame = {
+    val cents = kmeansCentroids(emb, idCol, embCol, every, iters, scale)
+    val qq = qv.map(v => math.floor(v.toDouble * scale))
+    val probed = cents.map { case (cid, ce) =>
+      var d2 = 0d; var i = 0
+      while (i < ce.length) { val d = ce(i) - qq(i); d2 += d * d; i += 1 }
+      (d2, cid)
+    }.sorted.take(nprobe).map(_._2)
+    val assigned = assignment.getOrElse(kmeansAssign(emb, idCol, embCol, every, iters, scale))
+    val cand = emb.join(
+      assigned.filter(col("cid").isInCollection(probed.toSeq)),
+      Seq(idCol), "left_semi")
+    cosineTopK(cand, idCol, embCol, qv, k, excludeId)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared
     * hyperplane-LSH buckets, verified by exact cosine — the embedding analog
     * of Dedup.nearDupPairs. `maxBucket` caps bucket sizes (a dominant-
