@@ -247,6 +247,12 @@ object Bench {
     }
     // IVF: cell assignment is a build-time pass (the persisted bucket layout
     // at scale) — timed separately from the per-query probe
+    // trained quantizer: one Lloyd update (assign + integer re-center) then
+    // the full trained assignment — all exact arithmetic, zero Exchange scans
+    results("ann_kmeans_train") = timeMedian(trials) {
+      graft.pipeline.Ann.kmeansAssign(emb, "vec_id", "embedding",
+        every = 20, iters = 1).count()
+    }
     results("ann_ivf_assign") = timeMedian(trials) {
       graft.pipeline.Ann.ivfAssign(emb, "vec_id", "embedding", 20).count()
     }

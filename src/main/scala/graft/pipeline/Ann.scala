@@ -256,8 +256,10 @@ object Ann {
   def kmeansIvfTopK(emb: DataFrame, idCol: String, embCol: String, qv: Array[Float],
                     k: Int, every: Int, iters: Int, nprobe: Int,
                     excludeId: Option[Long] = None, scale: Int = 1000,
-                    assignment: Option[DataFrame] = None): DataFrame = {
-    val cents = kmeansCentroids(emb, idCol, embCol, every, iters, scale)
+                    assignment: Option[DataFrame] = None,
+                    centroids: Option[Array[(Long, Array[Float])]] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      kmeansCentroids(emb, idCol, embCol, every, iters, scale))
     val qq = qv.map(v => math.floor(v.toDouble * scale))
     val probed = cents.map { case (cid, ce) =>
       var d2 = 0d; var i = 0

@@ -83,6 +83,38 @@ object AnnRecall {
     }
     assert(sweep.last._2 >= 0.95, s"recall@16 too low: ${sweep.last._2}")
     assert(sweep.head._2 > 0.0, "nprobe=1 found nothing")
+
+    // TRAINED quantizer: 2 Lloyd updates from the same seeds; the same
+    // nprobe sweep over the trained layout — at equal scan budget, trained
+    // cells should match or beat the sampled ones on this clustered corpus
+    t0 = System.nanoTime()
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", every, iters = 2)
+    val q2 = Ann.quantized(emb, "vec_id", "embedding", 1000)
+    val trainedAssign = q2.select(col("vec_id"),
+      graft.functions.VectorExpressions
+        .argMinCentroid(col("qe"), cents.map(_._1), cents.map(_._2)).as("cid"))
+      .persist()
+    val nCellsT = trainedAssign.select("cid").distinct().count()
+    val trainWall = (System.nanoTime() - t0) / 1e9
+    println(f"ANNRECALL trained cells=$nCellsT train=$trainWall%.1f s (2 Lloyd updates)")
+    val sweepT = Seq(1, 2, 4, 8, 16).map { nprobe =>
+      t0 = System.nanoTime()
+      val recalls = qvecs.map { case (qid, qv) =>
+        val got = Ann.kmeansIvfTopK(emb, "vec_id", "embedding", qv, k, every,
+          iters = 2, nprobe = nprobe, None,
+          assignment = Some(trainedAssign), centroids = Some(cents))
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(truth(qid)).size.toDouble / k
+      }
+      val wall = (System.nanoTime() - t0) / 1e9 / nQueries
+      val recall = recalls.sum / recalls.size
+      println(f"ANNRECALL trained nprobe=$nprobe recall@$k=$recall%.3f mean_query_wall=$wall%.2f s")
+      (nprobe, recall)
+    }
+    sweepT.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b >= a - 1e-9, s"trained recall regressed across nprobe: $sweepT")
+    }
+    assert(sweepT.last._2 >= 0.95, s"trained recall@16 too low: ${sweepT.last._2}")
     println("ANNRECALL OK")
     spark.stop()
   }
