@@ -253,6 +253,20 @@ object Bench {
       graft.pipeline.Ann.kmeansAssign(emb, "vec_id", "embedding",
         every = 20, iters = 1).count()
     }
+    // PQ/ADC query over a pre-encoded code table (the persisted compressed
+    // layout): M map lookups + a sum per vector, no float vectors touched
+    locally {
+      val books = graft.pipeline.Ann.pqTrain(emb, "vec_id", "embedding",
+        dim = 64, m = 4, every = 20, iters = 1)
+      val codes = graft.pipeline.Ann.pqEncode(emb, "vec_id", "embedding", 64, books)
+        .persist()
+      codes.count()
+      results("ann_pq_topk") = timeMedian(trials) {
+        graft.pipeline.Ann.pqTopK(emb, "vec_id", "embedding", qv, 10, 64, books,
+          excludeId = Some(0L), codes = Some(codes)).collect()
+      }
+      codes.unpersist()
+    }
     results("ann_ivf_assign") = timeMedian(trials) {
       graft.pipeline.Ann.ivfAssign(emb, "vec_id", "embedding", 20).count()
     }

@@ -139,6 +139,20 @@ object QueriesPipeline {
         .orderBy("vec_id")
     }),
 
+    // product quantization (the IVFPQ compression layer): 4 subspaces of 16
+    // dims, codebooks = seed subvectors (iters=0, the SQL-replayable
+    // configuration; Lloyd-refined training is spec-pinned), ADC top-10 for
+    // vec 0's query — approximate distances are exact integer arithmetic,
+    // so the oracle reproduces the ranking bit-for-bit
+    "q_ann_pq" -> ((s, dir) => {
+      val emb = s.read.parquet(s"$dir/embeddings.parquet")
+      val q = emb.filter(col("vec_id") === 0).select("embedding")
+        .collect()(0).getAs[scala.collection.Seq[Float]](0).toArray
+      val books = Ann.pqTrain(emb, "vec_id", "embedding", dim = 64, m = 4,
+        every = 20, iters = 0)
+      Ann.pqTopK(emb, "vec_id", "embedding", q, 10, 64, books, excludeId = Some(0L))
+    }),
+
     // the PERSISTED bucket layout (vectors partitioned by cell id): the
     // probe reads only its nprobe cells' partitions and must reproduce the
     // in-memory IVF result exactly (same oracle as q_ann_ivf)
@@ -1030,6 +1044,40 @@ object QueriesPipeline {
         |  SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         |  FROM dt) WHERE rn = 1
         |ORDER BY vec_id""".stripMargin,
+
+    // PQ/ADC replay: quantize -> slice into 4 subspaces -> assign each
+    // subvector to its nearest seed codeword ((d2, cid) rule) -> approximate
+    // d2 = sum over subspaces of the QUERY-to-ASSIGNED-CODEWORD distance
+    "q_ann_pq" ->
+      """WITH q AS (
+        |  SELECT vec_id, list_transform(embedding,
+        |    x -> CAST(floor(CAST(x AS DOUBLE) * 1000) AS BIGINT)) AS qe
+        |  FROM embeddings),
+        |subv AS (
+        |  SELECT vec_id, g.m, qe[g.m * 16 + 1 : g.m * 16 + 16] AS sv
+        |  FROM q, unnest(generate_series(0, 3)) AS g(m)),
+        |seeds AS (SELECT vec_id AS cid, m, sv AS ce FROM subv WHERE vec_id % 20 = 0),
+        |d AS (
+        |  SELECT s.vec_id, s.m, c.cid,
+        |    list_reduce(list_transform(list_zip(s.sv, c.ce),
+        |      x -> CAST(x[1] - x[2] AS DOUBLE) * CAST(x[1] - x[2] AS DOUBLE)),
+        |      (a, b) -> a + b) AS d2
+        |  FROM subv s JOIN seeds c USING (m)),
+        |assign AS (SELECT vec_id, m, cid FROM (
+        |  SELECT vec_id, m, cid, row_number() OVER (PARTITION BY vec_id, m ORDER BY d2, cid) AS rn
+        |  FROM d) WHERE rn = 1),
+        |qsub AS (SELECT m, sv FROM subv WHERE vec_id = 0),
+        |adc AS (
+        |  SELECT a.vec_id, sum(
+        |    list_reduce(list_transform(list_zip(qs.sv, c.ce),
+        |      x -> CAST(x[1] - x[2] AS DOUBLE) * CAST(x[1] - x[2] AS DOUBLE)),
+        |      (a2, b2) -> a2 + b2)) AS ad2
+        |  FROM assign a
+        |  JOIN seeds c ON a.m = c.m AND a.cid = c.cid
+        |  JOIN qsub qs ON qs.m = a.m
+        |  GROUP BY a.vec_id)
+        |SELECT vec_id, CAST(row_number() OVER (ORDER BY ad2, vec_id) AS INT) AS rank
+        |FROM adc WHERE vec_id <> 0 ORDER BY ad2, vec_id LIMIT 10""".stripMargin,
 
     "q_ann_ivf_indexed" ->
       """WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),

@@ -273,6 +273,79 @@ object Ann {
     cosineTopK(cand, idCol, embCol, qv, k, excludeId)
   }
 
+  // ---- product quantization (the FAISS-style IVFPQ compression layer) ----
+  // At 100 TB raw float vectors do not fit the serving tier: PQ splits each
+  // vector into M subvectors, trains a small codebook per subspace with the
+  // SAME exact-integer Lloyd machinery (bit-stable under any partitioning),
+  // and stores only M small codes per vector. Queries score with the ADC
+  // (asymmetric distance computation) rule: a per-subspace lookup table of
+  // exact query-to-codeword distances, summed by code — one narrow pass
+  // over the codes table, no float vectors touched at query time.
+
+  /** Per-subspace codebooks: subspace m covers dims [m*dim/M, (m+1)*dim/M);
+    * seeds = every `every`-th vector's subvector (labels keep the seed id),
+    * refined by `iters` exact-integer Lloyd updates. */
+  def pqTrain(emb: DataFrame, idCol: String, embCol: String, dim: Int, m: Int,
+              every: Int, iters: Int, scale: Int = 1000): Array[Array[(Long, Array[Float])]] = {
+    require(dim % m == 0, s"dim $dim not divisible into $m subspaces")
+    val sub = dim / m
+    Array.tabulate(m) { s =>
+      val sliced = emb.select(col(idCol),
+        expr(s"slice($embCol, ${s * sub + 1}, $sub)").as("sv"))
+      kmeansCentroids(sliced, idCol, "sv", every, iters, scale)
+    }
+  }
+
+  /** PQ codes: (id, codes ARRAY<BIGINT>) — codes(m) = the cid of subspace
+    * m's nearest codeword under the quantized view (the argMinCentroid
+    * (d2 asc, cid asc) rule), M fused passes folded into one projection. */
+  def pqEncode(emb: DataFrame, idCol: String, embCol: String, dim: Int,
+               codebooks: Array[Array[(Long, Array[Float])]],
+               scale: Int = 1000): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val q = emb.select(col(idCol) +: Array.tabulate(m) { s =>
+      expr(s"transform(slice($embCol, ${s * sub + 1}, $sub), " +
+          s"x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS FLOAT))").as(s"qs$s")
+    }: _*)
+    q.select(col(idCol), array(Array.tabulate(m) { s =>
+      graft.functions.VectorExpressions
+        .argMinCentroid(col(s"qs$s"), codebooks(s).map(_._1), codebooks(s).map(_._2))
+    }: _*).as("codes"))
+  }
+
+  /** ADC top-k over PQ codes: the query quantizes driver-side, the per-
+    * subspace distance tables are exact integer-valued doubles keyed by
+    * codeword cid, and every vector's approximate d2 is M map lookups + a
+    * sum — ranked (approx d2 asc, id asc). `codes` = a pre-encoded table
+    * (the persisted layout at scale); pass None to encode inline. */
+  def pqTopK(emb: DataFrame, idCol: String, embCol: String, qv: Array[Float],
+             k: Int, dim: Int, codebooks: Array[Array[(Long, Array[Float])]],
+             excludeId: Option[Long] = None, scale: Int = 1000,
+             codes: Option[DataFrame] = None): DataFrame = {
+    val m = codebooks.length
+    val sub = dim / m
+    val qq = qv.map(v => math.floor(v.toDouble * scale))
+    val lookup: Array[Map[Long, Double]] = Array.tabulate(m) { s =>
+      codebooks(s).map { case (cid, ce) =>
+        var d2 = 0d; var i = 0
+        while (i < sub) { val d = qq(s * sub + i) - ce(i); d2 += d * d; i += 1 }
+        cid -> d2
+      }.toMap
+    }
+    val encoded = codes.getOrElse(pqEncode(emb, idCol, embCol, dim, codebooks, scale))
+    val approx = Array.tabulate(m) { s =>
+      val entries = lookup(s).toSeq.sortBy(_._1)
+        .flatMap { case (cid, d) => Seq(lit(cid), lit(d)) }
+      element_at(map(entries: _*), col("codes")(s))
+    }.reduce(_ + _)
+    val scored = encoded
+      .filter(excludeId.map(col(idCol) =!= _).getOrElse(lit(true)))
+      .withColumn("ad2", approx)
+    graft.Ranks.rankTopK(scored, k, Seq(col("ad2").asc, col(idCol).asc))
+      .select(col(idCol), col("rank"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared
     * hyperplane-LSH buckets, verified by exact cosine — the embedding analog
     * of Dedup.nearDupPairs. `maxBucket` caps bucket sizes (a dominant-
