@@ -346,6 +346,43 @@ object Ann {
       .select(col(idCol), col("rank"))
   }
 
+  /** Two-stage IVF+PQ top-k — the production serving shape: probe the
+    * `nprobe` trained cells nearest the query (driver-side over in-memory
+    * centroids), ADC-score ONLY those cells' codes (M map lookups per
+    * member), keep the best `rerank` candidates by approximate distance,
+    * then re-rank exactly with the original float vectors (cosine) — the
+    * refine step that buys back PQ's quantization error on a candidate
+    * list thousands of times smaller than the corpus. With nprobe covering
+    * every cell and rerank >= corpus the result IS brute-force cosineTopK
+    * (spec-pinned identity).
+    */
+  def ivfpqTopK(emb: DataFrame, idCol: String, embCol: String, qv: Array[Float],
+                k: Int, dim: Int, every: Int, iters: Int, m: Int,
+                nprobe: Int, rerank: Int, excludeId: Option[Long] = None,
+                scale: Int = 1000,
+                centroids: Option[Array[(Long, Array[Float])]] = None,
+                codebooks: Option[Array[Array[(Long, Array[Float])]]] = None,
+                assignment: Option[DataFrame] = None,
+                codes: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(kmeansCentroids(emb, idCol, embCol, every, iters, scale))
+    val books = codebooks.getOrElse(pqTrain(emb, idCol, embCol, dim, m, every, iters, scale))
+    val qq = qv.map(v => math.floor(v.toDouble * scale))
+    val probed = cents.map { case (cid, ce) =>
+      var d2 = 0d; var i = 0
+      while (i < ce.length) { val d = ce(i) - qq(i); d2 += d * d; i += 1 }
+      (d2, cid)
+    }.sorted.take(nprobe).map(_._2)
+    val assigned = assignment.getOrElse(kmeansAssign(emb, idCol, embCol, every, iters, scale))
+    val encoded = codes.getOrElse(pqEncode(emb, idCol, embCol, dim, books, scale))
+    val cells = assigned.filter(col("cid").isInCollection(probed.toSeq)).select(idCol)
+    val candCodes = encoded.join(cells, Seq(idCol), "left_semi")
+    val shortlist = pqTopK(emb, idCol, embCol, qv, rerank, dim, books,
+        excludeId, scale, codes = Some(candCodes))
+      .select(idCol)
+    cosineTopK(emb.join(shortlist, Seq(idCol), "left_semi"),
+      idCol, embCol, qv, k, excludeId)
+  }
+
   /** Embedding-cosine near-duplicate pairs: candidates from shared
     * hyperplane-LSH buckets, verified by exact cosine — the embedding analog
     * of Dedup.nearDupPairs. `maxBucket` caps bucket sizes (a dominant-

@@ -115,6 +115,43 @@ object AnnRecall {
       assert(b >= a - 1e-9, s"trained recall regressed across nprobe: $sweepT")
     }
     assert(sweepT.last._2 >= 0.95, s"trained recall@16 too low: ${sweepT.last._2}")
+
+    // two-stage IVF+PQ: ADC shortlist inside the probed trained cells, exact
+    // cosine refine — the compressed serving path (M bytes of codes per
+    // vector instead of 256 B of floats). The honest PQ question is the
+    // REFINE BUDGET: at fixed nprobe, how small can the exact-rerank
+    // shortlist be before recall drops below the IVF ceiling? (This corpus
+    // is adversarial for PQ — the per-id ripple that defines true
+    // neighborhoods is i.i.d. noise the subspace codebooks cannot encode,
+    // so the ADC shortlist needs headroom; smoother corpora need less.)
+    t0 = System.nanoTime()
+    val books = Ann.pqTrain(emb, "vec_id", "embedding", dim, m = 8, every = every, iters = 2)
+    val codes = Ann.pqEncode(emb, "vec_id", "embedding", dim, books).persist()
+    codes.count()
+    val pqWall = (System.nanoTime() - t0) / 1e9
+    println(f"ANNRECALL pq train+encode=$pqWall%.1f s (8 subspaces, 2 Lloyd updates)")
+    val np = 4
+    val ceiling = sweepT.find(_._1 == np).get._2
+    val sweepP = Seq(50, 200, 800, 3200).map { rr =>
+      t0 = System.nanoTime()
+      val recalls = qvecs.map { case (qid, qv) =>
+        val got = Ann.ivfpqTopK(emb, "vec_id", "embedding", qv, k, dim,
+          every = every, iters = 2, m = 8, nprobe = np, rerank = rr, None,
+          centroids = Some(cents), codebooks = Some(books),
+          assignment = Some(trainedAssign), codes = Some(codes))
+          .collect().map(_.getLong(0)).toSet
+        got.intersect(truth(qid)).size.toDouble / k
+      }
+      val wall = (System.nanoTime() - t0) / 1e9 / nQueries
+      val recall = recalls.sum / recalls.size
+      println(f"ANNRECALL ivfpq nprobe=$np rerank=$rr recall@$k=$recall%.3f mean_query_wall=$wall%.2f s (ivf ceiling $ceiling%.3f)")
+      (rr, recall)
+    }
+    sweepP.sliding(2).foreach { case Seq((_, a), (_, b)) =>
+      assert(b >= a - 1e-9, s"ivfpq recall regressed as rerank grew: $sweepP")
+    }
+    assert(sweepP.last._2 >= ceiling - 0.05,
+      s"ivfpq with a full-cell rerank must approach the IVF ceiling: $sweepP vs $ceiling")
     println("ANNRECALL OK")
     spark.stop()
   }

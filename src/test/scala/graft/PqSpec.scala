@@ -76,6 +76,27 @@ class PqSpec extends AnyFunSuite {
     assert(objs.sliding(2).forall(p => p(1) <= p(0)), objs.toString)
   }
 
+  test("two-stage IVF+PQ with full probe and full rerank == brute-force cosine") {
+    val q = qvec(0)
+    val brute = Ann.cosineTopK(emb, "vec_id", "embedding", q, 10, excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    val cells = Ann.kmeansCentroids(emb, "vec_id", "embedding", every = 10, iters = 1).length
+    val got = Ann.ivfpqTopK(emb, "vec_id", "embedding", q, 10, dim,
+        every = 10, iters = 1, m = 2, nprobe = cells, rerank = 80,
+        excludeId = Some(0L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(got == brute)
+  }
+
+  test("two-stage IVF+PQ: pruning narrows candidates but keeps rank order sane") {
+    val q = qvec(3)
+    val got = Ann.ivfpqTopK(emb, "vec_id", "embedding", q, 5, dim,
+        every = 10, iters = 1, m = 2, nprobe = 2, rerank = 20,
+        excludeId = Some(3L))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toList
+    assert(got.nonEmpty && got.map(_._2) == (1 to got.size).toList)
+  }
+
   test("encode plan has zero Exchange (M fused argmins in one projection)") {
     val books = Ann.pqTrain(emb, "vec_id", "embedding", dim, m = 2, every = 10, iters = 0)
     val plan = Ann.pqEncode(emb, "vec_id", "embedding", dim, books)
