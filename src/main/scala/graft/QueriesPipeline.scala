@@ -663,6 +663,14 @@ object QueriesPipeline {
           "doc_id", "url")
         .orderBy("doc_id")),
 
+    // per-host crawl stats: docs per host vs distinct canonical pages per
+    // host — the dup-rate view a crawl-health dashboard reads
+    "q_url_hosts" -> ((s, dir) =>
+      TextStats.hostStats(
+          documents(s, dir).selectExpr("doc_id", UrlFixture("STRING") + " AS url"),
+          "doc_id", "url")
+        .orderBy("host")),
+
     // URL dedup: group by the canonical form — raw variants that differ only
     // in case/port/trailing-slash/tracking-params collapse to one group
     "q_url_dedup" -> ((s, dir) =>
@@ -1466,7 +1474,13 @@ object QueriesPipeline {
     "q_url_dedup" ->
       s"""$UrlCanonSql
          |SELECT canon, count(*) AS cnt, min(doc_id) AS min_id
-         |FROM canon GROUP BY canon HAVING count(*) > 1 ORDER BY canon""".stripMargin
+         |FROM canon GROUP BY canon HAVING count(*) > 1 ORDER BY canon""".stripMargin,
+
+    "q_url_hosts" ->
+      s"""$UrlCanonSql
+         |SELECT regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/]+)', 1) AS host,
+         |  count(*) AS n_docs, count(DISTINCT canon) AS n_pages
+         |FROM canon GROUP BY 1 ORDER BY host""".stripMargin
   )
 
   /** DuckDB twin of [[TextStats.canonicalUrl]] over the [[UrlFixture]] raw

@@ -125,6 +125,19 @@ object TextStats {
               "x -> x != '' AND NOT startswith(x, 'utm_'))), '&')")))
         ).as("canon"))
 
+  /** Per-host crawl stats over canonicalized URLs — the webtext corpus
+    * health view (docs per host, distinct pages per host, URL-level dup
+    * rate): host extracted from the canon form, one hash groupBy with a
+    * distinct-on-(host, canon) pre-pass (two partial-aggregated shuffles,
+    * both keyed small). Output: (host, n_docs, n_pages).
+    */
+  def hostStats(df: DataFrame, idCol: String, urlCol: String): DataFrame = {
+    val canon = canonicalUrl(df, idCol, urlCol)
+      .withColumn("host", expr("regexp_extract(canon, '^[a-z][a-z0-9+.-]*://([^/]+)', 1)"))
+    canon.groupBy("host")
+      .agg(count(lit(1)).as("n_docs"), countDistinct(col("canon")).as("n_pages"))
+  }
+
   /** MoreLikeThis over INDEX-TIME term vectors — the reference's preferred
     * path (Queries/Mlt/MoreLikeThis.cs:736 RetrieveTerms uses
     * reader.GetTermVector when vectors were stored): the doc is never

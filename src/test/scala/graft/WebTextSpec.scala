@@ -119,6 +119,18 @@ class WebTextSpec extends AnyFunSuite {
     assert(out.toSeq == Seq("http://a.com/x?k=v"))
   }
 
+  test("hostStats counts docs vs distinct canonical pages per host") {
+    val df = Seq(
+      (1L, "HTTP://A.com/x?utm_source=1"),
+      (2L, "http://a.COM/x"),                // same canonical page as 1
+      (3L, "http://a.com/y"),
+      (4L, "https://b.com/z")
+    ).toDF("doc_id", "url")
+    val out = TextStats.hostStats(df, "doc_id", "url").orderBy("host")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("a.com", 3L, 2L), ("b.com", 1L, 1L)))
+  }
+
   test("canonicalUrl is shuffle-free (pure projection)") {
     val df = Seq((1L, "http://a.com/x")).toDF("doc_id", "url")
     val plan = TextStats.canonicalUrl(df, "doc_id", "url")
