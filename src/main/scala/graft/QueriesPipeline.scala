@@ -633,11 +633,8 @@ object QueriesPipeline {
     // pure formula of (doc_id, pos) the DuckDB twin recomputes): first
     // occurrence of each exact line survives; per-doc counts + content digest
     "q_dedup_lines" -> ((s, dir) => {
-      val lineExprs = (0 until 6).map(i =>
-        expr(s"concat('w', CAST((doc_id * 7 + $i * 13) % 9 AS STRING), " +
-          s"' content ', CAST((doc_id + $i) % 23 AS STRING))"))
       val fix = documents(s, dir)
-        .select(col("doc_id"), concat_ws("\n", lineExprs: _*).as("text"))
+        .select(col("doc_id"), concat_ws("\n", LineFixtureExprs: _*).as("text"))
       Dedup.lineDedup(fix, "doc_id", "text")
         .select(col("id").as("doc_id"), col("kept"), col("total"), col("dedup_digest"))
         .orderBy("doc_id")
@@ -684,11 +681,20 @@ object QueriesPipeline {
   )
 
   /** Raw-URL fixture: a pure formula of doc_id shared verbatim with the
-    * DuckDB oracle (`t` = the dialect's string type name). Exercises every
-    * canonicalization rule: mixed-case scheme+host, default ports on both
-    * schemes, trailing slash, utm_ tracking param, unsorted params, fragment.
+    * DuckDB oracle (`t` = the dialect's string type name) AND with Bench
+    * (one definition — the benched rules cannot drift from the gated ones).
+    * Exercises every canonicalization rule: mixed-case scheme+host, default
+    * ports on both schemes, trailing slash, utm_ tracking param, unsorted
+    * params, fragment.
     */
-  private def UrlFixture(t: String): String =
+  /** The q_dedup_lines 6-line fixture columns — one definition shared with
+    * Bench (line i of doc d = 'w((d*7+i*13)%9) content ((d+i)%23)'). */
+  private[graft] def LineFixtureExprs: Seq[org.apache.spark.sql.Column] =
+    (0 until 6).map(i =>
+      expr(s"concat('w', CAST((doc_id * 7 + $i * 13) % 9 AS STRING), " +
+        s"' content ', CAST((doc_id + $i) % 23 AS STRING))"))
+
+  private[graft] def UrlFixture(t: String): String =
     "(CASE WHEN doc_id % 2 = 0 THEN 'HTTP://' ELSE 'httpS://' END) || " +
       s"'ExAmple' || CAST(doc_id % 5 AS $t) || '.COM' || " +
       "(CASE WHEN doc_id % 3 = 0 THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END) ELSE '' END) || " +

@@ -238,8 +238,15 @@ object Ann {
     * zero-Exchange fused argmin as [[ivfAssign]], same (d2 asc, cid asc)
     * tie rule, over the quantized view the training used. */
   def kmeansAssign(emb: DataFrame, idCol: String, embCol: String,
-                   every: Int, iters: Int, scale: Int = 1000): DataFrame = {
-    val cents = kmeansCentroids(emb, idCol, embCol, every, iters, scale)
+                   every: Int, iters: Int, scale: Int = 1000): DataFrame =
+    assignWith(emb, idCol, embCol,
+      kmeansCentroids(emb, idCol, embCol, every, iters, scale), scale)
+
+  /** Assignment under an EXPLICIT centroid set — the helper every trained
+    * query path shares, so probe centroids and membership labels can never
+    * come from two different trainings. */
+  private def assignWith(emb: DataFrame, idCol: String, embCol: String,
+                         cents: Array[(Long, Array[Float])], scale: Int): DataFrame = {
     val q = quantized(emb, idCol, embCol, scale)
     if (cents.isEmpty)
       q.select(col(idCol), lit(0L).as("cid")).filter(lit(false))
@@ -266,7 +273,7 @@ object Ann {
       while (i < ce.length) { val d = ce(i) - qq(i); d2 += d * d; i += 1 }
       (d2, cid)
     }.sorted.take(nprobe).map(_._2)
-    val assigned = assignment.getOrElse(kmeansAssign(emb, idCol, embCol, every, iters, scale))
+    val assigned = assignment.getOrElse(assignWith(emb, idCol, embCol, cents, scale))
     val cand = emb.join(
       assigned.filter(col("cid").isInCollection(probed.toSeq)),
       Seq(idCol), "left_semi")
@@ -303,7 +310,10 @@ object Ann {
                codebooks: Array[Array[(Long, Array[Float])]],
                scale: Int = 1000): DataFrame = {
     val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
+    require(codebooks.forall(b => b.isEmpty || b.head._2.length == sub),
+      s"codebook subvector width != $sub — codebooks trained at a different dim/m")
     val q = emb.select(col(idCol) +: Array.tabulate(m) { s =>
       expr(s"transform(slice($embCol, ${s * sub + 1}, $sub), " +
           s"x -> CAST(floor(CAST(x AS DOUBLE) * $scale) AS FLOAT))").as(s"qs$s")
@@ -324,7 +334,10 @@ object Ann {
              excludeId: Option[Long] = None, scale: Int = 1000,
              codes: Option[DataFrame] = None): DataFrame = {
     val m = codebooks.length
+    require(m > 0 && dim % m == 0, s"dim $dim not divisible into $m subspaces")
     val sub = dim / m
+    require(codebooks.forall(b => b.isEmpty || b.head._2.length == sub),
+      s"codebook subvector width != $sub — codebooks trained at a different dim/m")
     val qq = qv.map(v => math.floor(v.toDouble * scale))
     val lookup: Array[Map[Long, Double]] = Array.tabulate(m) { s =>
       codebooks(s).map { case (cid, ce) =>
@@ -372,7 +385,7 @@ object Ann {
       while (i < ce.length) { val d = ce(i) - qq(i); d2 += d * d; i += 1 }
       (d2, cid)
     }.sorted.take(nprobe).map(_._2)
-    val assigned = assignment.getOrElse(kmeansAssign(emb, idCol, embCol, every, iters, scale))
+    val assigned = assignment.getOrElse(assignWith(emb, idCol, embCol, cents, scale))
     val encoded = codes.getOrElse(pqEncode(emb, idCol, embCol, dim, books, scale))
     val cells = assigned.filter(col("cid").isInCollection(probed.toSeq)).select(idCol)
     val candCodes = encoded.join(cells, Seq(idCol), "left_semi")

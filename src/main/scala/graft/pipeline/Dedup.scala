@@ -358,11 +358,12 @@ object Dedup {
     * unbounded partition; no all-pairs; nothing scales with line frequency.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val lines = df.select(col(idCol).cast("long").as("id"),
-      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val lines = df.filter(col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("id"),
+        posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
     val firsts = lines.groupBy("line")
       .agg(min(struct(col("id"), col("pos"))).as("first"))
-    lines.join(firsts, "line")
+    val agg = lines.join(firsts, "line")
       .withColumn("keep",
         col("id") === col("first.id") && col("pos") === col("first.pos"))
       .groupBy(col("id"))
@@ -372,6 +373,14 @@ object Dedup {
         md5(concat_ws("\n", expr(
           "transform(array_sort(collect_list(CASE WHEN keep THEN struct(pos, line) END)), x -> x.line)"
         )).cast("binary")).as("dedup_digest"))
+    // every input doc gets a row — a null-text doc (fetch failure) surfaces
+    // as (0, 0, md5('')) instead of silently vanishing from the accounting
+    df.select(col(idCol).cast("long").as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("kept"), lit(0L)).as("kept"),
+        coalesce(col("total"), lit(0L)).as("total"),
+        coalesce(col("dedup_digest"),
+          lit("d41d8cd98f00b204e9800998ecf8427e")).as("dedup_digest"))
   }
 
   /** Benchmark decontamination probe — the test-set-overlap check a
@@ -388,7 +397,13 @@ object Dedup {
                     probes: Seq[String], k: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val p = broadcast(probes.distinct.toDF("shingle"))
+    // normalize probes with the SAME rule shingles use ([a-z0-9]+ runs of
+    // the lowercased text, space-joined) — raw benchmark phrases with
+    // punctuation/case would otherwise silently never match any shingle
+    val norm = probes.iterator
+      .map(p => "[a-z0-9]+".r.findAllIn(p.toLowerCase).mkString(" "))
+      .filter(_.nonEmpty).distinct.toSeq
+    val p = broadcast(norm.toDF("shingle"))
     shingles(df, idCol, textCol, k)
       .join(p, "shingle")
       .groupBy("id")

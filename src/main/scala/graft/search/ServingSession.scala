@@ -258,7 +258,12 @@ final class ServingSession(val searcher: Searcher,
     * budget — such fields stay on the cluster path. */
   def warmDict(field: String): Boolean = pinnedDicts.contains(field) || {
     import spark.implicits._
-    val terms = searcher.dictionary(field).select("term").as[String].collect().sorted
+    // code-point order, NOT String's UTF-16 order: the cluster plans compare
+    // terms as UTF8String binary (== code-point order), and the warm binary
+    // searches must agree or supplementary-plane terms land on the wrong
+    // side of range/prefix bounds
+    val terms = searcher.dictionary(field).select("term").as[String].collect()
+      .sorted(ServingSession.CpOrdering)
     val bytes = terms.foldLeft(0L)((a, t) => a + 40L + 2L * t.length)
     if (pinnedDictBytes + bytes > maxCacheBytes) false
     else { pinnedDicts(field) = terms; pinnedDictBytes += bytes; true }
@@ -276,7 +281,10 @@ final class ServingSession(val searcher: Searcher,
       s"dictionary for '$field' exceeds the session byte budget — use the cluster path")
     val dict = pinnedDicts(field)
     var lo = 0; var hi = dict.length
-    while (lo < hi) { val m = (lo + hi) >>> 1; if (dict(m) < prefix) lo = m + 1 else hi = m }
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (ServingSession.compareCp(dict(m), prefix) < 0) lo = m + 1 else hi = m
+    }
     val terms = mutable.ArrayBuffer.empty[String]
     var i = lo
     while (i < dict.length && dict(i).startsWith(prefix)) { terms += dict(i); i += 1 }
@@ -295,7 +303,7 @@ final class ServingSession(val searcher: Searcher,
       var l = 0; var h = dict.length
       while (l < h) {
         val m = (l + h) >>> 1
-        val cmp = dict(m).compareTo(key)
+        val cmp = ServingSession.compareCp(dict(m), key) // UTF8String order
         if (cmp < 0 || (strict && cmp == 0)) l = m + 1 else h = m
       }
       l
@@ -348,6 +356,12 @@ final class ServingSession(val searcher: Searcher,
   private def expansionTopK(field: String, terms: Seq[String], k: Int,
                             boost: Float): Array[Hit] = {
     if (terms.isEmpty) return Array.empty
+    // the cluster's ConstantScoreTermBudget analog: an expansion this broad
+    // belongs on the predicate-scan cluster path — THROW before collecting
+    // a dictionary-sized in-list of posting rows to the driver
+    require(terms.size <= ServingSession.MaxWarmExpansions,
+      s"${terms.size} expansion terms exceed the warm budget " +
+        s"(${ServingSession.MaxWarmExpansions}) — use the cluster path")
     val keys: Seq[(String, String)] = terms.map(t => (field, t))
     val served = warm(keys)
     val unservable = keys.filterNot(k0 => served(k0) || absent.contains(k0))
@@ -393,7 +407,12 @@ final class ServingSession(val searcher: Searcher,
       }
     }
     if (cands.isEmpty) return Array.empty
-    val expanded = cands.sortBy { case (t, b) => (-b, t) }.take(cap)
+    // selection cut in the PLAN's (boost desc, term asc) order — term asc is
+    // UTF8String binary order there, so compare code points here; clause
+    // assembly then mirrors fuzzyExpand's driver-side sortBy(_._1) exactly
+    val expanded = cands.sortWith { (x, y) =>
+        x._2 > y._2 || (x._2 == y._2 && ServingSession.compareCp(x._1, y._1) < 0)
+      }.take(cap)
       .sortBy(_._1) // clause assembly in term order, like fuzzyExpand
     val keys: Seq[(String, String)] = expanded.map(e => (field, e._1)).toSeq
     val served = warm(keys)
@@ -454,6 +473,27 @@ final class ServingSession(val searcher: Searcher,
 }
 
 object ServingSession {
+  /** Expansion-count budget for warm multi-term queries — the
+    * ConstantScoreAutoRewrite cutover analog (Searcher.ConstantScoreTermBudget). */
+  val MaxWarmExpansions = 4096
+
+  /** Code-point comparison == UTF8String binary order — what every cluster
+    * plan uses for term comparisons. String.compareTo (UTF-16 code units)
+    * disagrees for supplementary-plane vs U+E000..U+FFFF terms. */
+  def compareCp(a: String, b: String): Int = {
+    var i = 0; var j = 0
+    while (i < a.length && j < b.length) {
+      val ca = a.codePointAt(i)
+      val cb = b.codePointAt(j)
+      if (ca != cb) return Integer.compare(ca, cb)
+      i += Character.charCount(ca)
+      j += Character.charCount(cb)
+    }
+    Integer.compare(a.length - i, b.length - j)
+  }
+
+  val CpOrdering: Ordering[String] = (a: String, b: String) => compareCp(a, b)
+
   /** Plain code-point Levenshtein (no transpositions) — the driver-side
     * twin of Spark's `levenshtein` function used by the distributed fuzzy
     * expansion, so warm and cluster candidate sets agree exactly. */

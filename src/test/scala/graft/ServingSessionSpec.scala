@@ -197,6 +197,18 @@ class ServingSessionSpec extends AnyFunSuite {
       (before.head.segmentId, before.head.docId)))
   }
 
+  test("warm term comparisons use UTF8String (code-point) order, not UTF-16") {
+    // U+FFFD vs U+1F600: UTF-16 code units order them backwards
+    val pairs = Seq(("�", "😀"), ("a", "😀"),
+      ("abc", "abd"), ("ab", "abc"), ("", "a"), ("", "𐀀"))
+    for ((a, b) <- pairs; (x, y) <- Seq((a, b), (b, a), (a, a))) {
+      val want = Integer.signum(
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)))
+      assert(Integer.signum(ServingSession.compareCp(x, y)) == want, s"($x, $y)")
+    }
+  }
+
   test("absent terms and byte caps: unknown term is empty; warm reports pinned set") {
     assert(session.termTopK(se.defaultField, "zz_never_a_term", 5).isEmpty)
     val tiny = new ServingSession(se, maxCacheBytes = 1L << 20, maxTermBytes = 1L)

@@ -58,6 +58,14 @@ class WebTextSpec extends AnyFunSuite {
     assert(out(1)._3 == "d41d8cd98f00b204e9800998ecf8427e") // md5("")
   }
 
+  test("lineDedup accounts for null-text docs explicitly (0, 0, md5(''))") {
+    val df = Seq((1L, "x\ny"), (2L, null.asInstanceOf[String])).toDF("doc_id", "text")
+    val out = Dedup.lineDedup(df, "doc_id", "text").orderBy("id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    assert(out.length == 2)
+    assert(out(1) == ((2L, 0L, 0L, "d41d8cd98f00b204e9800998ecf8427e")))
+  }
+
   // ---- contamination
 
   test("contamination reports distinct probe hits per doc, matches only") {
@@ -70,6 +78,14 @@ class WebTextSpec extends AnyFunSuite {
     val out = Dedup.contamination(df, "doc_id", "text", probes, 3)
       .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
     assert(out.toSeq == Seq((1L, 2L), (2L, 1L))) // doc 3 absent
+  }
+
+  test("contamination normalizes raw probes with the shingle tokenization rule") {
+    val df = Seq((1L, "the quick brown fox")).toDF("doc_id", "text")
+    // raw benchmark phrase: case + punctuation would never match verbatim
+    val out = Dedup.contamination(df, "doc_id", "text", Seq("The QUICK, brown!"), 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq == Seq((1L, 1L)))
   }
 
   test("contamination broadcasts the probe side (no corpus-wide shuffle join)") {
