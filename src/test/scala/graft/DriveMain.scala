@@ -36,6 +36,7 @@ object Drive {
     driveSparkMerge()
     driveSpatialValueSources()
     driveSpanExtras()
+    driveWebtextAnnServing()
     println("EMPTYDOC_NORM: " + idx.docs.map(d => d.fieldLen).mkString(","))
   }
 
@@ -85,6 +86,44 @@ object Drive {
       .map(r => f"${r.getString(0)}:${r.getDouble(1)}%.2f").mkString(" ")
     val utilRows = PayloadSpanUtil.payloadsForQuery(se, TermQ("beta")).count()
     println(s"SPANPAY: check=$check near_top=[$pn] util_rows=$utilRows")
+  }
+
+  /** Closing-round surfaces: webtext curation, trained ANN (k-means + PQ),
+    * warm serving — each printed as one proof line. */
+  def driveWebtextAnnServing(): Unit = {
+    val spark = graft.SparkTestSession.spark
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.pipeline.{Ann, Dedup, TextStats}
+    // webtext: line dedup + URL canon over tiny inline fixtures
+    val docs = Seq((1L, "head\nbody one"), (2L, "head\nbody two")).toDF("doc_id", "text")
+    val ld = Dedup.lineDedup(docs, "doc_id", "text").orderBy("id")
+      .collect().map(r => s"${r.getLong(0)}:${r.getLong(1)}/${r.getLong(2)}").mkString(" ")
+    val canon = TextStats.canonicalUrl(
+        Seq((1L, "HTTP://Ex.COM:80/a/?utm_source=t&b=2&a=1#f")).toDF("doc_id", "url"),
+        "doc_id", "url").collect().head.getString(1)
+    println(s"WEBTEXT: lines=[$ld] canon=$canon")
+    // trained ANN: k-means cells + PQ/ADC top-1 self-hit on a toy corpus
+    val emb = (0L until 40L).map(id =>
+      (id, Array.tabulate(8)(d => (((id * 31 + d * 17) % 100) / 50.0f) - 1.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Ann.kmeansCentroids(emb, "vec_id", "embedding", every = 8, iters = 2)
+    val books = Ann.pqTrain(emb, "vec_id", "embedding", dim = 8, m = 2, every = 1, iters = 0)
+    val qv = emb.filter(col("vec_id") === 5L).select("embedding")
+      .collect()(0).getSeq[Float](0).toArray
+    val pqTop = Ann.pqTopK(emb, "vec_id", "embedding", qv, 1, 8, books)
+      .collect().head.getLong(0)
+    println(s"ANN: cells=${cents.length} pq_self_top1=$pqTop (expect 5)")
+    // warm serving: fuzzy + wildcard over the merge drive's index shape
+    val base = java.nio.file.Files.createTempDirectory("drivewarm").toString
+    val df = spark.createDataFrame(graft.build.PagesGen.local(120)).toDF("url", "text")
+    graft.build.IndexBuilder.build(spark, df, base,
+      graft.build.IndexBuilder.BuildConfig(2, "standard", groupSize = 4))
+    val sess = new ServingSession(new Searcher(spark, base))
+    val w = graft.build.PagesGen.word(3)
+    val fuzzy = sess.fuzzyTopK("text", w.dropRight(1) + "q", 2, 50, 3)
+    val wild = sess.wildcardTopK("text", "*" + w.drop(1), 3)
+    println(s"WARM: fuzzy_hits=${fuzzy.length} wildcard_hits=${wild.length} (both > 0)")
   }
 
   /** End-to-end Spark drive: build multi-segment index from generated pages,
