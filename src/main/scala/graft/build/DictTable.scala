@@ -31,6 +31,15 @@ object DictTable {
     else Array.tabulate(cps.length - 1)(i => (new String(cps, i, 2), i))
   }
 
+  /** [[segsSignature]] computed from ALREADY-COLLECTED stats rows — callers
+    * holding the live stats in memory (merge, split) avoid re-reading the
+    * stats table just to stamp the marker. Identical string: default-field
+    * rows deduped by segmentId, (id:maxDoc) sorted by id. */
+  def segsSignatureOf(stats: Seq[graft.model.SegmentStats]): String =
+    stats.filter(_.field == IndexBuilder.DefaultField)
+      .map(s => s.segmentId -> s.maxDoc).toMap.toSeq
+      .sortBy(_._1).map { case (s, m) => s"$s:$m" }.mkString(",")
+
   /** Signature of the live segment set (ids + maxDocs from stats). */
   def segsSignature(spark: SparkSession, indexPath: String): String = {
     import spark.implicits._
@@ -43,14 +52,39 @@ object DictTable {
     } catch { case _: Exception => "" }
   }
 
-  def write(spark: SparkSession, indexPath: String): Unit = {
+  def write(spark: SparkSession, indexPath: String): Unit =
+    write(spark, indexPath, None)
+
+  /** Refresh dictionary + gram index. `postingsProj` is an optional
+    * already-read (segmentId, field, term, df, ttf) projection of the LIVE
+    * postings (e.g. pinned by a caller that just aggregated its own stats
+    * from it) — passing it avoids a second full read of the postings table.
+    *
+    * Layout is SCALE-ADAPTIVE: the stats table's summed sumDocFreq bounds
+    * the dictionary row count from above; small dictionaries (bound <=
+    * spark.graft.dict.singleFileMaxTerms, default 1M) write ONE globally
+    * sorted file — tighter row-group pruning, no range-partitioner sampling
+    * job, no small-file spray — while large ones keep the sampled
+    * repartitionByRange that spreads the sort across the cluster. */
+  def write(spark: SparkSession, indexPath: String,
+            postingsProj: Option[DataFrame]): Unit = {
     import spark.implicits._
     val sig = segsSignature(spark, indexPath)
     if (sig.isEmpty) return
-    // live segment set from the committed stats (orphan dirs excluded)
-    val live = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
-      .select("segmentId").distinct().as[Int].collect().toSet
-    spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+    // live segment set + dictionary-size bound from ONE read of the tiny
+    // committed stats table (orphan dirs excluded)
+    val statRows = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
+      .select(col("segmentId"), coalesce(col("sumDocFreq"), lit(0L)).as("sdf"))
+      .as[(Int, Long)].collect()
+    val live = statRows.map(_._1).toSet
+    val termBound = statRows.map(_._2).sum
+    val singleFileMax =
+      spark.conf.getOption("spark.graft.dict.singleFileMaxTerms")
+        .map(_.toLong).getOrElse(1000000L)
+    val src = postingsProj.getOrElse(
+      spark.read.parquet(IndexBuilder.postingsPath(indexPath))
+        .select(col("segmentId"), col("field"), col("term"), col("df"), col("ttf")))
+    val dict0 = src
       .filter(col("segmentId").isInCollection(live))
       .select("field", "term", "df", "ttf")
       .groupBy("field", "term")
@@ -64,11 +98,19 @@ object DictTable {
       // walk (Util/Automaton/LevenshteinAutomata.cs). Terms stay sorted
       // within each length slice, keeping prefix-family stats usable too.
       .withColumn("len", length(col("term")).cast("int"))
-      .repartitionByRange(col("field"), col("len"), col("term"))
-      .sortWithinPartitions("field", "len", "term")
-      .write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
+    val dict =
+      if (termBound <= singleFileMax)
+        dict0.repartition(1).sortWithinPartitions("field", "len", "term")
+      else
+        dict0.repartitionByRange(col("field"), col("len"), col("term"))
+          .sortWithinPartitions("field", "len", "term")
+    // pin the aggregated dictionary: the gram index below derives from the
+    // SAME rows instead of reading the just-written parquet back
+    val pinned = dict.persist()
+    pinned.write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
     spark.catalog.refreshByPath(dictPath(indexPath))
-    writeGrams(spark, indexPath)
+    writeGramsFrom(spark, indexPath, pinned, termBound <= singleFileMax / 8)
+    pinned.unpersist()
     writeMarker(spark, indexPath, sig)
   }
 
@@ -86,17 +128,26 @@ object DictTable {
     * distance e. Storage is ~(len-1) rows per term — the dictionary is
     * orders of magnitude smaller than postings, so the overhead is noise.
     */
-  def writeGrams(spark: SparkSession, indexPath: String): Unit = {
+  def writeGrams(spark: SparkSession, indexPath: String): Unit =
+    writeGramsFrom(spark, indexPath,
+      spark.read.parquet(dictPath(indexPath)), singleFile = false)
+
+  private def writeGramsFrom(spark: SparkSession, indexPath: String,
+                             dictDf: DataFrame, singleFile: Boolean): Unit = {
     import spark.implicits._
-    val dict = spark.read.parquet(dictPath(indexPath))
+    val grams = dictDf
       .select("field", "term", "df", "ttf", "len").as[(String, String, Long, Long, Int)]
-    dict.flatMap { case (f, t, df, ttf, len) =>
+      .flatMap { case (f, t, df, ttf, len) =>
         positionalBigrams(t).iterator.map { case (g, p) => (f, g, p, t, df, ttf, len) }
       }
       .toDF("field", "gram", "pos", "term", "df", "ttf", "len")
-      .repartitionByRange(col("field"), col("gram"), col("term"))
-      .sortWithinPartitions("field", "gram", "term", "pos")
-      .write.mode(SaveMode.Overwrite).parquet(gramsPath(indexPath))
+    val laid =
+      if (singleFile)
+        grams.repartition(1).sortWithinPartitions("field", "gram", "term", "pos")
+      else
+        grams.repartitionByRange(col("field"), col("gram"), col("term"))
+          .sortWithinPartitions("field", "gram", "term", "pos")
+    laid.write.mode(SaveMode.Overwrite).parquet(gramsPath(indexPath))
     spark.catalog.refreshByPath(gramsPath(indexPath))
   }
 

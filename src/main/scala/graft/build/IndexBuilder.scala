@@ -403,13 +403,13 @@ object IndexBuilder {
     // deduped by every reader via dropDuplicates). Single-writer per index
     // is still the supported discipline for concurrent MERGES.
     var appendedGen = statsGen(spark, indexPath)
-    spark.createDataset(stats.toSeq).write.mode(SaveMode.Append)
+    spark.createDataset(stats.toSeq).repartition(1).write.mode(SaveMode.Append)
       .parquet(s"$indexPath/${statsDirOf(spark, indexPath, appendedGen)}")
     var tries = 0
     var cur = statsGen(spark, indexPath)
     while (cur != appendedGen && tries < 5) {
       appendedGen = cur
-      spark.createDataset(stats.toSeq).write.mode(SaveMode.Append)
+      spark.createDataset(stats.toSeq).repartition(1).write.mode(SaveMode.Append)
         .parquet(s"$indexPath/${statsDirOf(spark, indexPath, appendedGen)}")
       tries += 1
       cur = statsGen(spark, indexPath)
@@ -424,7 +424,7 @@ object IndexBuilder {
       ManifestRow(seg, "done", st.map(_.maxDoc).getOrElse(0L), st.map(_.sumDocFreq).getOrElse(0L),
         numDocs / math.max(elapsed, 1e-9), 1, now - (elapsed * 1000).toLong, now)
     }
-    spark.createDataset(manifest).write.mode(SaveMode.Append).parquet(manifestPath(indexPath))
+    spark.createDataset(manifest).repartition(1).write.mode(SaveMode.Append).parquet(manifestPath(indexPath))
     numDocs
   }
 

@@ -136,6 +136,55 @@ object SpellDistanceOps {
     graft.search.StringDistances.luceneLevenshtein(a, b)
 }
 
+/** Decontamination probe counter: number of DISTINCT probe strings that
+  * occur as a k-token shingle of the token-array child — the narrow-path
+  * replacement for shingle-explode + broadcast join (Dedup.contamination).
+  * One expression evaluates the token array ONCE per row (a composed-
+  * expression formulation re-derives the tokenization per probe when the
+  * optimizer inlines it into a pushed-down filter); the probe set rides into
+  * tasks as a closure reference, never as codegen literals. CodegenFallback:
+  * window hashing dominates either way (the MinHashSig adjudication).
+  */
+case class ProbeHits(child: Expression, k: Int, probes: Array[String])
+    extends UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = LongType
+
+  @transient private lazy val probeSet: java.util.HashSet[String] = {
+    val s = new java.util.HashSet[String](probes.length * 2)
+    probes.foreach(s.add)
+    s
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val n = arr.numElements()
+    if (n < k) return 0L
+    val toks = new Array[String](n)
+    var i = 0
+    while (i < n) { toks(i) = arr.getUTF8String(i).toString; i += 1 }
+    val matched = new java.util.HashSet[String]()
+    val sb = new java.lang.StringBuilder(64)
+    i = 0
+    while (i + k <= n) {
+      sb.setLength(0)
+      var j = 0
+      while (j < k) {
+        if (j > 0) sb.append(' ')
+        sb.append(toks(i + j))
+        j += 1
+      }
+      val w = sb.toString
+      if (probeSet.contains(w)) matched.add(w)
+      i += 1
+    }
+    matched.size.toLong
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): ProbeHits =
+    copy(child = newChild)
+}
+
 object ScalarExpressions {
   /** segmentOf(key, n) as a codegen'd Column. */
   def segmentOf(key: Column, numSegments: Int): Column =
@@ -158,4 +207,9 @@ object ScalarExpressions {
   def spellDistance(kind: String, query: String, term: Column): Column =
     GraftColumnBridge.column(SpellDistance(kind, query,
       GraftColumnBridge.expression(term.cast("string"))))
+
+  /** Distinct-probe k-shingle hit count over a token-array column. */
+  def probeHits(tokens: Column, k: Int, probes: Array[String]): Column =
+    GraftColumnBridge.column(ProbeHits(
+      GraftColumnBridge.expression(tokens), k, probes))
 }

@@ -88,10 +88,13 @@ object MergeJob {
     // readers that resolved the previous generation finish their lazy reads
     purgeTombstones(spark, indexPath)
 
-    val dictWasValid = graft.build.DictTable.isValid(spark, indexPath)
     val statsAll = spark.read.parquet(IndexBuilder.statsPath(spark, indexPath))
       .dropDuplicates("segmentId", "field")
       .as[SegmentStats].collect()
+    // dictionary freshness from the stats just collected (the marker check
+    // needs only the signature — no second stats-table read)
+    val dictWasValid = graft.build.DictTable.readMarker(spark, indexPath)
+      .contains(graft.build.DictTable.segsSignatureOf(statsAll.toSeq))
     // fresh id from the MERGE band (2^30+): disjoint from every source AND
     // from any future batch/streaming segment id (their bands are below)
     val mergeBand = statsAll.map(_.segmentId).filter(_ >= IndexBuilder.MergeIdOffset)
@@ -361,7 +364,12 @@ object MergeJob {
                            srcSorted: List[Int], target: Int,
                            statsAll: Array[SegmentStats], hasVectors: Boolean,
                            dictWasValid: Boolean, anyPurged: Boolean,
-                           lateMarkers: () => Seq[(Int, Int)]): Unit = {
+                           lateMarkers: () => Seq[(Int, Int)],
+                           /** (maxDoc, default-field sttf) of the merged
+                             * segment when the caller already aggregated
+                             * them (off its pinned sort) — skips the
+                             * re-read of the written doc store. */
+                           docStats: Option[(Long, Long)] = None): Unit = {
     import spark.implicits._
     val hadoopConf = spark.sparkContext.hadoopConfiguration
     // ---- merged stats, recomputed from the merged segment's own data so
@@ -373,11 +381,11 @@ object MergeJob {
       .groupBy("field").agg(count(lit(1)).as("rows"), sum("ttf").as("sttf"))
       .as[(String, Long, Long)].collect()
       .map { case (f, r, s) => f -> (r, s) }.toMap
-    val (mergedMaxDoc, mergedDefaultSttf) = spark.read
+    val (mergedMaxDoc, mergedDefaultSttf) = docStats.getOrElse(spark.read
       .parquet(IndexBuilder.docsPath(indexPath))
       .filter(col("segmentId") === target)
       .agg(count(lit(1)), coalesce(sum("fieldLen"), lit(0L)))
-      .as[(Long, Long)].first()
+      .as[(Long, Long)].first())
     val srcFields = statsAll.filter(s => srcSorted.contains(s.segmentId)).map(_.field).distinct
     val mergedStats = srcFields.map { f =>
       val (rows, sttf) = postStats.getOrElse(f, (0L, 0L))
@@ -412,7 +420,7 @@ object MergeJob {
         IndexBuilder.statsDirOf(spark, indexPath, curGen))
     val newGen = curGen + 1
     val newDir = IndexBuilder.statsDirName(newGen)
-    spark.createDataset(newStats.toSeq).write.mode(SaveMode.Overwrite)
+    spark.createDataset(newStats.toSeq).repartition(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$indexPath/$newDir")
     IndexBuilder.commitPointer(spark, indexPath, newGen, newDir) // THE commit
     spark.catalog.refreshByPath(s"$indexPath/$newDir")
@@ -449,10 +457,11 @@ object MergeJob {
     // global df/ttf are invariant under merge WHEN nothing was purged: if the
     // dictionary was fresh before, re-stamp it; a purging merge changes df,
     // so the dictionary goes stale and readers fall back to postings scans
-    // until the next refresh
+    // until the next refresh. The marker signature comes from the newStats
+    // rows just committed — no extra stats-table read.
     if (dictWasValid && !anyPurged) {
       graft.build.DictTable.writeMarker(spark, indexPath,
-        graft.build.DictTable.segsSignature(spark, indexPath))
+        graft.build.DictTable.segsSignatureOf(newStats.toSeq))
     } else if (anyPurged && dictWasValid) {
       graft.build.DictTable.write(spark, indexPath)
     }
@@ -492,38 +501,51 @@ object MergeJob {
 
     // snapshot the resolved markers this merge will purge (localCheckpoint
     // pins the snapshot: markers appended during the merge stay out of it
-    // and are carried forward as late markers below)
-    val appliedDf = graft.build.Deletes.deletedDf(spark, indexPath)
-      .filter(col("segmentId").isInCollection(srcSorted))
-      .localCheckpoint(true)
-    val anyPurged = !appliedDf.isEmpty
+    // and are carried forward as late markers below). With no deletes dir at
+    // all the snapshot is a local empty frame — zero jobs.
+    val hasDeletes = graft.build.Deletes.exists(spark, indexPath)
+    val appliedDf =
+      if (!hasDeletes) Seq.empty[(Int, Int)].toDF("segmentId", "docId")
+      else graft.build.Deletes.deletedDf(spark, indexPath)
+        .filter(col("segmentId").isInCollection(srcSorted))
+        .localCheckpoint(true)
+    val anyPurged = hasDeletes && !appliedDf.isEmpty
 
     val docsSrc = spark.read.parquet(IndexBuilder.docsPath(indexPath))
       .filter(col("segmentId").isInCollection(srcSorted))
 
-    // ---- the permutation table: live docs ranked by (sortKey, url)
-    graft.Ranks.appendRank(
-        docsSrc.select("segmentId", "docId", "sortKey", "url")
+    // ---- ONE global (sortKey, url) rank with the doc-store payload riding
+    // along: appendRank pins the sorted live rows, so the permutation, the
+    // merged doc store and the merged doc stats are narrow derivations of a
+    // single sort — the old shape wrote the permutation to a staging parquet,
+    // read it back, and joined the doc store against it
+    val ranked = graft.Ranks.appendRank(
+        docsSrc.select("segmentId", "docId", "sortKey", "url", "fieldLen", "normByte")
           .join(appliedDf, Seq("segmentId", "docId"), "left_anti"),
         "rank", Seq(col("sortKey").asc, col("url").asc))
       .withColumn("newId", (col("rank") - 1).cast("int"))
-      .select("segmentId", "docId", "newId")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/perm")
-    val permDf = spark.read.parquet(s"$staging/perm")
+    val permDf = ranked.select("segmentId", "docId", "newId")
 
-    // ---- doc store: join-rebase; the sortKey column rides through so the
-    // merged segment stays early-termination-servable
-    docsSrc
-      .select(col("segmentId"), col("docId"), col("url"), col("fieldLen"),
-        col("normByte"), col("sortKey"))
-      .join(permDf, Seq("segmentId", "docId"))
-      .select(col("newId").as("docId"), col("url"), col("fieldLen"),
-        col("normByte"), col("sortKey"))
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
+    // merged doc-store stats off the pinned sort (commitMerged then skips
+    // its re-read of the written doc store)
+    val docAgg = ranked.agg(count(lit(1)), coalesce(sum("fieldLen"), lit(0L)))
+      .as[(Long, Long)].first()
 
-    // ---- term vectors (when present): same join-rebase
+    // ---- doc store, term vectors and postings are independent given the
+    // pinned sort: submit concurrently
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val docsJob = Future {
+      ranked
+        .select(col("newId").as("docId"), col("url"), col("fieldLen"),
+          col("normByte"), col("sortKey"))
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/docs")
+    }
+
+    // ---- term vectors (when present): join-rebase through the permutation
     val hasVectors = graft.build.TermVectors.enabled(spark, indexPath)
-    if (hasVectors) {
+    val vectorsJob = if (!hasVectors) Future.successful(()) else Future {
       spark.read.parquet(graft.build.TermVectors.vectorsPath(indexPath))
         .filter(col("segmentId").isInCollection(srcSorted))
         .join(permDf, Seq("segmentId", "docId"))
@@ -610,15 +632,22 @@ object MergeJob {
           }
         }
       }
-    merged.toDF().drop("segmentId")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+    val postingsJob = Future {
+      merged.toDF().drop("segmentId")
+        .write.mode(SaveMode.Overwrite).parquet(s"$staging/postings")
+    }
+    Await.result(docsJob, Duration.Inf)
+    Await.result(vectorsJob, Duration.Inf)
+    Await.result(postingsJob, Duration.Inf)
 
     renameStaged(spark, indexPath, staging, target, hasVectors)
 
     // raced-in deletes = current markers minus the applied snapshot,
-    // remapped through the permutation table (their docs survived the purge)
+    // remapped through the permutation table (their docs survived the purge);
+    // with no deletes dir at commit time there is nothing to carry forward
     def lateMarkers(): Seq[(Int, Int)] =
-      graft.build.Deletes.deletedDf(spark, indexPath)
+      if (!graft.build.Deletes.exists(spark, indexPath)) Seq.empty
+      else graft.build.Deletes.deletedDf(spark, indexPath)
         .filter(col("segmentId").isInCollection(srcSorted))
         .join(appliedDf, Seq("segmentId", "docId"), "left_anti")
         .join(permDf, Seq("segmentId", "docId"))
@@ -626,7 +655,7 @@ object MergeJob {
         .toSeq.map(n => (target, n))
 
     commitMerged(spark, indexPath, srcSorted, target, statsAll, hasVectors,
-      dictWasValid, anyPurged, lateMarkers _)
+      dictWasValid, anyPurged, lateMarkers _, docStats = Some(docAgg))
 
     // the permutation table was only needed through the commit
     val fs = new Path(indexPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -825,7 +854,6 @@ object MergeJob {
     val newCfg = cfg.copy(numSegments = parts)
     IndexBuilder.writeConfig(spark, dstPath, newCfg)
     val sorted = cfg.indexSort.isDefined
-    val staging = s"$dstPath/.staging/split"
 
     val liveSrc = spark.read.parquet(IndexBuilder.statsPath(spark, srcPath))
       .select("segmentId").distinct().as[Int].collect().toSet
@@ -840,37 +868,48 @@ object MergeJob {
     val routed = liveDocs.withColumn("newSeg",
       graft.functions.ScalarExpressions.segmentOf(col("url"), parts))
 
-    // permutation table: a GLOBAL contiguous rank in (newSeg, sortKey, url)
-    // minus each segment's offset — per-segment builder docId order with no
-    // per-segment window funnel (offsets are `parts` driver-side longs)
+    // ONE global contiguous rank in (newSeg, sortKey, url) order with the
+    // full doc-store payload riding along: appendRank pins the sorted rows
+    // (localCheckpoint), so the permutation, the new doc store, the
+    // per-segment offsets AND the doc-side stats below are all NARROW
+    // derivations of this single sort — the old shape re-scanned the source
+    // for the counts, wrote the permutation to a staging parquet and read it
+    // back, then joined the doc store against it (three extra passes).
     val ranked = graft.Ranks.appendRank(
       routed.select(col("segmentId"), col("docId"), col("newSeg"),
-        sortKeyCol, col("url")),
+        sortKeyCol, col("url"), col("fieldLen"), col("normByte")),
       "rank", Seq(col("newSeg").asc, col("sortKey").asc, col("url").asc))
-    val counts = routed.groupBy("newSeg").count()
-      .as[(Int, Long)].collect().sortBy(_._1)
-    val segOff: Map[Int, Long] = {
-      var acc = 0L
-      counts.map { case (s, n) => val o = s -> acc; acc += n; o }.toMap
-    }
-    val offDf = broadcast(spark.createDataset(segOff.toSeq).toDF("newSeg", "segOff"))
-    ranked.join(offDf, "newSeg")
-      .withColumn("newId", (col("rank") - 1 - col("segOff")).cast("int"))
-      .select("segmentId", "docId", "newSeg", "newId")
-      .write.mode(SaveMode.Overwrite).parquet(s"$staging/perm")
-    val permDf = spark.read.parquet(s"$staging/perm")
 
-    // doc store: join-rebase into the new shards
+    // per-newSeg offset (rank is newSeg-major contiguous: offset = min rank
+    // - 1) + maxDoc + default-field sttf from one tiny aggregate
+    val segAgg = ranked.groupBy(col("newSeg"))
+      .agg(min(col("rank")).as("minRank"), count(lit(1)).as("maxDoc"),
+        sum(col("fieldLen")).as("defaultSttf"))
+      .collect().sortBy(_.getAs[Int]("newSeg"))
+    val segOff: Map[Int, Long] =
+      segAgg.map(r => r.getAs[Int]("newSeg") -> (r.getAs[Int]("minRank").toLong - 1L)).toMap
+    val offDf = broadcast(spark.createDataset(segOff.toSeq).toDF("newSeg", "segOff"))
+    val withNew = ranked.join(offDf, "newSeg")
+      .withColumn("newId", (col("rank") - 1 - col("segOff")).cast("int"))
+    val permDf = withNew.select("segmentId", "docId", "newSeg", "newId")
+
+    // doc store straight off the pinned sort (no join-back), concurrent with
+    // the postings rebuild below — the two jobs share no dependency
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
     val docCols = Seq(col("newSeg").as("segmentId"), col("newId").as("docId"),
       col("url"), col("fieldLen"), col("normByte")) ++
       (if (sorted) Seq(col("sortKey")) else Nil)
-    liveDocs.join(permDf, Seq("segmentId", "docId"))
-      .select(docCols: _*)
-      .write.mode(SaveMode.Overwrite)
-      .partitionBy("segmentId").parquet(IndexBuilder.docsPath(dstPath))
+    val docsJob = Future {
+      withNew.select(docCols: _*)
+        .write.mode(SaveMode.Overwrite)
+        .partitionBy("segmentId").parquet(IndexBuilder.docsPath(dstPath))
+    }
 
     // term vectors ride along when present
-    if (graft.build.TermVectors.enabled(spark, srcPath)) {
+    val vectorsJob = if (!graft.build.TermVectors.enabled(spark, srcPath))
+      Future.successful(()) else Future {
       spark.read.parquet(graft.build.TermVectors.vectorsPath(srcPath))
         .filter(col("segmentId").isInCollection(liveSrc))
         .join(permDf, Seq("segmentId", "docId"))
@@ -948,8 +987,13 @@ object MergeJob {
           }
         }
       }
-    shardRows.toDF().write.mode(SaveMode.Overwrite)
-      .partitionBy("segmentId").parquet(IndexBuilder.postingsPath(dstPath))
+    val postingsJob = Future {
+      shardRows.toDF().write.mode(SaveMode.Overwrite)
+        .partitionBy("segmentId").parquet(IndexBuilder.postingsPath(dstPath))
+    }
+    Await.result(docsJob, Duration.Inf)
+    Await.result(vectorsJob, Duration.Inf)
+    Await.result(postingsJob, Duration.Inf)
 
     // term blooms regenerate when the source used them
     if (cfg.bloomFilter) {
@@ -965,12 +1009,21 @@ object MergeJob {
         .write.mode(SaveMode.Overwrite).parquet(IndexBuilder.bloomsPath(dstPath))
     }
 
-    // stats (generation 0 of the fresh index) + manifest, builder formula
+    // stats (generation 0 of the fresh index) + manifest, builder formula.
+    // The doc-store side (maxDoc, default sttf) comes from segAgg — already
+    // aggregated off the pinned sort, no re-read of the written doc store;
+    // the postings side is ONE read of the written postings whose slim
+    // projection is pinned and SHARED with the dictionary refresh below
+    // (the old shape scanned the postings output twice).
     val fieldNames = IndexBuilder.DefaultField +: cfg.extraFields.map(_._1)
-    val segDocs = spark.read.parquet(IndexBuilder.docsPath(dstPath))
-      .groupBy(col("segmentId"))
-      .agg(count(lit(1)).as("maxDoc"), sum(col("fieldLen")).as("defaultSttf"))
-    val segFieldTerms = spark.read.parquet(IndexBuilder.postingsPath(dstPath))
+    val segDocs = spark.createDataset(segAgg.toSeq.map(r =>
+        (r.getAs[Int]("newSeg"), r.getAs[Long]("maxDoc"), r.getAs[Long]("defaultSttf"))))
+      .toDF("segmentId", "maxDoc", "defaultSttf")
+    val postProj = spark.read.parquet(IndexBuilder.postingsPath(dstPath))
+      .select(col("segmentId").cast("int").as("segmentId"), col("field"),
+        col("term"), col("df"), col("ttf"))
+      .persist()
+    val segFieldTerms = postProj
       .groupBy(col("segmentId"), col("field"))
       .agg(count(lit(1)).as("sumDocFreq"), sum(col("ttf")).as("postSttf"))
     val stats = segDocs.crossJoin(fieldNames.toDF("field"))
@@ -982,7 +1035,7 @@ object MergeJob {
           .cast("long").as("sumTotalTermFreq"),
         coalesce(col("sumDocFreq"), lit(0L)).cast("long").as("sumDocFreq"))
       .as[SegmentStats].collect()
-    spark.createDataset(stats.toSeq).write.mode(SaveMode.Overwrite)
+    spark.createDataset(stats.toSeq).repartition(1).write.mode(SaveMode.Overwrite)
       .parquet(s"$dstPath/stats")
     val numDocs = stats.filter(_.field == IndexBuilder.DefaultField).map(_.maxDoc).sum
     val elapsed = (System.nanoTime() - t0) / 1e9
@@ -993,12 +1046,10 @@ object MergeJob {
         st.map(_.sumDocFreq).getOrElse(0L), numDocs / math.max(elapsed, 1e-9),
         1, now - (elapsed * 1000).toLong, now)
     }
-    spark.createDataset(manifest).write.mode(SaveMode.Overwrite)
+    spark.createDataset(manifest).repartition(1).write.mode(SaveMode.Overwrite)
       .parquet(IndexBuilder.manifestPath(dstPath))
-    graft.build.DictTable.write(spark, dstPath)
-
-    val fs = new Path(dstPath).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new Path(staging), true)
+    graft.build.DictTable.write(spark, dstPath, Some(postProj))
+    postProj.unpersist()
     numDocs
   }
 

@@ -410,12 +410,7 @@ object Ann {
       bucketCol(embCol, nBits, dim).as("bucket"))
     val withBucket =
       if (maxBucket == Int.MaxValue) withBucket0
-      else {
-        val ok = Dedup.keepUnderCap(
-          withBucket0.groupBy(col("bucket")).agg(count(lit(1)).as("bsz")),
-          Seq("bucket"), maxBucket, "embedDupPairs")
-        withBucket0.join(ok, Seq("bucket"), "left_semi")
-      }
+      else Dedup.dropOverCap(withBucket0, Seq("bucket"), maxBucket, "embedDupPairs")
     val a = withBucket.as("a")
     val b = withBucket.as("b")
     a.join(b, col("a.bucket") === col("b.bucket") && col("a.id") < col("b.id"))

@@ -46,18 +46,49 @@ object PipelineMetrics {
 
 object Dedup {
 
-  /** Keep only buckets at-or-under the cap, SURFACING what was dropped:
-    * `sizes` is the (keys..., bsz) aggregate; the over-cap tally is
-    * collected eagerly (the aggregate is bucket-cardinality-sized, tiny
-    * next to the corpus) and recorded via [[PipelineMetrics]]. */
-  private[pipeline] def keepUnderCap(sizes: DataFrame, keyCols: Seq[String],
-                                     cap: Int, site: String): DataFrame = {
-    val s = sizes.persist()
-    val over = s.filter(col("bsz") > cap)
-      .agg(count(lit(1)).as("b"), coalesce(sum(col("bsz")), lit(0L)).as("r"))
-      .collect()(0)
-    PipelineMetrics.record(site, cap, over.getLong(0), over.getLong(1))
-    s.filter(col("bsz") <= cap).select(keyCols.map(col): _*)
+  /** Fast-path bound on over-cap bucket keys collected to the driver by
+    * [[dropOverCap]]; above it the aggregate + semi-join fallback runs. */
+  private[graft] val MaxDriverOverKeys = 10000
+
+  /** Drop rows of `banded` whose bucket (keyed by `keyCols`) exceeds `cap`
+    * members, SURFACING what was dropped via [[PipelineMetrics]].
+    *
+    * Over-cap buckets are RARE by construction (each holds > cap rows, so
+    * there are at most |rows|/cap of them): the common path collects the
+    * over-cap keys (bounded by [[MaxDriverOverKeys]]) in ONE aggregate job
+    * and removes them with a broadcast anti-join — no persist pinned for the
+    * session, no second corpus-wide shuffle against the bucket-size
+    * aggregate. Only when the key list would exceed the driver bound does
+    * the old aggregate + semi-join shape run instead. */
+  private[pipeline] def dropOverCap(banded: DataFrame, keyCols: Seq[String],
+                                    cap: Int, site: String): DataFrame = {
+    val sizes = banded.groupBy(keyCols.map(col): _*).agg(count(lit(1)).as("bsz"))
+    val head = sizes.filter(col("bsz") > cap).limit(MaxDriverOverKeys + 1).collect()
+    if (head.length <= MaxDriverOverKeys) {
+      PipelineMetrics.record(site, cap, head.length.toLong,
+        head.iterator.map(_.getLong(keyCols.length)).sum)
+      if (head.isEmpty) banded
+      else {
+        val spark = banded.sparkSession
+        val keySchema = org.apache.spark.sql.types.StructType(
+          sizes.schema.fields.take(keyCols.length))
+        val bad = spark.createDataFrame(
+          spark.sparkContext.parallelize(
+            head.toIndexedSeq.map(r =>
+              org.apache.spark.sql.Row.fromSeq(r.toSeq.take(keyCols.length))), 1),
+          keySchema)
+        banded.join(broadcast(bad), keyCols, "left_anti")
+      }
+    } else {
+      // many over-cap buckets: exact tally + semi-join against the under-cap
+      // keys (two aggregate computations, but this path is the exception)
+      val over = sizes.filter(col("bsz") > cap)
+        .agg(count(lit(1)).as("b"), coalesce(sum(col("bsz")), lit(0L)).as("r"))
+        .collect()(0)
+      PipelineMetrics.record(site, cap, over.getLong(0), over.getLong(1))
+      banded.join(sizes.filter(col("bsz") <= cap).select(keyCols.map(col): _*),
+        keyCols, "left_semi")
+    }
   }
 
   /** Tokens expression shared with the SQL oracle: [a-z0-9]+ runs of lower(text). */
@@ -149,20 +180,40 @@ object Dedup {
       // positional concat inside the band: order by i
       .agg(concat_ws("_", transform(array_sort(collect_list(struct(col("i"), col("minh")))),
         x => x.getField("minh").cast("string"))).as("sig"))
+    bandPairs(banded0, maxBucket)
+  }
+
+  /** Shared tail of the LSH candidate paths: cap hot band-buckets (drop with
+    * accounting), then self-join equal (band, sig) buckets into (ida < idb)
+    * pairs. Both self-join sides are the same subtree, so the (band, sig)
+    * exchange is planned once and reused. */
+  private def bandPairs(banded0: DataFrame, maxBucket: Int): DataFrame = {
     val banded =
       if (maxBucket == Int.MaxValue) banded0
-      else {
-        val ok = keepUnderCap(
-          banded0.groupBy(col("band"), col("sig")).agg(count(lit(1)).as("bsz")),
-          Seq("band", "sig"), maxBucket, "lshCandidates")
-        banded0.join(ok, Seq("band", "sig"), "left_semi")
-      }
+      else dropOverCap(banded0, Seq("band", "sig"), maxBucket, "lshCandidates")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
       .select(col("a.id").as("ida"), col("b.id").as("idb"))
       .distinct()
   }
+
+  /** Banded LSH rows (id, band, sig) computed in ONE NARROW PASS per doc —
+    * the minhash array never explodes to (id, i, minh) rows and never
+    * re-groups: band b's signature string is sliced straight out of the
+    * [[graft.functions.VectorExpressions.minHashSig]] array (same i-ordered
+    * '_'-joined rendering as [[lshCandidates]]'s collect_list aggregate), so
+    * the per-doc banding costs zero Exchange. */
+  private def bandedDirect(df: DataFrame, idCol: String, textCol: String,
+                           k: Int, numHashes: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol).as("id"), tokensCol(textCol).as("arr"))
+      .filter(size(col("arr")) >= k)
+      .select(col("id"),
+        graft.functions.VectorExpressions.minHashSig(col("arr"), k, coeffs(numHashes), P).as("mh"))
+      .select(col("id"), posexplode(
+        expr(s"transform(sequence(0, (size(mh) - 1) div $rowsPerBand), " +
+          s"b -> array_join(transform(slice(mh, b * $rowsPerBand + 1, $rowsPerBand), " +
+          "x -> cast(x as string)), '_'))")).as(Seq("band", "sig")))
 
   /** Jaccard verification restricted to CANDIDATE pairs: intersection sizes
     * come from a pair-scoped join, never an all-pairs shingle self-join.
@@ -188,12 +239,16 @@ object Dedup {
   def nearDupPairs(df: DataFrame, idCol: String, textCol: String, k: Int,
                    numHashes: Int, rowsPerBand: Int, tNum: Int, tDen: Int,
                    maxBucket: Int = 10000): DataFrame = {
-    // signatures in one narrow pass (no shingle materialization); shingles
-    // are then materialized ONLY for docs that appear in a candidate pair —
-    // at web scale that is the near-dup tail, not the corpus
-    val cands = lshCandidates(
-      minhashSignatureDirect(df, idCol, textCol, k, numHashes), rowsPerBand, maxBucket)
-      .persist()
+    // signatures + banding in one narrow pass (no shingle materialization,
+    // no (id, i, minh) explode/regroup); shingles are then materialized ONLY
+    // for docs that appear in a candidate pair — at web scale that is the
+    // near-dup tail, not the corpus. localCheckpoint (not persist): the
+    // candidate set is computed once, shared by the id side and the verify
+    // side, and its blocks are RELEASED by the ContextCleaner when the
+    // result is dropped — no session-lifetime cache pin per call.
+    val cands = bandPairs(
+      bandedDirect(df, idCol, textCol, k, numHashes, rowsPerBand), maxBucket)
+      .localCheckpoint(false)
     val candIds = cands.select(col("ida").as(idCol))
       .union(cands.select(col("idb").as(idCol))).distinct()
     val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, k)
@@ -227,6 +282,17 @@ object Dedup {
       .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .select(col("id"), col("id").as("comp")).localCheckpoint()
+    // convergence = no label changed this round. Labels are elementwise
+    // NON-INCREASING over a FIXED id set (each round takes a min with the
+    // previous value), so the rounds' label sums strictly decrease until the
+    // fixpoint: an unchanged sum proves an unchanged labeling. One narrow
+    // aggregate over the already-checkpointed round result replaces the old
+    // per-round shuffle join + isEmpty action. decimal(38,0) cannot overflow
+    // (10^11 ids x 2^63 < 10^38).
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      Option(df.agg(sum(col("comp").cast("decimal(38,0)"))).collect()(0).getDecimal(0))
+        .getOrElse(java.math.BigDecimal.ZERO)
+    var prevSum = labelSum(labels)
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -234,8 +300,9 @@ object Dedup {
         .select(edges("b").as("id"), col("comp"))
       val next = labels.unionByName(prop)
         .groupBy("id").agg(min("comp").as("comp")).localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("comp", "prev"), "id")
-        .filter(col("comp") < col("prev")).isEmpty
+      val s = labelSum(next)
+      converged = s.compareTo(prevSum) == 0
+      prevSum = s
       labels = next
       iter += 1
     }
@@ -251,22 +318,28 @@ object Dedup {
   def simhash48(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tf = df.select(col(idCol).as("id"), explode(tokensCol(textCol)).as("term"))
       .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val termBits = tf.select(col("term")).distinct()
-      .withColumn("h1", expr("cast(conv(substr(md5(cast(term AS BINARY)), 1, 8), 16, 10) as bigint)"))
-      .withColumn("h2", expr("cast(conv(substr(md5(cast(term AS BINARY)), 9, 8), 16, 10) as bigint)"))
     // pow-based bit extraction (no shift builtins) so the SQL oracle matches:
     // 2^j is exact in double for j < 53, cast back to bigint loses nothing.
-    val bits = termBits.crossJoin(spark_range_48())
-      .withColumn("bit",
-        when(col("j") < 24, expr("(h1 div cast(pow(2, j) as bigint)) % 2"))
-          .otherwise(expr("(h2 div cast(pow(2, j - 24) as bigint)) % 2")))
-      .select(col("term"), col("j"), col("bit"))
-    tf.join(bits, "term")
-      .groupBy(col("id"), col("j"))
-      .agg(sum(col("tf") * (col("bit") * 2 - 1)).as("w"))
-      .withColumn("bitOut", when(col("w") > 0, 1L).otherwise(0L))
-      .groupBy(col("id"))
-      .agg(sum(expr("bitOut * cast(pow(2, j) as bigint)")).cast("long").as("simhash"))
+    // The 48 per-bit weights are 48 conditional aggregates of ONE
+    // groupBy(id) — the term-hash bits come straight off each (id, term)
+    // row's md5 (recomputing md5 per row is nanoseconds; the old
+    // distinct-terms crossJoin x48 + join shape paid two extra corpus-wide
+    // shuffles and a 48x row blowup to save it). Values are bit-identical:
+    // same md5 bit rule, same integer weights, same sign rule.
+    val withH = tf
+      .withColumn("h1", expr("cast(conv(substr(md5(cast(term AS BINARY)), 1, 8), 16, 10) as bigint)"))
+      .withColumn("h2", expr("cast(conv(substr(md5(cast(term AS BINARY)), 9, 8), 16, 10) as bigint)"))
+    val aggs = (0 until 48).map { j =>
+      val bit =
+        if (j < 24) expr(s"(h1 div cast(pow(2, $j) as bigint)) % 2")
+        else expr(s"(h2 div cast(pow(2, ${j - 24}) as bigint)) % 2")
+      sum(col("tf") * (bit * 2 - 1)).as(s"w$j")
+    }
+    withH.groupBy(col("id")).agg(aggs.head, aggs.tail: _*)
+      .select(col("id"),
+        (0 until 48).map(j =>
+            when(col(s"w$j") > 0, expr(s"cast(pow(2, $j) as bigint)")).otherwise(lit(0L)))
+          .reduce(_ + _).cast("long").as("simhash"))
   }
 
   /** SimHash fingerprint in ONE NARROW PASS per doc (SimHash48 expression:
@@ -301,12 +374,7 @@ object Dedup {
       .select(col("id"), col("simhash"), col("b.band"), col("b.v"))
     val banded =
       if (maxBand == Int.MaxValue) banded0
-      else {
-        val ok = keepUnderCap(
-          banded0.groupBy(col("band"), col("v")).agg(count(lit(1)).as("bsz")),
-          Seq("band", "v"), maxBand, "simhashPairs")
-        banded0.join(ok, Seq("band", "v"), "left_semi")
-      }
+      else dropOverCap(banded0, Seq("band", "v"), maxBand, "simhashPairs")
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.v") === col("b.v") &&
@@ -317,11 +385,6 @@ object Dedup {
       .withColumn("ham", bit_count(col("ha").bitwiseXOR(col("hb"))))
       .filter(col("ham") <= maxHamming)
       .select(col("ida"), col("idb"), col("ham").cast("int").as("hamming"))
-  }
-
-  private def spark_range_48(): DataFrame = {
-    val spark = org.apache.spark.sql.SparkSession.active
-    spark.range(0, 48).toDF("j")
   }
 
   /** Repeated k-gram span mining — the token-level analog of repeated-
@@ -393,6 +456,13 @@ object Dedup {
     * join without a corpus-wide shuffle — only MATCHING rows reach the
     * id-keyed count.
     */
+  /** Probe-count bound for the fully narrow contamination path: up to this
+    * many normalized probes ship inside one ProbeHits expression (a hash set
+    * in the task closure — zero Exchange, zero joins); larger probe sets
+    * take the broadcast-join path, filtering BEFORE the distinct so only
+    * matching shingles ever reach a shuffle. */
+  val ContaminationLiteralMax = 4096
+
   def contamination(df: DataFrame, idCol: String, textCol: String,
                     probes: Seq[String], k: Int): DataFrame = {
     val spark = df.sparkSession
@@ -403,11 +473,35 @@ object Dedup {
     val norm = probes.iterator
       .map(p => "[a-z0-9]+".r.findAllIn(p.toLowerCase).mkString(" "))
       .filter(_.nonEmpty).distinct.toSeq
-    val p = broadcast(norm.toDF("shingle"))
-    shingles(df, idCol, textCol, k)
-      .join(p, "shingle")
-      .groupBy("id")
-      .agg(count(lit(1)).as("hits"))
-      .select(col("id").as("doc_id"), col("hits"))
+    if (norm.size <= ContaminationLiteralMax) {
+      // ONE NARROW PASS: hits = |distinct probes among the doc's k-shingles|
+      // via the ProbeHits expression — tokenization runs once per row, the
+      // probe hash set rides in the task closure, and the plan has no
+      // shingle explode, no distinct shuffle, no groupBy, no join. (A
+      // composed-expression formulation is a trap here: the pushed-down
+      // hits>0 filter inlines the alias tree and re-derives the token array
+      // once per probe.)
+      df.select(col(idCol).as("doc_id"), tokensCol(textCol).as("arr"))
+        .filter(size(col("arr")) >= k)
+        .select(col("doc_id"),
+          graft.functions.ScalarExpressions.probeHits(col("arr"), k, norm.toArray)
+            .as("hits"))
+        .filter(col("hits") > 0)
+    } else {
+      val shingleArr =
+        expr(s"transform(sequence(0, size(arr) - $k), i -> array_join(slice(arr, i + 1, $k), ' '))")
+      val p = broadcast(norm.toDF("shingle"))
+      // broadcast-filter BEFORE the distinct: only probe-matching (id,
+      // shingle) rows reach the dedup shuffle, instead of the whole corpus'
+      // shingle set
+      df.select(col(idCol).as("id"), tokensCol(textCol).as("arr"))
+        .filter(size(col("arr")) >= k)
+        .select(col("id"), explode(shingleArr).as("shingle"))
+        .join(p, "shingle")
+        .distinct()
+        .groupBy("id")
+        .agg(count(lit(1)).as("hits"))
+        .select(col("id").as("doc_id"), col("hits"))
+    }
   }
 }

@@ -125,6 +125,10 @@ object Searcher {
     * 64 MB covers ~500 segments of 1M distinct terms at 10% saturation. */
   val DefaultBloomCacheLimit: Long = 64L * 1024 * 1024
 
+  /** Entry cap of the per-reader term-stats memo (entries are ~100 bytes;
+    * the cap bounds a pathological expansion stream, not normal serving). */
+  val TermStatsCacheMax: Int = 262144
+
   /** r2's fixed-member similarities are members of the general frameworks. */
   private[search] def normalizeSim(k: SimilarityKind): SimilarityKind = k match {
     case DfrInL2Sim(c) => DfrSim("in", "l", "h2", c)
@@ -560,7 +564,32 @@ final class Searcher(spark: SparkSession, indexPath: String,
     */
   private[search] def session: SparkSession = spark
 
+  /** Per-reader (field, term) -> (df, ttf) memo — the TermContext cache a
+    * reader keeps for its open snapshot: df/ttf are build-time constants of
+    * the segment set this Searcher resolved at open (deletes do not change
+    * docFreq until a purging merge, exactly the reference semantics), so a
+    * repeated term costs ZERO Spark jobs after its first lookup. `None`
+    * records ABSENT terms too (a miss is as cacheable as a hit). Insertion
+    * stops at [[Searcher.TermStatsCacheMax]] entries so an adversarial
+    * expansion stream cannot grow the driver unboundedly. */
+  @transient private lazy val termStatsCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, String), Option[(Long, Long)]]()
+
   def fieldTermStats(keys: Set[(String, String)]): Map[(String, String), (Long, Long)] = {
+    if (keys.isEmpty) return Map.empty
+    val missing = keys.filterNot(termStatsCache.containsKey)
+    val fetched = fetchFieldTermStats(missing)
+    if (missing.nonEmpty && termStatsCache.size() < Searcher.TermStatsCacheMax)
+      missing.foreach(k => termStatsCache.put(k, fetched.get(k)))
+    keys.iterator.flatMap { k =>
+      (termStatsCache.get(k) match {
+        case null => fetched.get(k)
+        case opt => opt
+      }).map(k -> _)
+    }.toMap
+  }
+
+  private def fetchFieldTermStats(keys: Set[(String, String)]): Map[(String, String), (Long, Long)] = {
     if (keys.isEmpty) return Map.empty
     val byField = keys.groupBy(_._1)
     def pred(src: DataFrame): Column =

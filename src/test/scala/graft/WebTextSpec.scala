@@ -88,11 +88,37 @@ class WebTextSpec extends AnyFunSuite {
     assert(out.toSeq == Seq((1L, 1L)))
   }
 
-  test("contamination broadcasts the probe side (no corpus-wide shuffle join)") {
+  test("contamination: small probe sets run the fully narrow path (no join, no Exchange)") {
     val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
     val plan = Dedup.contamination(df, "doc_id", "text", Seq("a b c"), 3)
       .queryExecution.executedPlan.toString
-    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Join"), plan)
+    assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("contamination: over-bound probe sets broadcast (never a corpus-wide shuffle join)") {
+    val df = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val many = (0 to Dedup.ContaminationLiteralMax).map(i => s"p$i q$i r$i") :+ "a b c"
+    val gated = Dedup.contamination(df, "doc_id", "text", many, 3)
+    assert(gated.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    // both paths agree on the result
+    assert(gated.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 1L)))
+  }
+
+  test("contamination: narrow and broadcast paths are value-identical") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"),
+      (2L, "quick brown fox runs far away from here"),
+      (3L, "nothing shared here at all today friends")
+    ).toDF("doc_id", "text")
+    val probes = Seq("the quick brown", "quick brown fox", "lazy dog end")
+    val narrow = Dedup.contamination(df, "doc_id", "text", probes, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val padded = probes ++ (0 to Dedup.ContaminationLiteralMax).map(i => s"x$i y$i z$i")
+    val broad = Dedup.contamination(df, "doc_id", "text", padded, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(narrow == broad)
+    assert(narrow == Seq((1L, 2L), (2L, 1L)))
   }
 
   // ---- canonicalUrl
