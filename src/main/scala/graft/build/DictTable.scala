@@ -104,12 +104,23 @@ object DictTable {
       else
         dict0.repartitionByRange(col("field"), col("len"), col("term"))
           .sortWithinPartitions("field", "len", "term")
-    // pin the aggregated dictionary: the gram index below derives from the
-    // SAME rows instead of reading the just-written parquet back
+    // pin the aggregated dictionary: the gram index derives from the SAME
+    // rows instead of reading the just-written parquet back, and the two
+    // independent writes run concurrently (the pinned blocks materialize
+    // once under the block manager's per-partition locking)
     val pinned = dict.persist()
-    pinned.write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
-    spark.catalog.refreshByPath(dictPath(indexPath))
-    writeGramsFrom(spark, indexPath, pinned, termBound <= singleFileMax / 8)
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val dictJob = Future {
+      pinned.write.mode(SaveMode.Overwrite).parquet(dictPath(indexPath))
+      spark.catalog.refreshByPath(dictPath(indexPath))
+    }
+    val gramsJob = Future {
+      writeGramsFrom(spark, indexPath, pinned, termBound <= singleFileMax / 8)
+    }
+    Await.result(dictJob, Duration.Inf)
+    Await.result(gramsJob, Duration.Inf)
     pinned.unpersist()
     writeMarker(spark, indexPath, sig)
   }

@@ -244,6 +244,11 @@ object IndexBuilder {
     // inside each segment instead of plain url order, making per-segment
     // docId order == sort order — the precondition for early termination
     val sortKeyExpr = indexSort.map(c => col(c).cast("double")).getOrElse(lit(0d))
+    // PINNED shuffled pages: the postings, docs and (opt-in) vectors jobs
+    // are separate actions, and separate actions do NOT share an Exchange —
+    // unpinned, each pass would re-scan the input and re-shuffle the raw
+    // corpus. One scan + one shuffle materialize into the block-manager
+    // cache (disk-backed) and all passes read from it; released below.
     val sortedPages = inGroup
       .select(col("url"),
         array(fieldNames.map(f => col(f).cast("string")): _*).as("vals"),
@@ -251,6 +256,7 @@ object IndexBuilder {
       .repartition(parts, col("segmentId"))
       .sortWithinPartitions(col("segmentId"), col("sortKey"), col("url"))
       .as[(String, Seq[String], Int, Double)]
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // postings: per-partition in-memory segment build (SegmentWriter - the
     // DWPT/TermsHash analog): tokens go straight into primitive buffers,
@@ -352,6 +358,7 @@ object IndexBuilder {
     Await.result(postingsJob, Duration.Inf)
     Await.result(docsJob, Duration.Inf)
     Await.result(vectorsJob, Duration.Inf)
+    sortedPages.unpersist()
 
     // opt-in per-(segment, field) term blooms (BloomFilteringPostingsFormat
     // analog): one streaming pass over each group's term rows; the bitset

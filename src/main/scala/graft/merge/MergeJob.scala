@@ -891,7 +891,18 @@ object MergeJob {
     val offDf = broadcast(spark.createDataset(segOff.toSeq).toDF("newSeg", "segOff"))
     val withNew = ranked.join(offDf, "newSeg")
       .withColumn("newId", (col("rank") - 1 - col("segOff")).cast("int"))
-    val permDf = withNew.select("segmentId", "docId", "newSeg", "newId")
+    val permDf0 = withNew.select("segmentId", "docId", "newSeg", "newId")
+    // scale-adaptive permutation attachment (the doc count is already in
+    // hand from segAgg — no extra job): up to the broadcast budget the
+    // postings/vectors rebase joins ship the permutation to every task and
+    // the big exploded-entries side is NEVER shuffled by (segmentId, docId);
+    // above it both sides shuffle (the fully distributed shape). Mirrors the
+    // merge path's SortedMergeMaxDocs cutover; override with
+    // spark.graft.split.permBroadcastMaxDocs.
+    val totalDocs = segAgg.map(_.getAs[Long]("maxDoc")).sum
+    val permBroadcastMax = spark.conf.getOption("spark.graft.split.permBroadcastMaxDocs")
+      .map(_.toLong).getOrElse((1L << 22))
+    val permDf = if (totalDocs <= permBroadcastMax) broadcast(permDf0) else permDf0
 
     // doc store straight off the pinned sort (no join-back), concurrent with
     // the postings rebuild below — the two jobs share no dependency

@@ -251,7 +251,11 @@ object Dedup {
       .localCheckpoint(false)
     val candIds = cands.select(col("ida").as(idCol))
       .union(cands.select(col("idb").as(idCol))).distinct()
+    // pin the candidate docs' shingle set: jaccardVerify reads it three
+    // times (per-doc sizes, pair a-side, pair b-side) and would otherwise
+    // re-run the explode + distinct per consumer
     val sh = shingles(df.join(candIds, Seq(idCol), "left_semi"), idCol, textCol, k)
+      .localCheckpoint(false)
     jaccardVerify(sh, cands, tNum, tDen)
   }
 

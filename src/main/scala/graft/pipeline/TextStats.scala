@@ -19,14 +19,19 @@ object TextStats {
     */
   def quality(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val stopArr = StopWords33.map(w => s"'$w'").mkString(", ")
-    df.select(
-      col(idCol),
-      size(toksCol(textCol)).cast("long").as("n_tokens"),
-      expr(s"size(filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
-        s"x -> array_contains(array($stopArr), x)))").cast("long").as("n_stop"),
-      length(col(textCol)).cast("long").as("n_chars"),
-      expr(s"size(filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
-        "x -> x rlike '^[0-9]+$'))").cast("long").as("n_numeric"))
+    // tokenize ONCE into an alias the optimizer keeps in its own projection
+    // (used 3x and non-cheap, so CollapseProject leaves it): the old shape
+    // re-ran the token regex per derived column
+    df.select(col(idCol), toksCol(textCol).as("toks"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .select(
+        col(idCol),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr(s"size(filter(toks, x -> array_contains(array($stopArr), x)))")
+          .cast("long").as("n_stop"),
+        col("n_chars"),
+        expr("size(filter(toks, x -> x rlike '^[0-9]+$'))")
+          .cast("long").as("n_numeric"))
   }
 
   /** Marker-word language ID (n-gram-free heuristic): count per-language
@@ -41,10 +46,12 @@ object TextStats {
   def langId(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val counts = Markers.map { case (lang, words) =>
       val arr = words.map(w => s"'$w'").mkString(", ")
-      lang -> expr(s"size(filter(regexp_extract_all(lower($textCol), '[a-z0-9]+', 0), " +
-        s"x -> array_contains(array($arr), x)))").as(s"c_$lang")
+      lang -> expr(s"size(filter(toks, x -> array_contains(array($arr), x)))")
+        .as(s"c_$lang")
     }
-    val withCounts = df.select(col(idCol) +: counts.map(_._2): _*)
+    // one tokenization pass shared by all four marker counters
+    val withCounts = df.select(col(idCol), toksCol(textCol).as("toks"))
+      .select(col(idCol) +: counts.map(_._2): _*)
     // argmax by (count desc, lang asc): fold a CASE chain in lang order
     val best = Markers.map(_._1).foldLeft(lit("und").as("l") -> lit(0).as("c")) {
       case ((bl, bc), lang) =>
