@@ -190,7 +190,16 @@ object Dedup {
   private def bandPairs(banded0: DataFrame, maxBucket: Int): DataFrame = {
     val banded =
       if (maxBucket == Int.MaxValue) banded0
-      else dropOverCap(banded0, Seq("band", "sig"), maxBucket, "lshCandidates")
+      else {
+        // pin the banded rows once on the capped path: the cap aggregate
+        // (an extra eager consumer) and both pair self-join sides read the
+        // SAME materialized rows — unpinned, each consumer re-scans and
+        // re-minhashes the corpus. Banded rows are ~bands x tens of bytes
+        // per doc (far smaller than the corpus); blocks release with the
+        // result via the ContextCleaner.
+        dropOverCap(banded0.localCheckpoint(false),
+          Seq("band", "sig"), maxBucket, "lshCandidates")
+      }
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band") === col("b.band") && col("a.sig") === col("b.sig") && col("a.id") < col("b.id"))
