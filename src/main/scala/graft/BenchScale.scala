@@ -146,10 +146,29 @@ object BenchScale {
     md.append("same plan shape holds: term-pruned parquet scan -> per-segment WAND/plan ->\n")
     md.append("driver TopDocs merge.\n")
 
+    // PRESERVE the variance-disclosure history across rewrites (the r5
+    // workflow re-appended it by hand after every run): carry the existing
+    // section over verbatim, with this run's row appended to its table.
+    val baselinePath = java.nio.file.Paths.get("BENCH/BASELINE.md")
+    val varianceHeader = "## Variance disclosure"
+    val newRow = f"| $n%d-pages run | ${n / 1000000}%dM | $trials%d | $efficiency%.3f | appended by BenchScale |"
+    val carried: String =
+      if (java.nio.file.Files.exists(baselinePath)) {
+        val old = new String(java.nio.file.Files.readAllBytes(baselinePath), "UTF-8")
+        val i = old.indexOf(varianceHeader)
+        if (i < 0) "" else {
+          val section = old.substring(i).stripLineEnd
+          // insert the new row right after the last existing table row
+          val lines = section.split("\n", -1).toBuffer
+          val lastRow = lines.lastIndexWhere(_.startsWith("|"))
+          if (lastRow >= 0) lines.insert(lastRow + 1, newRow) else lines.append(newRow)
+          "\n" + lines.mkString("\n") + "\n"
+        }
+      } else ""
     val out = new java.io.File("BENCH")
     out.mkdirs()
     val w = new java.io.PrintWriter("BENCH/BASELINE.md", "UTF-8")
-    w.write(md.toString)
+    w.write(md.toString + carried)
     w.close()
     println(md.toString)
     println(s"""{"metric":"scaling_efficiency","value":$efficiency,"rate2":$rate2,"rate8":$rate8,"rate32":$rate32,"smt_efficiency":$efficiencySmt,"p50":$p50,"p95":$p95,"n":$n}""")
