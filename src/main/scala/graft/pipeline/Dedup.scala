@@ -174,12 +174,20 @@ object Dedup {
     */
   def lshCandidates(sig: DataFrame, rowsPerBand: Int,
                     maxBucket: Int = Int.MaxValue): DataFrame = {
+    // positional concat inside the band, i-ordered. The signature rows carry
+    // exactly one (id, i) each, so slot j of a band is a DECLARATIVE
+    // conditional max (codegen'd HashAggregate) instead of the old
+    // collect_list + array_sort (ObjectHashAggregate, interpreted);
+    // concat_ws skips the NULL slots of a short trailing band, preserving
+    // the exact i-ordered '_' rendering.
+    val slots = (0 until rowsPerBand).map(j =>
+      max(when(col("i") % rowsPerBand === j, col("minh"))).as(s"m$j"))
     val banded0 = sig
       .withColumn("band", (col("i") / rowsPerBand).cast("int"))
       .groupBy(col("id"), col("band"))
-      // positional concat inside the band: order by i
-      .agg(concat_ws("_", transform(array_sort(collect_list(struct(col("i"), col("minh")))),
-        x => x.getField("minh").cast("string"))).as("sig"))
+      .agg(slots.head, slots.tail: _*)
+      .select(col("id"), col("band"),
+        concat_ws("_", (0 until rowsPerBand).map(j => col(s"m$j").cast("string")): _*).as("sig"))
     bandPairs(banded0, maxBucket)
   }
 
